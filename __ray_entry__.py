@@ -20,8 +20,29 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0.
+
+    documents.parquet → deterministic synthetic pages (url, warc_ts,
+    html:binary, text, lang) → extract (HTML density scoring / PDF XY-cut)
+    → dedup flag → reconcile verdicts.  Returns the verdict Dataset with the
+    wide span/text columns projected out for a stable, compact schema.
+    """
+    from invoice_ocr_reconciler_ray.pipelines.flagship import run_flagship
+
+    return run_flagship("/root/testdata/sf0.001").select_columns(
+        [
+            "url",
+            "warc_ts",
+            "lang",
+            "content_type",
+            "confidence",
+            "is_duplicate",
+            "match_status",
+            "discrepancy",
+            "flag_reason",
+            "confidence_score",
+        ]
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

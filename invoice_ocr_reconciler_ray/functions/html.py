@@ -1,0 +1,272 @@
+"""Streaming HTML tokenizer + text-density/link-density block extractor.
+
+The flagship per-document extractor — the graft of the reference's
+``parseInvoice`` regex-cascade extractor (reference invoiceParser.js:88-128):
+raw bytes in, structured record out, with a fixed deterministic rule table
+(≙ ``PATTERNS`` invoiceParser.js:5-50 → ``ExtractConfig``), first-accepted
+selection (≙ ``extractField`` invoiceParser.js:61-67 → block classification),
+span list (≙ ``parseLineItems`` list<struct> invoiceParser.js:69-86 →
+``spans``), and a 0-100 confidence score (≙ invoiceParser.js:111-114).
+
+Design: a single-pass regex tokenizer over the decoded document emits text
+runs and tag events; block-level tags delimit *blocks*; each block gets
+``n_words`` and ``link_density`` (words inside <a>), plus a boilerplate hint
+from enclosing nav/header/footer/aside/form containers.  Classification is
+Boilerpipe/Readability-style thresholding (see ExtractConfig docstring) plus
+one neighbour-promotion pass.  Everything is pure Python + stdlib regex —
+bit-stable across machines (no locale, no wall-clock, no dict-order
+dependence).
+
+Scale notes: regexes are compiled once at import; per-row work is O(bytes).
+This function is called from ``stages/extract.py`` inside
+``map_batches(batch_format="pyarrow")`` — the Python-level loop is over rows
+*within* a zero-copy Arrow batch, which is the idiomatic Ray Data shape for
+per-document parsers (the parse itself is not vectorizable).
+"""
+
+from __future__ import annotations
+
+import html as _htmlmod
+import re
+from typing import NamedTuple
+
+from ..config import DEFAULT_EXTRACT, ExtractConfig
+
+# --- tokenizer ------------------------------------------------------------
+
+# one scan: comments | CDATA | doctype/decls | tags | text runs
+_TOKEN_RE = re.compile(
+    r"<!--.*?(?:-->|\Z)"  # comment (tolerates truncation)
+    r"|<!\[CDATA\[.*?(?:\]\]>|\Z)"  # CDATA
+    r"|<[!?][^>]*>"  # doctype / processing instr
+    r"|<[^>]*>?"  # tag (tolerates unterminated final tag)
+    r"|[^<]+",  # text run
+    re.S,
+)
+_TAG_NAME_RE = re.compile(r"</?\s*([a-zA-Z][a-zA-Z0-9]*)")
+_WS_RE = re.compile(r"\s+")
+_CHARSET_RE = re.compile(
+    rb"""charset\s*=\s*["']?\s*([A-Za-z0-9_\-]+)""", re.I
+)
+
+# tags whose text content is never document text
+_SKIP_TAGS = frozenset({"script", "style", "noscript", "template", "svg", "head", "iframe"})
+# tags that delimit text blocks
+_BLOCK_TAGS = frozenset(
+    {
+        "p", "div", "section", "article", "main", "header", "footer", "nav",
+        "aside", "ul", "ol", "li", "dl", "dt", "dd", "table", "thead",
+        "tbody", "tr", "td", "th", "h1", "h2", "h3", "h4", "h5", "h6",
+        "blockquote", "pre", "figure", "figcaption", "form", "fieldset",
+        "br", "hr", "title", "body",
+    }
+)
+# containers whose descendants are boilerplate by rule 1
+_BOILER_CONTAINERS = frozenset({"nav", "header", "footer", "aside", "form"})
+# void tags that never push depth
+_VOID_TAGS = frozenset({"br", "hr", "img", "meta", "link", "input", "base", "area", "col", "embed", "source", "track", "wbr"})
+_HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
+
+
+class Block(NamedTuple):
+    text: str
+    kind: str  # the block-level tag that opened it ("p", "h1", "li", ...)
+    n_words: int
+    n_link_words: int
+    boiler_hint: bool  # inside nav/header/footer/aside/form
+
+    @property
+    def link_density(self) -> float:
+        return self.n_link_words / self.n_words if self.n_words else 0.0
+
+
+class Extraction(NamedTuple):
+    text: str
+    # spans: (start, end, kind) char offsets into `text`, bounds-checked
+    spans: list[tuple[int, int, str]]
+    confidence: int
+    content_type: str  # "html" | "pdf"
+
+
+def sniff_charset(raw: bytes, cfg: ExtractConfig = DEFAULT_EXTRACT) -> str:
+    """Charset resolution ≙ the reference's currency-symbol→ISO resolution
+    (invoiceParser.js:99-103): scan a bounded prefix for a declared charset,
+    defaulting deterministically (USD ≙ utf-8)."""
+    m = _CHARSET_RE.search(raw[: cfg.charset_sniff_bytes])
+    if m:
+        cs = m.group(1).decode("ascii", "replace").lower()
+        # normalize the handful of real-world aliases we accept
+        if cs in ("utf8", "utf-8"):
+            return "utf-8"
+        if cs in ("latin-1", "latin1", "iso-8859-1", "iso8859-1", "windows-1252", "cp1252"):
+            return "iso-8859-1"
+        return cs
+    return "utf-8"
+
+
+def decode_html(raw: bytes, cfg: ExtractConfig = DEFAULT_EXTRACT) -> str:
+    """Strict decode in the sniffed charset.  Undecodable bytes raise — the
+    caller turns that into a row-level ``error`` record (≙ per-file error
+    isolation, reference server.js:334-339), never a task failure."""
+    return raw.decode(sniff_charset(raw, cfg), errors="strict")
+
+
+def tokenize_blocks(doc: str) -> tuple[list[Block], bool]:
+    """Single pass over the document producing whitespace-normalized blocks.
+
+    Returns ``(blocks, seen_main)`` where ``seen_main`` records whether a
+    structural <main>/<article> tag was present (a confidence signal).
+    """
+    blocks: list[Block] = []
+    parts: list[str] = []
+    n_link_words = 0
+    n_words = 0
+    cur_kind = "body"
+    skip_depth = 0
+    a_depth = 0
+    boiler_depth = 0
+    seen_main = False
+
+    def flush() -> None:
+        nonlocal parts, n_words, n_link_words
+        if parts:
+            text = _WS_RE.sub(" ", "".join(parts)).strip()
+            if text:
+                blocks.append(
+                    Block(text, cur_kind, n_words, n_link_words, boiler_depth > 0)
+                )
+        parts = []
+        n_words = 0
+        n_link_words = 0
+
+    for m in _TOKEN_RE.finditer(doc):
+        tok = m.group(0)
+        c0 = tok[0]
+        if c0 != "<":
+            if skip_depth == 0:
+                raw = _htmlmod.unescape(tok)
+                w = len(raw.split())
+                if w:
+                    parts.append(raw)
+                    n_words += w
+                    if a_depth > 0:
+                        n_link_words += w
+                elif raw:
+                    parts.append(raw)  # pure-whitespace run still separates words
+            continue
+        if tok.startswith("<!") or tok.startswith("<?"):
+            continue
+        tm = _TAG_NAME_RE.match(tok)
+        if not tm:
+            continue
+        name = tm.group(1).lower()
+        closing = tok.startswith("</")
+        if name in _SKIP_TAGS:
+            if closing:
+                skip_depth = max(0, skip_depth - 1)
+            elif not tok.endswith("/>"):
+                skip_depth += 1
+            continue
+        if skip_depth:
+            continue
+        if name == "a":
+            if closing:
+                a_depth = max(0, a_depth - 1)
+            else:
+                a_depth += 1
+            continue
+        if name in _BLOCK_TAGS:
+            flush()
+            if name in ("main", "article"):
+                seen_main = True
+            if name in _BOILER_CONTAINERS:
+                if closing:
+                    boiler_depth = max(0, boiler_depth - 1)
+                else:
+                    boiler_depth += 1
+            if not closing and name not in _VOID_TAGS:
+                cur_kind = name
+            elif closing:
+                cur_kind = "body"
+        else:
+            # inline tag: acts as a word separator only if it carried one
+            if parts and not parts[-1].endswith(" "):
+                pass  # inline tags do NOT separate words (e.g. <em>w</em>ord)
+    flush()
+    return blocks, seen_main
+
+
+def classify(blocks: list[Block], cfg: ExtractConfig = DEFAULT_EXTRACT) -> list[bool]:
+    """Apply the ordered rule table (ExtractConfig docstring) — first-match
+    semantics preserved exactly (≙ extractField ordered cascade,
+    invoiceParser.js:61-67)."""
+    keep: list[bool] = []
+    for b in blocks:
+        if b.boiler_hint:
+            keep.append(False)
+        elif b.n_words and b.link_density > cfg.max_link_density:
+            keep.append(False)
+        elif b.n_words >= cfg.min_words:
+            keep.append(True)
+        elif (
+            b.kind in _HEADING_TAGS
+            and b.n_words >= cfg.min_heading_words
+            and b.link_density <= cfg.heading_max_link_density
+        ):
+            keep.append(True)
+        else:
+            keep.append(False)
+    # neighbour promotion: zero-link short block between two content blocks
+    for i, b in enumerate(blocks):
+        if keep[i] or b.boiler_hint or b.n_link_words or not b.n_words:
+            continue
+        if _nearest(keep, blocks, i, -1) and _nearest(keep, blocks, i, +1):
+            keep[i] = True
+    return keep
+
+
+def _nearest(keep: list[bool], blocks: list[Block], i: int, step: int) -> bool:
+    j = i + step
+    while 0 <= j < len(blocks):
+        if blocks[j].n_words:
+            return keep[j]
+        j += step
+    return False
+
+
+def extract_html(raw: bytes, cfg: ExtractConfig = DEFAULT_EXTRACT) -> Extraction:
+    """bytes → (extracted_text, spans, confidence, "html").
+
+    Byte-stability contract: identical input bytes produce identical output
+    text on any machine/Python (the reference's ``Date.now()`` fallback,
+    invoiceParser.js:117, is deliberately NOT reproduced — unextractable
+    pages yield empty text, never a wall-clock value).
+    """
+    doc = decode_html(raw, cfg)
+    blocks, seen_main = tokenize_blocks(doc)
+    keep = classify(blocks, cfg)
+
+    out_parts: list[str] = []
+    spans: list[tuple[int, int, str]] = []
+    pos = 0
+    jlen = len(cfg.block_joiner)
+    has_heading = False
+    for b, k in zip(blocks, keep):
+        if not k:
+            continue
+        if out_parts:
+            pos += jlen
+        start = pos
+        out_parts.append(b.text)
+        pos += len(b.text)
+        spans.append((start, pos, b.kind))
+        if b.kind in _HEADING_TAGS:
+            has_heading = True
+    text = cfg.block_joiner.join(out_parts)
+
+    # confidence ≙ round(100 * extracted_fields/4), invoiceParser.js:111-114:
+    # four signals — any content, structural main/article seen, a heading
+    # extracted, body length >= 100 chars
+    signals = [bool(text), seen_main, has_heading, len(text) >= 100]
+    confidence = round(100 * sum(signals) / 4)
+    return Extraction(text, spans, confidence, "html")
