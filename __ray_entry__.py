@@ -52,7 +52,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     returns a Dataset / pandas DataFrame / pyarrow Table. Name every
     computed/aggregate column so names match ``oracle_sql``.
     """
-    return {}
+    from invoice_ocr_reconciler_ray.pipelines.queries import registry
+
+    return registry()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -62,4 +64,6 @@ def oracle_sql() -> dict[str, str]:
     embeddings). Omit for non-SQL-expressible ops → driver records a
     weaker rows-only check.
     """
-    return {}
+    from invoice_ocr_reconciler_ray.pipelines.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

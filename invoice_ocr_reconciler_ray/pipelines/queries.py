@@ -1,0 +1,645 @@
+"""Operator registry: every pipeline exposed through ``__ray_entry__`` with,
+where SQL-expressible, a DuckDB oracle producing identical columns/values.
+
+Numeric-exactness policy for oracle parity: money/value SUMs are computed as
+**integer cents** so results are order-independent exact integers — a float
+Sum shuffled into a different reduction order would hash-mismatch at the last
+ulp.  The cents kernel is ``FLOOR(x*100 + 0.5)`` on BOTH sides: DuckDB's
+ROUND is half-away-from-zero while pyarrow's is half-to-even, and the
+testdata's .25/.50 price grid lands on exact ties constantly (404 divergent
+rows in lineitem at sf0.01) — the floor form is tie-free and IEEE-identical
+in both engines.  SUMs are CAST to BIGINT in SQL so DuckDB's HUGEINT never
+reaches pandas as float.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..stages import neardup
+from ..stages.ann import brute_force_topk, ivf_topk
+from ..stages.fuzzy import fuzzy_reconcile
+from ..stages.text_analysis import (
+    fingerprint_stage,
+    lang_id_stage,
+    quality_stage,
+    token_count_stage,
+)
+
+
+def _cents(arr) -> pa.Array:
+    return pc.cast(
+        pc.floor(pc.add(pc.multiply(pc.cast(arr, pa.float64()), 100.0), 0.5)), pa.int64()
+    )
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+# ---------------------------------------------------------------- aggregates
+
+def pricing_summary(sf_dir: str):
+    """TPC-H-Q1-style pricing summary (≙ A2/A3 run-summary aggregates).
+    Pre-aggregation is Ray-native (partial per block, final after a tiny
+    shuffle on the 2-value key pair)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        return pa.Table.from_arrays(
+            [
+                t["l_returnflag"],
+                t["l_linestatus"],
+                _cents(t["l_quantity"]),
+                _cents(t["l_extendedprice"]),
+                _cents(rev),
+            ],
+            names=["l_returnflag", "l_linestatus", "qty_c", "price_c", "rev_c"],
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_c", alias_name="sum_qty_cents"),
+            Sum("price_c", alias_name="sum_base_cents"),
+            Sum("rev_c", alias_name="sum_rev_cents"),
+            Count(alias_name="n"),
+        )
+    )
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_rev_cents,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def monthly_orders(sf_dir: str):
+    """Monthly order buckets (≙ A4, server.js:260-267)."""
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pc.strftime(t["o_orderdate"], format="%Y-%m"), _cents(t["o_totalprice"])],
+            names=["month", "total_c"],
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("month")
+        .aggregate(Count(alias_name="n"), Sum("total_c", alias_name="sum_total_cents"))
+    )
+
+
+MONTHLY_ORDERS_SQL = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month, COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_total_cents
+FROM orders GROUP BY 1
+"""
+
+
+def monthly_events(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pc.strftime(t["ts"], format="%Y-%m"), _cents(t["value"])],
+            names=["month", "value_c"],
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("month")
+        .aggregate(Count(alias_name="n"), Sum("value_c", alias_name="sum_value_cents"))
+    )
+
+
+MONTHLY_EVENTS_SQL = """
+SELECT strftime(ts, '%Y-%m') AS month, COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY 1
+"""
+
+
+def events_global_stats(sf_dir: str):
+    """Single-row dashboard stats (≙ A3, server.js:244-257) in one pass +
+    one tiny distinct-count pass."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "value", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["user_id"], _cents(t["value"]), pc.cast(t["ts"], pa.int64())],
+            names=["user_id", "value_c", "ts_us"],
+        )
+
+    base = ds.map_batches(prep, batch_format="pyarrow")
+    row = base.aggregate(
+        Count(alias_name="n_events"),
+        Sum("value_c", alias_name="sum_value_cents"),
+        Min("ts_us", alias_name="min_ts_us"),
+        Max("ts_us", alias_name="max_ts_us"),
+    )
+    n_users = base.groupby("user_id").aggregate(Count(alias_name="c")).count()
+    import pandas as pd
+
+    return pd.DataFrame(
+        [
+            {
+                "n_events": row["n_events"],
+                "n_users": n_users,
+                "sum_value_cents": row["sum_value_cents"],
+                "min_ts_us": row["min_ts_us"],
+                "max_ts_us": row["max_ts_us"],
+            }
+        ]
+    )
+
+
+EVENTS_GLOBAL_STATS_SQL = """
+SELECT COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+       CAST(epoch_us(MIN(ts)) AS BIGINT) AS min_ts_us,
+       CAST(epoch_us(MAX(ts)) AS BIGINT) AS max_ts_us
+FROM events
+"""
+
+
+# ------------------------------------------------------------ filters / sorts
+
+def order_status_counts(sf_dir: str):
+    """Status filter + priority counts (≙ F4, server.js:356)."""
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderstatus", "o_orderpriority"])
+    filt = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderstatus"], "F")), batch_format="pyarrow"
+    )
+    return filt.groupby("o_orderpriority").aggregate(Count(alias_name="n"))
+
+
+ORDER_STATUS_COUNTS_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n FROM orders WHERE o_orderstatus = 'F'
+GROUP BY 1
+"""
+
+
+def search_parts(sf_dir: str):
+    """Substring search (≙ F6 LIKE %q%, server.js:357-360)."""
+    ds = rd.read_parquet(_t(sf_dir, "part"), columns=["p_partkey", "p_name"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.match_substring(t["p_name"], "red")), batch_format="pyarrow"
+    )
+
+
+SEARCH_PARTS_SQL = "SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%red%'"
+
+
+def events_type_filter(sf_dir: str):
+    """IN-set filter (≙ F5 status IN (...), server.js:521)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type"])
+    keep = pa.array(["click", "purchase"])
+    filt = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t["event_type"], value_set=keep)), batch_format="pyarrow"
+    )
+    return filt.groupby("event_type").aggregate(Count(alias_name="n"))
+
+
+EVENTS_TYPE_FILTER_SQL = """
+SELECT event_type, COUNT(*) AS n FROM events
+WHERE event_type IN ('click','purchase') GROUP BY 1
+"""
+
+
+def top_customers(sf_dir: str):
+    """Top-10 spenders (≙ T1/T2 ORDER BY + LIMIT, server.js:363-367)."""
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["o_custkey"], _cents(t["o_totalprice"])], names=["o_custkey", "total_c"]
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("total_c", alias_name="sum_spent_cents"))
+    )
+    return agg.sort(["sum_spent_cents", "o_custkey"], descending=[True, False]).limit(10)
+
+
+TOP_CUSTOMERS_SQL = """
+SELECT o_custkey, CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_spent_cents
+FROM orders GROUP BY 1 ORDER BY sum_spent_cents DESC, o_custkey LIMIT 10
+"""
+
+
+def top_lineitems(sf_dir: str):
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_linenumber", "l_extendedprice"]
+    )
+    return ds.sort(
+        ["l_extendedprice", "l_orderkey", "l_linenumber"], descending=[True, False, False]
+    ).limit(20)
+
+
+TOP_LINEITEMS_SQL = """
+SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------- joins
+
+def customers_without_early_orders(sf_dir: str):
+    """Anti-join (≙ J5 missing-records, reconciliationEngine.js:199):
+    broadcast the early-orderer key set, filter customers against it."""
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_orderdate"])
+    early = orders.map_batches(
+        lambda t: t.filter(pc.less(t["o_orderdate"], pa.scalar(np.datetime64("1996-01-01", "us")))),
+        batch_format="pyarrow",
+    )
+    keys = set(early.unique("o_custkey"))
+    keys_ref = ray.put(keys)
+    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+
+    def anti(t: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        mask = pa.array([k not in ks for k in t["c_custkey"].to_pylist()])
+        return t.filter(mask)
+
+    return cust.map_batches(anti, batch_format="pyarrow")
+
+
+CUSTOMERS_WITHOUT_EARLY_ORDERS_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01')
+"""
+
+
+def revenue_by_priority(sf_dir: str):
+    """Large-large hash join (≙ J7 SQL enrichment joins, server.js:583-588):
+    ``Dataset.join`` hash-partitioned on the order key, then a tiny groupby."""
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        return pa.Table.from_arrays([t["l_orderkey"], _cents(rev)], names=["l_orderkey", "rev_c"])
+
+    li = li.map_batches(prep, batch_format="pyarrow")
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"])
+    joined = li.join(
+        orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+    return joined.groupby("o_orderpriority").aggregate(
+        Sum("rev_c", alias_name="sum_rev_cents"), Count(alias_name="n_items")
+    )
+
+
+REVENUE_BY_PRIORITY_SQL = """
+SELECT o_orderpriority,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_rev_cents,
+       COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
+def revenue_by_nation(sf_dir: str):
+    """Broadcast small-side join (≙ J1 register lookup): supplier+nation dims
+    are ray.put ONCE and probed per batch — no shuffle on the fact table."""
+    import pandas as pd
+
+    sup = rd.read_parquet(_t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = rd.read_parquet(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name"]).to_pandas()
+    dim = sup.merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+    lookup = dict(zip(dim.s_suppkey, dim.n_name))
+    lookup_ref = ray.put(lookup)
+
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_suppkey", "l_extendedprice", "l_discount"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        lk = ray.get(lookup_ref)
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        names = [lk.get(s) for s in t["l_suppkey"].to_pylist()]
+        return pa.Table.from_arrays(
+            [pa.array(names, pa.string()), _cents(rev)], names=["n_name", "rev_c"]
+        )
+
+    return (
+        li.map_batches(prep, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("rev_c", alias_name="sum_rev_cents"), Count(alias_name="n_items"))
+    )
+
+
+REVENUE_BY_NATION_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_rev_cents,
+       COUNT(*) AS n_items
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1
+"""
+
+
+# ------------------------------------------------------------- dedup / text
+
+def dedup_flag_documents(sf_dir: str):
+    """Keyed exact dedup, flag-don't-drop, first-wins by doc_id (≙ A1,
+    reconciliationEngine.js:43-51) on key (lang, n_chars)."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang", "n_chars"])
+    firsts = ds.groupby(["lang", "n_chars"]).aggregate(Min("doc_id", alias_name="first_id"))
+    fmap = {
+        (r["lang"], r["n_chars"]): r["first_id"] for r in firsts.to_pandas().to_dict("records")
+    }
+    fref = ray.put(fmap)
+
+    def flag(t: pa.Table) -> pa.Table:
+        fm = ray.get(fref)
+        ids = t["doc_id"].to_pylist()
+        keys = list(zip(t["lang"].to_pylist(), t["n_chars"].to_pylist()))
+        dup = [fm[k] != i for k, i in zip(keys, ids)]
+        return pa.Table.from_arrays(
+            [t["doc_id"], pa.array(dup, pa.bool_())], names=["doc_id", "is_duplicate"]
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
+DEDUP_FLAG_DOCUMENTS_SQL = """
+SELECT doc_id,
+       (row_number() OVER (PARTITION BY lang, n_chars ORDER BY doc_id)) > 1 AS is_duplicate
+FROM documents
+"""
+
+
+def doc_fingerprints(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return fingerprint_stage(ds).select_columns(["doc_id", "fp_md5"])
+
+
+DOC_FINGERPRINTS_SQL = "SELECT doc_id, md5(text) AS fp_md5 FROM documents"
+
+
+def token_counts(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return token_count_stage(ds)
+
+
+TOKEN_COUNTS_SQL = """
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+FROM documents
+"""
+
+
+def text_quality(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return quality_stage(ds)
+
+
+TEXT_QUALITY_SQL = """
+SELECT doc_id,
+       length(text) AS n_chars,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_words,
+       length(regexp_replace(text, '[^!?.,;:]', '', 'g')) AS n_punct,
+       length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper
+FROM documents
+"""
+
+
+# ------------------------------------------------------------------ ANN
+
+def _query_vectors(sf_dir: str, n: int = 5):
+    q = (
+        rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+        .map_batches(
+            lambda t: t.filter(pc.less(t["vec_id"], n)), batch_format="pyarrow"
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    return q.vec_id.tolist(), np.asarray(q.embedding.tolist(), dtype=np.float64)
+
+
+def ann_cosine_topk(sf_dir: str):
+    """Exact brute-force cosine top-10 for 5 query vectors — the ANN
+    baseline (broadcast query matrix; per-batch partial top-k)."""
+    qids, qmat = _query_vectors(sf_dir)
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return brute_force_topk(ds, qids, qmat, k=10)
+
+
+ANN_COSINE_TOPK_SQL = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id < 5),
+s AS (SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS sim_raw
+      FROM q CROSS JOIN embeddings e),
+r AS (SELECT query_id, vec_id, sim_raw,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim_raw DESC, vec_id) AS rank
+      FROM s)
+SELECT query_id, vec_id, ROUND(sim_raw, 6) AS sim, rank FROM r WHERE rank <= 10
+"""
+
+
+def ann_ivf_topk(sf_dir: str):
+    """IVF-bucketed approximate variant (rows-only check; recall vs the
+    exact baseline is asserted in pytest)."""
+    qids, qmat = _query_vectors(sf_dir)
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return ivf_topk(ds, qids, qmat, k=10)
+
+
+# -------------------------------------------------- near-dup suite (rows-only)
+
+def _docs_with_neardups(sf_dir: str):
+    """documents ∪ deterministic mutated copies (5% of docs, doc_id+1_000_000)
+    — plants verifiable near-dup pairs so the suite's output is non-empty and
+    analytically checkable."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def mutate(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        out_i, out_t = list(ids), [x or "" for x in texts]
+        for i, x in zip(ids, texts):
+            if i % 20 == 0:  # every 20th doc gets a near-dup twin
+                words = (x or "").split()
+                if len(words) > 10:
+                    words[5] = "mutated"
+                out_i.append(i + 1_000_000)
+                out_t.append(" ".join(words))
+        return pa.Table.from_arrays(
+            [pa.array(out_i, pa.int64()), pa.array(out_t, pa.string())],
+            names=["doc_id", "text"],
+        )
+
+    return ds.map_batches(mutate, batch_format="pyarrow")
+
+
+def minhash_neardup(sf_dir: str):
+    return neardup.minhash_neardup_pairs(_docs_with_neardups(sf_dir), threshold=0.8)
+
+
+def simhash_neardup(sf_dir: str):
+    return neardup.simhash_neardup_pairs(_docs_with_neardups(sf_dir), max_hamming=3)
+
+
+def ngram_jaccard_neardup(sf_dir: str):
+    return neardup.ngram_jaccard_pairs(_docs_with_neardups(sf_dir), threshold=0.5)
+
+
+def embedding_neardup(sf_dir: str):
+    """embeddings ∪ perturbed twins → cosine ≥ 0.98 pairs."""
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+
+    def perturb(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_pylist()
+        embs = t["embedding"].to_pylist()
+        out_i = [int(i) for i in ids]
+        out_e = [list(map(float, e)) for e in embs]
+        for i, e in zip(ids, embs):
+            if int(i) % 20 == 0:
+                v = np.asarray(e, dtype=np.float64)
+                v = v + 0.001 * np.sin(np.arange(len(v)) + int(i))  # deterministic nudge
+                out_i.append(int(i) + 1_000_000)
+                out_e.append([float(x) for x in v])
+        return pa.Table.from_arrays(
+            [pa.array(out_i, pa.int64()), pa.array(out_e, pa.list_(pa.float64()))],
+            names=["vec_id", "embedding"],
+        )
+
+    return neardup.embedding_neardup_pairs(
+        ds.map_batches(perturb, batch_format="pyarrow"), threshold=0.98
+    )
+
+
+def lang_id_documents(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return lang_id_stage(ds)
+
+
+def fuzzy_reconcile_demo(sf_dir: str):
+    """Generic fuzzy reconcile (J1/J2/J4/J6) over a register deterministically
+    perturbed from the customer table: every 10th customer is missing from
+    the register; every 7th has a perturbed amount (→ mismatch)."""
+    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_name", "c_acctbal"])
+    pdf = cust.to_pandas()
+    register = []
+    for _, r in pdf.iterrows():
+        k = int(r.c_custkey)
+        if k % 10 == 0:
+            continue
+        amt = abs(float(r.c_acctbal))
+        if k % 7 == 0:
+            amt = amt * 1.5 + 10
+        register.append(
+            {"id": f"reg-{k}", "vendor_name": str(r.c_name) + " Inc.", "expected_amount": amt}
+        )
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                pc.cast(t["c_custkey"], pa.string()),
+                t["c_name"],
+                pc.abs(pc.cast(t["c_acctbal"], pa.float64())),
+            ],
+            names=["id", "vendor_name", "total_amount"],
+        )
+
+    invoices = cust.map_batches(shape, batch_format="pyarrow")
+    return fuzzy_reconcile(invoices, register)
+
+
+# ------------------------------------------------------------------ registry
+
+ORACLE_SQL: dict[str, str] = {
+    "pricing_summary": PRICING_SUMMARY_SQL,
+    "monthly_orders": MONTHLY_ORDERS_SQL,
+    "monthly_events": MONTHLY_EVENTS_SQL,
+    "events_global_stats": EVENTS_GLOBAL_STATS_SQL,
+    "order_status_counts": ORDER_STATUS_COUNTS_SQL,
+    "search_parts": SEARCH_PARTS_SQL,
+    "events_type_filter": EVENTS_TYPE_FILTER_SQL,
+    "top_customers": TOP_CUSTOMERS_SQL,
+    "top_lineitems": TOP_LINEITEMS_SQL,
+    "customers_without_early_orders": CUSTOMERS_WITHOUT_EARLY_ORDERS_SQL,
+    "revenue_by_priority": REVENUE_BY_PRIORITY_SQL,
+    "revenue_by_nation": REVENUE_BY_NATION_SQL,
+    "dedup_flag_documents": DEDUP_FLAG_DOCUMENTS_SQL,
+    "doc_fingerprints": DOC_FINGERPRINTS_SQL,
+    "token_counts": TOKEN_COUNTS_SQL,
+    "text_quality": TEXT_QUALITY_SQL,
+    "ann_cosine_topk": ANN_COSINE_TOPK_SQL,
+}
+
+
+def registry() -> dict:
+    """name → callable(sf_dir).  Keys with an ORACLE_SQL entry are
+    value-checked against DuckDB; the rest get rows-only checks."""
+    from .flagship import run_flagship
+
+    def flagship_verdicts(sf_dir: str):
+        return run_flagship(sf_dir).select_columns(
+            [
+                "url",
+                "warc_ts",
+                "lang",
+                "content_type",
+                "confidence",
+                "is_duplicate",
+                "match_status",
+                "discrepancy",
+                "flag_reason",
+                "confidence_score",
+            ]
+        )
+
+    return {
+        "pricing_summary": pricing_summary,
+        "monthly_orders": monthly_orders,
+        "monthly_events": monthly_events,
+        "events_global_stats": events_global_stats,
+        "order_status_counts": order_status_counts,
+        "search_parts": search_parts,
+        "events_type_filter": events_type_filter,
+        "top_customers": top_customers,
+        "top_lineitems": top_lineitems,
+        "customers_without_early_orders": customers_without_early_orders,
+        "revenue_by_priority": revenue_by_priority,
+        "revenue_by_nation": revenue_by_nation,
+        "dedup_flag_documents": dedup_flag_documents,
+        "doc_fingerprints": doc_fingerprints,
+        "token_counts": token_counts,
+        "text_quality": text_quality,
+        "ann_cosine_topk": ann_cosine_topk,
+        # rows-only (non-SQL-expressible)
+        "flagship_verdicts": flagship_verdicts,
+        "ann_ivf_topk": ann_ivf_topk,
+        "minhash_neardup": minhash_neardup,
+        "simhash_neardup": simhash_neardup,
+        "ngram_jaccard_neardup": ngram_jaccard_neardup,
+        "embedding_neardup": embedding_neardup,
+        "lang_id_documents": lang_id_documents,
+        "fuzzy_reconcile_demo": fuzzy_reconcile_demo,
+    }

@@ -1,0 +1,175 @@
+"""Tests for the training-data operator suite: near-dup detection, ANN,
+text analysis, and the generic fuzzy reconcile engine."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from invoice_ocr_reconciler_ray.functions.hashing import (
+    hamming64,
+    minhash_signature,
+    simhash64,
+)
+from invoice_ocr_reconciler_ray.functions.textstats import lang_id
+from invoice_ocr_reconciler_ray.stages.ann import brute_force_topk, ivf_topk
+from invoice_ocr_reconciler_ray.stages.fuzzy import fuzzy_reconcile
+from invoice_ocr_reconciler_ray.stages.neardup import (
+    embedding_neardup_pairs,
+    minhash_neardup_pairs,
+    ngram_jaccard_pairs,
+    simhash_neardup_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while seven wizards brew "
+    "strong potions under a pale winter moon and the river keeps flowing east "
+    "through quiet valleys carrying old stories toward the patient grey sea"
+)
+
+
+def _corpus():
+    rows = []
+    for i in range(40):
+        rows.append({"doc_id": i, "text": f"{BASE} variant token {i} closes the passage"})
+    # a true near-dup pair: one word changed
+    rows.append({"doc_id": 100, "text": BASE})
+    rows.append({"doc_id": 101, "text": BASE.replace("brown", "black")})
+    # an exact dup pair
+    rows.append({"doc_id": 200, "text": BASE + " exact tail"})
+    rows.append({"doc_id": 201, "text": BASE + " exact tail"})
+    return rd.from_items(rows)
+
+
+def test_minhash_signature_properties():
+    s1 = minhash_signature(BASE)
+    s2 = minhash_signature(BASE)
+    s3 = minhash_signature(BASE.replace("brown", "black"))
+    assert np.array_equal(s1, s2)  # deterministic
+    sim = float((s1 == s3).mean())
+    assert sim > 0.7  # near-dup signatures mostly agree
+
+
+def test_minhash_lsh_finds_planted_pairs():
+    pairs = minhash_neardup_pairs(_corpus(), threshold=0.8).to_pandas()
+    found = set(zip(pairs.id_a, pairs.id_b))
+    assert (100, 101) in found
+    assert (200, 201) in found
+    exact = pairs[(pairs.id_a == 200) & (pairs.id_b == 201)]
+    assert exact.similarity.iloc[0] == 1.0
+
+
+def test_simhash_hamming():
+    a = simhash64(BASE)
+    b = simhash64(BASE.replace("brown", "black"))
+    c = simhash64("completely different words about cooking pasta with garlic and olive oil tonight")
+    assert hamming64(a, b) < hamming64(a, c)
+
+
+def test_simhash_pairs_find_exact_dup():
+    pairs = simhash_neardup_pairs(_corpus(), max_hamming=3).to_pandas()
+    found = set(zip(pairs.id_a, pairs.id_b))
+    assert (200, 201) in found
+
+
+def test_ngram_jaccard_pairs():
+    pairs = ngram_jaccard_pairs(_corpus(), threshold=0.5).to_pandas()
+    found = set(zip(pairs.id_a, pairs.id_b))
+    assert (100, 101) in found and (200, 201) in found
+
+
+def test_embedding_neardup():
+    rng = np.random.RandomState(7)
+    emb = rng.standard_normal((50, 16))
+    rows = [{"vec_id": i, "embedding": emb[i].tolist()} for i in range(50)]
+    rows.append({"vec_id": 500, "embedding": (emb[3] + 0.001).tolist()})  # planted twin
+    ds = rd.from_items(rows)
+    pairs = embedding_neardup_pairs(ds, threshold=0.99).to_pandas()
+    assert (3, 500) in set(zip(pairs.id_a, pairs.id_b))
+
+
+def test_brute_force_topk_exact():
+    rng = np.random.RandomState(11)
+    emb = rng.standard_normal((200, 16))
+    ds = rd.from_items([{"vec_id": i, "embedding": emb[i].tolist()} for i in range(200)])
+    q = emb[:2]
+    out = brute_force_topk(ds, [0, 1], q, k=5).to_pandas()
+    # numpy ground truth
+    unit = emb / np.linalg.norm(emb, axis=1)[:, None]
+    for qi in range(2):
+        sims = unit @ (q[qi] / np.linalg.norm(q[qi]))
+        want = np.argsort(-sims)[:5].tolist()
+        sub = out[out.query_id == qi].sort_values("rank")
+        assert sub.vec_id.tolist() == want
+        assert sub["rank"].tolist() == [1, 2, 3, 4, 5]
+    # self-match ranks first with sim 1.0
+    assert out[(out.query_id == 0) & (out["rank"] == 1)].vec_id.iloc[0] == 0
+
+
+def test_ivf_topk_recall():
+    rng = np.random.RandomState(13)
+    emb = rng.standard_normal((300, 16))
+    ds = rd.from_items([{"vec_id": i, "embedding": emb[i].tolist()} for i in range(300)])
+    q = emb[:3]
+    exact = brute_force_topk(ds, [0, 1, 2], q, k=10).to_pandas()
+    approx = ivf_topk(ds, [0, 1, 2], q, k=10, n_centroids=8, nprobe=4).to_pandas()
+    # recall@10 ≥ 0.5 with half the centroids probed (self-match must survive)
+    for qi in range(3):
+        e = set(exact[exact.query_id == qi].vec_id)
+        a = set(approx[approx.query_id == qi].vec_id)
+        assert len(e & a) / 10 >= 0.5
+        assert qi in a
+
+
+def test_lang_id_heuristic():
+    assert lang_id("the cat is on the mat and it is happy to be there")[0] == "en"
+    assert lang_id("el perro está en la casa y no quiere salir de la habitación porque es feliz")[0] == "es"
+    assert lang_id("der Hund ist in dem Haus und die Katze ist auf dem Dach mit den Vögeln")[0] == "de"
+    assert lang_id("le chien est dans la maison et les chats sont sur le toit pour la nuit")[0] == "fr"
+    assert lang_id("这是一个中文句子，用来测试语言识别的效果如何")[0] == "zh"
+    assert lang_id("")[0] == "und"
+    assert lang_id("zzz qqq xxx www")[0] == "und"
+
+
+def test_fuzzy_reconcile_statuses():
+    invoices = rd.from_items(
+        [
+            {"id": "i1", "vendor_name": "ACME Corp", "total_amount": 100.0},
+            {"id": "i2", "vendor_name": "Globex LLC", "total_amount": 250.0},
+            {"id": "i3", "vendor_name": "Initech Ltd", "total_amount": 99.0},
+            {"id": "i4", "vendor_name": "Nowhere Industries", "total_amount": 1.0},
+            # i5 competes with i1 for the same register record → loser missing
+            {"id": "i5", "vendor_name": "ACME Corporation", "total_amount": 105.0},
+        ]
+    )
+    register = [
+        {"id": "r1", "vendor_name": "Acme Inc.", "expected_amount": 100.0},
+        {"id": "r2", "vendor_name": "Globex Company", "expected_amount": 250.0},
+        {"id": "r3", "vendor_name": "Initech", "expected_amount": 150.0},  # amount off → mismatch
+    ]
+    out = fuzzy_reconcile(invoices, register).to_pandas().set_index("invoice_id")
+    assert out.loc["i1"].match_status == "matched"
+    assert out.loc["i2"].match_status == "matched"
+    assert out.loc["i3"].match_status == "mismatch"
+    assert "Amount mismatch" in out.loc["i3"].flag_reason
+    assert out.loc["i4"].match_status == "missing"
+    assert out.loc["i5"].match_status == "missing"  # lost the 1:1 award to i1
+    # 1:1 invariant: no record id appears twice among matched/mismatch rows
+    claimed = out[out.match_status.isin(["matched", "mismatch"])].proposed_record_id
+    assert claimed.is_unique
+
+
+def test_fuzzy_reconcile_duplicate_flag_passthrough():
+    invoices = rd.from_items(
+        [
+            {"id": "i1", "vendor_name": "ACME", "total_amount": 10.0, "is_duplicate": False},
+            {"id": "i2", "vendor_name": "ACME", "total_amount": 10.0, "is_duplicate": True},
+        ]
+    )
+    out = (
+        fuzzy_reconcile(invoices, [{"id": "r1", "vendor_name": "ACME", "expected_amount": 10.0}])
+        .to_pandas()
+        .set_index("invoice_id")
+    )
+    assert out.loc["i2"].match_status == "duplicate"
+    assert out.loc["i1"].match_status == "matched"
