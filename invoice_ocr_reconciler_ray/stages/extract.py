@@ -94,7 +94,7 @@ def _extract_batch(batch: pa.Table, cfg: ExtractConfig) -> pa.Table:
             confs.append(0)
             ctypes.append("unknown")
             errors.append(f"{type(e).__name__}: {e}")
-    return pa.Table.from_arrays(
+    out = pa.Table.from_arrays(
         [
             batch.column("url"),
             batch.column("warc_ts"),
@@ -108,6 +108,12 @@ def _extract_batch(batch: pa.Table, cfg: ExtractConfig) -> pa.Table:
         ],
         schema=EXTRACTED_SCHEMA,
     )
+    # passthrough for any extra columns (lineage counters etc.); `html` is
+    # always dropped here so raw bytes never travel past this stage
+    for name in batch.column_names:
+        if name != "html" and name not in EXTRACTED_SCHEMA.names:
+            out = out.append_column(name, batch.column(name))
+    return out
 
 
 def make_extract_fn(cfg: ExtractConfig = DEFAULT_EXTRACT):

@@ -1,0 +1,79 @@
+"""Checkpoint/resume invariant (SURVEY §5.4): a run killed mid-stream and
+resumed produces BYTE-IDENTICAL output to an uninterrupted run."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from invoice_ocr_reconciler_ray.pipelines.runner import (
+    read_run_output,
+    run_checkpointed,
+)
+from invoice_ocr_reconciler_ray.state.manifest import RunManifest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.drop(columns=["spans"])  # nested col: compared via extracted_text
+    return df.sort_values(["url", "warc_ts"]).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def runs(ray_session, tmp_path_factory):
+    one_shot = str(tmp_path_factory.mktemp("oneshot"))
+    resumed = str(tmp_path_factory.mktemp("resumed"))
+    t1 = run_checkpointed(SF, one_shot, num_partitions=4)
+    # "kill" after 2 partitions, then resume
+    t2a = run_checkpointed(SF, resumed, num_partitions=4, stop_after=2)
+    t2b = run_checkpointed(SF, resumed, num_partitions=4)
+    return one_shot, resumed, t1, t2a, t2b
+
+
+def test_partial_run_stopped(runs):
+    _, _, _, t2a, _ = runs
+    assert t2a["partitions_done"] == 2
+
+
+def test_resume_completes(runs):
+    _, _, t1, _, t2b = runs
+    assert t2b["partitions_done"] == 4
+    for k in ("rows_out", "matched", "mismatched", "missing", "duplicate"):
+        assert t2b[k] == t1[k]
+
+
+def test_resume_output_byte_identical(runs):
+    one_shot, resumed, *_ = runs
+    a = _canon(read_run_output(one_shot).to_pandas())
+    b = _canon(read_run_output(resumed).to_pandas())
+    assert a.equals(b)
+    # THE invariant, explicitly: extracted bytes identical per url
+    assert (a.extracted_text == b.extracted_text).all()
+
+
+def test_resume_skips_done_partitions(runs):
+    _, resumed, *_ = runs
+    entries = RunManifest(resumed).entries()
+    # 4 partitions → exactly 4 done records, no re-processing duplicates
+    assert len(entries) == 4
+    assert len({e["part_id"] for e in entries}) == 4
+
+
+def test_manifest_lineage_fields(runs):
+    one_shot, *_ = runs
+    for e in RunManifest(one_shot).entries():
+        assert e["status"] == "done"
+        assert e["rows_out"] > 0
+        assert e["bytes_html"] > 0
+        assert e["matched"] + e["mismatched"] + e["missing"] + e["duplicate"] == e["rows_out"]
+        assert e["session_id"]
+
+
+def test_atomic_layout(runs):
+    one_shot, *_ = runs
+    names = sorted(os.listdir(one_shot))
+    assert "manifest.jsonl" in names
+    parts = [n for n in names if n.startswith("part-")]
+    assert len(parts) == 4
+    assert not [n for n in names if n.startswith(".tmp-")]
