@@ -571,6 +571,135 @@ def fuzzy_reconcile_demo(sf_dir: str):
     return fuzzy_reconcile(invoices, register)
 
 
+# --------------------------------------------------- skew / paging / register
+
+def docs_by_lang_salted(sf_dir: str):
+    """Hot-key-safe groupby (≙ §4.3.1 salted keys): ``lang`` has ~5 distinct
+    values over all rows — the canonical hot-key shape.  Two-level salted
+    aggregation; result provably equals the plain groupby (oracle)."""
+    from ..stages.skew import salted_sum_count
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["lang", "n_chars"])
+    return salted_sum_count(
+        ds,
+        key_col="lang",
+        sum_cols={"n_chars": "sum_chars"},
+        count_alias="n",
+        buckets=16,
+    )
+
+
+DOCS_BY_LANG_SALTED_SQL = """
+SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY 1
+"""
+
+
+def orders_page(sf_dir: str):
+    """OFFSET pagination (≙ T1, server.js:363-367): page 2 of orders by
+    descending total price, 20/page, deterministic tiebreak on key."""
+    from ..stages.report import paginated
+
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
+    return paginated(
+        ds,
+        sort_keys=["o_totalprice", "o_orderkey"],
+        descending=[True, False],
+        limit=20,
+        offset=20,
+    )
+
+
+ORDERS_PAGE_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 20
+"""
+
+
+def register_csv_normalize(sf_dir: str):
+    """Lenient CSV register ingest (≙ S2, server.js:136-159): a messy CSV
+    (synonym headers, '$1,234.50' amounts) deterministically derived from
+    the customer table is read back through read_csv + the normalizing
+    projection; the oracle recomputes the same rows straight from customer."""
+    import os
+
+    from ..functions.hashing import stable_hash64
+    from ..sources.register import read_register_csv
+
+    cust = rd.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_name", "c_acctbal"]
+    ).to_pandas()
+    key = stable_hash64(f"{sf_dir}|register_csv|v1")
+    path = f"/tmp/iocr_register_{key:016x}.csv"
+    if not os.path.exists(path):
+        lines = ["Vendor,Amount,Due,Ref"]
+        for _, r in cust.sort_values("c_custkey").iterrows():
+            k = int(r.c_custkey)
+            amt = f"${abs(float(r.c_acctbal)):,.2f}"
+            lines.append(
+                f'"{r.c_name}","{amt}",2024-{1 + k % 12:02d}-15,INV-{k}'
+            )
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        os.replace(tmp, path)
+    return read_register_csv(path).select_columns(
+        ["vendor_name", "expected_amount", "due_date", "reference_number", "status"]
+    )
+
+
+REGISTER_CSV_NORMALIZE_SQL = """
+SELECT c_name AS vendor_name,
+       abs(c_acctbal) AS expected_amount,
+       printf('2024-%02d-15', 1 + c_custkey % 12) AS due_date,
+       'INV-' || CAST(c_custkey AS VARCHAR) AS reference_number,
+       'unpaid' AS status
+FROM customer
+"""
+
+
+def media_image_features(sf_dir: str):
+    """Multimodal decode plumbing (rows-only): synthetic media column →
+    actor-pool ImageFeatures stage (codec stubbed, Ray plumbing real)."""
+    from ..stages.multimodal import ImageFeatures, media_table_from_documents
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    media = docs.map_batches(media_table_from_documents, batch_format="pyarrow")
+    images = media.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "image")), batch_format="pyarrow"
+    )
+    return images.map_batches(
+        ImageFeatures, concurrency=(1, 4), batch_size=64, batch_format="pyarrow"
+    )
+
+
+def media_frame_sample(sf_dir: str):
+    """Video frame sampling (rows-only): 1 row per sampled frame."""
+    from ..stages.multimodal import FrameSampler, media_table_from_documents
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    media = docs.map_batches(media_table_from_documents, batch_format="pyarrow")
+    videos = media.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "video")), batch_format="pyarrow"
+    )
+    return videos.map_batches(
+        FrameSampler, concurrency=(1, 4), batch_size=32, batch_format="pyarrow"
+    )
+
+
+def media_audio_features(sf_dir: str):
+    from ..stages.multimodal import AudioFeatures, media_table_from_documents
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    media = docs.map_batches(media_table_from_documents, batch_format="pyarrow")
+    audio = media.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "audio")), batch_format="pyarrow"
+    )
+    return audio.map_batches(
+        AudioFeatures, concurrency=(1, 4), batch_size=64, batch_format="pyarrow"
+    )
+
+
 # ------------------------------------------------------------------ registry
 
 ORACLE_SQL: dict[str, str] = {
@@ -591,6 +720,9 @@ ORACLE_SQL: dict[str, str] = {
     "token_counts": TOKEN_COUNTS_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "ann_cosine_topk": ANN_COSINE_TOPK_SQL,
+    "docs_by_lang_salted": DOCS_BY_LANG_SALTED_SQL,
+    "orders_page": ORDERS_PAGE_SQL,
+    "register_csv_normalize": REGISTER_CSV_NORMALIZE_SQL,
 }
 
 
@@ -633,7 +765,13 @@ def registry() -> dict:
         "token_counts": token_counts,
         "text_quality": text_quality,
         "ann_cosine_topk": ann_cosine_topk,
+        "docs_by_lang_salted": docs_by_lang_salted,
+        "orders_page": orders_page,
+        "register_csv_normalize": register_csv_normalize,
         # rows-only (non-SQL-expressible)
+        "media_image_features": media_image_features,
+        "media_frame_sample": media_frame_sample,
+        "media_audio_features": media_audio_features,
         "flagship_verdicts": flagship_verdicts,
         "ann_ivf_topk": ann_ivf_topk,
         "minhash_neardup": minhash_neardup,

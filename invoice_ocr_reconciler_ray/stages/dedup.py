@@ -7,20 +7,28 @@ repeat extracted-text rows).
 
 The reference's "first" is scan order — non-deterministic under parallel
 execution — so this engine fixes a deterministic priority (SURVEY §7.4):
-**first = smallest (warc_ts, blake2b(extracted_text)) per key**, encoded as a
-single sortable composite string so it survives both strategies below.
+**first = smallest (warc_ts, blake2b(raw content)) per key**, encoded as a
+single sortable composite string so it survives every strategy below.
 
-Two physical strategies, same logical result:
+Three physical strategies, same logical result:
 
-* ``broadcast`` (default): ``groupby(key).aggregate(Min(composite), Count)``
-  — a vectorized partial+final aggregation — then keep only keys with
-  count > 1 (at a ~3% dup rate this is a small fraction of keys), collect
-  that winner map on the driver, ``ray.put`` it ONCE, and flag inside a
-  stateless ``map_batches`` probe.  One shuffle of tiny (key, composite)
-  pairs instead of a shuffle of full rows.
+* ``broadcast`` (default): per-block **partial aggregation** of
+  (key → min priority, count) via vectorized ``pyarrow`` ``group_by`` inside
+  ``map_batches`` — NO shuffle, no aggregator-actor fleet — merged on the
+  driver, filtered to keys with count > 1 (at a ~3% dup rate a small
+  fraction), ``ray.put`` ONCE, flagged in a stateless probe.  The partial
+  tables are tiny (≤ distinct-keys-per-block rows), so the driver merge
+  moves |keys| pairs, not |rows|.
+* ``side-plan`` (:func:`flag_duplicates_with_side`): same, but the winner
+  map is computed from a CHEAP projection of the raw input (url, warc_ts,
+  hash(html)) so the expensive upstream (extraction) runs exactly once —
+  this is what the flagship uses.
 * ``shuffle``: ``groupby(key).map_groups`` first-wins — the fully general
-  form for when the duplicate-key set itself is too large to broadcast
-  (e.g. 3% of 10^12 urls).  Pick per deployment; both are tested equal.
+  form for when the key domain itself is too large for any driver/broadcast
+  structure (e.g. 10^12 distinct urls).  At that scale prefer the
+  checkpointed runner's layout (pipelines/runner.py): inputs hash-partitioned
+  by key mean per-partition dedup IS global dedup and no all-to-all is
+  needed at all.
 """
 
 from __future__ import annotations
@@ -28,18 +36,65 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
-from ray.data.aggregate import Count, Min
 
 from ..functions.hashing import stable_hash64
 
 _COMPOSITE = "_dedup_pri"
 
 
+def priority_of(ts_us: int, content_hash_hex: str) -> str:
+    """Sortable composite priority; smallest = the surviving 'first' row."""
+    return f"{ts_us:020d}:{content_hash_hex}"
+
+
 def _add_composite(batch: pa.Table, key_col: str, ts_col: str, content_col: str) -> pa.Table:
     ts_us = pc.cast(batch.column(ts_col), pa.int64()).to_pylist()
     texts = batch.column(content_col).to_pylist()
-    comp = [f"{t:020d}:{stable_hash64(x or ''):016x}" for t, x in zip(ts_us, texts)]
+    comp = [
+        priority_of(t, f"{stable_hash64(x or '', salt='dedup'):016x}")
+        for t, x in zip(ts_us, texts)
+    ]
     return batch.append_column(_COMPOSITE, pa.array(comp, pa.string()))
+
+
+def _partial_min_count(batch: pa.Table, key_col: str, pri_col: str) -> pa.Table:
+    """Block-local (key, min(pri), count) — vectorized, no Python loop."""
+    t = pa.Table.from_arrays([batch.column(key_col), batch.column(pri_col)], names=["k", "p"])
+    g = t.group_by("k").aggregate([("p", "min"), ("p", "count")])
+    return g.rename_columns(["k", "p_min", "n"])
+
+
+def compute_winner_map(ds, *, key_col: str, pri_col: str) -> dict:
+    """Duplicated-key → winning priority, via per-block partials + driver
+    merge (one plan execution, zero shuffles).  Returns ONLY keys whose
+    total count > 1, so the broadcast object stays small at realistic dup
+    rates.  Driver memory is O(|distinct keys|) — use the ``shuffle``
+    strategy or pre-partitioned inputs when that doesn't fit."""
+    partials = ds.map_batches(
+        lambda b: _partial_min_count(b, key_col, pri_col), batch_format="pyarrow"
+    )
+    tables = [b for b in partials.iter_batches(batch_format="pyarrow")]
+    if not tables:
+        return {}
+    merged = (
+        pa.concat_tables(tables)
+        .group_by("k")
+        .aggregate([("p_min", "min"), ("n", "sum")])
+    )  # vectorized final merge: |distinct keys| rows, no Python loop
+    dup = merged.filter(pc.greater(merged.column("n_sum"), 1))
+    return dict(zip(dup.column("k").to_pylist(), dup.column("p_min_min").to_pylist()))
+
+
+def make_probe(winners_ref, *, key_col: str, pri_col: str, out_col: str, drop_pri: bool):
+    def probe(batch: pa.Table) -> pa.Table:
+        w = ray.get(winners_ref)
+        keys = batch.column(key_col).to_pylist()
+        pris = batch.column(pri_col).to_pylist()
+        flags = [k in w and p != w[k] for k, p in zip(keys, pris)]
+        out = batch.drop_columns([pri_col]) if drop_pri else batch
+        return out.append_column(out_col, pa.array(flags, pa.bool_()))
+
+    return probe
 
 
 def flag_duplicates(
@@ -51,33 +106,23 @@ def flag_duplicates(
     strategy: str = "broadcast",
     out_col: str = "is_duplicate",
 ):
-    """Append ``out_col`` (bool): True for every non-first row per key."""
+    """Append ``out_col`` (bool): True for every non-first row per key.
+
+    ``broadcast`` executes the upstream plan twice (once for the winner map,
+    once for the probe pass) — fine for cheap upstreams; use
+    :func:`flag_duplicates_with_side` to pay only a cheap side scan."""
     with_pri = ds.map_batches(
         lambda b: _add_composite(b, key_col, ts_col, content_col), batch_format="pyarrow"
     )
     if strategy == "broadcast":
-        agg = with_pri.groupby(key_col).aggregate(
-            Min(_COMPOSITE, alias_name="first_pri"), Count(alias_name="n")
-        )
-        dup_tbl = agg.map_batches(
-            lambda t: t.filter(pc.greater(t["n"], 1)), batch_format="pyarrow"
-        ).to_pandas()
-        # an input with no duplicates yields an empty, column-less frame
-        winners = (
-            dict(zip(dup_tbl[key_col], dup_tbl["first_pri"])) if len(dup_tbl) else {}
-        )
+        winners = compute_winner_map(with_pri, key_col=key_col, pri_col=_COMPOSITE)
         winners_ref = ray.put(winners)
-
-        def probe(batch: pa.Table) -> pa.Table:
-            w = ray.get(winners_ref)
-            keys = batch.column(key_col).to_pylist()
-            pris = batch.column(_COMPOSITE).to_pylist()
-            flags = [k in w and p != w[k] for k, p in zip(keys, pris)]
-            return batch.drop_columns([_COMPOSITE]).append_column(
-                out_col, pa.array(flags, pa.bool_())
-            )
-
-        return with_pri.map_batches(probe, batch_format="pyarrow")
+        return with_pri.map_batches(
+            make_probe(
+                winners_ref, key_col=key_col, pri_col=_COMPOSITE, out_col=out_col, drop_pri=True
+            ),
+            batch_format="pyarrow",
+        )
 
     if strategy == "shuffle":
 
@@ -91,6 +136,94 @@ def flag_duplicates(
         return with_pri.groupby(key_col).map_groups(first_wins, batch_format="pyarrow")
 
     raise ValueError(f"unknown dedup strategy: {strategy}")
+
+
+def flag_duplicates_from_extracted(
+    ext_ds,
+    *,
+    key_col: str = "url",
+    ts_col: str = "warc_ts",
+    hash_col: str = "content_hash",
+    out_col: str = "is_duplicate",
+):
+    """Broadcast dedup over an ALREADY-MATERIALIZED extraction Dataset.
+
+    The extract stage emits ``content_hash`` (hash of the raw html), so the
+    winner map needs only a projection of the pinned blocks — no re-read of
+    the raw input, no re-extraction, no shuffle.  Caller contract: pass
+    ``ext_ds.materialize()``; a lazy ``ext_ds`` would re-run extraction for
+    the winner pass.  Object-store footprint ≈ the extracted text (Ray
+    spills transparently); for inputs too large even for spill, use the
+    ``shuffle`` strategy or the partitioned runner (pipelines/runner.py)."""
+
+    def add_pri(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(batch.column(ts_col), pa.int64()).to_pylist()
+        pris = [
+            priority_of(t, h) for t, h in zip(ts_us, batch.column(hash_col).to_pylist())
+        ]
+        return batch.append_column(_COMPOSITE, pa.array(pris, pa.string()))
+
+    side = ext_ds.select_columns([key_col, ts_col, hash_col]).map_batches(
+        add_pri, batch_format="pyarrow"
+    )
+    winners = compute_winner_map(side, key_col=key_col, pri_col=_COMPOSITE)
+    winners_ref = ray.put(winners)
+    with_pri = ext_ds.map_batches(add_pri, batch_format="pyarrow")
+    return with_pri.map_batches(
+        make_probe(
+            winners_ref, key_col=key_col, pri_col=_COMPOSITE, out_col=out_col, drop_pri=True
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def flag_duplicates_with_side(
+    main_ds,
+    side_ds,
+    *,
+    key_col: str = "url",
+    ts_col: str = "warc_ts",
+    hash_col: str = "content_hash",
+    out_col: str = "is_duplicate",
+):
+    """Broadcast dedup where the winner map comes from ``side_ds`` — a cheap
+    projection of the RAW input (so the expensive main plan runs once).
+
+    ``main_ds`` must carry ``ts_col`` + ``hash_col`` (the extract stage emits
+    ``content_hash``); ``side_ds`` must carry ``key_col``/``ts_col`` and a raw
+    ``html`` column to hash.  Priorities on both sides use
+    :func:`priority_of`, so they agree byte-for-byte."""
+
+    def side_pri(batch: pa.Table) -> pa.Table:
+        from .extract import content_hash_hex
+
+        ts_us = pc.cast(batch.column(ts_col), pa.int64()).to_pylist()
+        pris = [
+            priority_of(t, content_hash_hex(raw))
+            for t, raw in zip(ts_us, batch.column("html").to_pylist())
+        ]
+        return pa.Table.from_arrays(
+            [batch.column(key_col), pa.array(pris, pa.string())], names=[key_col, _COMPOSITE]
+        )
+
+    side = side_ds.map_batches(side_pri, batch_format="pyarrow")
+    winners = compute_winner_map(side, key_col=key_col, pri_col=_COMPOSITE)
+    winners_ref = ray.put(winners)
+
+    def main_pri(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(batch.column(ts_col), pa.int64()).to_pylist()
+        pris = [
+            priority_of(t, h) for t, h in zip(ts_us, batch.column(hash_col).to_pylist())
+        ]
+        return batch.append_column(_COMPOSITE, pa.array(pris, pa.string()))
+
+    with_pri = main_ds.map_batches(main_pri, batch_format="pyarrow")
+    return with_pri.map_batches(
+        make_probe(
+            winners_ref, key_col=key_col, pri_col=_COMPOSITE, out_col=out_col, drop_pri=True
+        ),
+        batch_format="pyarrow",
+    )
 
 
 def flag_content_duplicates(ds, *, content_col: str = "extracted_text", **kw):

@@ -47,9 +47,19 @@ EXTRACTED_SCHEMA = pa.schema(
         ("spans", SPAN_TYPE),
         ("confidence", pa.int32()),
         ("content_type", pa.string()),
+        ("content_hash", pa.string()),  # blake2b of raw html (dedup priority)
         ("error", pa.string()),
     ]
 )
+
+
+def content_hash_hex(raw: bytes | None) -> str:
+    """Stable hex hash of the raw payload — the dedup priority component.
+    Computed here (html in hand) AND in the cheap dedup side-plan; the two
+    must agree byte-for-byte (stages/dedup.py)."""
+    from ..functions.hashing import stable_hash64
+
+    return f"{stable_hash64(bytes(raw) if raw is not None else b'', salt='dedup'):016x}"
 
 
 def extract_record(raw: bytes | None, cfg: ExtractConfig = DEFAULT_EXTRACT) -> dict[str, Any]:
@@ -76,11 +86,13 @@ def _extract_batch(batch: pa.Table, cfg: ExtractConfig) -> pa.Table:
     spans: list[list[dict[str, Any]]] = []
     confs: list[int] = []
     ctypes: list[str] = []
+    chashes: list[str] = []
     errors: list[str | None] = []
     # Python loop over rows WITHIN a zero-copy Arrow batch: the parse itself
     # is not vectorizable; regexes are compiled once at import.
     for i in range(n):
         raw = html_col[i].as_py()
+        chashes.append(content_hash_hex(raw))
         try:
             rec = extract_record(raw, cfg)
             texts.append(rec["extracted_text"])
@@ -104,6 +116,7 @@ def _extract_batch(batch: pa.Table, cfg: ExtractConfig) -> pa.Table:
             pa.array(spans, SPAN_TYPE),
             pa.array(confs, pa.int32()),
             pa.array(ctypes, pa.string()),
+            pa.array(chashes, pa.string()),
             pa.array(errors, pa.string()),
         ],
         schema=EXTRACTED_SCHEMA,

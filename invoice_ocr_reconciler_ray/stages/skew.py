@@ -1,0 +1,116 @@
+"""Skew handling — salted keys and byte-budgeted batching (SURVEY §4.3.1).
+
+The reference has no analogue (its scale cap was 20 MB/file,
+``server.js:90``); at 10^12 pages two skew modes dominate:
+
+* **Hot keys** — a handful of domains (or a low-cardinality column like
+  ``lang``) own a huge share of rows, so a naive ``groupby(domain)`` sends
+  one reducer most of the data.  Fix: two-level aggregation over a **salted
+  key** ``(key, hash(row) % S)`` — S-way partial aggregates shuffle evenly,
+  then a second, tiny groupby on the bare key merges the S partials.  The
+  second shuffle moves |keys|·S rows, not |rows|.
+* **Giant rows** — multi-MB ``html`` values make row-count batching
+  meaningless (100× size variance).  Fix: re-slice incoming Arrow batches on
+  a byte budget so no kernel invocation sees more than ``target_bytes`` of
+  payload, while tiny rows still batch up for vectorization.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data.aggregate import Count, Sum
+
+from ..functions.hashing import stable_hash64
+
+# --------------------------------------------------------------- salted agg
+
+
+def add_salt(batch: pa.Table, *, key_col: str, salt_col: str, buckets: int) -> pa.Table:
+    """Append ``salt_col`` = stable_hash(key, row position) % buckets.
+
+    Never wall-clock / random (SURVEY §7.4); the salt itself may vary with
+    block layout, but the merged level-2 result is invariant to it."""
+    keys = batch.column(key_col).to_pylist()
+    salt = pa.array(
+        [stable_hash64(f"{k}:{i}") % buckets for i, k in enumerate(keys)], pa.int32()
+    )
+    return batch.append_column(salt_col, salt)
+
+
+def salted_sum_count(
+    ds,
+    *,
+    key_col: str,
+    sum_cols: dict[str, str],
+    count_alias: str = "n",
+    buckets: int = 16,
+):
+    """``SELECT key, COUNT(*), SUM(v)... GROUP BY key`` resistant to hot keys.
+
+    ``sum_cols`` maps input column → output alias.  Level 1 partials are
+    computed **block-locally** (vectorized ``pyarrow`` ``group_by`` on
+    ``(key, salt)`` inside ``map_batches`` — no shuffle, no hot reducer; the
+    salt keeps partial groups bounded even if one block is all one key);
+    level 2 merges the ≤ |keys|·buckets tiny partial rows with ONE Ray
+    groupby whose input no longer carries row-count-scale data.
+    """
+    salt = "_salt"
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols = [t.column(key_col)] + [t.column(c) for c in sum_cols]
+        names = [key_col] + list(sum_cols)
+        out = add_salt(
+            pa.Table.from_arrays(cols, names=names),
+            key_col=key_col,
+            salt_col=salt,
+            buckets=buckets,
+        )
+        aggs = [(c, "sum") for c in sum_cols] + [(key_col, "count")]
+        g = out.group_by([key_col, salt]).aggregate(aggs)
+        return g.rename_columns(
+            [key_col, salt] + [f"_s_{c}" for c in sum_cols] + ["_n"]
+        ).drop_columns([salt])
+
+    lvl1 = ds.map_batches(partial, batch_format="pyarrow")
+    lvl2_aggs = [Sum(f"_s_{c}", alias_name=alias) for c, alias in sum_cols.items()]
+    return lvl1.groupby(key_col).aggregate(Sum("_n", alias_name=count_alias), *lvl2_aggs)
+
+
+# -------------------------------------------------------- byte-budget batching
+
+
+def slice_by_bytes(
+    batch: pa.Table, *, payload_col: str, target_bytes: int
+) -> Iterator[pa.Table]:
+    """Yield zero-copy slices of ``batch`` whose ``payload_col`` bytes sum to
+    ≤ ``target_bytes`` each (a single over-budget row still goes alone —
+    giant pages can't be split below one row)."""
+    sizes = pc.binary_length(
+        pc.cast(batch.column(payload_col), pa.large_binary())
+    ).to_pylist()
+    start, acc = 0, 0
+    for i, s in enumerate(sizes):
+        s = s or 0
+        if i > start and acc + s > target_bytes:
+            yield batch.slice(start, i - start)
+            start, acc = i, 0
+        acc += s
+    if start < batch.num_rows:
+        yield batch.slice(start)
+
+
+def rebatch_by_bytes(ds, *, payload_col: str = "html", target_bytes: int = 8 << 20):
+    """Dataset-level wrapper: downstream stages see byte-bounded batches.
+
+    Use upstream of extraction so ``batch_size`` (rows) never multiplies a
+    100× html size variance into an OOM; pairs with
+    ``DataContext.target_max_block_size`` for the block level.
+    """
+
+    def split(batch: pa.Table) -> Iterator[pa.Table]:
+        yield from slice_by_bytes(batch, payload_col=payload_col, target_bytes=target_bytes)
+
+    return ds.map_batches(split, batch_format="pyarrow")
