@@ -181,12 +181,15 @@ FROM events
 # ------------------------------------------------------------ filters / sorts
 
 def order_status_counts(sf_dir: str):
-    """Status filter + priority counts (≙ F4, server.js:356)."""
-    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderstatus", "o_orderpriority"])
-    filt = ds.map_batches(
-        lambda t: t.filter(pc.equal(t["o_orderstatus"], "F")), batch_format="pyarrow"
+    """Status filter + priority counts (≙ F4, server.js:356).  The predicate
+    is pushed INTO the parquet read (row-group pruning: filtered rows never
+    leave storage — SURVEY 'prune at the read')."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderstatus", "o_orderpriority"],
+        filter=pc.field("o_orderstatus") == "F",
     )
-    return filt.groupby("o_orderpriority").aggregate(Count(alias_name="n"))
+    return ds.groupby("o_orderpriority").aggregate(Count(alias_name="n"))
 
 
 ORDER_STATUS_COUNTS_SQL = """
@@ -208,12 +211,12 @@ SEARCH_PARTS_SQL = "SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%red%'
 
 def events_type_filter(sf_dir: str):
     """IN-set filter (≙ F5 status IN (...), server.js:521)."""
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type"])
-    keep = pa.array(["click", "purchase"])
-    filt = ds.map_batches(
-        lambda t: t.filter(pc.is_in(t["event_type"], value_set=keep)), batch_format="pyarrow"
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"),
+        columns=["event_type"],
+        filter=pc.field("event_type").isin(["click", "purchase"]),
     )
-    return filt.groupby("event_type").aggregate(Count(alias_name="n"))
+    return ds.groupby("event_type").aggregate(Count(alias_name="n"))
 
 
 EVENTS_TYPE_FILTER_SQL = """
@@ -265,10 +268,10 @@ ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20
 def customers_without_early_orders(sf_dir: str):
     """Anti-join (≙ J5 missing-records, reconciliationEngine.js:199):
     broadcast the early-orderer key set, filter customers against it."""
-    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_orderdate"])
-    early = orders.map_batches(
-        lambda t: t.filter(pc.less(t["o_orderdate"], pa.scalar(np.datetime64("1996-01-01", "us")))),
-        batch_format="pyarrow",
+    early = rd.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_custkey"],
+        filter=pc.field("o_orderdate") < np.datetime64("1996-01-01", "us"),
     )
     keys = set(early.unique("o_custkey"))
     keys_ref = ray.put(keys)

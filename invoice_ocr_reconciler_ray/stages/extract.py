@@ -62,14 +62,18 @@ def content_hash_hex(raw: bytes | None) -> str:
     return f"{stable_hash64(bytes(raw) if raw is not None else b'', salt='dedup'):016x}"
 
 
-def extract_record(raw: bytes | None, cfg: ExtractConfig = DEFAULT_EXTRACT) -> dict[str, Any]:
-    """One document → extraction record fields (pure; exceptions propagate)."""
+def _extract_core(raw: bytes | None, cfg: ExtractConfig = DEFAULT_EXTRACT):
+    """One document → Extraction (pure; exceptions propagate)."""
     if raw is None:
         raise ValueError("null html payload")
     if bytes(raw[:5]) == PDF_MAGIC:
-        ext = extract_pdf(bytes(raw), joiner=cfg.block_joiner)
-    else:
-        ext = extract_html(bytes(raw), cfg)
+        return extract_pdf(bytes(raw), joiner=cfg.block_joiner)
+    return extract_html(bytes(raw), cfg)
+
+
+def extract_record(raw: bytes | None, cfg: ExtractConfig = DEFAULT_EXTRACT) -> dict[str, Any]:
+    """One document → extraction record fields (pure; exceptions propagate)."""
+    ext = _extract_core(raw, cfg)
     return {
         "extracted_text": ext.text,
         "spans": [{"start": s, "end": e, "kind": k} for s, e, k in ext.spans],
@@ -83,29 +87,48 @@ def _extract_batch(batch: pa.Table, cfg: ExtractConfig) -> pa.Table:
     html_col = batch.column("html")
     n = len(html_col)
     texts: list[str] = []
-    spans: list[list[dict[str, Any]]] = []
     confs: list[int] = []
     ctypes: list[str] = []
     chashes: list[str] = []
     errors: list[str | None] = []
+    # spans built COLUMNAR (flat starts/ends/kinds + offsets → ListArray of
+    # StructArray) — per-span Python dicts would dominate batch cost
+    sp_starts: list[int] = []
+    sp_ends: list[int] = []
+    sp_kinds: list[str] = []
+    sp_offsets: list[int] = [0]
     # Python loop over rows WITHIN a zero-copy Arrow batch: the parse itself
     # is not vectorizable; regexes are compiled once at import.
     for i in range(n):
         raw = html_col[i].as_py()
         chashes.append(content_hash_hex(raw))
         try:
-            rec = extract_record(raw, cfg)
-            texts.append(rec["extracted_text"])
-            spans.append(rec["spans"])
-            confs.append(rec["confidence"])
-            ctypes.append(rec["content_type"])
+            ext = _extract_core(raw, cfg)
+            texts.append(ext.text)
+            for s, e, k in ext.spans:
+                sp_starts.append(s)
+                sp_ends.append(e)
+                sp_kinds.append(k)
+            confs.append(ext.confidence)
+            ctypes.append(ext.content_type)
             errors.append(None)
         except Exception as e:  # row-level isolation ≙ server.js:334-339
             texts.append("")
-            spans.append([])
             confs.append(0)
             ctypes.append("unknown")
             errors.append(f"{type(e).__name__}: {e}")
+        sp_offsets.append(len(sp_starts))
+    span_arr = pa.ListArray.from_arrays(
+        pa.array(sp_offsets, pa.int32()),
+        pa.StructArray.from_arrays(
+            [
+                pa.array(sp_starts, pa.int64()),
+                pa.array(sp_ends, pa.int64()),
+                pa.array(sp_kinds, pa.string()),
+            ],
+            names=["start", "end", "kind"],
+        ),
+    )
     out = pa.Table.from_arrays(
         [
             batch.column("url"),
@@ -113,7 +136,7 @@ def _extract_batch(batch: pa.Table, cfg: ExtractConfig) -> pa.Table:
             batch.column("lang"),
             batch.column("text"),
             pa.array(texts, pa.large_string()),
-            pa.array(spans, SPAN_TYPE),
+            span_arr,
             pa.array(confs, pa.int32()),
             pa.array(ctypes, pa.string()),
             pa.array(chashes, pa.string()),

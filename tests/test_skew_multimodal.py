@@ -61,6 +61,33 @@ def test_salted_sum_count_equals_plain_groupby():
     )
 
 
+def test_salted_sum_count_hot_key_fixture():
+    """Skewed fixture (SURVEY §7.2.7): one key owns 50% of rows, plus a long
+    tail — salted two-level agg must still be exact."""
+    n = 10_000
+    keys = ["hot.example.com" if i % 2 == 0 else f"d{i % 97}.example.com" for i in range(n)]
+    vals = [(i * 7) % 1000 for i in range(n)]
+    t = pa.table({"domain": keys, "bytes": vals})
+    got = (
+        salted_sum_count(
+            rd.from_arrow(t), key_col="domain", sum_cols={"bytes": "sum_bytes"}, buckets=8
+        )
+        .to_pandas()
+        .set_index("domain")
+    )
+    import pandas as pd
+
+    want = (
+        pd.DataFrame({"domain": keys, "bytes": vals})
+        .groupby("domain")
+        .agg(n=("bytes", "size"), sum_bytes=("bytes", "sum"))
+    )
+    assert got.loc["hot.example.com", "n"] == n // 2
+    for d in want.index:
+        assert int(got.loc[d, "n"]) == int(want.loc[d, "n"])
+        assert int(got.loc[d, "sum_bytes"]) == int(want.loc[d, "sum_bytes"])
+
+
 def test_slice_by_bytes_bounds_and_completeness():
     rows = [b"x" * s for s in (100, 200, 5000, 50, 50, 50, 9000, 10)]
     t = pa.table({"html": rows, "i": list(range(len(rows)))})
@@ -199,6 +226,17 @@ def test_paginated_matches_sorted_slice():
         .reset_index(drop=True)
     )
     assert page.o_orderkey.tolist() == want.o_orderkey.tolist()
+
+
+def test_export_csv_roundtrip(tmp_path):
+    from invoice_ocr_reconciler_ray.stages.report import export_csv
+
+    ds = rd.read_parquet(f"{SF}/orders.parquet")
+    out = str(tmp_path / "report")
+    export_csv(ds, out, ["o_orderkey", "o_orderstatus", "o_totalprice"])
+    back = rd.read_csv(out).to_pandas()
+    assert list(back.columns) == ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    assert len(back) == ds.count()
 
 
 def test_keyset_page_walks_without_overlap():
