@@ -150,6 +150,13 @@ def run_bench(headline_only: bool = False) -> dict:
     rd.read_parquet(pages_dir, override_num_blocks=nblocks).map_batches(
         _warm, batch_format="pyarrow"
     ).count()
+    # ... and one tiny end-to-end flagship pass so every operator path
+    # (side scan, extract, probe, reconcile, parquet write) is warm too
+    shutil.rmtree("/tmp/iocr_warm_out", ignore_errors=True)
+    flagship(
+        rd.read_parquet(pages_dir).limit(2000),
+        side_ds=rd.read_parquet(pages_dir, columns=["url", "warc_ts", "html"]).limit(2000),
+    ).write_parquet("/tmp/iocr_warm_out")
 
     out_dir = "/tmp/iocr_bench_out"
     shutil.rmtree(out_dir, ignore_errors=True)

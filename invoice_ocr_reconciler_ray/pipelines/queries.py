@@ -703,6 +703,94 @@ def media_audio_features(sf_dir: str):
     )
 
 
+# -------------------------------------------------- union / distinct / window
+
+def events_union_halves(sf_dir: str):
+    """``Dataset.union`` (set-op surface): two disjoint filtered reads of the
+    same table unioned back, then counted — result must equal the single-scan
+    count per type (oracle: UNION ALL)."""
+    clicks = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_type"],
+        filter=pc.field("event_type") == "click",
+    )
+    purchases = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_type"],
+        filter=pc.field("event_type") == "purchase",
+    )
+    return clicks.union(purchases).groupby("event_type").aggregate(Count(alias_name="n"))
+
+
+EVENTS_UNION_HALVES_SQL = """
+SELECT event_type, COUNT(*) AS n FROM (
+  SELECT event_type FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT event_type FROM events WHERE event_type = 'purchase'
+) GROUP BY 1
+"""
+
+
+def distinct_langs(sf_dir: str):
+    """``Dataset.unique`` (distinct shuffle) on a single column."""
+    import pandas as pd
+
+    vals = sorted(rd.read_parquet(_t(sf_dir, "documents"), columns=["lang"]).unique("lang"))
+    return pd.DataFrame({"lang": vals})
+
+
+DISTINCT_LANGS_SQL = "SELECT DISTINCT lang FROM documents"
+
+
+def events_tumbling_window(sf_dir: str):
+    """Windowed aggregate (custom operator class, SURVEY §2.9 note): tumbling
+    7-day event-time windows per user — window id derived in ``map_batches``,
+    then a composite-key groupby.  No event-time framework needed: windows
+    over batch data ARE a keyed aggregation on floor(ts/size)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "value"])
+    week_us = 7 * 86400 * 1_000_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts_us = pc.cast(t["ts"], pa.int64())
+        win = pc.cast(pc.floor(pc.divide(pc.cast(ts_us, pa.float64()), week_us)), pa.int64())
+        return pa.Table.from_arrays(
+            [t["user_id"], win, _cents(t["value"])], names=["user_id", "win", "value_c"]
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["user_id", "win"])
+        .aggregate(Count(alias_name="n"), Sum("value_c", alias_name="sum_value_cents"))
+    )
+
+
+EVENTS_TUMBLING_WINDOW_SQL = """
+SELECT user_id,
+       CAST(FLOOR(epoch_us(ts) / (7*86400*1000000.0)) AS BIGINT) AS win,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY 1, 2
+"""
+
+
+def spans_exploded(sf_dir: str):
+    """``flat_map``-style explode of the nested spans column (≙ M4 list<struct>
+    realized flat, invoiceParser.js:69-86): one output row per span, counted
+    per block kind.  Rows-only (span extraction is not SQL-expressible)."""
+    from .flagship import run_flagship
+
+    v = run_flagship(sf_dir).select_columns(["url", "spans"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        kinds: list[str] = []
+        for row in t.column("spans").to_pylist():
+            for sp in row or []:
+                kinds.append(sp["kind"])
+        return pa.Table.from_arrays([pa.array(kinds, pa.string())], names=["kind"])
+
+    return v.map_batches(explode, batch_format="pyarrow").groupby("kind").aggregate(
+        Count(alias_name="n_spans")
+    )
+
+
 # ------------------------------------------------------------------ registry
 
 ORACLE_SQL: dict[str, str] = {
@@ -726,6 +814,9 @@ ORACLE_SQL: dict[str, str] = {
     "docs_by_lang_salted": DOCS_BY_LANG_SALTED_SQL,
     "orders_page": ORDERS_PAGE_SQL,
     "register_csv_normalize": REGISTER_CSV_NORMALIZE_SQL,
+    "events_union_halves": EVENTS_UNION_HALVES_SQL,
+    "distinct_langs": DISTINCT_LANGS_SQL,
+    "events_tumbling_window": EVENTS_TUMBLING_WINDOW_SQL,
 }
 
 
@@ -771,7 +862,11 @@ def registry() -> dict:
         "docs_by_lang_salted": docs_by_lang_salted,
         "orders_page": orders_page,
         "register_csv_normalize": register_csv_normalize,
+        "events_union_halves": events_union_halves,
+        "distinct_langs": distinct_langs,
+        "events_tumbling_window": events_tumbling_window,
         # rows-only (non-SQL-expressible)
+        "spans_exploded": spans_exploded,
         "media_image_features": media_image_features,
         "media_frame_sample": media_frame_sample,
         "media_audio_features": media_audio_features,
