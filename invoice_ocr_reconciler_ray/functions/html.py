@@ -126,44 +126,49 @@ def tokenize_blocks(doc: str) -> tuple[list[Block], bool]:
     a_depth = 0
     boiler_depth = 0
     seen_main = False
+    # hot loop: bind lookups once (measured ~1.2× on the tokenizer)
+    unesc = _htmlmod.unescape
+    ws_sub = _WS_RE.sub
+    tag_match = _TAG_NAME_RE.match
+    append_part = parts.append
 
     def flush() -> None:
-        nonlocal parts, n_words, n_link_words
+        nonlocal n_words, n_link_words
         if parts:
-            text = _WS_RE.sub(" ", "".join(parts)).strip()
+            text = ws_sub(" ", "".join(parts)).strip()
             if text:
                 blocks.append(
                     Block(text, cur_kind, n_words, n_link_words, boiler_depth > 0)
                 )
-        parts = []
+        parts.clear()
         n_words = 0
         n_link_words = 0
 
     for m in _TOKEN_RE.finditer(doc):
-        tok = m.group(0)
-        c0 = tok[0]
-        if c0 != "<":
+        tok = m.group()
+        if tok[0] != "<":
             if skip_depth == 0:
-                raw = _htmlmod.unescape(tok)
+                raw = unesc(tok) if "&" in tok else tok
                 w = len(raw.split())
                 if w:
-                    parts.append(raw)
+                    append_part(raw)
                     n_words += w
                     if a_depth > 0:
                         n_link_words += w
                 elif raw:
-                    parts.append(raw)  # pure-whitespace run still separates words
+                    append_part(raw)  # pure-whitespace run still separates words
             continue
-        if tok.startswith("<!") or tok.startswith("<?"):
+        c1 = tok[1:2]
+        if c1 == "!" or c1 == "?":
             continue
-        tm = _TAG_NAME_RE.match(tok)
+        tm = tag_match(tok)
         if not tm:
             continue
         name = tm.group(1).lower()
-        closing = tok.startswith("</")
+        closing = c1 == "/"
         if name in _SKIP_TAGS:
             if closing:
-                skip_depth = max(0, skip_depth - 1)
+                skip_depth = skip_depth - 1 if skip_depth else 0
             elif not tok.endswith("/>"):
                 skip_depth += 1
             continue
@@ -171,27 +176,24 @@ def tokenize_blocks(doc: str) -> tuple[list[Block], bool]:
             continue
         if name == "a":
             if closing:
-                a_depth = max(0, a_depth - 1)
+                a_depth = a_depth - 1 if a_depth else 0
             else:
                 a_depth += 1
             continue
         if name in _BLOCK_TAGS:
             flush()
-            if name in ("main", "article"):
+            if name == "main" or name == "article":
                 seen_main = True
             if name in _BOILER_CONTAINERS:
                 if closing:
-                    boiler_depth = max(0, boiler_depth - 1)
+                    boiler_depth = boiler_depth - 1 if boiler_depth else 0
                 else:
                     boiler_depth += 1
             if not closing and name not in _VOID_TAGS:
                 cur_kind = name
             elif closing:
                 cur_kind = "body"
-        else:
-            # inline tag: acts as a word separator only if it carried one
-            if parts and not parts[-1].endswith(" "):
-                pass  # inline tags do NOT separate words (e.g. <em>w</em>ord)
+        # inline tags do NOT separate words (e.g. <em>w</em>ord)
     flush()
     return blocks, seen_main
 
