@@ -128,6 +128,119 @@ def run_checkpointed(
     return totals
 
 
+def prepare_partitioned_input(sf_dir: str, input_dir: str, *, num_buckets: int = 8) -> str:
+    """Write the pages table in the DEPLOYMENT layout: hive-partitioned
+    parquet on ``bucket = hash(url) % B``.  This is the 100 TB contract the
+    file-partitioned runner relies on — all rows of a url live in exactly one
+    bucket directory, so per-bucket dedup IS global dedup and a run touches
+    each input byte once (no per-partition re-scan, no global shuffle)."""
+    import shutil
+
+    from ..functions.hashing import stable_hash64
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    pages = docs.map_batches(pages_batch_from_documents, batch_format="pyarrow")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        buckets = [
+            stable_hash64(u, salt="bucket") % num_buckets
+            for u in t.column("url").to_pylist()
+        ]
+        return t.append_column("bucket", pa.array(buckets, pa.int32()))
+
+    shutil.rmtree(input_dir, ignore_errors=True)
+    pages.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
+        input_dir, partition_cols=["bucket"]
+    )
+    return input_dir
+
+
+def run_checkpointed_files(
+    input_dir: str,
+    out_dir: str,
+    *,
+    stop_after: int | None = None,
+    cfg: RunConfig | None = None,
+) -> dict[str, Any]:
+    """File-partitioned checkpointed run over a ``bucket=N`` hive layout
+    (see :func:`prepare_partitioned_input`).  One partition = one bucket
+    directory: read just those files → flagship → atomic write + manifest
+    record.  Unlike :func:`run_checkpointed` (which range-partitions a
+    single-file input by key modulo and re-scans), this touches each input
+    byte exactly once per completed partition — the shape a 10^12-row job
+    actually runs."""
+    import glob
+
+    cfg = cfg or RunConfig()
+    manifest = RunManifest(out_dir)
+    done = manifest.done_parts()
+    buckets = sorted(
+        d for d in os.listdir(input_dir) if d.startswith("bucket=")
+    )
+    session = _session_id(input_dir, len(buckets), cfg)
+    completed_now = 0
+
+    for b in buckets:
+        part_id = b.replace("=", "-")
+        if part_id in done:
+            continue
+        if stop_after is not None and completed_now >= stop_after:
+            break
+        files = sorted(glob.glob(os.path.join(input_dir, b, "*.parquet")))
+        pages = rd.read_parquet(files).map_batches(
+            lambda t: t.append_column(
+                "_html_bytes", pc.cast(pc.binary_length(t["html"]), pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
+        verdicts = flagship(
+            pages,
+            cfg,
+            side_ds=rd.read_parquet(files, columns=["url", "warc_ts", "html"]),
+        )
+        out = verdicts.map_batches(
+            lambda t: t.append_column(
+                "session_id", pa.array([session] * t.num_rows, pa.string())
+            ),
+            batch_format="pyarrow",
+        )
+
+        tmp = os.path.join(out_dir, f".tmp-{part_id}")
+        final = os.path.join(out_dir, part_id)
+        if os.path.exists(tmp):
+            import shutil
+
+            shutil.rmtree(tmp)
+        out.write_parquet(tmp)
+        os.rename(tmp, final)
+
+        written = pads.dataset(final, format="parquet").to_table(
+            columns=["match_status", "_html_bytes"]
+        )
+        st = written.column("match_status").to_pylist()
+        manifest.record(
+            {
+                "part_id": part_id,
+                "session_id": session,
+                "status": "done",
+                "rows_out": written.num_rows,
+                "rows_in": written.num_rows,
+                "bytes_html": int(pc.sum(written.column("_html_bytes")).as_py() or 0),
+                "matched": st.count("matched"),
+                "mismatched": st.count("mismatch"),
+                "missing": st.count("missing"),
+                "duplicate": st.count("duplicate"),
+            }
+        )
+        completed_now += 1
+
+    totals = manifest.totals()
+    totals["session_id"] = session
+    totals["partitions_done"] = len(manifest.done_parts())
+    totals["num_partitions"] = len(buckets)
+    return totals
+
+
 def read_run_output(out_dir: str):
     """The combined verdict Dataset from all completed partitions."""
     import glob

@@ -68,9 +68,15 @@ def _propose_batch(batch: pa.Table, reg_ref, cfg: ReconcileConfig) -> pa.Table:
                   "Duplicate invoice number", 100.0, [])
             continue
         nv = _norm_vendor(vend)
+        nv_len = len(nv)
         amt = float(amt or 0.0)
         scored = []
         for r in reg:
+            # exact prune: edit distance >= |len(a)-len(b)|, so a length gap
+            # over the 0.4 gate can never score in — skips the O(n*m) DP
+            rl = r["vendor_len"]
+            if abs(nv_len - rl) > 0.4 * (nv_len if nv_len > rl else rl):
+                continue
             vs = 1.0 - levenshtein_ratio(nv, r["vendor_norm"], cfg.max_edit_chars)
             if vs <= 0.4:  # ≙ Fuse threshold 0.4 (reconciliationEngine.js:56)
                 scored.append((vs, r))
@@ -144,14 +150,17 @@ def fuzzy_reconcile(invoices_ds, register_rows: list[dict], cfg: ReconcileConfig
     Returns one row per invoice with the reference's status vocabulary; the
     1:1 award happens in a ``groupby(proposed_record_id).map_groups``
     reduction (deterministic, parallel-safe)."""
-    reg = [
-        {
-            "id": str(r["id"]),
-            "vendor_norm": _norm_vendor(r.get("vendor_name", "")),
-            "expected_amount": float(r.get("expected_amount", 0) or 0),
-        }
-        for r in register_rows
-    ]
+    reg = []
+    for r in register_rows:
+        vn = _norm_vendor(r.get("vendor_name", ""))
+        reg.append(
+            {
+                "id": str(r["id"]),
+                "vendor_norm": vn,
+                "vendor_len": len(vn),
+                "expected_amount": float(r.get("expected_amount", 0) or 0),
+            }
+        )
     reg_ref = ray.put(reg)
     proposals = invoices_ds.map_batches(
         lambda b: _propose_batch(b, reg_ref, cfg), batch_format="pyarrow"

@@ -77,3 +77,48 @@ def test_atomic_layout(runs):
     parts = [n for n in names if n.startswith("part-")]
     assert len(parts) == 4
     assert not [n for n in names if n.startswith(".tmp-")]
+
+
+# ---------------------------------------------------- file-partitioned runner
+
+@pytest.fixture(scope="module")
+def file_runs(ray_session, tmp_path_factory):
+    from invoice_ocr_reconciler_ray.pipelines.runner import (
+        prepare_partitioned_input,
+        run_checkpointed_files,
+    )
+
+    input_dir = str(tmp_path_factory.mktemp("bucketed_in"))
+    out_dir = str(tmp_path_factory.mktemp("bucketed_out"))
+    prepare_partitioned_input(SF, input_dir, num_buckets=4)
+    ta = run_checkpointed_files(input_dir, out_dir, stop_after=2)
+    tb = run_checkpointed_files(input_dir, out_dir)
+    return input_dir, out_dir, ta, tb
+
+
+def test_file_runner_resumes(file_runs):
+    _, _, ta, tb = file_runs
+    assert ta["partitions_done"] == 2
+    assert tb["partitions_done"] == 4
+
+
+def test_file_runner_matches_direct_flagship(file_runs):
+    """Bucketed (deployment-layout) run == one-shot flagship over the same
+    pages: identical per-url extracted text and statuses (per-bucket dedup is
+    global dedup because the layout co-locates urls)."""
+    from invoice_ocr_reconciler_ray.pipelines.flagship import run_flagship
+
+    _, out_dir, _, _ = file_runs
+    got = (
+        read_run_output(out_dir)
+        .to_pandas()[["url", "warc_ts", "extracted_text", "match_status"]]
+        .sort_values(["url", "warc_ts"])
+        .reset_index(drop=True)
+    )
+    want = (
+        run_flagship(SF)
+        .to_pandas()[["url", "warc_ts", "extracted_text", "match_status"]]
+        .sort_values(["url", "warc_ts"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
