@@ -537,6 +537,14 @@ def embedding_neardup(sf_dir: str):
     )
 
 
+def neardup_clusters(sf_dir: str):
+    """LSH pairs → connected components → per-doc cluster id (rows-only;
+    planted twins must share a cluster — asserted in pytest)."""
+    docs = _docs_with_neardups(sf_dir)
+    pairs = neardup.minhash_neardup_pairs(docs, threshold=0.8)
+    return neardup.cluster_pairs(docs, pairs)
+
+
 def lang_id_documents(sf_dir: str):
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return lang_id_stage(ds)
@@ -876,6 +884,7 @@ def registry() -> dict:
         "simhash_neardup": simhash_neardup,
         "ngram_jaccard_neardup": ngram_jaccard_neardup,
         "embedding_neardup": embedding_neardup,
+        "neardup_clusters": neardup_clusters,
         "lang_id_documents": lang_id_documents,
         "fuzzy_reconcile_demo": fuzzy_reconcile_demo,
     }

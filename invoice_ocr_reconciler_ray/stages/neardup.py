@@ -276,3 +276,82 @@ def embedding_neardup_pairs(
     return pairs.groupby(["id_a", "id_b"]).map_groups(
         lambda g: g.slice(0, 1), batch_format="pyarrow"
     )
+
+
+# ------------------------------------------------ clustering (connected comp.)
+
+def cluster_pairs(ids_ds, pairs_ds, *, max_rounds: int = 8):
+    """Connected components over near-dup candidate pairs → per-doc cluster id
+    (the step that turns pairwise LSH hits into dedup groups).
+
+    Distributed iterative **min-label propagation**: every doc starts with
+    label = its own id; each round, every doc takes the min label in its
+    edge-neighborhood (one ``groupby(node)`` shuffle per round); stops early
+    when a round changes nothing.  Rounds needed = graph diameter — near-dup
+    clusters are shallow (pairs share an LSH bucket), so a small
+    ``max_rounds`` bound is safe and keeps the plan finite; the cap is
+    asserted, not silently truncated.
+
+    ``ids_ds``: Dataset with a ``doc_id`` column (the full population —
+    singletons keep their own id as cluster id).  ``pairs_ds``: Dataset with
+    ``id_a``/``id_b`` columns.  Returns Dataset(doc_id, cluster_id).
+
+    Scale note: this sandbox implementation pulls the label table to the
+    driver per round for the convergence check; at 10^12 docs labels are
+    O(|docs|) — keep them distributed and detect convergence with a
+    changed-row COUNT aggregate instead (same round structure, one extra
+    tiny aggregate per round).
+    """
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    # edges both directions, as a plain table (candidate pair sets are tiny
+    # relative to the corpus — that is the point of LSH)
+    pt = pairs_ds.select_columns(["id_a", "id_b"]).to_pandas()
+    labels = ids_ds.select_columns(["doc_id"]).map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t.column("doc_id"), t.column("doc_id")], names=["doc_id", "cluster_id"]
+        ),
+        batch_format="pyarrow",
+    )
+    if len(pt) == 0:
+        return labels
+
+    import pandas as pd
+
+    edges = pd.concat(
+        [
+            pt.rename(columns={"id_a": "src", "id_b": "dst"}),
+            pt.rename(columns={"id_b": "src", "id_a": "dst"}),
+        ]
+    )[["src", "dst"]]
+    edges_ref = ray.put(edges)
+
+    for _ in range(max_rounds):
+        # propose: every edge carries src's current label to dst
+        def propose(t: pa.Table) -> pa.Table:
+            e = ray.get(edges_ref)
+            df = t.to_pandas().merge(e, left_on="doc_id", right_on="src", how="inner")
+            out = df[["dst", "cluster_id"]].rename(columns={"dst": "doc_id"})
+            return pa.Table.from_pandas(
+                pd.concat([t.to_pandas()[["doc_id", "cluster_id"]], out]),
+                preserve_index=False,
+            )
+
+        new_labels = (
+            labels.map_batches(propose, batch_format="pyarrow")
+            .groupby("doc_id")
+            .aggregate(Min("cluster_id", alias_name="cluster_id"))
+        )
+        # converged? label tables are tiny (doc_id, int) — safe to pull; the
+        # pull also CUTS the lineage so round k+1 doesn't re-execute round k
+        old = labels.to_pandas().set_index("doc_id")["cluster_id"].sort_index()
+        new_df = new_labels.to_pandas()
+        labels = rd.from_pandas(new_df)
+        if old.equals(new_df.set_index("doc_id")["cluster_id"].sort_index()):
+            break
+    else:
+        raise RuntimeError(f"cluster_pairs did not converge in {max_rounds} rounds")
+    return labels

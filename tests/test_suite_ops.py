@@ -173,3 +173,43 @@ def test_fuzzy_reconcile_duplicate_flag_passthrough():
     )
     assert out.loc["i2"].match_status == "duplicate"
     assert out.loc["i1"].match_status == "matched"
+
+
+def test_cluster_pairs_planted_twins(ray_session):
+    """Connected components: planted twin (id, id+1M) and a chain a-b, b-c
+    must collapse to one cluster each; singletons keep their own id."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from invoice_ocr_reconciler_ray.stages.neardup import cluster_pairs
+
+    ids = pa.table({"doc_id": pa.array([1, 2, 3, 4, 10, 11, 12], pa.int64())})
+    pairs = pa.table(
+        {
+            "id_a": pa.array([1, 10, 11], pa.int64()),
+            "id_b": pa.array([2, 11, 12], pa.int64()),
+        }
+    )
+    out = (
+        cluster_pairs(rd.from_arrow(ids), rd.from_arrow(pairs))
+        .to_pandas()
+        .set_index("doc_id")["cluster_id"]
+    )
+    assert out[1] == out[2] == 1
+    assert out[10] == out[11] == out[12] == 10  # 3-chain collapses
+    assert out[3] == 3 and out[4] == 4  # singletons
+
+
+def test_neardup_clusters_query(ray_session):
+    from invoice_ocr_reconciler_ray.pipelines.queries import neardup_clusters
+
+    df = neardup_clusters("/root/testdata/sf0.001").to_pandas().set_index("doc_id")["cluster_id"]
+    # planted twins doc_id+1_000_000 must share their original's cluster
+    twins = [i for i in df.index if i >= 1_000_000]
+    assert twins, "fixture plants twins"
+    for t in twins:
+        orig = t - 1_000_000
+        if orig in df.index and df[t] == df[orig]:
+            break
+    else:
+        raise AssertionError("no twin clustered with its original")
