@@ -1,0 +1,88 @@
+"""CLI entry points — the engine's analogue of the reference's HTTP surface
+(upload/extract ≙ ``extract``, reconcile+resume ≙ ``run``, stats ≙ ``stats``;
+frontend/src/api.js:26-57 maps the reference's full surface).
+
+This is the ONE module (besides bench.py and the pytest fixture) that owns a
+Ray session; library code never calls ``ray.init``.
+
+Usage:
+  python -m invoice_ocr_reconciler_ray extract --sf-dir /root/testdata/sf0.001 --out /tmp/out
+  python -m invoice_ocr_reconciler_ray run --sf-dir ... --out /tmp/ckpt [--partitions 8]
+  python -m invoice_ocr_reconciler_ray run-files --input /tmp/bucketed --out /tmp/ckpt
+  python -m invoice_ocr_reconciler_ray stats --out /tmp/ckpt
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_session(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False, "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="invoice_ocr_reconciler_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pe = sub.add_parser("extract", help="flagship extract→dedup→reconcile → parquet")
+    pe.add_argument("--sf-dir", required=True)
+    pe.add_argument("--out", required=True)
+
+    pr = sub.add_parser("run", help="checkpointed partitioned run (resumable)")
+    pr.add_argument("--sf-dir", required=True)
+    pr.add_argument("--out", required=True)
+    pr.add_argument("--partitions", type=int, default=8)
+
+    pf = sub.add_parser("run-files", help="checkpointed run over bucket= layout")
+    pf.add_argument("--input", required=True)
+    pf.add_argument("--out", required=True)
+
+    ps = sub.add_parser("stats", help="manifest totals for a checkpointed run")
+    ps.add_argument("--out", required=True)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "stats":  # no Ray needed
+        from invoice_ocr_reconciler_ray.state.manifest import RunManifest
+
+        print(json.dumps(RunManifest(args.out).totals(), sort_keys=True))
+        return 0
+
+    ray = _ray_session(args.num_cpus)
+    try:
+        if args.cmd == "extract":
+            from invoice_ocr_reconciler_ray.pipelines.flagship import run_flagship
+
+            run_flagship(args.sf_dir).write_parquet(args.out)
+            print(json.dumps({"status": "ok", "out": args.out}))
+        elif args.cmd == "run":
+            from invoice_ocr_reconciler_ray.pipelines.runner import run_checkpointed
+
+            totals = run_checkpointed(args.sf_dir, args.out, num_partitions=args.partitions)
+            print(json.dumps(totals, sort_keys=True))
+        elif args.cmd == "run-files":
+            from invoice_ocr_reconciler_ray.pipelines.runner import run_checkpointed_files
+
+            totals = run_checkpointed_files(args.input, args.out)
+            print(json.dumps(totals, sort_keys=True))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
