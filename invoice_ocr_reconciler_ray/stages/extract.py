@@ -30,6 +30,7 @@ from typing import Any
 import pyarrow as pa
 
 from ..config import DEFAULT_EXTRACT, ExtractConfig
+from ..functions.hashing import stable_hash64 as _hash64
 from ..functions.html import extract_html
 from ..functions.pdf import PDF_MAGIC, extract_pdf
 
@@ -57,9 +58,7 @@ def content_hash_hex(raw: bytes | None) -> str:
     """Stable hex hash of the raw payload — the dedup priority component.
     Computed here (html in hand) AND in the cheap dedup side-plan; the two
     must agree byte-for-byte (stages/dedup.py)."""
-    from ..functions.hashing import stable_hash64
-
-    return f"{stable_hash64(bytes(raw) if raw is not None else b'', salt='dedup'):016x}"
+    return f"{_hash64(raw if raw is not None else b'', salt='dedup'):016x}"
 
 
 def _extract_core(raw: bytes | None, cfg: ExtractConfig = DEFAULT_EXTRACT):
@@ -98,9 +97,11 @@ def _extract_batch(batch: pa.Table, cfg: ExtractConfig) -> pa.Table:
     sp_kinds: list[str] = []
     sp_offsets: list[int] = [0]
     # Python loop over rows WITHIN a zero-copy Arrow batch: the parse itself
-    # is not vectorizable; regexes are compiled once at import.
+    # is not vectorizable; regexes are compiled once at import.  Bulk-convert
+    # the binary column once (cheaper than n as_py() calls).
+    raws = html_col.to_pylist()
     for i in range(n):
-        raw = html_col[i].as_py()
+        raw = raws[i]
         chashes.append(content_hash_hex(raw))
         try:
             ext = _extract_core(raw, cfg)
