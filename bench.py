@@ -180,6 +180,7 @@ def run_bench(headline_only: bool = False) -> dict:
         q_times[name] = round(time.perf_counter() - t0, 3)
 
     control = _cpu_control() if headline_only else None
+    out_hash = _output_hash(out_dir)
 
     html_gb = meta["html_bytes"] / 1e9
     result = {
@@ -193,11 +194,39 @@ def run_bench(headline_only: bool = False) -> dict:
         "html_gb": round(html_gb, 4),
         "docs_per_sec": round(meta["rows"] / headline, 1),
         "gb_per_sec": round(html_gb / headline, 4),
+        "output_hash": out_hash,
     }
     if control is not None:
         result["control_sec"] = control
     ray.shutdown()
     return result
+
+
+def _output_hash(out_dir: str) -> str:
+    """Order-insensitive content hash of (url, extracted_text, match_status)
+    over the written output — byte-identical-output evidence across
+    parallelism levels (north_rule per-row invariant).  Untimed."""
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(out_dir, format="parquet").to_table(
+        columns=["url", "extracted_text", "match_status"]
+    )
+    rows = sorted(
+        zip(
+            t.column("url").to_pylist(),
+            t.column("extracted_text").to_pylist(),
+            t.column("match_status").to_pylist(),
+        )
+    )
+    h = hashlib.blake2b(digest_size=16)
+    for u, x, s in rows:
+        h.update(u.encode())
+        h.update(b"\0")
+        h.update((x or "").encode())
+        h.update(b"\0")
+        h.update((s or "").encode())
+        h.update(b"\1")
+    return h.hexdigest()
 
 
 def _cpu_control() -> float:
@@ -260,6 +289,8 @@ def run_scaling() -> dict:
         # don't share those effects, so read `value` against `ceiling`
         "ceiling": round(ceiling, 3),
         "value_vs_ceiling": round(eff / ceiling, 3) if ceiling else None,
+        # per-row invariant across parallelism levels: identical output bytes
+        "output_identical": results[n]["output_hash"] == results[n4]["output_hash"],
     }
 
 
