@@ -711,6 +711,65 @@ def media_audio_features(sf_dir: str):
     )
 
 
+def top_building_orders(sf_dir: str):
+    """TPC-H-Q3-style 3-way join: BUILDING-segment customers (broadcast key
+    set — semi-join, no shuffle) × date-filtered orders ⋈ lineitem (hash
+    join on the order key) → revenue per order → top 10.  Composes the
+    engine's two join strategies in one plan."""
+    cutoff = np.datetime64("1995-06-15", "us")
+    cust = rd.read_parquet(
+        _t(sf_dir, "customer"),
+        columns=["c_custkey"],
+        filter=pc.field("c_mktsegment") == "BUILDING",
+    )
+    ckeys_ref = ray.put(set(cust.unique("c_custkey")))
+
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=pc.field("o_orderdate") < cutoff,
+    )
+
+    def semi(t: pa.Table) -> pa.Table:
+        ks = ray.get(ckeys_ref)
+        mask = pa.array([k in ks for k in t["o_custkey"].to_pylist()])
+        return pa.Table.from_arrays(
+            [t.filter(mask)["o_orderkey"], t.filter(mask)["o_orderdate"]],
+            names=["o_orderkey", "o_orderdate"],
+        )
+
+    orders = orders.map_batches(semi, batch_format="pyarrow")
+
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pc.field("l_shipdate") > cutoff,
+    )
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        return pa.Table.from_arrays([t["l_orderkey"], _cents(r)], names=["l_orderkey", "rev_c"])
+
+    li = li.map_batches(rev, batch_format="pyarrow")
+    joined = li.join(
+        orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+    agg = joined.groupby("l_orderkey").aggregate(Sum("rev_c", alias_name="revenue_cents"))
+    return agg.sort(["revenue_cents", "l_orderkey"], descending=[True, False]).limit(10)
+
+
+TOP_BUILDING_ORDERS_SQL = """
+SELECT l_orderkey,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-06-15'
+  AND l_shipdate  > TIMESTAMP '1995-06-15'
+GROUP BY 1 ORDER BY revenue_cents DESC, l_orderkey LIMIT 10
+"""
+
+
 # -------------------------------------------------- union / distinct / window
 
 def events_union_halves(sf_dir: str):
@@ -822,6 +881,7 @@ ORACLE_SQL: dict[str, str] = {
     "docs_by_lang_salted": DOCS_BY_LANG_SALTED_SQL,
     "orders_page": ORDERS_PAGE_SQL,
     "register_csv_normalize": REGISTER_CSV_NORMALIZE_SQL,
+    "top_building_orders": TOP_BUILDING_ORDERS_SQL,
     "events_union_halves": EVENTS_UNION_HALVES_SQL,
     "distinct_langs": DISTINCT_LANGS_SQL,
     "events_tumbling_window": EVENTS_TUMBLING_WINDOW_SQL,
@@ -870,6 +930,7 @@ def registry() -> dict:
         "docs_by_lang_salted": docs_by_lang_salted,
         "orders_page": orders_page,
         "register_csv_normalize": register_csv_normalize,
+        "top_building_orders": top_building_orders,
         "events_union_halves": events_union_halves,
         "distinct_langs": distinct_langs,
         "events_tumbling_window": events_tumbling_window,
