@@ -368,9 +368,15 @@ def dedup_flag_documents(sf_dir: str):
     """Keyed exact dedup, flag-don't-drop, first-wins by doc_id (≙ A1,
     reconciliationEngine.js:43-51) on key (lang, n_chars)."""
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang", "n_chars"])
-    firsts = ds.groupby(["lang", "n_chars"]).aggregate(Min("doc_id", alias_name="first_id"))
+    firsts = ds.groupby(["lang", "n_chars"]).aggregate(
+        Min("doc_id", alias_name="first_id"), Count(alias_name="n")
+    )
+    # broadcast ONLY duplicated keys (a key absent from the map is unique →
+    # not a duplicate) — keeps the object O(|dup keys|), not O(|keys|)
     fmap = {
-        (r["lang"], r["n_chars"]): r["first_id"] for r in firsts.to_pandas().to_dict("records")
+        (r["lang"], r["n_chars"]): r["first_id"]
+        for r in firsts.to_pandas().to_dict("records")
+        if r["n"] > 1
     }
     fref = ray.put(fmap)
 
@@ -378,7 +384,7 @@ def dedup_flag_documents(sf_dir: str):
         fm = ray.get(fref)
         ids = t["doc_id"].to_pylist()
         keys = list(zip(t["lang"].to_pylist(), t["n_chars"].to_pylist()))
-        dup = [fm[k] != i for k, i in zip(keys, ids)]
+        dup = [k in fm and fm[k] != i for k, i in zip(keys, ids)]
         return pa.Table.from_arrays(
             [t["doc_id"], pa.array(dup, pa.bool_())], names=["doc_id", "is_duplicate"]
         )
