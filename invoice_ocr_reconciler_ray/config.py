@@ -78,3 +78,8 @@ class RunConfig:
     reconcile: ReconcileConfig = field(default_factory=ReconcileConfig)
     # number of output partitions for the checkpointed runner
     num_partitions: int = 16
+    # byte budget per extraction batch (None = whole blocks).  Set for inputs
+    # with multi-MB pages so batch size is bounded by PAYLOAD BYTES, not row
+    # count (SURVEY §4.3.1 — row-count batching is wrong at 100× html size
+    # variance); giant single rows still pass through alone
+    rebatch_bytes: int | None = None

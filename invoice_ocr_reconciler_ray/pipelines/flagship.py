@@ -45,6 +45,12 @@ def flagship(
     per-partition broadcast dedup IS global dedup because inputs are
     hash-partitioned by url."""
     cfg = cfg or RunConfig()
+    if cfg.rebatch_bytes:
+        from ..stages.skew import rebatch_by_bytes
+
+        pages_ds = rebatch_by_bytes(
+            pages_ds, payload_col="html", target_bytes=cfg.rebatch_bytes
+        )
     ext = extract_pages(pages_ds, cfg.extract)
     if dedup_strategy == "broadcast":
         flagged = flag_duplicates_with_side(ext, side_ds if side_ds is not None else pages_ds)

@@ -129,3 +129,26 @@ def test_actor_pool_extraction_equals_tasks(ray_session):
     )
     assert (t.extracted_text == a.extracted_text).all()
     assert (t.content_type == a.content_type).all()
+
+
+def test_flagship_with_byte_budget_rebatch(ray_session):
+    """rebatch_bytes bounds extraction batches by payload size without
+    changing any output row (SURVEY §4.3.1 giant-row handling)."""
+    import pandas as pd
+
+    from invoice_ocr_reconciler_ray.config import RunConfig
+    from invoice_ocr_reconciler_ray.pipelines.flagship import run_flagship
+
+    base = (
+        run_flagship("/root/testdata/sf0.001")
+        .to_pandas()[["url", "warc_ts", "extracted_text", "match_status"]]
+        .sort_values(["url", "warc_ts"])
+        .reset_index(drop=True)
+    )
+    budgeted = (
+        run_flagship("/root/testdata/sf0.001", RunConfig(rebatch_bytes=64 * 1024))
+        .to_pandas()[["url", "warc_ts", "extracted_text", "match_status"]]
+        .sort_values(["url", "warc_ts"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(base, budgeted)
