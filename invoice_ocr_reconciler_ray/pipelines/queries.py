@@ -776,6 +776,31 @@ GROUP BY 1 ORDER BY revenue_cents DESC, l_orderkey LIMIT 10
 """
 
 
+def events_props_extract(sf_dir: str):
+    """Semi-structured projection: pull a field out of the JSON ``props``
+    column with a VECTORIZED regex kernel (``pc.extract_regex`` — no per-row
+    json.loads) and aggregate it per event type."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "props"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["props"], pattern=r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.Table.from_arrays([t["event_type"], k], names=["event_type", "k"])
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("k", alias_name="sum_k"))
+    )
+
+
+EVENTS_PROPS_EXTRACT_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events GROUP BY 1
+"""
+
+
 # -------------------------------------------------- union / distinct / window
 
 def events_union_halves(sf_dir: str):
@@ -888,6 +913,7 @@ ORACLE_SQL: dict[str, str] = {
     "orders_page": ORDERS_PAGE_SQL,
     "register_csv_normalize": REGISTER_CSV_NORMALIZE_SQL,
     "top_building_orders": TOP_BUILDING_ORDERS_SQL,
+    "events_props_extract": EVENTS_PROPS_EXTRACT_SQL,
     "events_union_halves": EVENTS_UNION_HALVES_SQL,
     "distinct_langs": DISTINCT_LANGS_SQL,
     "events_tumbling_window": EVENTS_TUMBLING_WINDOW_SQL,
@@ -937,6 +963,7 @@ def registry() -> dict:
         "orders_page": orders_page,
         "register_csv_normalize": register_csv_normalize,
         "top_building_orders": top_building_orders,
+        "events_props_extract": events_props_extract,
         "events_union_halves": events_union_halves,
         "distinct_langs": distinct_langs,
         "events_tumbling_window": events_tumbling_window,
