@@ -210,20 +210,23 @@ def flag_duplicates_with_side(
     winners = compute_winner_map(side, key_col=key_col, pri_col=_COMPOSITE)
     winners_ref = ray.put(winners)
 
-    def main_pri(batch: pa.Table) -> pa.Table:
-        ts_us = pc.cast(batch.column(ts_col), pa.int64()).to_pylist()
-        pris = [
-            priority_of(t, h) for t, h in zip(ts_us, batch.column(hash_col).to_pylist())
-        ]
-        return batch.append_column(_COMPOSITE, pa.array(pris, pa.string()))
+    def pri_probe(batch: pa.Table) -> pa.Table:
+        # fused: priority strings are built ONLY for rows whose key is in the
+        # (small) duplicated-key map — everything else is trivially non-dup
+        w = ray.get(winners_ref)
+        keys = batch.column(key_col).to_pylist()
+        if not w:
+            flags = [False] * len(keys)
+        else:
+            ts_us = pc.cast(batch.column(ts_col), pa.int64()).to_pylist()
+            hs = batch.column(hash_col).to_pylist()
+            flags = [
+                k in w and priority_of(t, h) != w[k]
+                for k, t, h in zip(keys, ts_us, hs)
+            ]
+        return batch.append_column(out_col, pa.array(flags, pa.bool_()))
 
-    with_pri = main_ds.map_batches(main_pri, batch_format="pyarrow")
-    return with_pri.map_batches(
-        make_probe(
-            winners_ref, key_col=key_col, pri_col=_COMPOSITE, out_col=out_col, drop_pri=True
-        ),
-        batch_format="pyarrow",
-    )
+    return main_ds.map_batches(pri_probe, batch_format="pyarrow")
 
 
 def flag_content_duplicates(ds, *, content_col: str = "extracted_text", **kw):
