@@ -100,9 +100,11 @@ QUERY_SUBSET = [
     "monthly_orders",
     "revenue_by_priority",
     "revenue_by_nation",
+    "top_building_orders",
     "top_customers",
     "dedup_flag_documents",
     "token_counts",
+    "events_tumbling_window",
     "ann_cosine_topk",
     "minhash_neardup",
 ]

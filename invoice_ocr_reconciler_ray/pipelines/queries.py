@@ -869,6 +869,18 @@ FROM events GROUP BY 1, 2
 """
 
 
+def flagship_summary(sf_dir: str):
+    """Run-summary aggregate over flagship verdicts (≙ A2/A3, the reference's
+    session summary reconciliationEngine.js:201-210 + dashboard
+    server.js:244-257) as one row.  Rows-only (depends on extraction)."""
+    import pandas as pd
+
+    from ..stages.aggregates import dashboard_stats
+    from .flagship import run_flagship
+
+    return pd.DataFrame([dashboard_stats(run_flagship(sf_dir))])
+
+
 def spans_exploded(sf_dir: str):
     """``flat_map``-style explode of the nested spans column (≙ M4 list<struct>
     realized flat, invoiceParser.js:69-86): one output row per span, counted
@@ -968,6 +980,7 @@ def registry() -> dict:
         "distinct_langs": distinct_langs,
         "events_tumbling_window": events_tumbling_window,
         # rows-only (non-SQL-expressible)
+        "flagship_summary": flagship_summary,
         "spans_exploded": spans_exploded,
         "media_image_features": media_image_features,
         "media_frame_sample": media_frame_sample,
