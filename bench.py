@@ -34,7 +34,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-REP = int(os.environ.get("GRAFT_BENCH_REP", "64"))
+REP = int(os.environ.get("GRAFT_BENCH_REP", "128"))
 CACHE_ROOT = "/tmp/iocr_bench_cache"
 
 
