@@ -881,6 +881,56 @@ def flagship_summary(sf_dir: str):
     return pd.DataFrame([dashboard_stats(run_flagship(sf_dir))])
 
 
+def events_sessionize(sf_dir: str):
+    """Gap-based session windows (the streaming-shaped op class, SURVEY §2.9
+    / ray_guide streaming section): per user, sort by event time and split on
+    >30-min gaps — ``groupby(user).map_groups`` with pandas windowing inside
+    the sorted group.  The shuffle key is the user id; ordering is an
+    explicit per-group sort, never an assumption about arrival order."""
+    import pandas as pd
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    gap = pd.Timedelta(minutes=30)
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        brk = (g["ts"].diff() > gap).cumsum()
+        out = (
+            g.groupby(brk)["ts"]
+            .agg(n_events="size", start="min", end="max")
+            .reset_index(drop=True)
+        )
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].iloc[0],
+                "session_idx": range(len(out)),
+                "n_events": out["n_events"].astype("int64"),
+                "start_us": out["start"].astype("int64"),
+                "end_us": out["end"].astype("int64"),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+
+
+EVENTS_SESSIONIZE_SQL = """
+WITH x AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events),
+y AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sess
+  FROM x)
+SELECT user_id, CAST(sess AS BIGINT) AS session_idx, COUNT(*) AS n_events,
+       CAST(epoch_us(MIN(ts)) AS BIGINT) AS start_us,
+       CAST(epoch_us(MAX(ts)) AS BIGINT) AS end_us
+FROM y GROUP BY 1, 2
+"""
+
+
 def spans_exploded(sf_dir: str):
     """``flat_map``-style explode of the nested spans column (≙ M4 list<struct>
     realized flat, invoiceParser.js:69-86): one output row per span, counted
@@ -929,6 +979,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_union_halves": EVENTS_UNION_HALVES_SQL,
     "distinct_langs": DISTINCT_LANGS_SQL,
     "events_tumbling_window": EVENTS_TUMBLING_WINDOW_SQL,
+    "events_sessionize": EVENTS_SESSIONIZE_SQL,
 }
 
 
@@ -979,6 +1030,7 @@ def registry() -> dict:
         "events_union_halves": events_union_halves,
         "distinct_langs": distinct_langs,
         "events_tumbling_window": events_tumbling_window,
+        "events_sessionize": events_sessionize,
         # rows-only (non-SQL-expressible)
         "flagship_summary": flagship_summary,
         "spans_exploded": spans_exploded,
