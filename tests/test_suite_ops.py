@@ -213,3 +213,27 @@ def test_neardup_clusters_query(ray_session):
             break
     else:
         raise AssertionError("no twin clustered with its original")
+
+
+def test_flag_content_duplicates(ray_session):
+    """Identical content under DIFFERENT keys is flagged (content-hash A1
+    variant); first-by-(ts,hash) survives, strategies agree."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from invoice_ocr_reconciler_ray.stages.dedup import flag_content_duplicates
+
+    t = pa.table(
+        {
+            "url": ["u/1", "u/2", "u/3", "u/4"],
+            "warc_ts": pa.array([10, 20, 30, 40], pa.timestamp("us")),
+            "extracted_text": ["same body", "same body", "unique", "same body"],
+        }
+    )
+    for strategy in ("broadcast", "shuffle"):
+        out = (
+            flag_content_duplicates(rd.from_arrow(t), strategy=strategy)
+            .to_pandas()
+            .sort_values("url")
+        )
+        assert out.is_content_duplicate.tolist() == [False, True, False, True], strategy
