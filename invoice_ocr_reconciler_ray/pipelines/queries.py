@@ -551,6 +551,14 @@ def neardup_clusters(sf_dir: str):
     return neardup.cluster_pairs(docs, pairs)
 
 
+def curate_corpus(sf_dir: str):
+    """Composed training-data curation pipeline (rows-only): quality gates +
+    language ID + exact dedup + MinHash near-dup, flag-don't-drop."""
+    from .curation import curate_documents
+
+    return curate_documents(sf_dir)
+
+
 def lang_id_documents(sf_dir: str):
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return lang_id_stage(ds)
@@ -1044,6 +1052,7 @@ def registry() -> dict:
         "ngram_jaccard_neardup": ngram_jaccard_neardup,
         "embedding_neardup": embedding_neardup,
         "neardup_clusters": neardup_clusters,
+        "curate_corpus": curate_corpus,
         "lang_id_documents": lang_id_documents,
         "fuzzy_reconcile_demo": fuzzy_reconcile_demo,
     }
