@@ -36,6 +36,7 @@ def curate_documents(
     min_words: int = 30,
     max_punct_ratio: float = 0.2,
     lsh_threshold: float = 0.8,
+    min_lang_score: float = 0.15,
 ):
     """documents.parquet → per-doc curation verdict Dataset.
 
@@ -81,7 +82,9 @@ def curate_documents(
     near_ref = ray.put(near_ids)
     dup_ref = ray.put(dup_ids)
     q_ref = ray.put(qt[["n_words", "n_punct", "n_chars"]].to_dict("index"))
-    l_ref = ray.put(lt["lang_pred"].to_dict())
+    l_ref = ray.put(
+        {k: (v["lang_pred"], v["lang_score"]) for k, v in lt.to_dict("index").items()}
+    )
 
     def verdict(t: pa.Table) -> pa.Table:
         near = ray.get(near_ref)
@@ -104,7 +107,7 @@ def curate_documents(
         for i, d in enumerate(ids):
             q = qmap[d]
             nw, npunct, nchars = q["n_words"], q["n_punct"], q["n_chars"]
-            lp = lmap[d]
+            lp, lscore = lmap[d]
             isd = d in dups
             isn = d in near
             reason = None
@@ -116,7 +119,10 @@ def curate_documents(
                 reason = f"too short: {nw} words"
             elif nchars and npunct / max(nchars, 1) > max_punct_ratio:
                 reason = "punctuation ratio too high"
-            elif lp != (langs_in[i] or lp):
+            elif lp != (langs_in[i] or lp) and lscore >= min_lang_score:
+                # a language-mismatch rejection needs a CONFIDENT prediction;
+                # the n-gram/stopword heuristic is weak off-English, so low
+                # scores never override the declared lang
                 reason = f"language mismatch: predicted {lp}"
             out["n_words"].append(nw)
             out["n_punct"].append(npunct)
