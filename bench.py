@@ -107,6 +107,7 @@ QUERY_SUBSET = [
     "events_tumbling_window",
     "ann_cosine_topk",
     "minhash_neardup",
+    "curate_corpus",
 ]
 
 
