@@ -273,14 +273,13 @@ def customers_without_early_orders(sf_dir: str):
         columns=["o_custkey"],
         filter=pc.field("o_orderdate") < np.datetime64("1996-01-01", "us"),
     )
-    keys = set(early.unique("o_custkey"))
-    keys_ref = ray.put(keys)
+    keys_ref = ray.put(pa.array(sorted(early.unique("o_custkey")), pa.int64()))
     cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_name"])
 
     def anti(t: pa.Table) -> pa.Table:
+        # vectorized set-membership probe — no per-row Python
         ks = ray.get(keys_ref)
-        mask = pa.array([k not in ks for k in t["c_custkey"].to_pylist()])
-        return t.filter(mask)
+        return t.filter(pc.invert(pc.is_in(t["c_custkey"], value_set=ks)))
 
     return cust.map_batches(anti, batch_format="pyarrow")
 
@@ -330,8 +329,14 @@ def revenue_by_nation(sf_dir: str):
     sup = rd.read_parquet(_t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]).to_pandas()
     nat = rd.read_parquet(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name"]).to_pandas()
     dim = sup.merge(nat, left_on="s_nationkey", right_on="n_nationkey")
-    lookup = dict(zip(dim.s_suppkey, dim.n_name))
-    lookup_ref = ray.put(lookup)
+    # broadcast as parallel key/value ARRAYS: the probe is a vectorized
+    # dictionary lookup (index_in + take), not a per-row dict.get
+    lookup_ref = ray.put(
+        {
+            "keys": pa.array(dim.s_suppkey.to_numpy(), pa.int64()),
+            "names": pa.array(dim.n_name.tolist(), pa.string()),
+        }
+    )
 
     li = rd.read_parquet(
         _t(sf_dir, "lineitem"), columns=["l_suppkey", "l_extendedprice", "l_discount"]
@@ -340,10 +345,9 @@ def revenue_by_nation(sf_dir: str):
     def prep(t: pa.Table) -> pa.Table:
         lk = ray.get(lookup_ref)
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
-        names = [lk.get(s) for s in t["l_suppkey"].to_pylist()]
-        return pa.Table.from_arrays(
-            [pa.array(names, pa.string()), _cents(rev)], names=["n_name", "rev_c"]
-        )
+        idx = pc.index_in(t["l_suppkey"], value_set=lk["keys"])
+        names = pc.take(lk["names"], idx)  # null index → null name, ≡ dict.get miss
+        return pa.Table.from_arrays([names, _cents(rev)], names=["n_name", "rev_c"])
 
     return (
         li.map_batches(prep, batch_format="pyarrow")
@@ -372,21 +376,30 @@ def dedup_flag_documents(sf_dir: str):
         Min("doc_id", alias_name="first_id"), Count(alias_name="n")
     )
     # broadcast ONLY duplicated keys (a key absent from the map is unique →
-    # not a duplicate) — keeps the object O(|dup keys|), not O(|keys|)
-    fmap = {
-        (r["lang"], r["n_chars"]): r["first_id"]
-        for r in firsts.to_pandas().to_dict("records")
-        if r["n"] > 1
-    }
-    fref = ray.put(fmap)
+    # not a duplicate) — keeps the object O(|dup keys|), not O(|keys|).
+    # Keys ship as a parallel (composite-key, first_id) array pair so the
+    # probe is a vectorized index_in lookup, not a per-row dict probe.
+    fdf = firsts.to_pandas()
+    fdf = fdf[fdf["n"] > 1]
+    comp = fdf["lang"].astype(str) + "|" + fdf["n_chars"].astype(str)
+    fref = ray.put(
+        {
+            "keys": pa.array(comp.tolist(), pa.string()),
+            "first": pa.array(fdf["first_id"].to_numpy(), pa.int64()),
+        }
+    )
 
     def flag(t: pa.Table) -> pa.Table:
         fm = ray.get(fref)
-        ids = t["doc_id"].to_pylist()
-        keys = list(zip(t["lang"].to_pylist(), t["n_chars"].to_pylist()))
-        dup = [k in fm and fm[k] != i for k, i in zip(keys, ids)]
+        comp = pc.binary_join_element_wise(
+            t["lang"], pc.cast(t["n_chars"], pa.string()), "|"
+        )
+        idx = pc.index_in(comp, value_set=fm["keys"])
+        first = pc.take(fm["first"], idx)
+        dup = pc.and_kleene(pc.is_valid(idx), pc.not_equal(first, t["doc_id"]))
+        dup = pc.fill_null(dup, False)
         return pa.Table.from_arrays(
-            [t["doc_id"], pa.array(dup, pa.bool_())], names=["doc_id", "is_duplicate"]
+            [t["doc_id"], pc.cast(dup, pa.bool_())], names=["doc_id", "is_duplicate"]
         )
 
     return ds.map_batches(flag, batch_format="pyarrow")
@@ -570,17 +583,16 @@ def fuzzy_reconcile_demo(sf_dir: str):
     the register; every 7th has a perturbed amount (→ mismatch)."""
     cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_name", "c_acctbal"])
     pdf = cust.to_pandas()
-    register = []
-    for _, r in pdf.iterrows():
-        k = int(r.c_custkey)
-        if k % 10 == 0:
-            continue
-        amt = abs(float(r.c_acctbal))
-        if k % 7 == 0:
-            amt = amt * 1.5 + 10
-        register.append(
-            {"id": f"reg-{k}", "vendor_name": str(r.c_name) + " Inc.", "expected_amount": amt}
-        )
+    # vectorized register derivation (small side, but keep the idiom clean)
+    k = pdf.c_custkey.astype(int)
+    pdf = pdf[k % 10 != 0]
+    k = pdf.c_custkey.astype(int)
+    amt = pdf.c_acctbal.astype(float).abs()
+    amt = amt.where(k % 7 != 0, amt * 1.5 + 10)
+    register = [
+        {"id": f"reg-{ki}", "vendor_name": f"{n} Inc.", "expected_amount": a}
+        for ki, n, a in zip(k, pdf.c_name, amt)
+    ]
 
     def shape(t: pa.Table) -> pa.Table:
         return pa.Table.from_arrays(
@@ -736,7 +748,7 @@ def top_building_orders(sf_dir: str):
         columns=["c_custkey"],
         filter=pc.field("c_mktsegment") == "BUILDING",
     )
-    ckeys_ref = ray.put(set(cust.unique("c_custkey")))
+    ckeys_ref = ray.put(pa.array(sorted(cust.unique("c_custkey")), pa.int64()))
 
     orders = rd.read_parquet(
         _t(sf_dir, "orders"),
@@ -746,11 +758,8 @@ def top_building_orders(sf_dir: str):
 
     def semi(t: pa.Table) -> pa.Table:
         ks = ray.get(ckeys_ref)
-        mask = pa.array([k in ks for k in t["o_custkey"].to_pylist()])
-        return pa.Table.from_arrays(
-            [t.filter(mask)["o_orderkey"], t.filter(mask)["o_orderdate"]],
-            names=["o_orderkey", "o_orderdate"],
-        )
+        kept = t.filter(pc.is_in(t["o_custkey"], value_set=ks))
+        return kept.select(["o_orderkey", "o_orderdate"])
 
     orders = orders.map_batches(semi, batch_format="pyarrow")
 
@@ -948,11 +957,11 @@ def spans_exploded(sf_dir: str):
     v = run_flagship(sf_dir).select_columns(["url", "spans"])
 
     def explode(t: pa.Table) -> pa.Table:
-        kinds: list[str] = []
-        for row in t.column("spans").to_pylist():
-            for sp in row or []:
-                kinds.append(sp["kind"])
-        return pa.Table.from_arrays([pa.array(kinds, pa.string())], names=["kind"])
+        # vectorized list explode: flatten the list<struct> column and project
+        # the struct field — no per-row Python loop
+        flat = pc.list_flatten(t.column("spans"))
+        kinds = pc.struct_field(flat, "kind")
+        return pa.Table.from_arrays([pc.cast(kinds, pa.string())], names=["kind"])
 
     return v.map_batches(explode, batch_format="pyarrow").groupby("kind").aggregate(
         Count(alias_name="n_spans")

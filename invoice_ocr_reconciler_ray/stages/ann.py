@@ -36,7 +36,14 @@ def _topk_partial(batch: pa.Table, qref, k: int, emb_col: str, id_col: str) -> p
     kk = min(k, sims.shape[1])
     for qi in range(sims.shape[0]):
         row = sims[qi]
-        idx = np.argpartition(-row, kk - 1)[:kk]
+        # tie-safe partial top-k: keep EVERY candidate tying the kk-th
+        # similarity, then order by (sim DESC, vec_id ASC) — the final-stage
+        # (and oracle) tiebreak — so a smaller vec_id the oracle would keep
+        # can never be dropped at the partial stage
+        thresh = np.partition(row, len(row) - kk)[len(row) - kk]
+        cand = np.nonzero(row >= thresh)[0]
+        order = np.lexsort((ids[cand], -row[cand]))[:kk]
+        idx = cand[order]
         for j in idx:
             out_q.append(int(q["query_ids"][qi]))
             out_v.append(int(ids[j]))
