@@ -38,6 +38,24 @@ def _session_id(sf_dir: str, num_partitions: int, cfg: RunConfig) -> str:
     return hashlib.blake2b(key, digest_size=8).hexdigest()
 
 
+def _clear_stale_outputs(tmp: str, final: str) -> None:
+    """Remove leftovers from a killed run so the re-run can't wedge.
+
+    Two crash windows exist: (a) mid-write → a half-written ``tmp`` dir;
+    (b) between ``os.rename(tmp, final)`` and ``manifest.record()`` → an
+    orphaned ``final`` dir that is NOT in the manifest.  Case (b) previously
+    made resume fail forever: the partition is re-run (not in done_parts) and
+    the rename lands on an existing non-empty dir (ENOTEMPTY).  A final dir
+    without a manifest entry is by definition unrecorded work — deleting and
+    re-running it is safe (outputs are deterministic) and unwedges the run."""
+    import shutil
+
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)  # half-written leftover from a kill
+    if os.path.exists(final):
+        shutil.rmtree(final)  # orphaned final from a kill before manifest.record
+
+
 def run_checkpointed(
     sf_dir: str,
     out_dir: str,
@@ -94,10 +112,7 @@ def run_checkpointed(
 
         tmp = os.path.join(out_dir, f".tmp-{part_id}")
         final = os.path.join(out_dir, part_id)
-        if os.path.exists(tmp):
-            import shutil
-
-            shutil.rmtree(tmp)  # half-written leftover from a kill
+        _clear_stale_outputs(tmp, final)
         out.write_parquet(tmp)
         os.rename(tmp, final)
 
@@ -207,10 +222,7 @@ def run_checkpointed_files(
 
         tmp = os.path.join(out_dir, f".tmp-{part_id}")
         final = os.path.join(out_dir, part_id)
-        if os.path.exists(tmp):
-            import shutil
-
-            shutil.rmtree(tmp)
+        _clear_stale_outputs(tmp, final)
         out.write_parquet(tmp)
         os.rename(tmp, final)
 

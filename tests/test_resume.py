@@ -79,6 +79,28 @@ def test_atomic_layout(runs):
     assert not [n for n in names if n.startswith(".tmp-")]
 
 
+def test_orphaned_final_dir_recovers(ray_session, tmp_path):
+    """Crash window between os.rename(tmp, final) and manifest.record(): the
+    final dir exists but is NOT in the manifest.  Resume must re-run that
+    partition (replacing the orphan) instead of wedging on ENOTEMPTY, and the
+    result must equal an uninterrupted run."""
+    import shutil
+
+    out = str(tmp_path / "orphan")
+    t1 = run_checkpointed(SF, out, num_partitions=4, stop_after=2)
+    assert t1["partitions_done"] == 2
+    # simulate the orphaned-final crash: part-00002's output lands on disk
+    # but its manifest record never did
+    done = sorted(RunManifest(out).done_parts())
+    shutil.copytree(os.path.join(out, done[0]), os.path.join(out, "part-00002"))
+    t2 = run_checkpointed(SF, out, num_partitions=4)
+    assert t2["partitions_done"] == 4
+    ref_dir = str(tmp_path / "ref")
+    ref = run_checkpointed(SF, ref_dir, num_partitions=4)
+    for k in ("rows_out", "matched", "mismatched", "missing", "duplicate"):
+        assert t2[k] == ref[k]
+
+
 # ---------------------------------------------------- file-partitioned runner
 
 @pytest.fixture(scope="module")
