@@ -61,11 +61,16 @@ def _propose_batch(batch: pa.Table, reg_ref, cfg: ReconcileConfig) -> pa.Table:
         "flag_reason": [],
         "confidence_score": [],
         "suggestions": [],
+        # hidden carry-through for the award reduction's loser demotion
+        # (dropped on output): invoice amount, raw vendor, candidate ids
+        "_amount": [],
+        "_vendor": [],
+        "_cands": [],
     }
     for inv_id, vend, amt, is_dup in zip(ids, vendors, amounts, dups):
         if is_dup:
             _emit(out, inv_id, None, 0.0, 0.0, False, 0.0, "duplicate",
-                  "Duplicate invoice number", 100.0, [])
+                  "Duplicate invoice number", 100.0, [], 0.0, vend, [])
             continue
         nv = _norm_vendor(vend)
         nv_len = len(nv)
@@ -88,7 +93,8 @@ def _propose_batch(batch: pa.Table, reg_ref, cfg: ReconcileConfig) -> pa.Table:
                 if rel_tolerance_match(amt, float(r["expected_amount"]), cfg.tolerance)[0]
             ][:3]  # ≙ amount-based suggestions :91-94
             _emit(out, inv_id, None, 1.0, amt, False, 1.0, "missing",
-                  f"No matching vendor found in payment register for: {vend}", 0.0, sugg)
+                  f"No matching vendor found in payment register for: {vend}", 0.0, sugg,
+                  amt, vend, [])
             continue
         best = None
         for vs, r in scored[:10]:  # ≙ top-10 re-scoring :113
@@ -99,9 +105,10 @@ def _propose_batch(batch: pa.Table, reg_ref, cfg: ReconcileConfig) -> pa.Table:
                 best = (combined, r, ok, disc, vs)
         combined, r, ok, disc, vs = best
         conf = round((1.0 - combined) * 100.0, 2)
+        cands = [s[1]["id"] for s in scored[:3]]  # ≙ candidates.slice(0,3) :151
         if ok and vs < cfg.good_match_gate:  # :160
             _emit(out, inv_id, r["id"], combined, disc, True, vs, "matched", None,
-                  max(conf, 70.0), [])
+                  max(conf, 70.0), [], amt, vend, cands)
         else:
             reasons = []
             if not ok:
@@ -111,7 +118,7 @@ def _propose_batch(batch: pa.Table, reg_ref, cfg: ReconcileConfig) -> pa.Table:
             if vs >= cfg.good_match_gate:
                 reasons.append(f"Vendor name fuzzy match confidence: {round((1 - vs) * 100)}%")
             _emit(out, inv_id, r["id"], combined, disc, ok, vs, "mismatch",
-                  "; ".join(reasons), conf, [s[1]["id"] for s in scored[:3]])
+                  "; ".join(reasons), conf, cands, amt, vend, cands)
     return pa.Table.from_pydict(
         {
             "invoice_id": pa.array(out["invoice_id"], pa.string()),
@@ -124,11 +131,15 @@ def _propose_batch(batch: pa.Table, reg_ref, cfg: ReconcileConfig) -> pa.Table:
             "flag_reason": pa.array(out["flag_reason"], pa.string()),
             "confidence_score": pa.array(out["confidence_score"], pa.float64()),
             "suggestions": pa.array(out["suggestions"], pa.list_(pa.string())),
+            "_amount": pa.array(out["_amount"], pa.float64()),
+            "_vendor": pa.array(out["_vendor"], pa.string()),
+            "_cands": pa.array(out["_cands"], pa.list_(pa.string())),
         }
     )
 
 
-def _emit(out, inv, rec, comb, disc, ok, vs, status, reason, conf, sugg):
+def _emit(out, inv, rec, comb, disc, ok, vs, status, reason, conf, sugg,
+          amount, vendor, cands):
     out["invoice_id"].append(str(inv))
     # "" sentinel, not null: the groupby key must be total-orderable in the
     # sort-based shuffle path; restored to null on output
@@ -141,6 +152,9 @@ def _emit(out, inv, rec, comb, disc, ok, vs, status, reason, conf, sugg):
     out["flag_reason"].append(reason)
     out["confidence_score"].append(conf)
     out["suggestions"].append([str(s) for s in sugg])
+    out["_amount"].append(float(amount))
+    out["_vendor"].append(str(vendor or ""))
+    out["_cands"].append([str(c) for c in cands])
 
 
 def fuzzy_reconcile(invoices_ds, register_rows: list[dict], cfg: ReconcileConfig = DEFAULT_RECONCILE):
@@ -181,17 +195,33 @@ def fuzzy_reconcile(invoices_ds, register_rows: list[dict], cfg: ReconcileConfig
         g = group.sort_by([("combined_score", "ascending"), ("invoice_id", "ascending")])
         winner = g.slice(0, 1)
         losers = g.slice(1)
-        # losers: record already claimed → missing (≙ :140-155)
+        # losers: record already claimed → the reference's full missing-path
+        # row (≙ :140-155): discrepancy = invoice amount, amount_ok False,
+        # vendor_score 1.0, suggestions = the candidate list, vendor in reason
         n = losers.num_rows
+        reasons = pa.array(
+            [
+                f"All potential matching records already used. Vendor: {v}"
+                for v in losers.column("_vendor").to_pylist()
+            ],
+            pa.string(),
+        )
         losers = (
-            losers.drop_columns(["match_status", "flag_reason", "proposed_record_id", "confidence_score"])
-            .append_column("match_status", pa.array(["missing"] * n, pa.string()))
-            .append_column(
-                "flag_reason",
-                pa.array(["All potential matching records already used"] * n, pa.string()),
+            losers.drop_columns(
+                [
+                    "match_status", "flag_reason", "proposed_record_id",
+                    "confidence_score", "discrepancy", "amount_ok",
+                    "vendor_score", "suggestions",
+                ]
             )
+            .append_column("match_status", pa.array(["missing"] * n, pa.string()))
+            .append_column("flag_reason", reasons)
             .append_column("proposed_record_id", pa.array([""] * n, pa.string()))
             .append_column("confidence_score", pa.array([0.0] * n, pa.float64()))
+            .append_column("discrepancy", losers.column("_amount"))
+            .append_column("amount_ok", pa.array([False] * n, pa.bool_()))
+            .append_column("vendor_score", pa.array([1.0] * n, pa.float64()))
+            .append_column("suggestions", losers.column("_cands"))
             .select(winner.column_names)
         )
         return _compact(pa.concat_tables([winner, losers]))
@@ -199,6 +229,7 @@ def fuzzy_reconcile(invoices_ds, register_rows: list[dict], cfg: ReconcileConfig
     awarded = proposals.groupby("proposed_record_id").map_groups(award, batch_format="pyarrow")
 
     def restore_null(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["_amount", "_vendor", "_cands"])
         col = t.column("proposed_record_id")
         fixed = pa.compute.if_else(
             pa.compute.equal(col, ""), pa.scalar(None, pa.string()), col

@@ -154,6 +154,17 @@ def test_fuzzy_reconcile_statuses():
     assert "Amount mismatch" in out.loc["i3"].flag_reason
     assert out.loc["i4"].match_status == "missing"
     assert out.loc["i5"].match_status == "missing"  # lost the 1:1 award to i1
+    # demoted loser carries the reference's full missing-path row
+    # (reconciliationEngine.js:140-155): discrepancy = the INVOICE amount,
+    # amount_ok/vendor_score reset, vendor named in the reason, candidate
+    # suggestions kept
+    i5 = out.loc["i5"]
+    assert i5.discrepancy == 105.0
+    assert not i5.amount_ok and i5.vendor_score == 1.0
+    assert i5.flag_reason == (
+        "All potential matching records already used. Vendor: ACME Corporation"
+    )
+    assert i5.confidence_score == 0.0 and list(i5.suggestions) == ["r1"]
     # 1:1 invariant: no record id appears twice among matched/mismatch rows
     claimed = out[out.match_status.isin(["matched", "mismatch"])].proposed_record_id
     assert claimed.is_unique
