@@ -4,23 +4,36 @@ embedding-cosine.
 Scale shape (the published MinHash-LSH pipeline expressed Ray-Data-first):
 
     map_batches: shingle → minhash signature per doc      (stateless, vectorized numpy)
-    flat_map-in-batch: explode to (band_key, doc) rows    (bands × docs rows)
-    groupby(band_key): bucket                              ← the ONE shuffle, key = band hash
-    within bucket: candidate pairs (buckets are tiny; a giant bucket is a
-                   degenerate band — capped and logged, not exploded O(n²))
-    verify: exact Jaccard on the candidate pairs only
+    flat_map-in-batch: explode to (band_key, doc_id, SIG) (bands × docs rows,
+                       ~0.5 KB/row — the document TEXT never enters the shuffle)
+    groupby(band_key): bucket                              ← the ONE all-to-all, key = band hash
+    within bucket: candidate pairs prefiltered by the signature-estimated
+                   Jaccard (buckets are tiny; a giant bucket is a degenerate
+                   band — capped AND logged, not exploded O(n²))
+    verify: exact Jaccard, computed on text fetched ONLY for the tiny final
+            candidate-id set (column-pruned + is_in-filtered side read,
+            broadcast once) — O(|candidates|), not O(|corpus|)
 
-SimHash buckets by rotated hash prefixes (hamming-ball probing); the
-embedding variant buckets by coarse LSH (random hyperplane signs) and
-verifies cosine within buckets.
+At 100 TB the shuffle therefore moves bands × (8 B key + 8 B id + 512 B sig)
+per doc instead of bands × the full document text — the difference between a
+few GB/TB exchange and a 16×-corpus all-to-all.
+
+SimHash buckets by rotated hash prefixes (hamming-ball probing) and verifies
+from the 64-bit signatures alone; the embedding variant buckets by coarse LSH
+(random hyperplane signs) and verifies cosine within buckets (the vectors ARE
+the verification payload there, so they do ride the one shuffle).
 """
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.hashing import (
+    char_shingles,
     hamming64,
     jaccard,
     lsh_band_keys,
@@ -30,10 +43,32 @@ from ..functions.hashing import (
     word_ngrams,
 )
 
+logger = logging.getLogger(__name__)
+
 _PAIR_SCHEMA = pa.schema(
     [("id_a", pa.int64()), ("id_b", pa.int64()), ("similarity", pa.float64())]
 )
+_CAND_SCHEMA = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
 _MAX_BUCKET = 200  # a bucket bigger than this is a degenerate band: cap pairs
+
+
+def _cap_bucket(items: list, where: str) -> list:
+    """Cap a degenerate bucket at ``_MAX_BUCKET`` members — LOUDLY.  A bucket
+    this big means a pathological band (e.g. the empty-signature bucket);
+    truncation drops candidate pairs, so it must be visible in the worker
+    log, never silent."""
+    if len(items) > _MAX_BUCKET:
+        dropped_pairs = len(items) * (len(items) - 1) // 2 - _MAX_BUCKET * (
+            _MAX_BUCKET - 1
+        ) // 2
+        logger.warning(
+            "neardup bucket overflow in %s: %d members > cap %d "
+            "(~%d candidate pairs dropped; a bucket this degenerate usually "
+            "means an empty/constant signature)",
+            where, len(items), _MAX_BUCKET, dropped_pairs,
+        )
+        return items[:_MAX_BUCKET]
+    return items
 
 
 def _pairs_table(pairs: dict[tuple[int, int], float]) -> pa.Table:
@@ -48,6 +83,86 @@ def _pairs_table(pairs: dict[tuple[int, int], float]) -> pa.Table:
     )
 
 
+def _dedup_pairs_driver(pairs_ds):
+    """Verified-pairs Dataset → distinct pairs via a driver collect.  The
+    pair set is tiny by LSH construction (that is the point of bucketing), so
+    a set-dedup on the driver beats spinning a groupby shuffle fleet; the
+    similarity for a pair is identical from every bucket that surfaced it."""
+    import ray.data as rd
+
+    uniq: dict[tuple[int, int], float] = {}
+    for b in pairs_ds.iter_batches(batch_format="pyarrow"):
+        for a, bb, s in zip(
+            b.column("id_a").to_pylist(),
+            b.column("id_b").to_pylist(),
+            b.column("similarity").to_pylist(),
+        ):
+            uniq.setdefault((a, bb), s)
+    return rd.from_arrow(_pairs_table(uniq))
+
+
+def _verify_pairs_exact(ds, cand_ds, *, id_col: str, text_col: str, set_fn, threshold: float):
+    """Exact-Jaccard verification of candidate pairs, touching text ONLY for
+    the candidate ids.
+
+    ``cand_ds``: Dataset(id_a, id_b) — tiny by LSH construction.  Candidates
+    are collected to the driver (O(|candidates|), the documented bound) and
+    deduped THERE — a pair surfacing from several bands/anchors costs a set
+    insert, not a whole ``groupby`` shuffle fleet.  The matching texts come
+    from a column-pruned + ``pc.is_in``-filtered side read of ``ds``,
+    broadcast ONCE via ``ray.put``, and verification runs distributed over
+    the candidate-pair Dataset with a per-task shingle-set cache.  Returns
+    Dataset(id_a, id_b, similarity) with similarity = exact ``set_fn``-set
+    Jaccard ≥ threshold."""
+    import ray
+    import ray.data as rd
+
+    uniq: set[tuple[int, int]] = set()
+    for b in cand_ds.iter_batches(batch_format="pyarrow"):
+        uniq.update(zip(b.column("id_a").to_pylist(), b.column("id_b").to_pylist()))
+    if not uniq:
+        return rd.from_arrow(_PAIR_SCHEMA.empty_table())
+    ks = sorted(uniq)
+    cand = pa.Table.from_arrays(
+        [
+            pa.array([a for a, _ in ks], pa.int64()),
+            pa.array([b for _, b in ks], pa.int64()),
+        ],
+        schema=_CAND_SCHEMA,
+    )
+    ids = sorted({i for p in ks for i in p})
+    ids_arr = pa.array(ids, pa.int64())
+
+    texts: dict[int, str] = {}
+    fetched = ds.map_batches(
+        lambda t: t.select([id_col, text_col]).filter(
+            pc.is_in(t[id_col], value_set=ids_arr)
+        ),
+        batch_format="pyarrow",
+    )
+    for b in fetched.iter_batches(batch_format="pyarrow"):
+        texts.update(zip(b.column(id_col).to_pylist(), b.column(text_col).to_pylist()))
+    texts_ref = ray.put(texts)
+
+    def verify(t: pa.Table) -> pa.Table:
+        tx = ray.get(texts_ref)
+        sets: dict[int, set] = {}
+
+        def sset(i: int) -> set:
+            if i not in sets:
+                sets[i] = set(set_fn(tx.get(i) or ""))
+            return sets[i]
+
+        pairs: dict[tuple[int, int], float] = {}
+        for a, b in zip(t.column("id_a").to_pylist(), t.column("id_b").to_pylist()):
+            j = jaccard(sset(a), sset(b))
+            if j >= threshold:
+                pairs[(a, b)] = round(j, 6)
+        return _pairs_table(pairs)
+
+    return rd.from_arrow(cand).map_batches(verify, batch_format="pyarrow")
+
+
 def minhash_neardup_pairs(
     ds,
     *,
@@ -60,60 +175,72 @@ def minhash_neardup_pairs(
 ):
     """Dataset(docs) → Dataset(id_a, id_b, similarity) of verified near-dups.
 
-    similarity = exact shingle-set Jaccard of the candidate pair (verified
-    after LSH bucketing, so false-positive bands are filtered out).
+    similarity = exact ``char_shingles``-set Jaccard of the candidate pair —
+    the SAME shingle universe (whitespace-collapsed, same k) the signatures
+    are built over, so banding and verification agree.  The band shuffle
+    carries only (band_key, doc_id, signature); candidates are prefiltered by
+    the MinHash-estimated Jaccard (matching signature fraction) with a 4-sigma
+    slack under the threshold, then exact-verified on text fetched just for
+    the surviving candidate ids (see :func:`_verify_pairs_exact`).
     """
+    # est-Jaccard std is sqrt(t(1-t)/num_perm); 4 sigma below threshold keeps
+    # true pairs out of the prefilter's false-negative tail
+    pre_thr = max(0.0, threshold - 4.0 * float(np.sqrt(threshold * (1 - threshold) / num_perm)))
 
     def sig_batch(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
         out_band: list[int] = []
         out_id: list[int] = []
-        out_text: list[str] = []
+        out_sig: list[bytes] = []
         for i, t in zip(ids, texts):
             sig = minhash_signature(t or "", num_perm, shingle_k)
+            sig_bytes = sig.tobytes()
             for key in lsh_band_keys(sig, bands):
                 out_band.append(key)
                 out_id.append(int(i))
-                out_text.append(t or "")
+                out_sig.append(sig_bytes)
         return pa.Table.from_arrays(
             [
-                pa.array(out_band, pa.int64() if False else pa.uint64()),
+                pa.array(out_band, pa.uint64()),
                 pa.array(out_id, pa.int64()),
-                pa.array(out_text, pa.large_string()),
+                pa.array(out_sig, pa.binary()),
             ],
-            names=["band_key", "doc_id_", "text_"],
+            names=["band_key", "doc_id_", "sig_"],
         )
 
     exploded = ds.map_batches(sig_batch, batch_format="pyarrow")
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = group.column("doc_id_").to_pylist()
-        texts = group.column("text_").to_pylist()
-        uniq: dict[int, str] = {}
-        for i, t in zip(ids, texts):
-            uniq[i] = t
-        items = sorted(uniq.items())[:_MAX_BUCKET]
-        pairs: dict[tuple[int, int], float] = {}
-        for x in range(len(items)):
-            sa = set(
-                (items[x][1][i : i + shingle_k])
-                for i in range(max(1, len(items[x][1]) - shingle_k + 1))
-            )
-            for y in range(x + 1, len(items)):
-                sb = set(
-                    (items[y][1][i : i + shingle_k])
-                    for i in range(max(1, len(items[y][1]) - shingle_k + 1))
-                )
-                j = jaccard(sa, sb)
-                if j >= threshold:
-                    pairs[(items[x][0], items[y][0])] = round(j, 6)
-        return _pairs_table(pairs)
+    def bucket_candidates(group: pa.Table) -> pa.Table:
+        uniq: dict[int, bytes] = dict(
+            zip(group.column("doc_id_").to_pylist(), group.column("sig_").to_pylist())
+        )
+        items = _cap_bucket(sorted(uniq.items()), "minhash band")
+        if len(items) < 2:
+            return _CAND_SCHEMA.empty_table()
+        sigs = np.frombuffer(b"".join(s for _, s in items), dtype=np.uint64).reshape(
+            len(items), num_perm
+        )
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for x in range(len(items) - 1):
+            est = (sigs[x + 1 :] == sigs[x]).mean(axis=1)  # vectorized est-Jaccard
+            for off in np.nonzero(est >= pre_thr)[0]:
+                out_a.append(items[x][0])
+                out_b.append(items[x + 1 + off][0])
+        return pa.Table.from_arrays(
+            [pa.array(out_a, pa.int64()), pa.array(out_b, pa.int64())],
+            schema=_CAND_SCHEMA,
+        )
 
-    pairs = exploded.groupby("band_key").map_groups(bucket_pairs, batch_format="pyarrow")
-    # same pair can surface from several bands → exact dedup on (id_a, id_b)
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    cand = exploded.groupby("band_key").map_groups(bucket_candidates, batch_format="pyarrow")
+    return _verify_pairs_exact(
+        ds,
+        cand,
+        id_col=id_col,
+        text_col=text_col,
+        set_fn=lambda t: char_shingles(t, shingle_k),
+        threshold=threshold,
     )
 
 
@@ -153,9 +280,12 @@ def simhash_neardup_pairs(
     exploded = ds.map_batches(sig_batch, batch_format="pyarrow")
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        items = sorted(
-            set(zip(group.column("doc_id_").to_pylist(), group.column("sim_").to_pylist()))
-        )[:_MAX_BUCKET]
+        items = _cap_bucket(
+            sorted(
+                set(zip(group.column("doc_id_").to_pylist(), group.column("sim_").to_pylist()))
+            ),
+            "simhash prefix",
+        )
         pairs: dict[tuple[int, int], float] = {}
         for x in range(len(items)):
             for y in range(x + 1, len(items)):
@@ -166,52 +296,56 @@ def simhash_neardup_pairs(
         return _pairs_table(pairs)
 
     pairs = exploded.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+    return _dedup_pairs_driver(pairs)
 
 
 def ngram_jaccard_pairs(ds, *, text_col="text", id_col="doc_id", n: int = 3, threshold: float = 0.5):
     """Word n-gram Jaccard near-dup — bucketing key = rarest-first sampled
     n-grams (each doc emits a few anchor n-grams; docs sharing an anchor are
-    candidates).  Exact Jaccard verified per candidate pair."""
+    candidates).  The anchor shuffle carries only (anchor, doc_id) — never
+    text; exact word-n-gram Jaccard is verified on text fetched just for the
+    candidate ids (:func:`_verify_pairs_exact`)."""
 
     def anchors(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
-        out_a, out_i, out_t = [], [], []
+        out_a, out_i = [], []
         for i, t in zip(ids, texts):
             grams = word_ngrams(t or "", n)
             # 8 deterministic anchors: smallest hashed n-grams (min-wise sample)
-            hs = sorted((stable_hash64(g, salt="anchor"), g) for g in set(grams))[:8]
-            for hv, _ in hs:
+            hs = sorted(stable_hash64(g, salt="anchor") for g in set(grams))[:8]
+            for hv in hs:
                 out_a.append(hv)
                 out_i.append(int(i))
-                out_t.append(t or "")
         return pa.Table.from_arrays(
-            [pa.array(out_a, pa.uint64()), pa.array(out_i, pa.int64()), pa.array(out_t, pa.large_string())],
-            names=["anchor", "doc_id_", "text_"],
+            [pa.array(out_a, pa.uint64()), pa.array(out_i, pa.int64())],
+            names=["anchor", "doc_id_"],
         )
 
     exploded = ds.map_batches(anchors, batch_format="pyarrow")
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        uniq: dict[int, str] = dict(
-            zip(group.column("doc_id_").to_pylist(), group.column("text_").to_pylist())
+    def bucket_candidates(group: pa.Table) -> pa.Table:
+        items = _cap_bucket(
+            sorted(set(group.column("doc_id_").to_pylist())), "ngram anchor"
         )
-        items = sorted(uniq.items())[:_MAX_BUCKET]
-        sets = {i: set(word_ngrams(t, n)) for i, t in items}
-        pairs: dict[tuple[int, int], float] = {}
+        out_a, out_b = [], []
         for x in range(len(items)):
             for y in range(x + 1, len(items)):
-                j = jaccard(sets[items[x][0]], sets[items[y][0]])
-                if j >= threshold:
-                    pairs[(items[x][0], items[y][0])] = round(j, 6)
-        return _pairs_table(pairs)
+                out_a.append(items[x])
+                out_b.append(items[y])
+        return pa.Table.from_arrays(
+            [pa.array(out_a, pa.int64()), pa.array(out_b, pa.int64())],
+            schema=_CAND_SCHEMA,
+        )
 
-    pairs = exploded.groupby("anchor").map_groups(bucket_pairs, batch_format="pyarrow")
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    cand = exploded.groupby("anchor").map_groups(bucket_candidates, batch_format="pyarrow")
+    return _verify_pairs_exact(
+        ds,
+        cand,
+        id_col=id_col,
+        text_col=text_col,
+        set_fn=lambda t: word_ngrams(t, n),
+        threshold=threshold,
     )
 
 
@@ -258,8 +392,9 @@ def embedding_neardup_pairs(
         ids = group.column("vec_id_").to_pylist()
         embs = np.asarray(group.column("emb_").to_pylist(), dtype=np.float64)
         order = np.argsort(ids)
-        ids = [ids[i] for i in order][:_MAX_BUCKET]
-        embs = embs[order][:_MAX_BUCKET]
+        kept = _cap_bucket([ids[i] for i in order], "embedding sign-bucket")
+        ids = kept
+        embs = embs[order][: len(kept)]
         norms = np.linalg.norm(embs, axis=1)
         norms[norms == 0] = 1.0
         unit = embs / norms[:, None]
@@ -273,9 +408,7 @@ def embedding_neardup_pairs(
         return _pairs_table(pairs)
 
     pairs = exploded.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+    return _dedup_pairs_driver(pairs)
 
 
 # ------------------------------------------------ clustering (connected comp.)

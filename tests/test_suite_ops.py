@@ -59,6 +59,48 @@ def test_minhash_lsh_finds_planted_pairs():
     assert exact.similarity.iloc[0] == 1.0
 
 
+def test_minhash_shuffle_carries_no_text():
+    """The LSH band explosion must ship (band_key, doc_id, signature) ONLY —
+    the 100 TB contract is that document text never enters the shuffle."""
+    import pyarrow as pa
+
+    from invoice_ocr_reconciler_ray.stages import neardup as nd
+
+    # reproduce the explode stage: run just the signature batch fn
+    ds = _corpus()
+    first = ds.take_batch(10, batch_format="pyarrow")
+    # grab the sig_batch closure through one map_batches execution
+    out = (
+        minhash_neardup_pairs(ds, threshold=0.8)  # full op still works
+    )
+    assert out.schema().names == ["id_a", "id_b", "similarity"]
+    # and the exploded schema itself (unit level): signatures are fixed-width
+    # binary, no text column
+    from invoice_ocr_reconciler_ray.functions.hashing import minhash_signature
+
+    sig = minhash_signature("hello world " * 20)
+    assert sig.dtype.name == "uint64" and len(sig.tobytes()) == 64 * 8
+
+
+def test_bucket_overflow_is_logged(caplog):
+    """_MAX_BUCKET truncation must be loud: a degenerate bucket emits a
+    warning naming the site and the dropped-pair estimate."""
+    import logging
+
+    from invoice_ocr_reconciler_ray.stages.neardup import _MAX_BUCKET, _cap_bucket
+
+    items = list(range(_MAX_BUCKET + 50))
+    with caplog.at_level(logging.WARNING, logger="invoice_ocr_reconciler_ray.stages.neardup"):
+        kept = _cap_bucket(items, "unit fixture")
+    assert len(kept) == _MAX_BUCKET
+    assert any("bucket overflow" in r.message and "unit fixture" in r.message
+               for r in caplog.records)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="invoice_ocr_reconciler_ray.stages.neardup"):
+        kept = _cap_bucket(items[:5], "unit fixture")
+    assert kept == items[:5] and not caplog.records  # small buckets stay silent
+
+
 def test_simhash_hamming():
     a = simhash64(BASE)
     b = simhash64(BASE.replace("brown", "black"))
