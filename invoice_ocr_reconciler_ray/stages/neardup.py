@@ -429,61 +429,99 @@ def cluster_pairs(ids_ds, pairs_ds, *, max_rounds: int = 8):
     singletons keep their own id as cluster id).  ``pairs_ds``: Dataset with
     ``id_a``/``id_b`` columns.  Returns Dataset(doc_id, cluster_id).
 
-    Scale note: this sandbox implementation pulls the label table to the
-    driver per round for the convergence check; at 10^12 docs labels are
-    O(|docs|) — keep them distributed and detect convergence with a
-    changed-row COUNT aggregate instead (same round structure, one extra
-    tiny aggregate per round).
+    Scale shape: the EDGE list is broadcast once (``ray.put`` — tiny by LSH
+    construction, O(|near-dup pairs|)); the LABEL table never touches the
+    driver.  Labels stay a distributed Dataset, ``materialize()``d per round
+    to cut lineage (blocks live in the object store, spillable), and
+    convergence is detected with a changed-row COUNT aggregate: each self-row
+    carries its previous label through the min-reduction, so ``new < old``
+    counts label improvements without any driver-side table compare.
     """
-    import pyarrow.compute as pc
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Min
+    from ray.data.aggregate import Min, Sum
 
-    # edges both directions, as a plain table (candidate pair sets are tiny
-    # relative to the corpus — that is the point of LSH)
-    pt = pairs_ds.select_columns(["id_a", "id_b"]).to_pandas()
+    _SENTINEL = (1 << 63) - 1  # edge-carried rows: no old label to report
+
     labels = ids_ds.select_columns(["doc_id"]).map_batches(
         lambda t: pa.Table.from_arrays(
             [t.column("doc_id"), t.column("doc_id")], names=["doc_id", "cluster_id"]
         ),
         batch_format="pyarrow",
     )
-    if len(pt) == 0:
+    edge_batches = list(
+        pairs_ds.select_columns(["id_a", "id_b"]).iter_batches(batch_format="pyarrow")
+    )
+    if not edge_batches or sum(b.num_rows for b in edge_batches) == 0:
         return labels
+    et = pa.concat_tables(edge_batches)
+    # both directions: src → dst and dst → src
+    src = pa.concat_arrays(
+        [et.column("id_a").combine_chunks(), et.column("id_b").combine_chunks()]
+    )
+    dst = pa.concat_arrays(
+        [et.column("id_b").combine_chunks(), et.column("id_a").combine_chunks()]
+    )
+    edges_ref = ray.put({"src": src, "dst": dst})
 
-    import pandas as pd
-
-    edges = pd.concat(
-        [
-            pt.rename(columns={"id_a": "src", "id_b": "dst"}),
-            pt.rename(columns={"id_b": "src", "id_a": "dst"}),
-        ]
-    )[["src", "dst"]]
-    edges_ref = ray.put(edges)
-
+    labels = labels.materialize()
     for _ in range(max_rounds):
-        # propose: every edge carries src's current label to dst
+
         def propose(t: pa.Table) -> pa.Table:
+            # every edge whose src is in this block carries the src's current
+            # label to dst (vectorized index_in probe of the broadcast edge
+            # list); self-rows re-propose their own label and remember it in
+            # ``old`` so the reduction can count changes
             e = ray.get(edges_ref)
-            df = t.to_pandas().merge(e, left_on="doc_id", right_on="src", how="inner")
-            out = df[["dst", "cluster_id"]].rename(columns={"dst": "doc_id"})
-            return pa.Table.from_pandas(
-                pd.concat([t.to_pandas()[["doc_id", "cluster_id"]], out]),
-                preserve_index=False,
+            ids = t.column("doc_id").combine_chunks()
+            labs = t.column("cluster_id").combine_chunks()
+            idx = pc.index_in(e["src"], value_set=ids)
+            hit = pc.is_valid(idx)
+            carried_dst = pc.filter(e["dst"], hit)
+            carried_lab = pc.take(labs, pc.filter(idx, hit))
+            m = len(carried_dst)
+            return pa.Table.from_arrays(
+                [
+                    pa.concat_arrays([ids, carried_dst]),
+                    pa.concat_arrays([labs, carried_lab]),
+                    pa.concat_arrays([labs, pa.array([_SENTINEL] * m, pa.int64())]),
+                ],
+                names=["doc_id", "cluster_id", "old"],
             )
 
         new_labels = (
             labels.map_batches(propose, batch_format="pyarrow")
             .groupby("doc_id")
-            .aggregate(Min("cluster_id", alias_name="cluster_id"))
-        )
-        # converged? label tables are tiny (doc_id, int) — safe to pull; the
-        # pull also CUTS the lineage so round k+1 doesn't re-execute round k
-        old = labels.to_pandas().set_index("doc_id")["cluster_id"].sort_index()
-        new_df = new_labels.to_pandas()
-        labels = rd.from_pandas(new_df)
-        if old.equals(new_df.set_index("doc_id")["cluster_id"].sort_index()):
+            .aggregate(
+                Min("cluster_id", alias_name="cluster_id"),
+                Min("old", alias_name="old_label"),
+            )
+        ).materialize()  # cut lineage; blocks stay distributed in the object store
+
+        changed = new_labels.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    pa.array(
+                        [
+                            int(
+                                pc.sum(
+                                    pc.cast(
+                                        pc.less(t["cluster_id"], t["old_label"]),
+                                        pa.int64(),
+                                    )
+                                ).as_py()
+                                or 0
+                            )
+                        ],
+                        pa.int64(),
+                    )
+                ],
+                names=["n_changed"],
+            ),
+            batch_format="pyarrow",
+        ).sum("n_changed")
+        labels = new_labels.drop_columns(["old_label"])
+        if changed == 0:
             break
     else:
         raise RuntimeError(f"cluster_pairs did not converge in {max_rounds} rounds")
