@@ -101,7 +101,9 @@ def _dedup_pairs_driver(pairs_ds):
     return rd.from_arrow(_pairs_table(uniq))
 
 
-def _verify_pairs_exact(ds, cand_ds, *, id_col: str, text_col: str, set_fn, threshold: float):
+def _verify_pairs_exact(
+    ds, cand_ds, *, id_col: str, text_col: str, set_fn, threshold: float, fetch_fn=None
+):
     """Exact-Jaccard verification of candidate pairs, touching text ONLY for
     the candidate ids.
 
@@ -109,11 +111,12 @@ def _verify_pairs_exact(ds, cand_ds, *, id_col: str, text_col: str, set_fn, thre
     are collected to the driver (O(|candidates|), the documented bound) and
     deduped THERE — a pair surfacing from several bands/anchors costs a set
     insert, not a whole ``groupby`` shuffle fleet.  The matching texts come
-    from a column-pruned + ``pc.is_in``-filtered side read of ``ds``,
-    broadcast ONCE via ``ray.put``, and verification runs distributed over
-    the candidate-pair Dataset with a per-task shingle-set cache.  Returns
-    Dataset(id_a, id_b, similarity) with similarity = exact ``set_fn``-set
-    Jaccard ≥ threshold."""
+    from a column-pruned + ``pc.is_in``-filtered side read of ``ds`` (or from
+    ``fetch_fn(ids) -> {id: text}``, e.g. a predicate-pushdown parquet point
+    read), broadcast ONCE via ``ray.put``, and verification runs distributed
+    over the candidate-pair Dataset with a per-task shingle-set cache.
+    Returns Dataset(id_a, id_b, similarity) with similarity = exact
+    ``set_fn``-set Jaccard ≥ threshold."""
     import ray
     import ray.data as rd
 
@@ -131,17 +134,22 @@ def _verify_pairs_exact(ds, cand_ds, *, id_col: str, text_col: str, set_fn, thre
         schema=_CAND_SCHEMA,
     )
     ids = sorted({i for p in ks for i in p})
-    ids_arr = pa.array(ids, pa.int64())
 
-    texts: dict[int, str] = {}
-    fetched = ds.map_batches(
-        lambda t: t.select([id_col, text_col]).filter(
-            pc.is_in(t[id_col], value_set=ids_arr)
-        ),
-        batch_format="pyarrow",
-    )
-    for b in fetched.iter_batches(batch_format="pyarrow"):
-        texts.update(zip(b.column(id_col).to_pylist(), b.column(text_col).to_pylist()))
+    if fetch_fn is not None:
+        texts = dict(fetch_fn(ids))
+    else:
+        ids_arr = pa.array(ids, pa.int64())
+        texts = {}
+        fetched = ds.map_batches(
+            lambda t: t.select([id_col, text_col]).filter(
+                pc.is_in(t[id_col], value_set=ids_arr)
+            ),
+            batch_format="pyarrow",
+        )
+        for b in fetched.iter_batches(batch_format="pyarrow"):
+            texts.update(
+                zip(b.column(id_col).to_pylist(), b.column(text_col).to_pylist())
+            )
     texts_ref = ray.put(texts)
 
     def verify(t: pa.Table) -> pa.Table:
@@ -183,23 +191,66 @@ def minhash_neardup_pairs(
     slack under the threshold, then exact-verified on text fetched just for
     the surviving candidate ids (see :func:`_verify_pairs_exact`).
     """
+    def sig_batch(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        sigs = [
+            minhash_signature(t or "", num_perm, shingle_k).tobytes() for t in texts
+        ]
+        return pa.Table.from_arrays(
+            [pa.array([int(i) for i in ids], pa.int64()), pa.array(sigs, pa.binary())],
+            names=[id_col, "sig"],
+        )
+
+    sig_ds = ds.map_batches(sig_batch, batch_format="pyarrow")
+    return minhash_pairs_from_signatures(
+        sig_ds,
+        ds,
+        id_col=id_col,
+        text_col=text_col,
+        num_perm=num_perm,
+        bands=bands,
+        shingle_k=shingle_k,
+        threshold=threshold,
+    )
+
+
+def minhash_pairs_from_signatures(
+    sig_ds,
+    fetch_ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sig_col: str = "sig",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    fetch_fn=None,
+):
+    """LSH near-dup pairs when MinHash signatures are ALREADY computed
+    upstream (e.g. the curation pipeline's fused metrics pass) — the corpus
+    text is not re-scanned to band.
+
+    ``sig_ds``: Dataset(id, sig) with ``sig`` = raw ``uint64[num_perm]``
+    bytes; ``fetch_ds``/``fetch_fn``: where exact-verification text for the
+    tiny candidate set comes from (see :func:`_verify_pairs_exact`)."""
     # est-Jaccard std is sqrt(t(1-t)/num_perm); 4 sigma below threshold keeps
     # true pairs out of the prefilter's false-negative tail
     pre_thr = max(0.0, threshold - 4.0 * float(np.sqrt(threshold * (1 - threshold) / num_perm)))
 
-    def sig_batch(batch: pa.Table) -> pa.Table:
+    def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
-        texts = batch.column(text_col).to_pylist()
+        sigs = batch.column(sig_col).to_pylist()
         out_band: list[int] = []
         out_id: list[int] = []
         out_sig: list[bytes] = []
-        for i, t in zip(ids, texts):
-            sig = minhash_signature(t or "", num_perm, shingle_k)
-            sig_bytes = sig.tobytes()
+        for i, sb in zip(ids, sigs):
+            sig = np.frombuffer(sb, dtype=np.uint64)
             for key in lsh_band_keys(sig, bands):
                 out_band.append(key)
                 out_id.append(int(i))
-                out_sig.append(sig_bytes)
+                out_sig.append(sb)
         return pa.Table.from_arrays(
             [
                 pa.array(out_band, pa.uint64()),
@@ -209,7 +260,7 @@ def minhash_neardup_pairs(
             names=["band_key", "doc_id_", "sig_"],
         )
 
-    exploded = ds.map_batches(sig_batch, batch_format="pyarrow")
+    exploded = sig_ds.map_batches(explode, batch_format="pyarrow")
 
     def bucket_candidates(group: pa.Table) -> pa.Table:
         uniq: dict[int, bytes] = dict(
@@ -235,12 +286,13 @@ def minhash_neardup_pairs(
 
     cand = exploded.groupby("band_key").map_groups(bucket_candidates, batch_format="pyarrow")
     return _verify_pairs_exact(
-        ds,
+        fetch_ds,
         cand,
         id_col=id_col,
         text_col=text_col,
         set_fn=lambda t: char_shingles(t, shingle_k),
         threshold=threshold,
+        fetch_fn=fetch_fn,
     )
 
 
