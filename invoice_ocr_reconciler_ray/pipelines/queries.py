@@ -968,6 +968,145 @@ def spans_exploded(sf_dir: str):
     )
 
 
+# ------------------------------------------- overlay / scoping / json register
+
+def orders_patch_overlay(sf_dir: str):
+    """Idempotent patch-Dataset overlay (≙ the reference's mutation surface:
+    UPDATE server.js:371-427, DELETE :476-501, manual link :471-505): a small
+    broadcast patch table rewrites fields / tombstones rows on read.  Every
+    o_orderkey ≡ 0 (mod 97) gets status 'X' and +10 on the total; every key
+    ≡ 0 (mod 251) is deleted.  The overlay is derived distributed (filter in
+    map_batches), collected (it is the small side by definition — human
+    corrections), then applied via stages/overlay.apply_overlay."""
+    from ..stages.overlay import apply_overlay
+
+    base = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderstatus", "o_totalprice"]
+    )
+
+    def mk_patches(t: pa.Table) -> pa.Table:
+        ids = t["o_orderkey"].to_numpy()
+        m97 = ids % 97 == 0
+        m251 = ids % 251 == 0
+        sel = m97 | m251
+        sub = ids[sel]
+        s97 = m97[sel]
+        s251 = m251[sel]
+        tp = t["o_totalprice"].to_numpy()[sel]
+        return pa.Table.from_pydict(
+            {
+                "o_orderkey": pa.array(sub, pa.int64()),
+                "o_orderstatus": pa.array(
+                    ["X" if a and not b else None for a, b in zip(s97, s251)], pa.string()
+                ),
+                "o_totalprice": pa.array(
+                    [v + 10.0 if a and not b else None for v, a, b in zip(tp, s97, s251)],
+                    pa.float64(),
+                ),
+                "deleted": pa.array([bool(b) for b in s251], pa.bool_()),
+            }
+        )
+
+    patch_batches = list(
+        base.map_batches(mk_patches, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    overlay = pa.concat_tables(patch_batches)
+    return apply_overlay(base, overlay, key_col="o_orderkey", deleted_col="deleted")
+
+
+ORDERS_PATCH_OVERLAY_SQL = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 97 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+       CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 10 ELSE o_totalprice END AS o_totalprice
+FROM orders WHERE o_orderkey % 251 <> 0
+"""
+
+
+def reconcile_manual_link(sf_dir: str):
+    """Manual reconciliation links over the fuzzy verdicts (≙ manual link,
+    server.js:471-505): a human corrects 'missing' verdicts by linking the
+    invoice to a register record; the overlay sets match_status='matched',
+    flag_reason='Manually reconciled', confidence 100.  Idempotent —
+    re-applying the same links is a no-op (pytest).  Rows-only (the base
+    fuzzy verdict is not SQL-expressible)."""
+    from ..stages.overlay import apply_overlay, manual_link_overlay
+
+    verdicts = fuzzy_reconcile_demo(sf_dir)
+    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey"])
+    keys = sorted(int(k) for k in cust.to_pandas().c_custkey if int(k) % 30 == 0)
+    links = [{"key": str(k), "record_id": f"reg-manual-{k}"} for k in keys]
+    overlay = manual_link_overlay(links, key_col="invoice_id", record_col="proposed_record_id")
+    return apply_overlay(verdicts, overlay, key_col="invoice_id")
+
+
+def events_user_scope(sf_dir: str):
+    """Tenant scoping (≙ F7: every reference query carries ``user_id = ?``,
+    e.g. server.js:356): the tenant predicate is pushed INTO the parquet
+    read so other tenants' rows never leave storage."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"),
+        columns=["user_id", "event_type"],
+        filter=pc.field("user_id") == 7,
+    )
+    return ds.groupby("event_type").aggregate(Count(alias_name="n"))
+
+
+EVENTS_USER_SCOPE_SQL = """
+SELECT event_type, COUNT(*) AS n FROM events WHERE user_id = 7 GROUP BY 1
+"""
+
+
+def register_json_normalize(sf_dir: str):
+    """Lenient JSON register ingest (≙ S3, server.js:455-461): synonym keys
+    (company/total/due/invoice_number) in line-delimited JSON, read through
+    read_json + the same normalizing projection as the CSV path; the oracle
+    recomputes the rows straight from customer."""
+    import json
+    import os
+
+    from ..functions.hashing import stable_hash64
+    from ..sources.register import read_register_json
+
+    cust = rd.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_name", "c_acctbal"]
+    ).to_pandas()
+    key = stable_hash64(f"{sf_dir}|register_json|v1")
+    path = f"/tmp/iocr_register_{key:016x}.json"
+    if not os.path.exists(path):
+        lines = []
+        for _, r in cust.sort_values("c_custkey").iterrows():
+            k = int(r.c_custkey)
+            lines.append(
+                json.dumps(
+                    {
+                        "company": str(r.c_name),
+                        "total": abs(float(r.c_acctbal)),
+                        "due": f"2024-{1 + k % 12:02d}-15",
+                        "invoice_number": f"INV-{k}",
+                    }
+                )
+            )
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        os.replace(tmp, path)
+    return read_register_json(path).select_columns(
+        ["vendor_name", "expected_amount", "due_date", "reference_number", "status"]
+    )
+
+
+REGISTER_JSON_NORMALIZE_SQL = """
+SELECT c_name AS vendor_name,
+       abs(c_acctbal) AS expected_amount,
+       printf('2024-%02d-15', 1 + c_custkey % 12) AS due_date,
+       'INV-' || CAST(c_custkey AS VARCHAR) AS reference_number,
+       'unpaid' AS status
+FROM customer
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 ORACLE_SQL: dict[str, str] = {
@@ -997,6 +1136,9 @@ ORACLE_SQL: dict[str, str] = {
     "distinct_langs": DISTINCT_LANGS_SQL,
     "events_tumbling_window": EVENTS_TUMBLING_WINDOW_SQL,
     "events_sessionize": EVENTS_SESSIONIZE_SQL,
+    "orders_patch_overlay": ORDERS_PATCH_OVERLAY_SQL,
+    "events_user_scope": EVENTS_USER_SCOPE_SQL,
+    "register_json_normalize": REGISTER_JSON_NORMALIZE_SQL,
 }
 
 
@@ -1048,7 +1190,11 @@ def registry() -> dict:
         "distinct_langs": distinct_langs,
         "events_tumbling_window": events_tumbling_window,
         "events_sessionize": events_sessionize,
+        "orders_patch_overlay": orders_patch_overlay,
+        "events_user_scope": events_user_scope,
+        "register_json_normalize": register_json_normalize,
         # rows-only (non-SQL-expressible)
+        "reconcile_manual_link": reconcile_manual_link,
         "flagship_summary": flagship_summary,
         "spans_exploded": spans_exploded,
         "media_image_features": media_image_features,

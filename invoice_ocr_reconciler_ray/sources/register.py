@@ -77,7 +77,14 @@ def normalize_register_batch(batch: pa.Table) -> pa.Table:
         else pa.array([0.0] * n, pa.float64())
     )
     due = coalesce("due_date")
-    due = pc.cast(due, pa.string()) if due is not None else pa.nulls(n, pa.string())
+    if due is None:
+        due = pa.nulls(n, pa.string())
+    elif pa.types.is_temporal(due.type):
+        # schema-on-read leniency: a reader that type-inferred the date
+        # (read_json → timestamp) still normalizes to the ISO day string
+        due = pc.strftime(due, format="%Y-%m-%d")
+    else:
+        due = pc.cast(due, pa.string())
     ref = coalesce("reference_number")
     ref = pc.cast(ref, pa.string()) if ref is not None else pa.nulls(n, pa.string())
     if "status" in renamed.column_names:
