@@ -556,6 +556,85 @@ def embedding_neardup(sf_dir: str):
     )
 
 
+def _planted_ids(sf_dir: str, *, min_long_words: int | None = None) -> pa.Array:
+    """doc_ids of the planted-twin originals (≡ 0 mod 20), optionally
+    restricted to docs whose exact twin-Jaccard is provably/robustly above
+    the LSH threshold: n_words ≤ 10 (twin is byte-identical after whitespace
+    collapse → signatures equal → always banded together, J = 1) or
+    n_words ≥ ``min_long_words`` (one changed word in a long doc keeps the
+    shingle Jaccard comfortably over the threshold)."""
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        sel = ids % 20 == 0
+        if min_long_words is not None:
+            nw = np.array(
+                [len((x or "").split()) for x in t["text"].to_pylist()], dtype=np.int64
+            )
+            sel &= (nw <= 10) | (nw >= min_long_words)
+        return pa.Table.from_arrays([pa.array(ids[sel], pa.int64())], names=["doc_id"])
+
+    out = []
+    for b in docs.map_batches(pick, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        out.extend(b.column("doc_id").to_pylist())
+    return pa.array(sorted(out), pa.int64())
+
+
+def _planted_subset(pairs_ds, eligible: pa.Array):
+    """Near-dup pairs → just the planted-twin rows (id_b = id_a + 1e6 with
+    id_a in the eligible planted set), as (id_a, id_b) — the SQL-checkable
+    projection of an otherwise non-SQL-expressible LSH output."""
+    ref = ray.put(eligible)
+
+    def f(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.is_in(t["id_a"], value_set=ray.get(ref)),
+            pc.equal(pc.subtract(t["id_b"], t["id_a"]), 1_000_000),
+        )
+        return t.filter(m).select(["id_a", "id_b"])
+
+    return pairs_ds.map_batches(f, batch_format="pyarrow")
+
+
+def minhash_planted_neardup(sf_dir: str):
+    """Partial ORACLE for the MinHash LSH pipeline: the planted twins whose
+    exact Jaccard provably clears the 0.8 threshold (byte-identical short
+    docs, or ≥50-word docs where one mutated word moves J by only a few
+    percent) must ALL surface — DuckDB reproduces that subset exactly.
+    The full pair list stays rows-only (LSH is not SQL-expressible)."""
+    pairs = neardup.minhash_neardup_pairs(_docs_with_neardups(sf_dir), threshold=0.8)
+    return _planted_subset(pairs, _planted_ids(sf_dir, min_long_words=50))
+
+
+MINHASH_PLANTED_NEARDUP_SQL = """
+SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+FROM documents
+WHERE doc_id % 20 = 0
+  AND ((CASE WHEN trim(text) = '' THEN 0
+             ELSE len(string_split_regex(trim(text), '\\s+')) END) <= 10
+    OR (CASE WHEN trim(text) = '' THEN 0
+             ELSE len(string_split_regex(trim(text), '\\s+')) END) >= 50)
+"""
+
+
+def ngram_planted_neardup(sf_dir: str):
+    """Partial oracle for the word-n-gram Jaccard pipeline: with n=3 and
+    threshold 0.5, EVERY planted twin is ≥ threshold by construction
+    (w ≤ 10 → identical; w ≥ 11 → J = (w-5)/(w+1) ≥ 0.5), so the oracle is
+    the full planted set."""
+    pairs = neardup.ngram_jaccard_pairs(_docs_with_neardups(sf_dir), threshold=0.5)
+    return _planted_subset(pairs, _planted_ids(sf_dir))
+
+
+NGRAM_PLANTED_NEARDUP_SQL = """
+SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+FROM documents WHERE doc_id % 20 = 0
+"""
+
+
 def neardup_clusters(sf_dir: str):
     """LSH pairs → connected components → per-doc cluster id (rows-only;
     planted twins must share a cluster — asserted in pytest)."""
@@ -1139,6 +1218,8 @@ ORACLE_SQL: dict[str, str] = {
     "orders_patch_overlay": ORDERS_PATCH_OVERLAY_SQL,
     "events_user_scope": EVENTS_USER_SCOPE_SQL,
     "register_json_normalize": REGISTER_JSON_NORMALIZE_SQL,
+    "minhash_planted_neardup": MINHASH_PLANTED_NEARDUP_SQL,
+    "ngram_planted_neardup": NGRAM_PLANTED_NEARDUP_SQL,
 }
 
 
@@ -1202,6 +1283,11 @@ def registry() -> dict:
         "media_audio_features": media_audio_features,
         "flagship_verdicts": flagship_verdicts,
         "ann_ivf_topk": ann_ivf_topk,
+        "minhash_planted_neardup": minhash_planted_neardup,
+        "ngram_planted_neardup": ngram_planted_neardup,
+        # simhash/embedding planted recall is genuinely probabilistic (bit
+        # votes / hyperplane sign flips) — they stay rows-only with analytic
+        # pytest coverage instead of a partial oracle
         "minhash_neardup": minhash_neardup,
         "simhash_neardup": simhash_neardup,
         "ngram_jaccard_neardup": ngram_jaccard_neardup,
