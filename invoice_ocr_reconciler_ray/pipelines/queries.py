@@ -1186,6 +1186,74 @@ FROM customer
 """
 
 
+# --------------------------------------------------- corpus stats / sampling
+
+def top_terms(sf_dir: str):
+    """Corpus vocabulary stats — the explode-then-count shape every
+    pretraining pipeline runs (token frequency tables): tokenize in
+    map_batches (vectorized split), PRE-AGGREGATE per block with pyarrow
+    ``group_by`` (the combiner — block output is |block vocab| rows, not
+    |tokens|), then one small groupby merge and top-50.  The pre-aggregation
+    is what keeps the shuffle O(vocab), not O(corpus tokens), at 100 TB."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+
+    def term_counts(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(pc.utf8_lower(t["text"]), pattern=r"[^a-z0-9]+")
+        )
+        toks = pc.drop_null(toks)
+        toks = toks.filter(pc.not_equal(toks, ""))
+        g = (
+            pa.Table.from_arrays([toks], names=["term"])
+            .group_by("term")
+            .aggregate([("term", "count")])
+        )
+        return g.rename_columns(["term", "n"])
+
+    agg = (
+        ds.map_batches(term_counts, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return agg.sort(["n", "term"], descending=[True, False]).limit(50)
+
+
+TOP_TERMS_SQL = """
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents)
+SELECT term, COUNT(*) AS n FROM toks WHERE term <> ''
+GROUP BY 1 ORDER BY n DESC, term LIMIT 50
+"""
+
+
+def docs_hash_sample(sf_dir: str):
+    """Deterministic corpus subsampling — keep rows whose stable content-key
+    hash lands under the rate (≙ the reproducible train/eval split every
+    data pipeline needs; never ``random_sample``, which is seed/partitioning
+    dependent).  Hash = md5 of the doc id decimal string, first 8 hex digits
+    mod 100 < 10 → a 10% sample ANY engine can reproduce."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids = t["doc_id"].to_pylist()
+        keep = [
+            int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100 < 10
+            for i in ids
+        ]
+        return t.filter(pa.array(keep, pa.bool_()))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+DOCS_HASH_SAMPLE_SQL = """
+SELECT doc_id, lang FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 < 10
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 ORACLE_SQL: dict[str, str] = {
@@ -1220,6 +1288,8 @@ ORACLE_SQL: dict[str, str] = {
     "register_json_normalize": REGISTER_JSON_NORMALIZE_SQL,
     "minhash_planted_neardup": MINHASH_PLANTED_NEARDUP_SQL,
     "ngram_planted_neardup": NGRAM_PLANTED_NEARDUP_SQL,
+    "top_terms": TOP_TERMS_SQL,
+    "docs_hash_sample": DOCS_HASH_SAMPLE_SQL,
 }
 
 
@@ -1274,6 +1344,8 @@ def registry() -> dict:
         "orders_patch_overlay": orders_patch_overlay,
         "events_user_scope": events_user_scope,
         "register_json_normalize": register_json_normalize,
+        "top_terms": top_terms,
+        "docs_hash_sample": docs_hash_sample,
         # rows-only (non-SQL-expressible)
         "reconcile_manual_link": reconcile_manual_link,
         "flagship_summary": flagship_summary,

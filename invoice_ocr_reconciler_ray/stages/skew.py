@@ -23,19 +23,22 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data.aggregate import Count, Sum
 
-from ..functions.hashing import stable_hash64
 
 # --------------------------------------------------------------- salted agg
 
 
 def add_salt(batch: pa.Table, *, key_col: str, salt_col: str, buckets: int) -> pa.Table:
-    """Append ``salt_col`` = stable_hash(key, row position) % buckets.
+    """Append ``salt_col`` = row position % buckets (vectorized round-robin).
 
-    Never wall-clock / random (SURVEY §7.4); the salt itself may vary with
-    block layout, but the merged level-2 result is invariant to it."""
-    keys = batch.column(key_col).to_pylist()
+    Never wall-clock / random (SURVEY §7.4) — position round-robin is
+    deterministic, disperses a hot key perfectly evenly within a block, and
+    costs one numpy op instead of a per-row hash; the salt itself may vary
+    with block layout, but the merged level-2 result is invariant to it."""
+    import numpy as np
+
     salt = pa.array(
-        [stable_hash64(f"{k}:{i}") % buckets for i, k in enumerate(keys)], pa.int32()
+        (np.arange(batch.num_rows, dtype=np.int64) % buckets).astype(np.int32),
+        pa.int32(),
     )
     return batch.append_column(salt_col, salt)
 
