@@ -1186,6 +1186,47 @@ FROM customer
 """
 
 
+def events_asof_orders(sf_dir: str):
+    """Backward as-of join (custom operator, stages/asof.py): every event is
+    enriched with the customer's most recent order AT event time (greatest
+    o_orderdate ≤ ts, ties → max o_orderkey).  Co-partition by key via one
+    union + groupby shuffle, per-group sorted merge_asof.  Oracle: the
+    row_number() formulation of the same join in DuckDB."""
+    from ..stages.asof import asof_join_backward
+
+    events = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "user_id", "o_orderdate"]),
+        batch_format="pyarrow",
+    )
+    out = asof_join_backward(
+        events,
+        orders,
+        key="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        left_cols=["event_id"],
+        right_cols=["o_orderkey"],
+        tiebreak="o_orderkey",
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns(["event_id", "asof_orderkey"]), batch_format="pyarrow"
+    )
+
+
+EVENTS_ASOF_ORDERS_SQL = """
+WITH m AS (
+  SELECT e.event_id, o.o_orderkey,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+SELECT event_id, o_orderkey AS asof_orderkey FROM m WHERE rn = 1
+"""
+
+
 # --------------------------------------------------- corpus stats / sampling
 
 def top_terms(sf_dir: str):
@@ -1290,6 +1331,7 @@ ORACLE_SQL: dict[str, str] = {
     "ngram_planted_neardup": NGRAM_PLANTED_NEARDUP_SQL,
     "top_terms": TOP_TERMS_SQL,
     "docs_hash_sample": DOCS_HASH_SAMPLE_SQL,
+    "events_asof_orders": EVENTS_ASOF_ORDERS_SQL,
 }
 
 
@@ -1346,6 +1388,7 @@ def registry() -> dict:
         "register_json_normalize": register_json_normalize,
         "top_terms": top_terms,
         "docs_hash_sample": docs_hash_sample,
+        "events_asof_orders": events_asof_orders,
         # rows-only (non-SQL-expressible)
         "reconcile_manual_link": reconcile_manual_link,
         "flagship_summary": flagship_summary,

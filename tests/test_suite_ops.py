@@ -268,6 +268,59 @@ def test_neardup_clusters_query(ray_session):
         raise AssertionError("no twin clustered with its original")
 
 
+def test_asof_join_backward(ray_session):
+    """Backward as-of: greatest right_ts <= left_ts per key; timestamp ties
+    break to the max tiebreak value; left rows with no eligible right row
+    are dropped (inner semantics); keys never cross-match."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from invoice_ocr_reconciler_ray.stages.asof import asof_join_backward
+
+    ts = lambda s: pd.Timestamp(s)
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "k": [1, 1, 1, 2, 3],
+                "lts": [ts("2024-01-05"), ts("2024-01-10"), ts("2024-01-01"),
+                        ts("2024-01-05"), ts("2024-01-05")],
+                "eid": [10, 11, 12, 20, 30],
+            }
+        )
+    )
+    right = rd.from_arrow(
+        pa.table(
+            {
+                "k": [1, 1, 1, 1, 2],
+                "rts": [ts("2024-01-03"), ts("2024-01-07"), ts("2024-01-07"),
+                        ts("2024-01-09"), ts("2024-01-06")],
+                "rid": [100, 101, 102, 103, 200],
+            }
+        )
+    )
+    out = (
+        asof_join_backward(
+            left, right, key="k", left_ts="lts", right_ts="rts",
+            left_cols=["eid"], right_cols=["rid"], tiebreak="rid",
+        )
+        .to_pandas()
+        .set_index("eid")["rid"]
+    )
+    assert out[10] == 100  # only rts <= Jan 5 is Jan 3
+    assert out[11] == 103  # latest rts <= Jan 10
+    assert 12 not in out.index  # no right row at/before Jan 1 → dropped
+    assert 20 not in out.index  # key 2's only order is AFTER the event
+    assert 30 not in out.index  # key 3 has no right rows at all
+    # tie determinism: an event right at the tie instant takes max rid
+    left2 = rd.from_arrow(pa.table({"k": [1], "lts": [ts("2024-01-07")], "eid": [13]}))
+    out2 = asof_join_backward(
+        left2, right, key="k", left_ts="lts", right_ts="rts",
+        left_cols=["eid"], right_cols=["rid"], tiebreak="rid",
+    ).to_pandas()
+    assert out2.rid.tolist() == [102]
+
+
 def test_flag_content_duplicates(ray_session):
     """Identical content under DIFFERENT keys is flagged (content-hash A1
     variant); first-by-(ts,hash) survives, strategies agree."""
