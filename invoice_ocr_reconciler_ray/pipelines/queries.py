@@ -1295,6 +1295,41 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 10
 """
 
 
+def docs_stratified_sample(sf_dir: str):
+    """Stratified deterministic sampling — k docs PER LANGUAGE, ordered by a
+    content-stable hash (≙ the balanced eval-split / per-domain quota shape;
+    per-group top-k is T4's distributed form: groupby(lang) + in-group sort
+    + slice, one shuffle on the strata key)."""
+    import hashlib
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang"])
+
+    def add_h(t: pa.Table) -> pa.Table:
+        hs = [
+            hashlib.md5(str(i).encode()).hexdigest() for i in t["doc_id"].to_pylist()
+        ]
+        return t.append_column("h", pa.array(hs, pa.string()))
+
+    def topk(g: pa.Table) -> pa.Table:
+        return g.sort_by([("h", "ascending")]).slice(0, 5).select(["doc_id", "lang"])
+
+    return (
+        ds.map_batches(add_h, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(topk, batch_format="pyarrow")
+    )
+
+
+DOCS_STRATIFIED_SAMPLE_SQL = """
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+  FROM documents)
+SELECT doc_id, lang FROM r WHERE rn <= 5
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 ORACLE_SQL: dict[str, str] = {
@@ -1332,6 +1367,7 @@ ORACLE_SQL: dict[str, str] = {
     "top_terms": TOP_TERMS_SQL,
     "docs_hash_sample": DOCS_HASH_SAMPLE_SQL,
     "events_asof_orders": EVENTS_ASOF_ORDERS_SQL,
+    "docs_stratified_sample": DOCS_STRATIFIED_SAMPLE_SQL,
 }
 
 
@@ -1389,6 +1425,7 @@ def registry() -> dict:
         "top_terms": top_terms,
         "docs_hash_sample": docs_hash_sample,
         "events_asof_orders": events_asof_orders,
+        "docs_stratified_sample": docs_stratified_sample,
         # rows-only (non-SQL-expressible)
         "reconcile_manual_link": reconcile_manual_link,
         "flagship_summary": flagship_summary,
