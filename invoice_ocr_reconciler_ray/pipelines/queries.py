@@ -1295,6 +1295,36 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 10
 """
 
 
+def dedup_incremental(sf_dir: str):
+    """Incremental-ingest dedup (stages/dedup.flag_seen_before): the 'new
+    batch' (doc_id ≥ 250) is flagged against the standing corpus's content
+    fingerprints (doc_id < 250) — prior keys reduced to a distinct set via
+    per-block partials, broadcast once, probed vectorized.  The shape every
+    continuously-crawled corpus needs: dedup new data against what's already
+    ingested without re-processing the corpus."""
+    from ..stages.dedup import flag_seen_before
+    from ..stages.text_analysis import fingerprint_stage
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    fps = fingerprint_stage(docs).select_columns(["doc_id", "fp_md5"])
+    prior = fps.map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], 250)), batch_format="pyarrow"
+    )
+    new = fps.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["doc_id"], 250)), batch_format="pyarrow"
+    )
+    out = flag_seen_before(new, prior, key_col="fp_md5")
+    return out.select_columns(["doc_id", "seen_before"])
+
+
+DEDUP_INCREMENTAL_SQL = """
+SELECT d.doc_id,
+       EXISTS (SELECT 1 FROM documents p
+               WHERE p.doc_id < 250 AND md5(p.text) = md5(d.text)) AS seen_before
+FROM documents d WHERE d.doc_id >= 250
+"""
+
+
 def docs_stratified_sample(sf_dir: str):
     """Stratified deterministic sampling — k docs PER LANGUAGE, ordered by a
     content-stable hash (≙ the balanced eval-split / per-domain quota shape;
@@ -1368,6 +1398,7 @@ ORACLE_SQL: dict[str, str] = {
     "docs_hash_sample": DOCS_HASH_SAMPLE_SQL,
     "events_asof_orders": EVENTS_ASOF_ORDERS_SQL,
     "docs_stratified_sample": DOCS_STRATIFIED_SAMPLE_SQL,
+    "dedup_incremental": DEDUP_INCREMENTAL_SQL,
 }
 
 
@@ -1426,6 +1457,7 @@ def registry() -> dict:
         "docs_hash_sample": docs_hash_sample,
         "events_asof_orders": events_asof_orders,
         "docs_stratified_sample": docs_stratified_sample,
+        "dedup_incremental": dedup_incremental,
         # rows-only (non-SQL-expressible)
         "reconcile_manual_link": reconcile_manual_link,
         "flagship_summary": flagship_summary,

@@ -250,6 +250,41 @@ def flag_duplicates_with_side(
     return main_ds.map_batches(pri_probe, batch_format="pyarrow")
 
 
+def flag_seen_before(new_ds, prior_ds, *, key_col: str, out_col: str = "seen_before"):
+    """Incremental-ingest dedup: flag rows of ``new_ds`` whose key already
+    exists in ``prior_ds`` (an earlier run's output / the standing corpus).
+
+    The prior side is reduced to its DISTINCT key set via per-block pyarrow
+    partials + driver merge (no shuffle), broadcast once, probed with a
+    vectorized ``pc.is_in``.  Driver memory is O(|distinct prior keys|) — at
+    key domains beyond that, keep both sides hash-partitioned by key (the
+    runner layout) and the per-partition key set stays small; the incremental
+    contract is unchanged."""
+
+    def distinct_keys(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pc.unique(b.column(key_col).combine_chunks())], names=["k"]
+        )
+
+    seen: set = set()
+    for b in prior_ds.map_batches(distinct_keys, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        seen.update(b.column("k").to_pylist())
+    keys_ref = ray.put(pa.array(sorted(seen)))
+
+    def probe(b: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        flags = (
+            pc.is_in(b.column(key_col), value_set=ks)
+            if len(ks)
+            else pa.array([False] * b.num_rows, pa.bool_())
+        )
+        return b.append_column(out_col, pc.cast(flags, pa.bool_()))
+
+    return new_ds.map_batches(probe, batch_format="pyarrow")
+
+
 def flag_content_duplicates(ds, *, content_col: str = "extracted_text", **kw):
     """Content-hash variant: identical extracted text under DIFFERENT urls is
     also a duplicate (the scalable analogue of A1 keyed on content)."""

@@ -268,6 +268,23 @@ def test_neardup_clusters_query(ray_session):
         raise AssertionError("no twin clustered with its original")
 
 
+def test_flag_seen_before(ray_session):
+    """Incremental dedup: new rows whose key exists in the prior corpus are
+    flagged; fresh keys pass; empty prior flags nothing."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from invoice_ocr_reconciler_ray.stages.dedup import flag_seen_before
+
+    prior = rd.from_arrow(pa.table({"k": ["a", "b", "c"], "v": [1, 2, 3]}))
+    new = rd.from_arrow(pa.table({"k": ["b", "d", "a", "e"], "v": [9, 9, 9, 9]}))
+    out = flag_seen_before(new, prior, key_col="k").to_pandas().set_index("k")
+    assert out.seen_before.to_dict() == {"b": True, "d": False, "a": True, "e": False}
+    empty = rd.from_arrow(pa.table({"k": pa.array([], pa.string()), "v": pa.array([], pa.int64())}))
+    out2 = flag_seen_before(new, empty, key_col="k").to_pandas()
+    assert not out2.seen_before.any()
+
+
 def test_asof_join_backward(ray_session):
     """Backward as-of: greatest right_ts <= left_ts per key; timestamp ties
     break to the max tiebreak value; left rows with no eligible right row
