@@ -108,6 +108,8 @@ QUERY_SUBSET = [
     "ann_cosine_topk",
     "minhash_neardup",
     "curate_corpus",
+    "events_asof_orders",
+    "top_terms",
 ]
 
 
