@@ -101,6 +101,22 @@ def test_bucket_overflow_is_logged(caplog):
     assert kept == items[:5] and not caplog.records  # small buckets stay silent
 
 
+def test_degenerate_bucket_capped_end_to_end(ray_session):
+    """250 identical docs put every one in the same band bucket (> the
+    200-member cap): the op must complete, apply the cap (pair count bounded
+    by C(cap,2)), and still report the capped members as exact dups."""
+    import ray.data as rd
+
+    from invoice_ocr_reconciler_ray.stages.neardup import _MAX_BUCKET
+
+    n = _MAX_BUCKET + 50
+    ds = rd.from_items([{"doc_id": i, "text": BASE} for i in range(n)])
+    pairs = minhash_neardup_pairs(ds, threshold=0.8).to_pandas()
+    cap_pairs = _MAX_BUCKET * (_MAX_BUCKET - 1) // 2
+    assert 0 < len(pairs) <= cap_pairs
+    assert (pairs.similarity == 1.0).all()
+
+
 def test_simhash_hamming():
     a = simhash64(BASE)
     b = simhash64(BASE.replace("brown", "black"))
