@@ -10,6 +10,7 @@ Usage:
   python -m invoice_ocr_reconciler_ray run --sf-dir ... --out /tmp/ckpt [--partitions 8]
   python -m invoice_ocr_reconciler_ray run-files --input /tmp/bucketed --out /tmp/ckpt
   python -m invoice_ocr_reconciler_ray stats --out /tmp/ckpt
+  python -m invoice_ocr_reconciler_ray patch --input /tmp/out --overlay links.json --key url --out /tmp/patched
 """
 
 from __future__ import annotations
@@ -54,6 +55,21 @@ def main(argv: list[str] | None = None) -> int:
     ps = sub.add_parser("stats", help="manifest totals for a checkpointed run")
     ps.add_argument("--out", required=True)
 
+    pp = sub.add_parser(
+        "patch",
+        help="apply an idempotent overlay (manual link / field update / delete) "
+        "to run output (≙ reference PUT/DELETE/link endpoints)",
+    )
+    pp.add_argument("--input", required=True, help="parquet dir (e.g. extract/run output)")
+    pp.add_argument(
+        "--overlay",
+        required=True,
+        help="JSON file: list of patch rows — key column + fields to set "
+        "(absent/null = unchanged), optional \"deleted\": true tombstone",
+    )
+    pp.add_argument("--key", required=True, help="key column name")
+    pp.add_argument("--out", required=True)
+
     args = p.parse_args(argv)
 
     if args.cmd == "stats":  # no Ray needed
@@ -79,6 +95,18 @@ def main(argv: list[str] | None = None) -> int:
 
             totals = run_checkpointed_files(args.input, args.out)
             print(json.dumps(totals, sort_keys=True))
+        elif args.cmd == "patch":
+            import pyarrow as pa
+            import ray.data as rd
+
+            from invoice_ocr_reconciler_ray.stages.overlay import apply_overlay
+
+            with open(args.overlay) as f:
+                rows = json.load(f)
+            overlay = pa.Table.from_pylist(rows)
+            ds = rd.read_parquet(args.input)
+            apply_overlay(ds, overlay, key_col=args.key).write_parquet(args.out)
+            print(json.dumps({"status": "ok", "patch_rows": len(rows), "out": args.out}))
     finally:
         ray.shutdown()
     return 0
