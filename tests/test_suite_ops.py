@@ -354,6 +354,49 @@ def test_asof_join_backward(ray_session):
     assert out2.rid.tolist() == [102]
 
 
+def test_asof_join_matches_bruteforce(ray_session):
+    """Randomized (fixed seeds) cross-check: the distributed as-of join must
+    equal the O(n*m) per-row reference on arbitrary key/time layouts,
+    including duplicate timestamps and keys present on only one side."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from invoice_ocr_reconciler_ray.stages.asof import asof_join_backward
+
+    for seed in (3, 17, 99):
+        rng = np.random.RandomState(seed)
+        nl, nr = 60, 40
+        base = pd.Timestamp("2024-01-01")
+        lts = [base + pd.Timedelta(hours=int(h)) for h in rng.randint(0, 200, nl)]
+        rts = [base + pd.Timedelta(hours=int(h)) for h in rng.randint(0, 200, nr)]
+        lk = rng.randint(0, 6, nl)
+        rk = rng.randint(0, 8, nr)
+        left = pa.table({"k": lk, "lts": pa.array(lts), "eid": list(range(nl))})
+        right = pa.table({"k": rk, "rts": pa.array(rts), "rid": list(range(100, 100 + nr))})
+
+        got = (
+            asof_join_backward(
+                rd.from_arrow(left), rd.from_arrow(right),
+                key="k", left_ts="lts", right_ts="rts",
+                left_cols=["eid"], right_cols=["rid"], tiebreak="rid",
+            )
+            .to_pandas()
+            .set_index("eid")["rid"]
+            .to_dict()
+        )
+        want = {}
+        for i in range(nl):
+            cands = [
+                (rts[j], 100 + j)
+                for j in range(nr)
+                if rk[j] == lk[i] and rts[j] <= lts[i]
+            ]
+            if cands:
+                want[i] = max(cands)[1]
+        assert got == want, f"seed {seed}"
+
+
 def test_flag_content_duplicates(ray_session):
     """Identical content under DIFFERENT keys is flagged (content-hash A1
     variant); first-by-(ts,hash) survives, strategies agree."""
