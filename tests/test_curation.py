@@ -32,3 +32,20 @@ def test_flags_are_disjoint_reasons(curated):
 def test_some_kept_and_some_rejected(curated):
     assert curated.kept.sum() > 0
     assert (~curated.kept).sum() > 0
+
+
+def test_neardup_flags_match_standalone_lsh(curated, ray_session):
+    """The curation pipeline derives near-dups from signatures computed in
+    the fused metrics pass; that path must flag EXACTLY the docs the
+    standalone minhash LSH op finds (larger id of each verified pair)."""
+    import ray.data as rd
+
+    from invoice_ocr_reconciler_ray.stages.neardup import minhash_neardup_pairs
+
+    docs = rd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    pairs = minhash_neardup_pairs(docs, threshold=0.8).to_pandas()
+    want = {max(int(a), int(b)) for a, b in zip(pairs.id_a, pairs.id_b)}
+    got = set(curated[curated.is_near_dup].doc_id)
+    assert got == want
