@@ -1227,6 +1227,42 @@ SELECT event_id, o_orderkey AS asof_orderkey FROM m WHERE rn = 1
 """
 
 
+def events_range_join_orders(sf_dir: str):
+    """Trailing-window range join (custom operator, stages/asof.py): per
+    event, the number of the customer's orders in the 30 days up to the
+    event (exclusive-open lower bound, inclusive upper).  Co-partition by
+    key + two vectorized searchsorted probes per group — never the O(l·r)
+    interval blow-up.  Oracle: correlated COUNT in DuckDB."""
+    from ..stages.asof import range_join_count
+
+    events = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: t.rename_columns(["user_id", "o_orderdate"]), batch_format="pyarrow"
+    )
+    return range_join_count(
+        events,
+        orders,
+        key="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        left_cols=["event_id"],
+        window_us=30 * 86400 * 1_000_000,
+        out_col="n_orders_30d",
+    )
+
+
+EVENTS_RANGE_JOIN_ORDERS_SQL = """
+SELECT e.event_id,
+       (SELECT COUNT(*) FROM orders o
+        WHERE o.o_custkey = e.user_id
+          AND o.o_orderdate > e.ts - INTERVAL 30 DAY
+          AND o.o_orderdate <= e.ts) AS n_orders_30d
+FROM events e
+"""
+
+
 # --------------------------------------------------- corpus stats / sampling
 
 def top_terms(sf_dir: str):
@@ -1397,6 +1433,7 @@ ORACLE_SQL: dict[str, str] = {
     "top_terms": TOP_TERMS_SQL,
     "docs_hash_sample": DOCS_HASH_SAMPLE_SQL,
     "events_asof_orders": EVENTS_ASOF_ORDERS_SQL,
+    "events_range_join_orders": EVENTS_RANGE_JOIN_ORDERS_SQL,
     "docs_stratified_sample": DOCS_STRATIFIED_SAMPLE_SQL,
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
 }
@@ -1456,6 +1493,7 @@ def registry() -> dict:
         "top_terms": top_terms,
         "docs_hash_sample": docs_hash_sample,
         "events_asof_orders": events_asof_orders,
+        "events_range_join_orders": events_range_join_orders,
         "docs_stratified_sample": docs_stratified_sample,
         "dedup_incremental": dedup_incremental,
         # rows-only (non-SQL-expressible)

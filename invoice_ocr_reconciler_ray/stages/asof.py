@@ -91,3 +91,68 @@ def asof_join_backward(
         return merged[left_cols + right_cols]
 
     return both.groupby("_k").map_groups(join_group, batch_format="pandas")
+
+
+def range_join_count(
+    left_ds,
+    right_ds,
+    *,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    left_cols: list[str],
+    window_us: int,
+    out_col: str = "n_in_window",
+):
+    """Trailing-window range join, reduced to a count: for every left row,
+    how many right rows share its key with ``left_ts - window < right_ts <=
+    left_ts``.  The canonical activity-feature shape (events ⋈ orders in the
+    last N days).
+
+    Same co-partition layout as :func:`asof_join_backward` (one union +
+    ``groupby(key)`` shuffle); inside each group the count is TWO vectorized
+    ``searchsorted`` probes over the sorted right timestamps — O((l+r) log r)
+    per key, never the O(l·r) interval blow-up.  Every left row is kept
+    (count 0 when no right rows match)."""
+    import numpy as np
+
+    ltypes = dict(zip(left_ds.schema().names, left_ds.schema().types))
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        arrays = [t[key], t[left_ts], pa.array([0] * n, pa.int8())]
+        names = ["_k", "_t", "_side"]
+        for c in left_cols:
+            arrays.append(t[c])
+            names.append(c)
+        return pa.Table.from_arrays(arrays, names=names)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        arrays = [t[key], t[right_ts], pa.array([1] * n, pa.int8())]
+        names = ["_k", "_t", "_side"]
+        for c in left_cols:
+            arrays.append(pa.nulls(n, ltypes[c]))
+            names.append(c)
+        return pa.Table.from_arrays(arrays, names=names)
+
+    both = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
+        right_ds.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def count_group(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df._side == 0]
+        if left.empty:
+            return pd.DataFrame(
+                {**{c: pd.Series(dtype=df[c].dtype) for c in left_cols},
+                 out_col: pd.Series(dtype="int64")}
+            )
+        rts = np.sort(df[df._side == 1]["_t"].to_numpy().astype("datetime64[us]").astype("int64"))
+        lts = left["_t"].to_numpy().astype("datetime64[us]").astype("int64")
+        hi = np.searchsorted(rts, lts, side="right")
+        lo = np.searchsorted(rts, lts - window_us, side="right")
+        out = left[left_cols].copy()
+        out[out_col] = (hi - lo).astype("int64")
+        return out
+
+    return both.groupby("_k").map_groups(count_group, batch_format="pandas")

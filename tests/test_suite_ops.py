@@ -397,6 +397,47 @@ def test_asof_join_matches_bruteforce(ray_session):
         assert got == want, f"seed {seed}"
 
 
+def test_range_join_count_matches_bruteforce(ray_session):
+    """Trailing-window count vs O(l*r) reference: open lower bound, closed
+    upper, key isolation, zero counts kept."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from invoice_ocr_reconciler_ray.stages.asof import range_join_count
+
+    rng = np.random.RandomState(42)
+    base = pd.Timestamp("2024-01-01")
+    nl, nr = 50, 35
+    lts = [base + pd.Timedelta(hours=int(h)) for h in rng.randint(0, 300, nl)]
+    rts = [base + pd.Timedelta(hours=int(h)) for h in rng.randint(0, 300, nr)]
+    lk = rng.randint(0, 5, nl)
+    rk = rng.randint(0, 7, nr)
+    win_us = 48 * 3600 * 1_000_000  # 48h
+    left = pa.table({"k": lk, "lts": pa.array(lts), "eid": list(range(nl))})
+    right = pa.table({"k": rk, "rts": pa.array(rts)})
+    got = (
+        range_join_count(
+            rd.from_arrow(left), rd.from_arrow(right),
+            key="k", left_ts="lts", right_ts="rts",
+            left_cols=["eid"], window_us=win_us, out_col="n",
+        )
+        .to_pandas()
+        .set_index("eid")["n"]
+        .to_dict()
+    )
+    win = pd.Timedelta(hours=48)
+    want = {
+        i: sum(
+            1
+            for j in range(nr)
+            if rk[j] == lk[i] and lts[i] - win < rts[j] <= lts[i]
+        )
+        for i in range(nl)
+    }
+    assert got == want
+
+
 def test_flag_content_duplicates(ray_session):
     """Identical content under DIFFERENT keys is flagged (content-hash A1
     variant); first-by-(ts,hash) survives, strategies agree."""
