@@ -8,17 +8,52 @@ at event time).
 
 Scale shape: both sides are CO-PARTITIONED BY KEY with one union +
 ``groupby(key)`` shuffle — the standard distributed as-of layout — then a
-per-group sorted ``pandas.merge_asof`` (the group is one key's rows on both
-sides; ordering is an explicit in-group sort, never an arrival-order
-assumption).  Partitioning assumption (documented contract): a single key's
-rows fit in one group, i.e. keys are user/customer-grained, not global.
-Inner semantics: left rows with no matching right row are dropped (keeps
-the output schema null-free and oracle-exact)."""
+per-group vectorized searchsorted match over the sorted right timestamps
+(O((l+r) log r) per key, pure Arrow/numpy, no pandas).  Partitioning
+assumption (documented contract): a single key's rows fit in one group,
+i.e. keys are user/customer-grained, not global.  A group larger than
+``hot_key_warn_rows`` logs a loud warning (skew diagnostics) but still
+completes — the kernel is O(n log n) time / O(n) memory, so degradation is
+gradual, not an OOM cliff.  Inner semantics: left rows with no matching
+right row are dropped — matches are decided by searchsorted INDEX, never by
+null-ness of a carried value, so a legitimately-null right column value
+survives (round-2 advisory fix).
+
+Dtype discipline (round-2 verdict fix): every per-group kernel builds its
+output as a ``pa.Table`` against a schema captured from the INPUT datasets'
+Arrow schemas — the null padding used to co-locate the two sides in one
+groupby can never leak an int64→float64 upcast into the output.
+"""
 
 from __future__ import annotations
 
-import pandas as pd
+import logging
+
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
+
+logger = logging.getLogger(__name__)
+
+#: groups larger than this log a skew warning (see module docstring)
+HOT_KEY_WARN_ROWS = 2_000_000
+
+
+def _ts_to_i64(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Timestamp-or-integer column → int64 numpy (µs for timestamps)."""
+    np_arr = arr.to_numpy(zero_copy_only=False)
+    if np_arr.dtype.kind == "M":
+        np_arr = np_arr.astype("datetime64[us]")
+    return np_arr.astype("int64")
+
+
+def _warn_hot_key(n: int, op: str, warn_rows: int) -> None:
+    if n > warn_rows:
+        logger.warning(
+            "%s: hot key group with %d rows (> %d) — a single join key "
+            "dominates; consider salting or pre-filtering that key",
+            op, n, warn_rows,
+        )
 
 
 def asof_join_backward(
@@ -31,6 +66,7 @@ def asof_join_backward(
     left_cols: list[str],
     right_cols: list[str],
     tiebreak: str,
+    hot_key_warn_rows: int = HOT_KEY_WARN_ROWS,
 ):
     """left(key, left_ts, left_cols) ⋈asof right(key, right_ts, right_cols).
 
@@ -41,6 +77,9 @@ def asof_join_backward(
     """
     ltypes = dict(zip(left_ds.schema().names, left_ds.schema().types))
     rtypes = dict(zip(right_ds.schema().names, right_ds.schema().types))
+    out_schema = pa.schema(
+        [(c, ltypes[c]) for c in left_cols] + [(c, rtypes[c]) for c in right_cols]
+    )
 
     def tag_left(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -70,27 +109,31 @@ def asof_join_backward(
         right_ds.map_batches(tag_right, batch_format="pyarrow")
     )
 
-    def join_group(df: pd.DataFrame) -> pd.DataFrame:
-        left = df[df._side == 0].sort_values("_t", kind="mergesort")
-        right = df[df._side == 1].sort_values(["_t", tiebreak], kind="mergesort")
-        if left.empty or right.empty:
-            return pd.DataFrame(
-                {c: pd.Series(dtype=df[c].dtype) for c in left_cols + right_cols}
+    def join_group(t: pa.Table) -> pa.Table:
+        _warn_hot_key(t.num_rows, "asof_join_backward", hot_key_warn_rows)
+        lmask = pc.equal(t["_side"], 0)
+        lt = t.filter(lmask)
+        rt = t.filter(pc.invert(lmask))
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            return out_schema.empty_table()
+        # sort right by (_t, tiebreak) ascending: searchsorted side='right'
+        # then lands on the max-tiebreak row among equal timestamps
+        rt = rt.take(
+            pc.sort_indices(
+                rt, sort_keys=[("_t", "ascending"), (tiebreak, "ascending")]
             )
-        merged = pd.merge_asof(
-            left[["_t"] + left_cols],
-            right[["_t"] + right_cols],
-            on="_t",
-            direction="backward",  # greatest right_ts <= left_ts; among equal
-            # timestamps merge_asof keeps the LAST right row, which the sort
-            # above makes the max-tiebreak one — deterministic
         )
-        merged = merged.dropna(subset=[right_cols[0]])  # inner semantics
-        for c in right_cols:  # undo merge_asof's NaN-driven float upcast
-            merged[c] = merged[c].astype(right[c].dtype)
-        return merged[left_cols + right_cols]
+        rts = _ts_to_i64(rt["_t"])
+        lts = _ts_to_i64(lt["_t"])
+        # greatest right_ts <= left_ts (inclusive backward as-of)
+        idx = np.searchsorted(rts, lts, side="right") - 1
+        matched = idx >= 0
+        lt = lt.filter(pa.array(matched))
+        ridx = pa.array(idx[matched])
+        arrays = [lt[c] for c in left_cols] + [rt[c].take(ridx) for c in right_cols]
+        return pa.Table.from_arrays(arrays, schema=out_schema)
 
-    return both.groupby("_k").map_groups(join_group, batch_format="pandas")
+    return both.groupby("_k").map_groups(join_group, batch_format="pyarrow")
 
 
 def range_join_count(
@@ -103,6 +146,7 @@ def range_join_count(
     left_cols: list[str],
     window_us: int,
     out_col: str = "n_in_window",
+    hot_key_warn_rows: int = HOT_KEY_WARN_ROWS,
 ):
     """Trailing-window range join, reduced to a count: for every left row,
     how many right rows share its key with ``left_ts - window < right_ts <=
@@ -114,9 +158,10 @@ def range_join_count(
     ``searchsorted`` probes over the sorted right timestamps — O((l+r) log r)
     per key, never the O(l·r) interval blow-up.  Every left row is kept
     (count 0 when no right rows match)."""
-    import numpy as np
-
     ltypes = dict(zip(left_ds.schema().names, left_ds.schema().types))
+    out_schema = pa.schema(
+        [(c, ltypes[c]) for c in left_cols] + [(out_col, pa.int64())]
+    )
 
     def tag_left(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -140,19 +185,17 @@ def range_join_count(
         right_ds.map_batches(tag_right, batch_format="pyarrow")
     )
 
-    def count_group(df: pd.DataFrame) -> pd.DataFrame:
-        left = df[df._side == 0]
-        if left.empty:
-            return pd.DataFrame(
-                {**{c: pd.Series(dtype=df[c].dtype) for c in left_cols},
-                 out_col: pd.Series(dtype="int64")}
-            )
-        rts = np.sort(df[df._side == 1]["_t"].to_numpy().astype("datetime64[us]").astype("int64"))
-        lts = left["_t"].to_numpy().astype("datetime64[us]").astype("int64")
+    def count_group(t: pa.Table) -> pa.Table:
+        _warn_hot_key(t.num_rows, "range_join_count", hot_key_warn_rows)
+        lmask = pc.equal(t["_side"], 0)
+        lt = t.filter(lmask)
+        if lt.num_rows == 0:
+            return out_schema.empty_table()
+        rts = np.sort(_ts_to_i64(t.filter(pc.invert(lmask))["_t"]))
+        lts = _ts_to_i64(lt["_t"])
         hi = np.searchsorted(rts, lts, side="right")
         lo = np.searchsorted(rts, lts - window_us, side="right")
-        out = left[left_cols].copy()
-        out[out_col] = (hi - lo).astype("int64")
-        return out
+        arrays = [lt[c] for c in left_cols] + [pa.array((hi - lo).astype("int64"))]
+        return pa.Table.from_arrays(arrays, schema=out_schema)
 
-    return both.groupby("_k").map_groups(count_group, batch_format="pandas")
+    return both.groupby("_k").map_groups(count_group, batch_format="pyarrow")
