@@ -506,11 +506,8 @@ def _docs_with_neardups(sf_dir: str):
         out_i, out_t = list(ids), [x or "" for x in texts]
         for i, x in zip(ids, texts):
             if i % 20 == 0:  # every 20th doc gets a near-dup twin
-                words = (x or "").split()
-                if len(words) > 10:
-                    words[5] = "mutated"
                 out_i.append(i + 1_000_000)
-                out_t.append(" ".join(words))
+                out_t.append(_twin_text(x))
         return pa.Table.from_arrays(
             [pa.array(out_i, pa.int64()), pa.array(out_t, pa.string())],
             names=["doc_id", "text"],
@@ -519,8 +516,45 @@ def _docs_with_neardups(sf_dir: str):
     return ds.map_batches(mutate, batch_format="pyarrow")
 
 
+def _twin_text(x: str | None) -> str:
+    """The deterministic near-dup twin of a document (shared between the
+    corpus derivation and the pushdown candidate fetch)."""
+    words = (x or "").split()
+    if len(words) > 10:
+        words[5] = "mutated"
+    return " ".join(words)
+
+
+def _neardup_fetch_fn(sf_dir: str):
+    """Predicate-pushdown candidate-text fetch for the derived twin corpus:
+    point-reads ONLY the candidate ids' base rows from documents.parquet
+    (row-group pruning via ``pc.field(...).isin``) and regenerates twin text
+    with :func:`_twin_text` — never a second full corpus scan (VERDICT r2
+    #6; same pattern as curation.py's fetch_candidate_texts)."""
+    path = _t(sf_dir, "documents")
+
+    def fetch(ids):
+        import pyarrow.dataset as pads
+
+        base = sorted({i - 1_000_000 if i >= 1_000_000 else int(i) for i in ids})
+        tbl = pads.dataset(path, format="parquet").to_table(
+            columns=["doc_id", "text"],
+            filter=pc.field("doc_id").isin(base),
+        )
+        m = dict(zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()))
+        return {
+            int(i): (_twin_text(m.get(int(i) - 1_000_000))
+                     if i >= 1_000_000 else (m.get(int(i)) or ""))
+            for i in ids
+        }
+
+    return fetch
+
+
 def minhash_neardup(sf_dir: str):
-    return neardup.minhash_neardup_pairs(_docs_with_neardups(sf_dir), threshold=0.8)
+    return neardup.minhash_neardup_pairs(
+        _docs_with_neardups(sf_dir), threshold=0.8, fetch_fn=_neardup_fetch_fn(sf_dir)
+    )
 
 
 def simhash_neardup(sf_dir: str):
@@ -528,7 +562,9 @@ def simhash_neardup(sf_dir: str):
 
 
 def ngram_jaccard_neardup(sf_dir: str):
-    return neardup.ngram_jaccard_pairs(_docs_with_neardups(sf_dir), threshold=0.5)
+    return neardup.ngram_jaccard_pairs(
+        _docs_with_neardups(sf_dir), threshold=0.5, fetch_fn=_neardup_fetch_fn(sf_dir)
+    )
 
 
 def embedding_neardup(sf_dir: str):
@@ -605,7 +641,9 @@ def minhash_planted_neardup(sf_dir: str):
     docs, or ≥50-word docs where one mutated word moves J by only a few
     percent) must ALL surface — DuckDB reproduces that subset exactly.
     The full pair list stays rows-only (LSH is not SQL-expressible)."""
-    pairs = neardup.minhash_neardup_pairs(_docs_with_neardups(sf_dir), threshold=0.8)
+    pairs = neardup.minhash_neardup_pairs(
+        _docs_with_neardups(sf_dir), threshold=0.8, fetch_fn=_neardup_fetch_fn(sf_dir)
+    )
     return _planted_subset(pairs, _planted_ids(sf_dir, min_long_words=50))
 
 
@@ -625,7 +663,9 @@ def ngram_planted_neardup(sf_dir: str):
     threshold 0.5, EVERY planted twin is ≥ threshold by construction
     (w ≤ 10 → identical; w ≥ 11 → J = (w-5)/(w+1) ≥ 0.5), so the oracle is
     the full planted set."""
-    pairs = neardup.ngram_jaccard_pairs(_docs_with_neardups(sf_dir), threshold=0.5)
+    pairs = neardup.ngram_jaccard_pairs(
+        _docs_with_neardups(sf_dir), threshold=0.5, fetch_fn=_neardup_fetch_fn(sf_dir)
+    )
     return _planted_subset(pairs, _planted_ids(sf_dir))
 
 
@@ -639,7 +679,9 @@ def neardup_clusters(sf_dir: str):
     """LSH pairs → connected components → per-doc cluster id (rows-only;
     planted twins must share a cluster — asserted in pytest)."""
     docs = _docs_with_neardups(sf_dir)
-    pairs = neardup.minhash_neardup_pairs(docs, threshold=0.8)
+    pairs = neardup.minhash_neardup_pairs(
+        docs, threshold=0.8, fetch_fn=_neardup_fetch_fn(sf_dir)
+    )
     return neardup.cluster_pairs(docs, pairs)
 
 
@@ -1151,7 +1193,11 @@ def register_json_normalize(sf_dir: str):
     cust = rd.read_parquet(
         _t(sf_dir, "customer"), columns=["c_custkey", "c_name", "c_acctbal"]
     ).to_pandas()
-    key = stable_hash64(f"{sf_dir}|register_json|v1")
+    # cache key includes a fingerprint of the source parquet (size+mtime) so
+    # regenerating testdata in place can never feed a stale cached register
+    src = _t(sf_dir, "customer")
+    st = os.stat(src)
+    key = stable_hash64(f"{sf_dir}|register_json|v1|{st.st_size}|{st.st_mtime_ns}")
     path = f"/tmp/iocr_register_{key:016x}.json"
     if not os.path.exists(path):
         lines = []
@@ -1496,7 +1542,15 @@ def registry() -> dict:
         "events_range_join_orders": events_range_join_orders,
         "docs_stratified_sample": docs_stratified_sample,
         "dedup_incremental": dedup_incremental,
-        # rows-only (non-SQL-expressible)
+        "minhash_planted_neardup": minhash_planted_neardup,
+        "ngram_planted_neardup": ngram_planted_neardup,
+        # rows-only (non-SQL-expressible).  Registry order matters: the
+        # driver runs entries in order with a global time budget, and in r2
+        # the last three fell off with no CORRECTNESS row — so the cheap
+        # rows-only entries (and the three truncated in r2) run BEFORE the
+        # expensive neardup family, which goes last.
+        "lang_id_documents": lang_id_documents,
+        "fuzzy_reconcile_demo": fuzzy_reconcile_demo,
         "reconcile_manual_link": reconcile_manual_link,
         "flagship_summary": flagship_summary,
         "spans_exploded": spans_exploded,
@@ -1505,8 +1559,7 @@ def registry() -> dict:
         "media_audio_features": media_audio_features,
         "flagship_verdicts": flagship_verdicts,
         "ann_ivf_topk": ann_ivf_topk,
-        "minhash_planted_neardup": minhash_planted_neardup,
-        "ngram_planted_neardup": ngram_planted_neardup,
+        "curate_corpus": curate_corpus,
         # simhash/embedding planted recall is genuinely probabilistic (bit
         # votes / hyperplane sign flips) — they stay rows-only with analytic
         # pytest coverage instead of a partial oracle
@@ -1515,7 +1568,4 @@ def registry() -> dict:
         "ngram_jaccard_neardup": ngram_jaccard_neardup,
         "embedding_neardup": embedding_neardup,
         "neardup_clusters": neardup_clusters,
-        "curate_corpus": curate_corpus,
-        "lang_id_documents": lang_id_documents,
-        "fuzzy_reconcile_demo": fuzzy_reconcile_demo,
     }

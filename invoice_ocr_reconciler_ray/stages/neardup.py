@@ -180,6 +180,7 @@ def minhash_neardup_pairs(
     bands: int = 16,
     shingle_k: int = 5,
     threshold: float = 0.8,
+    fetch_fn=None,
 ):
     """Dataset(docs) → Dataset(id_a, id_b, similarity) of verified near-dups.
 
@@ -189,7 +190,9 @@ def minhash_neardup_pairs(
     carries only (band_key, doc_id, signature); candidates are prefiltered by
     the MinHash-estimated Jaccard (matching signature fraction) with a 4-sigma
     slack under the threshold, then exact-verified on text fetched just for
-    the surviving candidate ids (see :func:`_verify_pairs_exact`).
+    the surviving candidate ids (see :func:`_verify_pairs_exact`).  Pass
+    ``fetch_fn(ids) -> {id: text}`` (e.g. a predicate-pushdown parquet point
+    read) to avoid the fallback second corpus scan for that text.
     """
     def sig_batch(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
@@ -212,6 +215,7 @@ def minhash_neardup_pairs(
         bands=bands,
         shingle_k=shingle_k,
         threshold=threshold,
+        fetch_fn=fetch_fn,
     )
 
 
@@ -351,12 +355,16 @@ def simhash_neardup_pairs(
     return _dedup_pairs_driver(pairs)
 
 
-def ngram_jaccard_pairs(ds, *, text_col="text", id_col="doc_id", n: int = 3, threshold: float = 0.5):
+def ngram_jaccard_pairs(
+    ds, *, text_col="text", id_col="doc_id", n: int = 3, threshold: float = 0.5,
+    fetch_fn=None,
+):
     """Word n-gram Jaccard near-dup — bucketing key = rarest-first sampled
     n-grams (each doc emits a few anchor n-grams; docs sharing an anchor are
     candidates).  The anchor shuffle carries only (anchor, doc_id) — never
     text; exact word-n-gram Jaccard is verified on text fetched just for the
-    candidate ids (:func:`_verify_pairs_exact`)."""
+    candidate ids (:func:`_verify_pairs_exact`; pass ``fetch_fn`` for a
+    predicate-pushdown point read instead of the fallback corpus re-scan)."""
 
     def anchors(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
@@ -398,6 +406,7 @@ def ngram_jaccard_pairs(ds, *, text_col="text", id_col="doc_id", n: int = 3, thr
         text_col=text_col,
         set_fn=lambda t: word_ngrams(t, n),
         threshold=threshold,
+        fetch_fn=fetch_fn,
     )
 
 
