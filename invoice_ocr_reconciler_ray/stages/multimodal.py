@@ -129,6 +129,14 @@ class ImageFeatures:
     def _decode(self, payload: bytes) -> np.ndarray:
         if payload[: len(_IMG_MAGIC)] == _IMG_MAGIC:
             return _decode_fake_image(payload)
+        from ..functions.png import PNG_MAGIC, decode_png
+
+        if payload[: len(PNG_MAGIC)] == PNG_MAGIC:
+            try:  # real stdlib PNG decode (functions/png.py)
+                return decode_png(payload)
+            except ValueError:
+                if self._backend != "pil":  # unsupported variant, no PIL
+                    raise
         if self._backend == "pil":
             import io
 
