@@ -492,6 +492,22 @@ def ann_ivf_topk(sf_dir: str):
     return ivf_topk(ds, qids, qmat, k=10)
 
 
+def ann_ivf_exact_fullprobe(sf_dir: str):
+    """Partial ORACLE for the IVF pipeline (VERDICT r2 #7): with ``nprobe =
+    n_centroids`` every centroid is probed, so the pruning filter provably
+    passes every row and IVF must equal exact brute force — DuckDB's exact
+    top-k SQL checks the ENTIRE IVF machinery (centroid sample, per-row
+    assignment, probe-set pruning, partial top-k, final rank).  Recall at
+    nprobe < n_centroids remains the documented approximation, asserted in
+    pytest."""
+    qids, qmat = _query_vectors(sf_dir)
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return ivf_topk(ds, qids, qmat, k=10, n_centroids=16, nprobe=16)
+
+
+ANN_IVF_EXACT_FULLPROBE_SQL = ANN_COSINE_TOPK_SQL
+
+
 # -------------------------------------------------- near-dup suite (rows-only)
 
 def _docs_with_neardups(sf_dir: str):
@@ -1462,6 +1478,7 @@ ORACLE_SQL: dict[str, str] = {
     "token_counts": TOKEN_COUNTS_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "ann_cosine_topk": ANN_COSINE_TOPK_SQL,
+    "ann_ivf_exact_fullprobe": ANN_IVF_EXACT_FULLPROBE_SQL,
     "docs_by_lang_salted": DOCS_BY_LANG_SALTED_SQL,
     "orders_page": ORDERS_PAGE_SQL,
     "register_csv_normalize": REGISTER_CSV_NORMALIZE_SQL,
@@ -1524,6 +1541,7 @@ def registry() -> dict:
         "token_counts": token_counts,
         "text_quality": text_quality,
         "ann_cosine_topk": ann_cosine_topk,
+        "ann_ivf_exact_fullprobe": ann_ivf_exact_fullprobe,
         "docs_by_lang_salted": docs_by_lang_salted,
         "orders_page": orders_page,
         "register_csv_normalize": register_csv_normalize,

@@ -179,6 +179,28 @@ def test_ivf_topk_recall():
         assert qi in a
 
 
+def test_ivf_fullprobe_equals_bruteforce():
+    """nprobe = n_centroids ⇒ the probe-set filter passes every row and the
+    IVF pipeline must reproduce exact brute force bit-for-bit — the analytic
+    basis of the ann_ivf_exact_fullprobe oracle (VERDICT r2 #7)."""
+    rng = np.random.RandomState(29)
+    emb = rng.standard_normal((250, 16))
+    ds = rd.from_items([{"vec_id": i, "embedding": emb[i].tolist()} for i in range(250)])
+    q = emb[:3]
+    exact = (
+        brute_force_topk(ds, [0, 1, 2], q, k=10)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    full = (
+        ivf_topk(ds, [0, 1, 2], q, k=10, n_centroids=8, nprobe=8)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert full.equals(exact)
+    assert dict(full.dtypes.astype(str)) == {
+        "query_id": "int64", "vec_id": "int64", "sim": "float64", "rank": "int64",
+    }
+
+
 def test_lang_id_heuristic():
     assert lang_id("the cat is on the mat and it is happy to be there")[0] == "en"
     assert lang_id("el perro está en la casa y no quiere salir de la habitación porque es feliz")[0] == "es"
