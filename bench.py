@@ -163,17 +163,25 @@ def run_bench(headline_only: bool = False) -> dict:
         side_ds=rd.read_parquet(pages_dir, columns=["url", "warc_ts", "html"]).limit(2000),
     ).write_parquet("/tmp/iocr_warm_out")
 
+    # ≥3 timed repeats, report the MEDIAN: this VM's clocks swing run-to-run
+    # (BASELINE.md controls: 0.52–1.17), so a single window conflates host
+    # noise with engine changes (the r1→r2 driver "regression" was exactly
+    # that).  CLAUDE.md mandates repeat-≥3 for scaling; applied to the
+    # headline too (VERDICT r2 #4).
     out_dir = "/tmp/iocr_bench_out"
-    shutil.rmtree(out_dir, ignore_errors=True)
-    t0 = time.perf_counter()
-    verdicts = flagship(
-        rd.read_parquet(pages_dir, override_num_blocks=nblocks),
-        side_ds=rd.read_parquet(
-            pages_dir, columns=["url", "warc_ts", "html"], override_num_blocks=nblocks
-        ),
-    )
-    verdicts.write_parquet(out_dir)
-    headline = time.perf_counter() - t0
+    repeats: list[float] = []
+    for _rep in range(int(os.environ.get("GRAFT_BENCH_REPEATS", "5"))):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        verdicts = flagship(
+            rd.read_parquet(pages_dir, override_num_blocks=nblocks),
+            side_ds=rd.read_parquet(
+                pages_dir, columns=["url", "warc_ts", "html"], override_num_blocks=nblocks
+            ),
+        )
+        verdicts.write_parquet(out_dir)
+        repeats.append(round(time.perf_counter() - t0, 3))
+    headline = sorted(repeats)[len(repeats) // 2]
 
     q_times: dict[str, float] = {}
     reg = registry()
@@ -191,6 +199,7 @@ def run_bench(headline_only: bool = False) -> dict:
     result = {
         "metric": "flagship_extract_reconcile",
         "value": round(headline, 3),
+        "repeats": repeats,
         "unit": "sec",
         "queries": q_times,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
@@ -264,7 +273,13 @@ def run_scaling() -> dict:
     ensure_pages_cache_subprocess()
     results = {}
     for ncpu in (n, n4):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # 3 in-run repeats per level (median) keeps one scaling run bounded;
+        # repeat whole runs for cross-run evidence (BASELINE.md methodology)
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_BENCH_REPEATS=os.environ.get("GRAFT_BENCH_REPEATS", "3"),
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--headline-only"],
             env=env,
