@@ -1,0 +1,107 @@
+"""Mergeable sketches — HyperLogLog distinct counting and Misra-Gries
+heavy hitters, implemented from their published descriptions (Flajolet et
+al. 2007 "HyperLogLog"; Misra & Gries 1982; Agarwal et al. 2012 "Mergeable
+Summaries").
+
+Both sketches are COMMUTATIVE-MERGE summaries: per-block partials combine
+in any order to the same state, so a Ray pipeline can build them with
+``map_batches`` partials and a driver (or tree) merge with no shuffle and
+bit-deterministic results at any parallelism — the property the scaling
+invariant (identical output across cluster sizes) demands of any sketch
+used at 100 TB.
+
+HLL notes: ``p``-bit register index (default p=12 → 4096 registers,
+~1.6 % standard error), 64-bit content hashes (``stable_hash64``), the
+classic bias-corrected estimator with linear counting below 2.5·m.  The
+register array is the merge state (elementwise max).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .hashing import stable_hash64
+
+HLL_P = 12
+HLL_M = 1 << HLL_P
+
+
+def hll_empty(p: int = HLL_P) -> np.ndarray:
+    return np.zeros(1 << p, dtype=np.uint8)
+
+
+def hll_add_hashes(reg: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+    """Fold 64-bit hashes into the register array (vectorized).  The top
+    ``p`` bits pick the register; the rank is 1 + leading-zero count of the
+    remaining 64-p bits (capped at 64-p+1 for the all-zero suffix)."""
+    p = int(np.log2(len(reg)))
+    h = hashes.astype(np.uint64)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = (h << np.uint64(p)) | ((np.uint64(1) << np.uint64(p)) - np.uint64(1))
+    # exact vectorized leading-zero count by binary descent (rest is never 0:
+    # its low p bits are forced to 1)
+    v = rest.copy()
+    lz = np.zeros(len(v), dtype=np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        m = v < (np.uint64(1) << np.uint64(64 - s))
+        lz[m] += s
+        v[m] = v[m] << np.uint64(s)
+    rank = (lz + 1).astype(np.uint8)
+    np.maximum.at(reg, idx, rank)
+    return reg
+
+
+def hll_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.maximum(a, b)
+
+
+def hll_estimate(reg: np.ndarray) -> float:
+    m = float(len(reg))
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-reg.astype(np.float64)))
+    zeros = int(np.count_nonzero(reg == 0))
+    if est <= 2.5 * m and zeros:
+        return m * np.log(m / zeros)  # linear counting, small range
+    return float(est)
+
+
+def hll_hash_strings(values: list) -> np.ndarray:
+    return np.array(
+        [stable_hash64("" if v is None else str(v), salt="hll") for v in values],
+        dtype=np.uint64,
+    )
+
+
+# --------------------------------------------------------------- Misra-Gries
+
+def mg_summarize(items: list[str], k: int) -> dict[str, int]:
+    """One-pass Misra-Gries summary with at most ``k`` counters: every
+    element with true frequency > n/(k+1) is guaranteed present; stored
+    counts undercount by at most the total decrement."""
+    c: dict[str, int] = {}
+    for x in items:
+        if x in c:
+            c[x] += 1
+        elif len(c) < k:
+            c[x] = 1
+        else:
+            dead = [y for y in c if c[y] == 1]
+            for y in c:
+                c[y] -= 1
+            for y in dead:
+                del c[y]
+    return c
+
+
+def mg_merge(summaries: list[dict[str, int]], k: int) -> dict[str, int]:
+    """Merge MG summaries (Agarwal et al. 2012): add counters, then subtract
+    the (k+1)-th largest count from all and drop non-positive — the result
+    is a valid MG summary of the concatenated stream (error bounds add)."""
+    total: dict[str, int] = {}
+    for s in summaries:
+        for t, n in s.items():
+            total[t] = total.get(t, 0) + n
+    if len(total) <= k:
+        return total
+    cut = sorted(total.values(), reverse=True)[k]
+    return {t: n - cut for t, n in total.items() if n - cut > 0}

@@ -1616,6 +1616,33 @@ GROUP BY 1
 
 
 
+# ------------------------------------------------------------------ sketches
+
+def events_hll_users(sf_dir: str):
+    """HyperLogLog approximate COUNT(DISTINCT user_id) over events — a
+    mergeable per-block sketch with a commutative max-merge, so the estimate
+    is bit-deterministic at any parallelism (rows-only; the ±1.6 % error
+    bound vs exact is asserted in pytest)."""
+    from ..stages.sketch_stats import approx_distinct
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id"])
+    return approx_distinct(ds, "user_id")
+
+
+def heavy_hitter_terms(sf_dir: str):
+    """Misra-Gries heavy-hitter terms over documents (k=20) — per-block MG
+    summaries + the mergeable-summaries driver merge.  Counts are lower
+    bounds and depend on block boundaries, so the read pins a fixed block
+    count for run-to-run determinism; the superset guarantee (every term
+    with frequency > n/(k+1) surfaces) holds at any parallelism (pytest)."""
+    from ..stages.sketch_stats import heavy_hitter_terms as hh
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "documents"), columns=["text"], override_num_blocks=8
+    )
+    return hh(ds, k=20)
+
+
 ORACLE_SQL: dict[str, str] = {
     "pricing_summary": PRICING_SUMMARY_SQL,
     "monthly_orders": MONTHLY_ORDERS_SQL,
@@ -1741,6 +1768,8 @@ def registry() -> dict:
         "media_image_features": media_image_features,
         "media_frame_sample": media_frame_sample,
         "media_audio_features": media_audio_features,
+        "events_hll_users": events_hll_users,
+        "heavy_hitter_terms": heavy_hitter_terms,
         "flagship_verdicts": flagship_verdicts,
         "ann_ivf_topk": ann_ivf_topk,
         "curate_corpus": curate_corpus,
