@@ -1616,6 +1616,274 @@ GROUP BY 1
 
 
 
+# --------------------------------------------------- per-key window functions
+
+def events_user_cumsum(sf_dir: str):
+    """Running total per key (SUM OVER PARTITION BY … ORDER BY …): one
+    groupby(key) co-partition, per-group sort + vectorized cumsum.  Money is
+    integer cents (half-up) so the running sum is integer-exact and
+    order-stable on both sides (CLAUDE.md money-oracle discipline)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def cum(g: pa.Table) -> pa.Table:
+        s = g.take(
+            pc.sort_indices(
+                g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+            )
+        )
+        cents = np.floor(
+            s["value"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                s["event_id"],
+                s["user_id"],
+                pa.array(np.cumsum(cents), pa.int64()),
+            ],
+            names=["event_id", "user_id", "cum_cents"],
+        )
+
+    return ds.groupby("user_id").map_groups(cum, batch_format="pyarrow")
+
+
+EVENTS_USER_CUMSUM_SQL = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+         AS cum_cents
+FROM events
+"""
+
+
+def events_time_deltas(sf_dir: str):
+    """lag() — time since the previous event of the same user (µs; first
+    event per user → NULL).  Same co-partition + per-group sort shape."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+
+    def delta(g: pa.Table) -> pa.Table:
+        s = g.take(
+            pc.sort_indices(
+                g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+            )
+        )
+        us = s["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        d = np.empty(len(us), dtype=np.float64)
+        d[0] = np.nan
+        d[1:] = (us[1:] - us[:-1]).astype(np.float64)
+        return pa.Table.from_arrays(
+            [
+                s["event_id"],
+                s["user_id"],
+                pa.array(d, from_pandas=True).cast(pa.int64()),  # NaN → null
+            ],
+            names=["event_id", "user_id", "delta_us"],
+        )
+
+    return ds.groupby("user_id").map_groups(delta, batch_format="pyarrow")
+
+
+EVENTS_TIME_DELTAS_SQL = """
+SELECT event_id, user_id,
+       CAST(epoch_us(ts) - lag(epoch_us(ts))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS delta_us
+FROM events
+"""
+
+
+def events_user_type_diversity(sf_dir: str):
+    """COUNT(DISTINCT …) per group: block-local (user, type) dedup partials
+    (pyarrow group_by) shrink the shuffle to |user×type| rows, then one
+    groupby counts distinct types per user."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "event_type"])
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        return (
+            pa.Table.from_arrays(
+                [t["user_id"], t["event_type"]], names=["user_id", "event_type"]
+            )
+            .group_by(["user_id", "event_type"])
+            .aggregate([])
+        )
+
+    def count_types(g: pa.Table) -> pa.Table:
+        n = len(set(g["event_type"].to_pylist()))
+        return pa.Table.from_arrays(
+            [g["user_id"].slice(0, 1), pa.array([n], pa.int64())],
+            names=["user_id", "n_types"],
+        )
+
+    return (
+        ds.map_batches(distinct_pairs, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(count_types, batch_format="pyarrow")
+    )
+
+
+EVENTS_USER_TYPE_DIVERSITY_SQL = """
+SELECT user_id, COUNT(DISTINCT event_type) AS n_types FROM events GROUP BY 1
+"""
+
+
+def orders_median_by_priority(sf_dir: str):
+    """Per-group exact median (quantile_disc 0.5 semantics: the element at
+    1-based rank ceil(n/2) of the sorted group).  Groups here are few and
+    bounded (5 priorities) so a per-group sort in map_groups is the right
+    shape; an unbounded group would use stages/quantiles.exact_quantiles
+    per partition instead."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderpriority", "o_totalprice"]
+    )
+
+    def med(g: pa.Table) -> pa.Table:
+        v = np.sort(g["o_totalprice"].to_numpy(zero_copy_only=False))
+        m = v[int(np.ceil(0.5 * len(v))) - 1]
+        return pa.Table.from_arrays(
+            [g["o_orderpriority"].slice(0, 1), pa.array([float(m)], pa.float64())],
+            names=["o_orderpriority", "median_price"],
+        )
+
+    return ds.groupby("o_orderpriority").map_groups(med, batch_format="pyarrow")
+
+
+ORDERS_MEDIAN_BY_PRIORITY_SQL = """
+SELECT o_orderpriority, quantile_disc(o_totalprice, 0.5) AS median_price
+FROM orders GROUP BY 1
+"""
+
+
+# ------------------------------------------- outer join / pivot / group top-k
+
+def customer_order_counts(sf_dir: str):
+    """LEFT-OUTER aggregate (customers with zero orders kept): per-block
+    partial order counts merged O(|custkeys|) on the driver, broadcast once,
+    probed from the customer side — the shuffle-free left-join shape for a
+    fact-side pre-aggregation."""
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey"])
+
+    def part(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_custkey").aggregate([("o_custkey", "count")])
+        return g.rename_columns(["o_custkey", "n"])
+
+    parts = list(
+        orders.map_batches(part, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    if parts:
+        merged = pa.concat_tables(parts).group_by("o_custkey").aggregate([("n", "sum")])
+        cref = ray.put(
+            {
+                "keys": merged.column("o_custkey").combine_chunks(),
+                "n": merged.column("n_sum").combine_chunks(),
+            }
+        )
+    else:
+        cref = ray.put({"keys": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
+
+    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey"])
+
+    def probe(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        idx = pc.index_in(t["c_custkey"], value_set=c["keys"])
+        n = pc.fill_null(pc.take(c["n"], idx), 0)
+        return pa.Table.from_arrays(
+            [t["c_custkey"], pc.cast(n, pa.int64())], names=["c_custkey", "n_orders"]
+        )
+
+    return cust.map_batches(probe, batch_format="pyarrow")
+
+
+CUSTOMER_ORDER_COUNTS_SQL = """
+SELECT c.c_custkey, COUNT(o.o_custkey) AS n_orders
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY 1
+"""
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot_types(sf_dir: str):
+    """Pivot / cross-tab: user-bucket × event-type counts as one wide row
+    per bucket.  Block-local vectorized pivot partials (pyarrow group_by)
+    then a 5-column Sum merge — the shuffle carries |buckets| rows."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "event_type"])
+
+    def part(t: pa.Table) -> pa.Table:
+        bucket = pa.array(
+            t["user_id"].to_numpy(zero_copy_only=False) % 10, pa.int64()
+        )
+        base = pa.Table.from_arrays([bucket, t["event_type"]], names=["bucket", "et"])
+        g = base.group_by(["bucket", "et"]).aggregate([("et", "count")])
+        buckets = g.column("bucket")
+        ets = g.column("et").to_pylist()
+        counts = g.column("et_count").to_pylist()
+        rows: dict[int, dict[str, int]] = {}
+        for b, e, n in zip(buckets.to_pylist(), ets, counts):
+            rows.setdefault(int(b), {})[e] = int(n)
+        bs = sorted(rows)
+        arrays = [pa.array(bs, pa.int64())] + [
+            pa.array([rows[b].get(e, 0) for b in bs], pa.int64()) for e in _EVENT_TYPES
+        ]
+        return pa.Table.from_arrays(
+            arrays, names=["bucket"] + [f"n_{e}" for e in _EVENT_TYPES]
+        )
+
+    aggs = [Sum(f"n_{e}", alias_name=f"n_{e}") for e in _EVENT_TYPES]
+    return ds.map_batches(part, batch_format="pyarrow").groupby("bucket").aggregate(*aggs)
+
+
+EVENTS_PIVOT_TYPES_SQL = """
+SELECT user_id % 10 AS bucket,
+       COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS n_error,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+       COUNT(*) FILTER (WHERE event_type = 'view') AS n_view
+FROM events GROUP BY 1
+"""
+
+
+def docs_per_lang_longest(sf_dir: str):
+    """Top-3 per group by VALUE (longest docs per language, doc_id
+    tiebreak) — the window-function `row_number() OVER (PARTITION BY ...)`
+    shape as groupby().map_groups with a block-local pre-prune: each block
+    keeps only its own per-lang top-3 before the shuffle, so the exchange
+    carries ≤ 3·|langs| rows per block regardless of block size."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang", "n_chars"])
+
+    def prune(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values(["lang", "n_chars", "doc_id"], ascending=[True, False, True])
+        return pa.Table.from_pandas(df.groupby("lang").head(3), preserve_index=False)
+
+    def topk(g: pa.Table) -> pa.Table:
+        s = g.take(
+            pc.sort_indices(
+                g, sort_keys=[("n_chars", "descending"), ("doc_id", "ascending")]
+            )
+        ).slice(0, 3)
+        return s.append_column("rk", pa.array(range(1, s.num_rows + 1), pa.int64()))
+
+    return (
+        ds.map_batches(prune, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(topk, batch_format="pyarrow")
+    )
+
+
+DOCS_PER_LANG_LONGEST_SQL = """
+WITH r AS (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents)
+SELECT doc_id, lang, n_chars, rk FROM r WHERE rk <= 3
+"""
+
+
 # ------------------------------------------------------------------ sketches
 
 def events_hll_users(sf_dir: str):
@@ -1662,6 +1930,13 @@ ORACLE_SQL: dict[str, str] = {
     "text_quality": TEXT_QUALITY_SQL,
     "ann_cosine_topk": ANN_COSINE_TOPK_SQL,
     "ann_ivf_exact_fullprobe": ANN_IVF_EXACT_FULLPROBE_SQL,
+    "orders_median_by_priority": ORDERS_MEDIAN_BY_PRIORITY_SQL,
+    "events_user_cumsum": EVENTS_USER_CUMSUM_SQL,
+    "events_time_deltas": EVENTS_TIME_DELTAS_SQL,
+    "events_user_type_diversity": EVENTS_USER_TYPE_DIVERSITY_SQL,
+    "customer_order_counts": CUSTOMER_ORDER_COUNTS_SQL,
+    "events_pivot_types": EVENTS_PIVOT_TYPES_SQL,
+    "docs_per_lang_longest": DOCS_PER_LANG_LONGEST_SQL,
     "quality_flags_c4": QUALITY_FLAGS_C4_SQL,
     "chunk_dedup_docs": CHUNK_DEDUP_DOCS_SQL,
     "doc_tfidf_top3": DOC_TFIDF_TOP3_SQL,
@@ -1750,6 +2025,13 @@ def registry() -> dict:
         "dedup_incremental": dedup_incremental,
         "minhash_planted_neardup": minhash_planted_neardup,
         "ngram_planted_neardup": ngram_planted_neardup,
+        "orders_median_by_priority": orders_median_by_priority,
+        "events_user_cumsum": events_user_cumsum,
+        "events_time_deltas": events_time_deltas,
+        "events_user_type_diversity": events_user_type_diversity,
+        "customer_order_counts": customer_order_counts,
+        "events_pivot_types": events_pivot_types,
+        "docs_per_lang_longest": docs_per_lang_longest,
         "quality_flags_c4": quality_flags_c4,
         "chunk_dedup_docs": chunk_dedup_docs,
         "doc_tfidf_top3": doc_tfidf_top3,

@@ -1,0 +1,129 @@
+"""Left-outer aggregate, pivot, and per-group value top-k — analytic tests
+(the sf0.01 oracle comparison is the driver's job; these pin the invariants
+a hash-compare can miss: zero preservation, prune safety across blocks)."""
+
+import pyarrow as pa
+import ray.data as rd
+
+
+def test_customer_order_counts_keeps_zeros(ray_session, tmp_path):
+    cust = pa.table({"c_custkey": pa.array([1, 2, 3, 4], pa.int64())})
+    orders = pa.table({"o_custkey": pa.array([1, 1, 3], pa.int64())})
+    import pyarrow.parquet as pq
+
+    pq.write_table(cust, tmp_path / "customer.parquet")
+    pq.write_table(orders, tmp_path / "orders.parquet")
+    from invoice_ocr_reconciler_ray.pipelines.queries import customer_order_counts
+
+    out = (
+        customer_order_counts(str(tmp_path))
+        .to_pandas().set_index("c_custkey").n_orders.sort_index()
+    )
+    assert out.tolist() == [2, 0, 1, 0]
+    assert str(out.dtype) == "int64"
+
+
+def test_per_lang_topk_prune_is_lossless(ray_session, tmp_path):
+    """The block-local top-3 pre-prune must never drop a global top-3 row —
+    each lang's global winners are scattered one-per-file so every input
+    block sees only a slice of the truth."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from invoice_ocr_reconciler_ray.pipelines.queries import docs_per_lang_longest
+
+    os.makedirs(tmp_path / "documents.parquet")
+    # lang 'a': winners (n_chars 100, 99, 98) placed in 3 different files,
+    # decoys beside them; lang 'b': a 3-way tie broken by doc_id
+    for blk in range(3):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([blk, 100 + blk, 200 + blk], pa.int64()),
+                    "lang": ["a", "a", "b"],
+                    "n_chars": pa.array([100 - blk, 10 + blk, 50], pa.int64()),
+                }
+            ),
+            tmp_path / "documents.parquet" / f"part-{blk}.parquet",
+        )
+    out = docs_per_lang_longest(str(tmp_path)).to_pandas()
+    a = out[out.lang == "a"].sort_values("rk")
+    assert a.doc_id.tolist() == [0, 1, 2]
+    assert a.n_chars.tolist() == [100, 99, 98]
+    b = out[out.lang == "b"].sort_values("rk")
+    assert b.doc_id.tolist() == [200, 201, 202]  # 3-way tie → doc_id ASC
+
+
+def test_events_pivot_partial_merge(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    events = pa.table(
+        {
+            "user_id": pa.array([0, 10, 20, 1, 11, 0], pa.int64()),
+            "event_type": ["click", "click", "view", "error", "signup", "purchase"],
+        }
+    )
+    pq.write_table(events, tmp_path / "events.parquet")
+    from invoice_ocr_reconciler_ray.pipelines.queries import events_pivot_types
+
+    out = events_pivot_types(str(tmp_path)).to_pandas().set_index("bucket").sort_index()
+    assert out.loc[0].tolist() == [2, 0, 1, 0, 1]  # users 0,10,20 fold to bucket 0
+    assert out.loc[1].tolist() == [0, 1, 0, 1, 0]
+    assert list(out.columns) == ["n_click", "n_error", "n_purchase", "n_signup", "n_view"]
+
+
+def test_events_user_cumsum_and_deltas(ray_session, tmp_path):
+    """Running totals restart per key and follow (ts, event_id) order; lag
+    deltas are null on each key's first event — int-exact on both."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from invoice_ocr_reconciler_ray.pipelines.queries import (
+        events_time_deltas,
+        events_user_cumsum,
+    )
+
+    t0 = pd.Timestamp("2024-01-01")
+    events = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "user_id": pa.array([7, 7, 7, 8, 8], pa.int64()),
+            "ts": pa.array(
+                [t0, t0, t0 + pd.Timedelta(seconds=5), t0, t0 + pd.Timedelta(seconds=2)]
+            ),
+            "value": pa.array([1.25, 2.0, 3.0, 10.0, 0.004], pa.float64()),
+        }
+    )
+    pq.write_table(events, tmp_path / "events.parquet")
+
+    cs = events_user_cumsum(str(tmp_path)).to_pandas().set_index("event_id")
+    # 1.25 → 125 cents, then +200, +300; user 8 restarts
+    assert cs.loc[1].cum_cents == 125  # tie on ts → event_id order
+    assert cs.loc[2].cum_cents == 325
+    assert cs.loc[3].cum_cents == 625
+    assert cs.loc[4].cum_cents == 1000
+    assert cs.loc[5].cum_cents == 1000  # 0.004 → 0 cents
+    assert str(cs.cum_cents.dtype) == "int64"
+
+    d = events_time_deltas(str(tmp_path)).to_pandas().set_index("event_id")
+    assert pd.isna(d.loc[1].delta_us) and pd.isna(d.loc[4].delta_us)
+    assert d.loc[2].delta_us == 0  # same-ts tie, next in event_id order
+    assert d.loc[3].delta_us == 5_000_000
+    assert d.loc[5].delta_us == 2_000_000
+
+
+def test_events_user_type_diversity(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from invoice_ocr_reconciler_ray.pipelines.queries import events_user_type_diversity
+
+    events = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+            "event_type": ["click", "click", "view", "error"],
+        }
+    )
+    pq.write_table(events, tmp_path / "events.parquet")
+    out = events_user_type_diversity(str(tmp_path)).to_pandas().set_index("user_id")
+    assert out.loc[1].n_types == 2 and out.loc[2].n_types == 1
