@@ -88,6 +88,129 @@ def _edit_distance(a: str, b: str) -> int:
     return int(prev[m])
 
 
+def pack_strings(strings: list[str]):
+    """Pack strings into (uint32 codepoint matrix, int64 lengths) for
+    :func:`levenshtein_many`.  Padding uses a sentinel no real codepoint
+    equals, and padded columns can never affect a row's result — the DP
+    reads its answer at column ``lens[r]`` and information only flows
+    left→right."""
+    import numpy as np
+
+    lens = np.array([len(s) for s in strings], dtype=np.int64)
+    m = max(1, int(lens.max()) if len(lens) else 1)
+    mat = np.full((len(strings), m), 0xFFFFFFFF, dtype=np.uint32)
+    for r, s in enumerate(strings):
+        if s:
+            mat[r, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    return mat, lens
+
+
+#: per-process workspace buffers for levenshtein_many, keyed by matrix shape
+#: (register shapes are few and stable within a task; Ray tasks are
+#: single-threaded so no locking is needed)
+_LEV_WS: dict = {}
+
+
+def levenshtein_many(a: str, mat, lens):
+    """Exact Levenshtein distance from ``a`` to EVERY packed string at once
+    — the row recurrence of :func:`_edit_distance` vectorized over the
+    string axis (R×M matrix per DP step instead of R separate Python DPs).
+    Bit-identical to per-pair ``_edit_distance``; built for broadcast-lookup
+    stages where one probe scores against a whole register.  int32 state +
+    reused out= buffers keep the per-step cost memory-bandwidth-bound."""
+    import numpy as np
+
+    R, M = mat.shape
+    ws = _LEV_WS.get((R, M))
+    if ws is None:
+        ws = {
+            "idx": np.arange(M + 1, dtype=np.int32),
+            "prev": np.empty((R, M + 1), np.int32),
+            "u": np.empty((R, M + 1), np.int32),
+            "t1": np.empty((R, M), np.int32),
+            "t2": np.empty((R, M), np.int32),
+            "neq": np.empty((R, M), bool),
+            "w": np.empty((R, M + 1), np.int32),
+        }
+        _LEV_WS[(R, M)] = ws
+    idx, prev, u = ws["idx"], ws["prev"], ws["u"]
+    t1, t2, neq, w = ws["t1"], ws["t2"], ws["neq"], ws["w"]
+    prev[:] = idx
+    A = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32)
+    for i in range(1, len(A) + 1):
+        np.add(prev[:, 1:], 1, out=t1)
+        np.not_equal(mat, A[i - 1], out=neq)
+        np.add(prev[:, :-1], neq, out=t2, casting="unsafe")
+        np.minimum(t1, t2, out=u[:, 1:])
+        u[:, 0] = i
+        np.subtract(u, idx, out=w)
+        np.minimum.accumulate(w, axis=1, out=w)
+        np.add(w, idx, out=prev)
+    return prev[np.arange(R), lens]
+
+
+def pack_myers(strings: list[str]):
+    """Pack strings for :func:`myers_distance_many` (Myers, J. ACM 1999 —
+    bit-parallel Levenshtein, implemented from the published algorithm).
+
+    Returns ``None`` when any string exceeds 64 characters (callers fall
+    back to :func:`levenshtein_many`); otherwise a dict with the per-
+    character position-mask table ``peq[c][r]`` (bit p set ⇔ strings[r][p]
+    == c), lengths, and each row's high-bit mask.  Bits at or above a row's
+    length never influence lower bits (carries/shifts only propagate
+    upward), so one shared 64-bit lane per row is exact for every length."""
+    import numpy as np
+
+    R = len(strings)
+    lens = np.array([len(s) for s in strings], dtype=np.uint64)
+    if R and int(lens.max()) > 64:
+        return None
+    peq: dict[str, object] = {}
+    for r, s in enumerate(strings):
+        for p, ch in enumerate(s):
+            if ch not in peq:
+                peq[ch] = np.zeros(R, dtype=np.uint64)
+            peq[ch][r] |= np.uint64(1) << np.uint64(p)
+    one = np.uint64(1)
+    hibit = np.where(lens > 0, one << (lens - one), np.uint64(0))
+    pv0 = np.where(
+        lens >= np.uint64(64),
+        ~np.uint64(0),
+        (one << lens) - one,
+    )
+    return {"peq": peq, "lens": lens, "hibit": hibit, "pv0": pv0, "R": R}
+
+
+def myers_distance_many(a: str, packed: dict):
+    """Exact Levenshtein distance from ``a`` to every packed string at once
+    — one vectorized Myers step per character of ``a`` (~14 word ops over a
+    length-R uint64 vector), versus an O(M) DP row per character.  Equal to
+    :func:`_edit_distance` bit-for-bit (property-tested)."""
+    import numpy as np
+
+    peq, lens, hibit, pv0 = packed["peq"], packed["lens"], packed["hibit"], packed["pv0"]
+    R = packed["R"]
+    zero = np.zeros(R, dtype=np.uint64)
+    one = np.uint64(1)
+    Pv = pv0.copy()
+    Mv = zero.copy()
+    score = lens.astype(np.int64).copy()
+    for ch in a:
+        Eq = peq.get(ch, zero)
+        Xv = Eq | Mv
+        Xh = (((Eq & Pv) + Pv) ^ Pv) | Eq
+        Ph = Mv | ~(Xh | Pv)
+        Mh = Pv & Xh
+        score += (Ph & hibit) != 0
+        score -= (Mh & hibit) != 0
+        Ph = (Ph << one) | one
+        Mh = Mh << one
+        Pv = Mh | ~(Xv | Ph)
+        Mv = Ph & Xv
+    score[lens == 0] = len(a)  # empty pattern: distance is |a|
+    return score
+
+
 def token_set_ratio(a: str, b: str) -> float:
     """Jaccard similarity of whitespace token sets in [0,1]."""
     sa, sb = set(a.split()), set(b.split())

@@ -26,7 +26,14 @@ import pyarrow as pa
 import ray
 
 from ..config import DEFAULT_RECONCILE, ReconcileConfig
-from ..functions.similarity import levenshtein_ratio, rel_tolerance_match
+from ..functions.similarity import (
+    levenshtein_many,
+    levenshtein_ratio,
+    myers_distance_many,
+    pack_myers,
+    pack_strings,
+    rel_tolerance_match,
+)
 
 
 def _norm_vendor(name: str) -> str:
@@ -41,7 +48,10 @@ def _norm_vendor(name: str) -> str:
 def _propose_batch(batch: pa.Table, reg_ref, cfg: ReconcileConfig) -> pa.Table:
     """Per-invoice: fuzzy candidates from the broadcast register, best
     proposal + duplicate flag.  Emits one row per invoice."""
-    reg = ray.get(reg_ref)  # list of dicts: id, vendor_norm, expected_amount
+    packed = ray.get(reg_ref)  # {"rows": [...], "mat", "lens", "ids", "myers"}
+    reg = packed["rows"]  # list of dicts: id, vendor_norm, expected_amount
+    regmat, reglens, reg_ids = packed["mat"], packed["lens"], packed["ids"]
+    myers = packed["myers"]
     ids = batch.column("id").to_pylist()
     vendors = batch.column("vendor_name").to_pylist()
     amounts = batch.column("total_amount").to_pylist()
@@ -75,17 +85,40 @@ def _propose_batch(batch: pa.Table, reg_ref, cfg: ReconcileConfig) -> pa.Table:
         nv = _norm_vendor(vend)
         nv_len = len(nv)
         amt = float(amt or 0.0)
-        scored = []
-        for r in reg:
-            # exact prune: edit distance >= |len(a)-len(b)|, so a length gap
-            # over the 0.4 gate can never score in — skips the O(n*m) DP
-            rl = r["vendor_len"]
-            if abs(nv_len - rl) > 0.4 * (nv_len if nv_len > rl else rl):
-                continue
-            vs = 1.0 - levenshtein_ratio(nv, r["vendor_norm"], cfg.max_edit_chars)
-            if vs <= 0.4:  # ≙ Fuse threshold 0.4 (reconciliationEngine.js:56)
-                scored.append((vs, r))
-        scored.sort(key=lambda t: (t[0], t[1]["id"]))
+        # batched exact DP: one numpy recurrence scores nv against EVERY
+        # register name at once (functions/similarity.levenshtein_many) —
+        # R× fewer Python-level DPs than the per-pair loop.  vs = dist /
+        # max(len) ≡ 1 - levenshtein_ratio for names under max_edit_chars
+        # (vendor names always are; the rare long name falls back below).
+        if nv_len <= cfg.max_edit_chars and reg:
+            import numpy as np
+
+            # Myers bit-parallel when every register name fits a 64-bit
+            # word (always, for vendor names); DP-row batch otherwise —
+            # both bit-identical to the scalar DP
+            if myers is not None:
+                dists = myers_distance_many(nv, myers)
+            else:
+                dists = levenshtein_many(nv, regmat, reglens)
+            denom = np.maximum(np.maximum(reglens, nv_len), 1)
+            vs_arr = dists / denom
+            # ≙ Fuse threshold 0.4 (reconciliationEngine.js:56); only the
+            # top-10 by (vs, id) are ever consumed downstream, so select
+            # them vectorized instead of materializing every candidate
+            cand = np.nonzero(vs_arr <= 0.4)[0]
+            if len(cand):
+                order = np.lexsort((reg_ids[cand], vs_arr[cand]))
+                scored = [(float(vs_arr[i]), reg[i]) for i in cand[order[:10]]]
+            else:
+                scored = []
+        else:
+            scored = []
+            for r in reg:
+                vs = 1.0 - levenshtein_ratio(nv, r["vendor_norm"], cfg.max_edit_chars)
+                if vs <= 0.4:
+                    scored.append((vs, r))
+            scored.sort(key=lambda t: (t[0], t[1]["id"]))
+            scored = scored[:10]
         if not scored:
             sugg = [
                 r["id"]
@@ -175,7 +208,15 @@ def fuzzy_reconcile(invoices_ds, register_rows: list[dict], cfg: ReconcileConfig
                 "expected_amount": float(r.get("expected_amount", 0) or 0),
             }
         )
-    reg_ref = ray.put(reg)
+    # pack the register names once for the batched DP (broadcast with rows)
+    import numpy as np
+
+    names = [r["vendor_norm"] for r in reg]
+    mat, lens = pack_strings(names)
+    ids_np = np.array([r["id"] for r in reg])
+    reg_ref = ray.put(
+        {"rows": reg, "mat": mat, "lens": lens, "ids": ids_np, "myers": pack_myers(names)}
+    )
     proposals = invoices_ds.map_batches(
         lambda b: _propose_batch(b, reg_ref, cfg), batch_format="pyarrow"
     )

@@ -85,3 +85,44 @@ def test_combined_distance_weights():
     assert combined_distance("same text", "same text") == 0.0
     d = combined_distance("a b", "a c")
     assert 0.0 < d < 1.0
+
+
+def test_batched_and_bitparallel_levenshtein_match_scalar_dp():
+    """levenshtein_many (vectorized DP rows) and myers_distance_many
+    (Myers 1999 bit-parallel) must equal the scalar DP bit-for-bit on
+    random strings, including empty strings and the 64-char word edge."""
+    import random
+
+    import numpy as np
+
+    from invoice_ocr_reconciler_ray.functions.similarity import (
+        _edit_distance,
+        levenshtein_many,
+        myers_distance_many,
+        pack_myers,
+        pack_strings,
+    )
+
+    rng = random.Random(7)
+    for _trial in range(60):
+        R = rng.randint(1, 25)
+        strs = [
+            "".join(rng.choice("abcde") for _ in range(rng.randint(0, 20)))
+            for _ in range(R)
+        ]
+        a = "".join(rng.choice("abcde") for _ in range(rng.randint(0, 25)))
+        want = np.array(
+            [
+                max(len(a), len(s))
+                if not a or not s
+                else _edit_distance(*sorted([a, s], key=len))
+                for s in strs
+            ]
+        )
+        mat, lens = pack_strings(strs)
+        assert (levenshtein_many(a, mat, lens) == want).all()
+        assert (myers_distance_many(a, pack_myers(strs)) == want).all()
+    # word-boundary edge + the >64 fallback signal
+    p = pack_myers(["x" * 64, "y" * 64, ""])
+    assert myers_distance_many("x" * 64, p).tolist() == [0, 64, 64]
+    assert pack_myers(["z" * 65]) is None
