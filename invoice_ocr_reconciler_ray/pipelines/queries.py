@@ -1884,6 +1884,55 @@ SELECT doc_id, lang, n_chars, rk FROM r WHERE rk <= 3
 """
 
 
+# --------------------------------------------------------------- bucketed join
+
+def orders_customer_bucketed_join(sf_dir: str):
+    """Shuffle-free co-located join over hash-bucketed storage
+    (stages/bucketing.py): both tables are written once as
+    ``bucket=<h(key) % N>`` parquet layouts (cache fingerprinted on the
+    source files), then one Ray task per bucket joins its two co-located
+    slices with a local pyarrow hash join — the 100 TB pattern for a join
+    key reused across many runs.  Oracle: the plain SQL join."""
+    import os
+
+    from ..functions.hashing import stable_hash64
+    from ..stages.bucketing import bucketed_join, write_bucketed
+
+    n_buckets = 8
+    sts = [os.stat(_t(sf_dir, t)) for t in ("orders", "customer")]
+    fp = stable_hash64(
+        "|".join(f"{s.st_size}:{s.st_mtime_ns}" for s in sts) + f"|{sf_dir}|b{n_buckets}"
+    )
+    root = f"/tmp/iocr_buckets_{fp:016x}"
+    if not os.path.exists(os.path.join(root, "_DONE")):
+        write_bucketed(
+            rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"]),
+            key_col="o_custkey",
+            n_buckets=n_buckets,
+            out_dir=os.path.join(root, "orders"),
+        )
+        write_bucketed(
+            rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_name"]),
+            key_col="c_custkey",
+            n_buckets=n_buckets,
+            out_dir=os.path.join(root, "customer"),
+        )
+        open(os.path.join(root, "_DONE"), "w").close()
+    return bucketed_join(
+        os.path.join(root, "orders"),
+        os.path.join(root, "customer"),
+        n_buckets=n_buckets,
+        key_left="o_custkey",
+        key_right="c_custkey",
+    ).select_columns(["o_orderkey", "c_name"])
+
+
+ORDERS_CUSTOMER_BUCKETED_JOIN_SQL = """
+SELECT o.o_orderkey, c.c_name
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+"""
+
+
 # ------------------------------------------------------------------ sketches
 
 def events_hll_users(sf_dir: str):
@@ -1931,6 +1980,7 @@ ORACLE_SQL: dict[str, str] = {
     "ann_cosine_topk": ANN_COSINE_TOPK_SQL,
     "ann_ivf_exact_fullprobe": ANN_IVF_EXACT_FULLPROBE_SQL,
     "orders_median_by_priority": ORDERS_MEDIAN_BY_PRIORITY_SQL,
+    "orders_customer_bucketed_join": ORDERS_CUSTOMER_BUCKETED_JOIN_SQL,
     "events_user_cumsum": EVENTS_USER_CUMSUM_SQL,
     "events_time_deltas": EVENTS_TIME_DELTAS_SQL,
     "events_user_type_diversity": EVENTS_USER_TYPE_DIVERSITY_SQL,
@@ -2026,6 +2076,7 @@ def registry() -> dict:
         "minhash_planted_neardup": minhash_planted_neardup,
         "ngram_planted_neardup": ngram_planted_neardup,
         "orders_median_by_priority": orders_median_by_priority,
+        "orders_customer_bucketed_join": orders_customer_bucketed_join,
         "events_user_cumsum": events_user_cumsum,
         "events_time_deltas": events_time_deltas,
         "events_user_type_diversity": events_user_type_diversity,

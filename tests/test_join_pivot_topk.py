@@ -127,3 +127,38 @@ def test_events_user_type_diversity(ray_session, tmp_path):
     pq.write_table(events, tmp_path / "events.parquet")
     out = events_user_type_diversity(str(tmp_path)).to_pandas().set_index("user_id")
     assert out.loc[1].n_types == 2 and out.loc[2].n_types == 1
+
+
+def test_bucketed_join_colocated(ray_session, tmp_path):
+    """write_bucketed + bucketed_join == plain join, including buckets that
+    are empty on one or both sides (schema files keep readers alive)."""
+    import numpy as np
+    import ray.data as rd
+
+    from invoice_ocr_reconciler_ray.stages.bucketing import (
+        bucket_of,
+        bucketed_join,
+        write_bucketed,
+    )
+
+    n_buckets = 16  # >> distinct keys → some buckets provably empty
+    left = rd.from_arrow(
+        pa.table({"k": pa.array([1, 1, 2, 3], pa.int64()),
+                  "lv": pa.array([10, 11, 20, 30], pa.int64())})
+    )
+    right = rd.from_arrow(
+        pa.table({"k2": pa.array([1, 2, 4], pa.int64()),
+                  "rv": ["a", "b", "d"]})
+    )
+    write_bucketed(left, key_col="k", n_buckets=n_buckets, out_dir=str(tmp_path / "L"))
+    write_bucketed(right, key_col="k2", n_buckets=n_buckets, out_dir=str(tmp_path / "R"))
+    out = bucketed_join(
+        str(tmp_path / "L"), str(tmp_path / "R"),
+        n_buckets=n_buckets, key_left="k", key_right="k2",
+    ).to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)
+    assert out[["k", "lv", "rv"]].values.tolist() == [
+        [1, 10, "a"], [1, 11, "a"], [2, 20, "b"]
+    ]
+    # alignment property: identical keys hash to identical buckets
+    ks = np.array([1, 2, 3, 4], dtype=np.int64)
+    assert (bucket_of(ks, n_buckets) == bucket_of(ks.copy(), n_buckets)).all()
