@@ -78,7 +78,17 @@ def media_table_from_documents(batch: pa.Table) -> pa.Table:
         kind = ("image", "audio", "video")[d % 3]
         if kind == "image":
             h, w = 16 + d % 48, 16 + (d * 3) % 48
-            payload = fake_image(d, h, w)
+            if d % 6 == 0:
+                # every other image row is a REAL spec-valid PNG of the same
+                # deterministic pixels — the pipeline exercises the genuine
+                # codec path (functions/png.py) at scale, and features are
+                # identical either way (PNG is lossless)
+                from ..functions.png import encode_png
+
+                px = _keystream(d, h * w * 3).reshape(h, w, 3)
+                payload = encode_png(px)
+            else:
+                payload = fake_image(d, h, w)
             meta = f'{{"h":{h},"w":{w},"c":3}}'
         elif kind == "audio":
             sr, n = 8000, 1000 + (d % 7) * 500
@@ -109,6 +119,19 @@ def _decode_fake_image(payload: bytes) -> np.ndarray:
     return np.frombuffer(payload, dtype=np.uint8, count=h * w * c, offset=off).reshape(
         h, w, c
     )
+
+
+def _decode_any_image(payload: bytes) -> np.ndarray:
+    """Fake-format or real PNG (functions/png.py) → uint8 array; always
+    (h, w, c)."""
+    if payload[: len(_IMG_MAGIC)] == _IMG_MAGIC:
+        return _decode_fake_image(payload)
+    from ..functions.png import PNG_MAGIC, decode_png
+
+    if payload[: len(PNG_MAGIC)] == PNG_MAGIC:
+        arr = decode_png(payload)
+        return arr[:, :, None] if arr.ndim == 2 else arr
+    raise ValueError("unknown image payload format")
 
 
 class ImageFeatures:
@@ -189,7 +212,7 @@ class ImageResize:
         for mid, payload in zip(
             batch.column("media_id").to_pylist(), batch.column("payload").to_pylist()
         ):
-            arr = _decode_fake_image(payload)
+            arr = _decode_any_image(payload)
             ys = (np.arange(self.out_h) * arr.shape[0] // self.out_h).astype(int)
             xs = (np.arange(self.out_w) * arr.shape[1] // self.out_w).astype(int)
             small = arr[np.ix_(ys, xs)]
