@@ -34,16 +34,20 @@ from ..config import DEFAULT_EXTRACT, ExtractConfig
 
 # --- tokenizer ------------------------------------------------------------
 
-# one scan: comments | CDATA | doctype/decls | tags | text runs
+# one scan: comments | CDATA | doctype/decls | named tags | other tags |
+# text runs.  Groups: (1) closing slash, (2) tag name, (3) text run — the
+# tag name is captured IN the scan so the hot loop never materializes the
+# full tag token or runs a second regex (same token boundaries as the
+# two-regex form: a tag ends at the first '>' and tolerates truncation).
 _TOKEN_RE = re.compile(
     r"<!--.*?(?:-->|\Z)"  # comment (tolerates truncation)
     r"|<!\[CDATA\[.*?(?:\]\]>|\Z)"  # CDATA
     r"|<[!?][^>]*>"  # doctype / processing instr
-    r"|<[^>]*>?"  # tag (tolerates unterminated final tag)
-    r"|[^<]+",  # text run
+    r"|<(/?)\s*([a-zA-Z][a-zA-Z0-9]*)[^>]*>?"  # named tag
+    r"|<[^>]*>?"  # other/malformed tag (ignored)
+    r"|([^<]+)",  # text run
     re.S,
 )
-_TAG_NAME_RE = re.compile(r"</?\s*([a-zA-Z][a-zA-Z0-9]*)")
 _WS_RE = re.compile(r"\s+")
 _CHARSET_RE = re.compile(
     rb"""charset\s*=\s*["']?\s*([A-Za-z0-9_\-]+)""", re.I
@@ -128,14 +132,14 @@ def tokenize_blocks(doc: str) -> tuple[list[Block], bool]:
     seen_main = False
     # hot loop: bind lookups once (measured ~1.2× on the tokenizer)
     unesc = _htmlmod.unescape
-    ws_sub = _WS_RE.sub
-    tag_match = _TAG_NAME_RE.match
     append_part = parts.append
 
     def flush() -> None:
         nonlocal n_words, n_link_words
         if parts:
-            text = ws_sub(" ", "".join(parts)).strip()
+            # " ".join(split()) ≡ \s+-collapse + strip (same whitespace
+            # class), at C speed
+            text = " ".join("".join(parts).split())
             if text:
                 blocks.append(
                     Block(text, cur_kind, n_words, n_link_words, boiler_depth > 0)
@@ -145,8 +149,8 @@ def tokenize_blocks(doc: str) -> tuple[list[Block], bool]:
         n_link_words = 0
 
     for m in _TOKEN_RE.finditer(doc):
-        tok = m.group()
-        if tok[0] != "<":
+        tok = m.group(3)
+        if tok is not None:  # text run
             if skip_depth == 0:
                 raw = unesc(tok) if "&" in tok else tok
                 w = len(raw.split())
@@ -158,18 +162,15 @@ def tokenize_blocks(doc: str) -> tuple[list[Block], bool]:
                 elif raw:
                     append_part(raw)  # pure-whitespace run still separates words
             continue
-        c1 = tok[1:2]
-        if c1 == "!" or c1 == "?":
+        name = m.group(2)
+        if name is None:  # comment / decl / malformed tag
             continue
-        tm = tag_match(tok)
-        if not tm:
-            continue
-        name = tm.group(1).lower()
-        closing = c1 == "/"
+        name = name.lower()
+        closing = m.group(1) == "/"
         if name in _SKIP_TAGS:
             if closing:
                 skip_depth = skip_depth - 1 if skip_depth else 0
-            elif not tok.endswith("/>"):
+            elif not m.group().endswith("/>"):
                 skip_depth += 1
             continue
         if skip_depth:
