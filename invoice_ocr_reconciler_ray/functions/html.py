@@ -149,7 +149,7 @@ def tokenize_blocks(doc: str) -> tuple[list[Block], bool]:
         n_link_words = 0
 
     for m in _TOKEN_RE.finditer(doc):
-        tok = m.group(3)
+        tok, name, slash = m.group(3, 2, 1)  # one C call for all groups
         if tok is not None:  # text run
             if skip_depth == 0:
                 raw = unesc(tok) if "&" in tok else tok
@@ -162,11 +162,10 @@ def tokenize_blocks(doc: str) -> tuple[list[Block], bool]:
                 elif raw:
                     append_part(raw)  # pure-whitespace run still separates words
             continue
-        name = m.group(2)
         if name is None:  # comment / decl / malformed tag
             continue
         name = name.lower()
-        closing = m.group(1) == "/"
+        closing = slash == "/"
         if name in _SKIP_TAGS:
             if closing:
                 skip_depth = skip_depth - 1 if skip_depth else 0

@@ -76,7 +76,9 @@ def quality_flags_stage(
     stop = frozenset(STOPWORDS)
 
     def f(batch: pa.Table) -> pa.Table:
-        t = pc.cast(batch.column(text_col), pa.large_string())
+        t = pc.fill_null(
+            pc.cast(batch.column(text_col), pa.large_string()), ""
+        )  # null text ≡ empty (poison-row discipline)
         nw = token_count(t).to_numpy(zero_copy_only=False)
         wc = pc.utf8_length(
             pc.replace_substring_regex(t, r"\s", "")

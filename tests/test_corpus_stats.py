@@ -115,3 +115,35 @@ def test_quality_flags_hand_check(ray_session):
     # doc 1: 13 words × 3 sentences; stopwords 'the' ×2 + 'a' ×1 each = 9/39
     assert out.loc[1].n_words == 39
     assert out.loc[1].stop_u == int(np.floor(9 * 1e6 / 39))
+
+
+def test_new_text_ops_tolerate_null_text(ray_session):
+    """Null/None text rows must flow through (0-metrics), never crash or
+    poison dtypes — the poison-row discipline of the extract stage applied
+    to the round-3 text operators."""
+    import pyarrow as pa
+
+    from invoice_ocr_reconciler_ray.stages.corpus_stats import (
+        chunk_dedup_stats,
+        tfidf_topk,
+    )
+    from invoice_ocr_reconciler_ray.stages.text_analysis import quality_flags_stage
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(["real words here", None, ""], pa.string()),
+            }
+        )
+    )
+    q = quality_flags_stage(docs).to_pandas().set_index("doc_id").sort_index()
+    assert q.loc[2].n_words == 0 and not q.loc[2].kept
+    assert q.loc[3].n_words == 0 and not q.loc[3].kept
+    assert str(q.n_words.dtype) == "int64"
+
+    c = chunk_dedup_stats(docs).to_pandas().set_index("doc_id").sort_index()
+    assert c.loc[2].tolist() == [0, 0] and c.loc[3].tolist() == [0, 0]
+
+    t = tfidf_topk(docs, k=2).to_pandas()
+    assert set(t.doc_id) == {1}  # only the real doc yields terms
