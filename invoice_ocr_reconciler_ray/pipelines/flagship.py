@@ -32,6 +32,7 @@ def flagship(
     *,
     dedup_strategy: str = "broadcast",
     side_ds=None,
+    side_narrow_ds=None,
 ):
     """pages Dataset → verdict Dataset (lazy main plan).
 
@@ -53,7 +54,11 @@ def flagship(
         )
     ext = extract_pages(pages_ds, cfg.extract)
     if dedup_strategy == "broadcast":
-        flagged = flag_duplicates_with_side(ext, side_ds if side_ds is not None else pages_ds)
+        flagged = flag_duplicates_with_side(
+            ext,
+            side_ds if side_ds is not None else pages_ds,
+            narrow_ds=side_narrow_ds,
+        )
     else:
         flagged = flag_duplicates(ext, strategy=dedup_strategy)
     return reconcile_pages(flagged, cfg.reconcile)

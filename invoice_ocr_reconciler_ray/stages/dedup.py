@@ -202,6 +202,7 @@ def flag_duplicates_with_side(
     ts_col: str = "warc_ts",
     hash_col: str = "content_hash",
     out_col: str = "is_duplicate",
+    narrow_ds=None,
 ):
     """Broadcast dedup where the winner map comes from ``side_ds`` — a cheap
     projection of the RAW input (so the expensive main plan runs once).
@@ -209,22 +210,64 @@ def flag_duplicates_with_side(
     ``main_ds`` must carry ``ts_col`` + ``hash_col`` (the extract stage emits
     ``content_hash``); ``side_ds`` must carry ``key_col``/``ts_col`` and a raw
     ``html`` column to hash.  Priorities on both sides use
-    :func:`priority_of`, so they agree byte-for-byte."""
+    :func:`priority_of`, so they agree byte-for-byte.
 
-    def side_pri(batch: pa.Table) -> pa.Table:
-        from .extract import content_hash_hex
+    Two-phase side scan (round-3): phase A counts keys over a NARROW
+    (key, ts) projection — pass ``narrow_ds`` as a column-pruned read so the
+    payload column never leaves storage for it — and only keys seen more
+    than once survive; phase B then hashes payloads ONLY for rows of those
+    dup keys (an ``is_in`` filter ahead of any hashing).  At realistic dup
+    rates that is ~3 % of the hashing/Python cost of the single-phase scan,
+    with a byte-identical winner map (min composite per dup key either
+    way)."""
 
-        ts_us = pc.cast(batch.column(ts_col), pa.int64()).to_pylist()
-        pris = [
-            priority_of(t, content_hash_hex(raw))
-            for t, raw in zip(ts_us, batch.column("html").to_pylist())
-        ]
-        return pa.Table.from_arrays(
-            [batch.column(key_col), pa.array(pris, pa.string())], names=[key_col, _COMPOSITE]
+    def cnt_partial(b: pa.Table) -> pa.Table:
+        g = (
+            pa.Table.from_arrays([b.column(key_col)], names=["k"])
+            .group_by("k")
+            .aggregate([("k", "count")])
         )
+        return g.rename_columns(["k", "n"])
 
-    side = side_ds.map_batches(side_pri, batch_format="pyarrow")
-    winners = compute_winner_map(side, key_col=key_col, pri_col=_COMPOSITE)
+    nds = narrow_ds if narrow_ds is not None else side_ds.select_columns([key_col, ts_col])
+    parts = list(
+        nds.map_batches(cnt_partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    if parts:
+        merged = pa.concat_tables(parts).group_by("k").aggregate([("n", "sum")])
+        dup_keys = (
+            merged.filter(pc.greater(merged.column("n_sum"), 1))
+            .column("k")
+            .combine_chunks()
+        )
+    else:
+        dup_keys = pa.array([], pa.string())
+
+    if len(dup_keys):
+        dk_ref = ray.put(dup_keys)
+
+        def side_pri(batch: pa.Table) -> pa.Table:
+            from .extract import content_hash_hex
+
+            batch = batch.filter(
+                pc.is_in(batch.column(key_col), value_set=ray.get(dk_ref))
+            )  # hash ONLY dup-key rows
+            ts_us = pc.cast(batch.column(ts_col), pa.int64()).to_pylist()
+            pris = [
+                priority_of(t, content_hash_hex(raw))
+                for t, raw in zip(ts_us, batch.column("html").to_pylist())
+            ]
+            return pa.Table.from_arrays(
+                [batch.column(key_col), pa.array(pris, pa.string())],
+                names=[key_col, _COMPOSITE],
+            )
+
+        side = side_ds.map_batches(side_pri, batch_format="pyarrow")
+        winners = compute_winner_map(side, key_col=key_col, pri_col=_COMPOSITE)
+    else:
+        winners = {}
     winners_ref = ray.put(winners_to_arrays(winners))
 
     def pri_probe(batch: pa.Table) -> pa.Table:
