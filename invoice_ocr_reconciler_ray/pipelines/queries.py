@@ -1960,6 +1960,226 @@ def heavy_hitter_terms(sf_dir: str):
     return hh(ds, k=20)
 
 
+# -------------------------------------------------- web-prep / training ops
+
+
+_REDACT_PAT = r"\b(spark|hash)\b"  # stand-in for a PII pattern (email/phone)
+_CONTAM_NEEDLES = (  # stand-in benchmark strings for decontamination
+    "key order sort",
+    "slow join sort",
+    "window window dup",
+)
+_CHUNK_W = 200  # training-window width, characters
+
+
+def docs_regex_redact(sf_dir: str):
+    """PII-style regex scrub over the corpus: every match of a compiled
+    pattern is replaced and counted, flag-don't-drop style (the pattern here
+    is a deterministic stand-in — swap in email/phone/SSN regexes for a real
+    scrub; both pyarrow and DuckDB run RE2, so ``\\b`` semantics agree).
+    Fully vectorized: one `replace_substring_regex` + one
+    `count_substring_regex` kernel per batch, no row loop."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def scrub(t: pa.Table) -> pa.Table:
+        hits = pc.cast(pc.count_substring_regex(t["text"], _REDACT_PAT), pa.int64())
+        red = pc.replace_substring_regex(t["text"], _REDACT_PAT, "[REDACTED]")
+        return pa.table({"doc_id": t["doc_id"], "redacted": red, "n_hits": hits})
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+DOCS_REGEX_REDACT_SQL = r"""
+SELECT doc_id,
+       regexp_replace(text, '\b(spark|hash)\b', '[REDACTED]', 'g') AS redacted,
+       CAST(len(regexp_extract_all(text, '\b(spark|hash)\b')) AS BIGINT) AS n_hits
+FROM documents
+"""
+
+
+def docs_decontaminate(sf_dir: str):
+    """Benchmark decontamination: flag documents containing any of a small
+    broadcast set of eval-set strings (the training-data hygiene step every
+    LLM pipeline runs before training).  The needle set is tiny and ships
+    with the task; each needle is one vectorized `match_substring` kernel —
+    at a real eval-suite's needle count you'd swap in an Aho-Corasick
+    automaton built once per actor, same plan shape."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def flag(t: pa.Table) -> pa.Table:
+        hits = None
+        for nd in _CONTAM_NEEDLES:
+            m = pc.cast(pc.match_substring(t["text"], nd), pa.int64())
+            hits = m if hits is None else pc.add(hits, m)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_hits": hits,
+                "contaminated": pc.greater(hits, 0),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
+DOCS_DECONTAMINATE_SQL = """
+SELECT doc_id,
+       CAST(contains(text, 'key order sort') AS BIGINT)
+     + CAST(contains(text, 'slow join sort') AS BIGINT)
+     + CAST(contains(text, 'window window dup') AS BIGINT) AS n_hits,
+       (contains(text, 'key order sort')
+     OR contains(text, 'slow join sort')
+     OR contains(text, 'window window dup')) AS contaminated
+FROM documents
+"""
+
+
+def docs_char_chunks(sf_dir: str):
+    """Fixed-window training-chunk explosion: each document becomes
+    ceil(len/W) rows of W-character chunks with a chunk index — the shape a
+    tokenize-and-pack stage consumes.  Vectorized as one `utf8_slice
+    codeunits` kernel per WINDOW INDEX (not per row): the loop runs
+    max_len/W times per batch, each iteration slicing the whole column."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def chunk(t: pa.Table) -> pa.Table:
+        txt = t["text"].combine_chunks()
+        doc_ids = t["doc_id"].combine_chunks()
+        lens = pc.utf8_length(txt)
+        max_len = pc.max(lens).as_py() or 0
+        parts = []
+        k = 0
+        while k * _CHUNK_W < max_len:
+            keep = pc.greater(lens, k * _CHUNK_W)
+            sl = pc.utf8_slice_codeunits(txt, k * _CHUNK_W, (k + 1) * _CHUNK_W).filter(
+                keep
+            )
+            ids = doc_ids.filter(keep)
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": ids,
+                        "chunk_idx": pa.array([k] * len(ids), pa.int64()),
+                        "chunk_text": sl,
+                        "chunk_len": pc.cast(pc.utf8_length(sl), pa.int64()),
+                    }
+                )
+            )
+            k += 1
+        if not parts:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "chunk_idx": pa.array([], pa.int64()),
+                    "chunk_text": pa.array([], pa.string()),
+                    "chunk_len": pa.array([], pa.int64()),
+                }
+            )
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(chunk, batch_format="pyarrow")
+
+
+DOCS_CHAR_CHUNKS_SQL = """
+SELECT doc_id,
+       unnest(range(len(cs))) AS chunk_idx,
+       unnest(cs) AS chunk_text,
+       CAST(length(unnest(cs)) AS BIGINT) AS chunk_len
+FROM (SELECT doc_id, regexp_extract_all(text, '.{1,200}', 0, 's') AS cs
+      FROM documents)
+"""
+
+
+def register_best_match(sf_dir: str):
+    """Exact fuzzy best-match with an integer-exact oracle: for every
+    customer name, the supplier whose normalized name has minimum
+    Levenshtein distance (tie -> lowest s_suppkey).  The register side is
+    broadcast once (`ray.put` of the Myers bit-parallel pack —
+    functions/similarity.py); each probe scores the WHOLE register in one
+    `myers_distance_many` call.  Distances are integers, so this is the
+    fuzzy-lookup kernel (stages/fuzzy.py J1) under a full value-exact DuckDB
+    `levenshtein()` oracle — the demo pipeline's float scoring stays
+    rows-only, the kernel itself is oracle-proven here."""
+    from ..functions.similarity import (
+        levenshtein_many,
+        myers_distance_many,
+        pack_myers,
+        pack_strings,
+    )
+
+    reg = (
+        rd.read_parquet(_t(sf_dir, "supplier"), columns=["s_suppkey", "s_name"])
+        .to_pandas()
+        .sort_values("s_suppkey")
+    )
+    names = [str(n).strip().lower() for n in reg["s_name"]]
+    keys = np.asarray(reg["s_suppkey"], dtype=np.int64)
+    my = pack_myers(names)  # None iff a register name exceeds 64 chars
+    packed = {
+        "myers": my,
+        "dp": pack_strings(names) if my is None else None,
+        "keys": keys,
+    }
+    ref = ray.put(packed)
+
+    def best(t: pa.Table) -> pa.Table:
+        p = ray.get(ref)
+        out_k, out_d = [], []
+        for nm in t["c_name"].to_pylist():
+            q = str(nm or "").strip().lower()
+            if p["myers"] is not None:
+                d = myers_distance_many(q, p["myers"])
+            else:  # register names exceed the 64-bit Myers lane: DP rows
+                mat, lens = p["dp"]
+                d = levenshtein_many(q, mat, lens)
+            m = int(d.min())
+            out_k.append(int(p["keys"][d == m].min()))
+            out_d.append(m)
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "best_suppkey": pa.array(out_k, pa.int64()),
+                "distance": pa.array(out_d, pa.int64()),
+            }
+        )
+
+    probes = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+    return probes.map_batches(best, batch_format="pyarrow")
+
+
+REGISTER_BEST_MATCH_SQL = """
+WITH scored AS (
+    SELECT c.c_custkey, s.s_suppkey,
+           levenshtein(lower(trim(c.c_name)), lower(trim(s.s_name))) AS d
+    FROM customer c CROSS JOIN supplier s
+)
+SELECT c_custkey, s_suppkey AS best_suppkey, CAST(d AS BIGINT) AS distance
+FROM (SELECT *, row_number() OVER (PARTITION BY c_custkey
+                                   ORDER BY d, s_suppkey) AS rn
+      FROM scored)
+WHERE rn = 1
+"""
+
+
+def docs_global_shuffle_rank(sf_dir: str):
+    """Deterministic training-order global shuffle (stages/rank.py): every
+    row's exact global position under ORDER BY (md5(id), id), computed with
+    one narrow hash pass + 256 driver-side bucket counters + one
+    bucket-grouped shuffle — no global sort, no driver collect."""
+    from ..stages.rank import global_rank
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    return global_rank(ds, id_col="doc_id")
+
+
+DOCS_GLOBAL_SHUFFLE_RANK_SQL = """
+SELECT doc_id,
+       row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+           AS pos
+FROM documents
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "pricing_summary": PRICING_SUMMARY_SQL,
     "monthly_orders": MONTHLY_ORDERS_SQL,
@@ -1992,6 +2212,11 @@ ORACLE_SQL: dict[str, str] = {
     "doc_tfidf_top3": DOC_TFIDF_TOP3_SQL,
     "orders_price_quantiles": ORDERS_PRICE_QUANTILES_SQL,
     "events_sliding_window": EVENTS_SLIDING_WINDOW_SQL,
+    "docs_regex_redact": DOCS_REGEX_REDACT_SQL,
+    "docs_decontaminate": DOCS_DECONTAMINATE_SQL,
+    "docs_char_chunks": DOCS_CHAR_CHUNKS_SQL,
+    "register_best_match": REGISTER_BEST_MATCH_SQL,
+    "docs_global_shuffle_rank": DOCS_GLOBAL_SHUFFLE_RANK_SQL,
     "docs_by_lang_salted": DOCS_BY_LANG_SALTED_SQL,
     "orders_page": ORDERS_PAGE_SQL,
     "register_csv_normalize": REGISTER_CSV_NORMALIZE_SQL,
@@ -2088,6 +2313,11 @@ def registry() -> dict:
         "doc_tfidf_top3": doc_tfidf_top3,
         "orders_price_quantiles": orders_price_quantiles,
         "events_sliding_window": events_sliding_window,
+        "docs_regex_redact": docs_regex_redact,
+        "docs_decontaminate": docs_decontaminate,
+        "docs_char_chunks": docs_char_chunks,
+        "register_best_match": register_best_match,
+        "docs_global_shuffle_rank": docs_global_shuffle_rank,
         # rows-only (non-SQL-expressible).  Registry order matters: the
         # driver runs entries in order with a global time budget, and in r2
         # the last three fell off with no CORRECTNESS row — so the cheap
