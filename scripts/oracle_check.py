@@ -28,6 +28,8 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
+            # binary columns (media payloads) are not utf-8: compare as hex
+            df[c] = df[c].map(lambda v: v.hex() if isinstance(v, bytes) else v)
             df[c] = df[c].astype(str)
         if str(df[c].dtype).startswith("bool"):
             df[c] = df[c].astype(bool)
