@@ -105,3 +105,75 @@ def mg_merge(summaries: list[dict[str, int]], k: int) -> dict[str, int]:
         return total
     cut = sorted(total.values(), reverse=True)[k]
     return {t: n - cut for t, n in total.items() if n - cut > 0}
+
+
+# ------------------------------------------------------------------- Bloom
+
+BLOOM_BITS = 1 << 20  # 128 KiB default; size ~16 bits/key for <0.05% FP
+BLOOM_K = 7
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain constant set) — the
+    uint64 avalanche used to turn integer keys into Bloom probe hashes."""
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def bloom_hash_keys(values, *, salt: str = "bloom") -> np.ndarray:
+    """Key column → uint64 probe hashes.  Integer arrays go through the
+    vectorized splitmix64; anything else through per-value blake2b."""
+    arr = np.asarray(values)
+    if arr.dtype.kind in "iu":
+        return splitmix64(arr)
+    return np.array(
+        [stable_hash64("" if v is None else str(v), salt=salt) for v in values],
+        dtype=np.uint64,
+    )
+
+
+def bloom_empty(n_bits: int = BLOOM_BITS) -> np.ndarray:
+    """Packed bitset (uint8).  ``n_bits`` must be a multiple of 8 and SHOULD
+    be a power of two (the double-hashing step stays full-period)."""
+    return np.zeros(n_bits // 8, dtype=np.uint8)
+
+
+def _bloom_positions(bits_len8: int, hashes: np.ndarray, k: int) -> np.ndarray:
+    """(k, n) bit positions via Kirsch-Mitzenmacher double hashing:
+    pos_i = (h1 + i*h2) mod m with h2 forced odd (full period for 2^p m)."""
+    n_bits = np.uint64(bits_len8 * 8)
+    h = hashes.astype(np.uint64)
+    h1 = h & np.uint64(0xFFFFFFFF)
+    h2 = (h >> np.uint64(32)) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)[:, None]
+    return ((h1[None, :] + i * h2[None, :]) % n_bits).astype(np.int64)
+
+
+def bloom_add_hashes(bits: np.ndarray, hashes: np.ndarray, k: int = BLOOM_K) -> np.ndarray:
+    if len(hashes):
+        pos = _bloom_positions(len(bits), hashes, k)
+        np.bitwise_or.at(
+            bits, pos >> 3, (np.uint8(1) << (pos & 7).astype(np.uint8))
+        )
+    return bits
+
+
+def bloom_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Partial Bloom bitsets over row subsets OR together to the exact
+    bitset of the union — the commutative-merge law that makes the sketch
+    buildable as map_batches partials with no shuffle."""
+    return np.bitwise_or(a, b)
+
+
+def bloom_contains_hashes(
+    bits: np.ndarray, hashes: np.ndarray, k: int = BLOOM_K
+) -> np.ndarray:
+    """bool[n] — True = maybe present (FP rate (1-e^{-kn/m})^k), False =
+    DEFINITELY absent (Bloom filters have no false negatives)."""
+    if not len(hashes):
+        return np.zeros(0, dtype=bool)
+    pos = _bloom_positions(len(bits), hashes, k)
+    hit = (bits[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
+    return hit.all(axis=0)

@@ -2180,6 +2180,123 @@ FROM documents
 """
 
 
+def term_postings(sf_dir: str):
+    """Inverted-index build — the retrieval/decontamination index shape:
+    tokenize per block, reduce to DISTINCT (term, doc_id) pairs block-locally
+    (the combiner — the shuffle carries the doc-term incidence, never raw
+    token occurrences), one ``groupby(term)`` shuffle, then each group emits
+    its sorted posting list.  Output (term, n_docs, postings) is the exact
+    index segment, verified against DuckDB ``string_agg``.  At 100 TB the
+    posting lists for stopword-grade terms are the skew risk — cap or
+    tier them (doc-frequency cutoff) exactly like `_cap_bucket` in the LSH
+    stage; the synthetic vocabulary here is small enough to keep whole."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        lst = pc.split_pattern_regex(
+            pc.utf8_lower(t["text"].combine_chunks()), pattern=r"[^a-z0-9]+"
+        )
+        terms = lst.flatten()
+        ids = t["doc_id"].combine_chunks().take(lst.value_parent_indices())
+        tbl = pa.table({"term": terms, "doc_id": ids})
+        tbl = tbl.filter(pc.not_equal(tbl["term"], ""))
+        return tbl.group_by(["term", "doc_id"]).aggregate([])
+
+    def plist(g: pa.Table) -> pa.Table:
+        ids = sorted(g["doc_id"].to_pylist())
+        return pa.table(
+            {
+                "term": pa.array([g["term"][0].as_py()], pa.string()),
+                "n_docs": pa.array([len(ids)], pa.int64()),
+                "postings": pa.array([",".join(map(str, ids))], pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("term")
+        .map_groups(plist, batch_format="pyarrow")
+    )
+
+
+TERM_POSTINGS_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT term, doc_id FROM (
+    SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term, doc_id
+    FROM documents)
+  WHERE term <> '')
+SELECT term, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM pairs GROUP BY term
+"""
+
+
+def dedup_incremental_bloom(sf_dir: str):
+    """Bloom-prefiltered incremental dedup with EXACT output (the production
+    scale path for `dedup_incremental`): the standing corpus's fingerprints
+    fold into a fixed-size Bloom bitset (per-block partial ORs, broadcast
+    once — `stages/dedup.py:bloom_flag_seen`); bloom-NEGATIVE rows are
+    definitely new (no false negatives) and bypass verification entirely;
+    only the maybe-seen sliver (dup rate + ~1e-5 FP) is exact-verified
+    against the prior key set.  Output therefore equals the EXISTS
+    semantics — same oracle as `dedup_incremental` — while the exact-verify
+    input shrinks to the sliver (at 100 TB: verify via a hash-partitioned
+    join on that sliver instead of this broadcast key set)."""
+    from ..stages.dedup import bloom_flag_seen, flag_seen_before
+    from ..stages.text_analysis import fingerprint_stage
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    fps = fingerprint_stage(docs).select_columns(["doc_id", "fp_md5"])
+    prior = fps.map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], 250)), batch_format="pyarrow"
+    )
+    new = fps.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["doc_id"], 250)), batch_format="pyarrow"
+    )
+    prior = prior.materialize()  # consumed twice: bloom build + sliver verify
+    maybe = bloom_flag_seen(new, prior, key_col="fp_md5")
+    sliver = maybe.map_batches(
+        lambda t: t.filter(t["maybe_seen"].combine_chunks()), batch_format="pyarrow"
+    )
+    verified = flag_seen_before(sliver, prior, key_col="fp_md5")
+
+    def negatives(t: pa.Table) -> pa.Table:
+        neg = t.filter(pc.invert(t["maybe_seen"].combine_chunks()))
+        return pa.table(
+            {
+                "doc_id": neg["doc_id"],
+                "seen_before": pa.array([False] * neg.num_rows, pa.bool_()),
+            }
+        )
+
+    return maybe.map_batches(negatives, batch_format="pyarrow").union(
+        verified.select_columns(["doc_id", "seen_before"])
+    )
+
+
+DEDUP_INCREMENTAL_BLOOM_SQL = """
+SELECT d.doc_id,
+       EXISTS (SELECT 1 FROM documents p
+               WHERE p.doc_id < 250 AND md5(p.text) = md5(d.text)) AS seen_before
+FROM documents d WHERE d.doc_id >= 250
+"""
+
+
+def embeddings_kmeans(sf_dir: str):
+    """Distributed Lloyd k-means over the embedding column
+    (stages/cluster.py): deterministic hash seeding, one shuffle-free pass
+    per iteration emitting fixed-point integer partial sums (bit-identical
+    centroids at any parallelism), broadcast centroid matrix.  Rows-only
+    (iterative — not SQL-expressible); the planted-label recovery and
+    cross-parallelism determinism are pytest-proven."""
+    from ..stages.cluster import kmeans
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    ).materialize()
+    return kmeans(ds, k=8, iters=8)
+
+
 ORACLE_SQL: dict[str, str] = {
     "pricing_summary": PRICING_SUMMARY_SQL,
     "monthly_orders": MONTHLY_ORDERS_SQL,
@@ -2217,6 +2334,8 @@ ORACLE_SQL: dict[str, str] = {
     "docs_char_chunks": DOCS_CHAR_CHUNKS_SQL,
     "register_best_match": REGISTER_BEST_MATCH_SQL,
     "docs_global_shuffle_rank": DOCS_GLOBAL_SHUFFLE_RANK_SQL,
+    "term_postings": TERM_POSTINGS_SQL,
+    "dedup_incremental_bloom": DEDUP_INCREMENTAL_BLOOM_SQL,
     "docs_by_lang_salted": DOCS_BY_LANG_SALTED_SQL,
     "orders_page": ORDERS_PAGE_SQL,
     "register_csv_normalize": REGISTER_CSV_NORMALIZE_SQL,
@@ -2318,6 +2437,9 @@ def registry() -> dict:
         "docs_char_chunks": docs_char_chunks,
         "register_best_match": register_best_match,
         "docs_global_shuffle_rank": docs_global_shuffle_rank,
+        "term_postings": term_postings,
+        "dedup_incremental_bloom": dedup_incremental_bloom,
+        "embeddings_kmeans": embeddings_kmeans,
         # rows-only (non-SQL-expressible).  Registry order matters: the
         # driver runs entries in order with a global time budget, and in r2
         # the last three fell off with no CORRECTNESS row — so the cheap

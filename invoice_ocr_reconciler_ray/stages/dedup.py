@@ -344,3 +344,58 @@ def flag_content_duplicates(ds, *, content_col: str = "extracted_text", **kw):
         **kw,
     )
     return flagged.drop_columns(["_content_key"])
+
+
+def bloom_flag_seen(
+    new_ds,
+    prior_ds,
+    *,
+    key_col: str,
+    out_col: str = "maybe_seen",
+    n_bits: int | None = None,
+    k: int = 7,
+):
+    """Constant-memory scale path for :func:`flag_seen_before`: the prior
+    corpus's keys fold into per-block PARTIAL Bloom bitsets (mergeable by
+    OR — ``functions/sketches.py:bloom_merge``), OR-merged on the driver,
+    broadcast ONCE, and probed vectorized per batch.
+
+    Contract: no false negatives — a key truly present in ``prior_ds`` is
+    always flagged; false positives at the standard ``(1-e^{-kn/m})^k``
+    rate (~1e-5 at the default 16 bits/key, k=7).  The broadcast payload is
+    ``n_bits/8`` bytes REGARDLESS of key count — at 100 TB this replaces
+    flag_seen_before's O(|distinct keys|) driver set with a fixed budget
+    (e.g. 2 GiB of bitset covers 10^9 keys at 16 bits/key); size ``n_bits``
+    to ≥16× the expected distinct-key count, power of two."""
+    from ..functions.sketches import (
+        BLOOM_BITS,
+        bloom_add_hashes,
+        bloom_contains_hashes,
+        bloom_empty,
+        bloom_hash_keys,
+        bloom_merge,
+    )
+
+    m = int(n_bits or BLOOM_BITS)
+
+    def partial(b: pa.Table) -> pa.Table:
+        bits = bloom_empty(m)
+        keys = b.column(key_col).to_numpy(zero_copy_only=False)
+        bloom_add_hashes(bits, bloom_hash_keys(keys), k)
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    merged = bloom_empty(m)
+    for part in prior_ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for raw in part.column("bits").to_pylist():
+            merged = bloom_merge(merged, np.frombuffer(raw, dtype=np.uint8))
+    bits_ref = ray.put(merged)
+
+    def probe(b: pa.Table) -> pa.Table:
+        bits = ray.get(bits_ref)
+        keys = b.column(key_col).to_numpy(zero_copy_only=False)
+        flags = bloom_contains_hashes(bits, bloom_hash_keys(keys), k)
+        return b.append_column(out_col, pa.array(flags, pa.bool_()))
+
+    return new_ds.map_batches(probe, batch_format="pyarrow")
