@@ -54,3 +54,11 @@ class RunManifest:
             for k in keys:
                 tot[k] += int(e.get(k, 0))
         return tot
+
+    def recent(self, n: int = 20) -> list[dict[str, Any]]:
+        """The n most recent completed runs, newest first (≙ T3: the
+        reference's session-history listing, server.js top-20 sessions) —
+        ordered by the deterministic run sequence number, never wall-clock."""
+        done = [e for e in self.entries() if e.get("status") == "done"]
+        done.sort(key=lambda e: (e.get("seq", 0), e.get("part_id", "")), reverse=True)
+        return done[:n]

@@ -119,3 +119,35 @@ def test_global_rank_tiny_and_skewed_buckets(ray_session):
     assert sorted(out["pos"]) == [0, 1, 2]
     expect = sorted([7, 3, 11], key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
     assert out.sort_values("pos")["doc_id"].tolist() == expect
+
+
+def test_orders_csv_export_roundtrip_matches_page(ray_session):
+    from invoice_ocr_reconciler_ray.pipelines.queries import orders_csv_export
+    from invoice_ocr_reconciler_ray.stages.report import paginated
+
+    got = (
+        orders_csv_export(SF)
+        .to_pandas()
+        .sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    want = paginated(
+        rd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderkey", "o_totalprice"]),
+        sort_keys=["o_totalprice", "o_orderkey"],
+        descending=[True, False],
+        limit=20,
+        offset=0,
+    ).to_pandas()
+    assert len(got) == 20
+    assert (got["o_orderkey"].to_numpy() == want["o_orderkey"].to_numpy()).all()
+    assert (got["o_totalprice"].to_numpy() == want["o_totalprice"].to_numpy()).all()
+
+
+def test_run_history_lists_newest_done_first(ray_session):
+    from invoice_ocr_reconciler_ray.pipelines.queries import run_history_top20
+
+    out = run_history_top20(SF).to_pandas()
+    assert len(out) == 20
+    assert out["seq"].tolist() == sorted(out["seq"], reverse=True)
+    # failed runs (every 5th) are excluded
+    assert all(s % 5 != 0 for s in out["seq"])
