@@ -2370,6 +2370,27 @@ def run_history_top20(sf_dir: str):
     )
 
 
+def training_export_demo(sf_dir: str):
+    """The composed end-to-end training-set export
+    (pipelines/training_export.py): curate → decontaminate → chunk →
+    deterministic global shuffle → sharded parquet + resume manifest.
+    Returns the per-shard row counts read back from the written output
+    (rows-only — the pipeline's own determinism/resume contracts are
+    pytest-proven)."""
+    import os
+
+    from ..functions.hashing import stable_hash64
+    from .training_export import export_training_set
+
+    st = os.stat(f"{sf_dir.rstrip('/')}/documents.parquet")
+    key = stable_hash64(f"{sf_dir}|export_demo|v1|{st.st_size}|{st.st_mtime_ns}")
+    out = f"/tmp/iocr_export_{key:016x}"
+    export_training_set(sf_dir, out)
+    shards = rd.read_parquet(os.path.join(out, "data"))
+    counts = shards.groupby("shard").count()
+    return counts.rename_columns({"count()": "n_chunks"})
+
+
 ORACLE_SQL: dict[str, str] = {
     "pricing_summary": PRICING_SUMMARY_SQL,
     "monthly_orders": MONTHLY_ORDERS_SQL,
@@ -2516,6 +2537,7 @@ def registry() -> dict:
         "embeddings_kmeans": embeddings_kmeans,
         "orders_csv_export": orders_csv_export,
         "run_history_top20": run_history_top20,
+        "training_export_demo": training_export_demo,
         # rows-only (non-SQL-expressible).  Registry order matters: the
         # driver runs entries in order with a global time budget, and in r2
         # the last three fell off with no CORRECTNESS row — so the cheap

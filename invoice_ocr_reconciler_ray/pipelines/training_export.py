@@ -1,0 +1,166 @@
+"""End-to-end training-set export — the composed pipeline a pretraining
+data team actually ships: curate (quality + exact dedup + near-dup) →
+decontaminate → fixed-window chunk → deterministic global shuffle →
+sharded parquet write with a resume manifest.
+
+Composition of already-verified stages (each oracle- or pytest-proven on
+its own): ``pipelines/curation.curate_documents`` (ONE fused corpus pass),
+the benchmark-needle scrub from ``pipelines/queries.docs_decontaminate``,
+the chunk explosion from ``docs_char_chunks``, and
+``stages/rank.global_rank`` for the reproducible training order.
+
+Scale shape:
+- keep-verdicts meet the corpus through ONE hash join on doc_id (both
+  sides co-partition; at 100 TB pre-bucket both sides with
+  ``stages/bucketing`` and the join is per-bucket local);
+- the shuffle-rank moves only (chunk_uid, md5) pairs;
+- output is ``shard=NN/`` partitioned parquet (round-robin on the global
+  position, so shards are size-balanced by construction) — a failed run
+  resumes by manifest: the export is atomic-per-directory and re-invoking
+  with the same inputs SKIPS completed work (tested).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..functions.hashing import stable_hash64
+from ..state.manifest import RunManifest
+
+#: chunk_uid = doc_id * 2^20 + chunk_idx — valid while docs stay under
+#: 2^20 chunks (= 200 MB of text at the 200-char window); guarded below.
+_CHUNK_SHIFT = 20
+
+
+def export_training_set(
+    sf_dir: str,
+    out_dir: str,
+    *,
+    chunk_w: int = 200,
+    n_shards: int = 8,
+    needles: tuple[str, ...] | None = None,
+) -> dict:
+    """Run the composed export; returns summary stats.  Idempotent: a
+    completed export (manifest status=done for this input fingerprint) is
+    never recomputed."""
+    from .curation import curate_documents
+    from .queries import _CONTAM_NEEDLES
+    from ..stages.rank import global_rank
+
+    needles = _CONTAM_NEEDLES if needles is None else needles
+    st = os.stat(f"{sf_dir.rstrip('/')}/documents.parquet")
+    fingerprint = f"{sf_dir}|{chunk_w}|{n_shards}|{st.st_size}|{st.st_mtime_ns}"
+    part_id = f"export-{stable_hash64(fingerprint):016x}"
+    manifest = RunManifest(out_dir)
+    for e in manifest.entries():
+        if e.get("part_id") == part_id and e.get("status") == "done":
+            return {k: e[k] for k in ("rows_in", "rows_out", "n_shards", "order_hash")}
+
+    verdicts = curate_documents(sf_dir).select_columns(["doc_id", "kept"])
+    docs = rd.read_parquet(
+        f"{sf_dir.rstrip('/')}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    rows_in = docs.count()
+    joined = docs.join(
+        verdicts, join_type="inner", num_partitions=8, on=("doc_id",)
+    )
+
+    def keep_and_chunk(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            t["kept"].combine_chunks(),
+            pc.invert(_contaminated(t["text"].combine_chunks(), needles)),
+        )
+        t = t.filter(keep)
+        txt = t["text"].combine_chunks()
+        doc_ids = t["doc_id"].combine_chunks()
+        langs = t["lang"].combine_chunks()
+        lens = pc.utf8_length(txt)
+        max_len = pc.max(lens).as_py() or 0
+        if max_len >= chunk_w << _CHUNK_SHIFT:
+            raise ValueError("document too large for the chunk_uid encoding")
+        parts = []
+        k = 0
+        while k * chunk_w < max_len:
+            m = pc.greater(lens, k * chunk_w)
+            ids = doc_ids.filter(m)
+            parts.append(
+                pa.table(
+                    {
+                        "chunk_uid": pc.add(
+                            pc.multiply(ids, pa.scalar(1 << _CHUNK_SHIFT, pa.int64())),
+                            pa.scalar(k, pa.int64()),
+                        ),
+                        "doc_id": ids,
+                        "chunk_idx": pa.array([k] * len(ids), pa.int64()),
+                        "lang": langs.filter(m),
+                        "chunk_text": pc.utf8_slice_codeunits(
+                            txt, k * chunk_w, (k + 1) * chunk_w
+                        ).filter(m),
+                    }
+                )
+            )
+            k += 1
+        if not parts:
+            return pa.table(
+                {
+                    "chunk_uid": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "chunk_idx": pa.array([], pa.int64()),
+                    "lang": pa.array([], pa.string()),
+                    "chunk_text": pa.array([], pa.string()),
+                }
+            )
+        return pa.concat_tables(parts)
+
+    chunks = joined.map_batches(keep_and_chunk, batch_format="pyarrow").materialize()
+    ranks = global_rank(chunks.select_columns(["chunk_uid"]), id_col="chunk_uid")
+    with_pos = chunks.join(ranks, join_type="inner", num_partitions=8, on=("chunk_uid",))
+
+    def shard_col(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "shard",
+            pc.cast(
+                pc.subtract(
+                    t["pos"], pc.multiply(pc.divide(t["pos"], n_shards), n_shards)
+                ),
+                pa.int64(),
+            ),
+        )
+
+    final = with_pos.map_batches(shard_col, batch_format="pyarrow")
+    data_dir = os.path.join(out_dir, "data")
+    final.write_parquet(data_dir, partition_cols=["shard"])
+
+    # order fingerprint: commutative XOR of per-row (pos, chunk_uid) hashes —
+    # identical at any parallelism iff the global order is identical
+    def order_partial(t: pa.Table):
+        acc = 0
+        for p, u in zip(t["pos"].to_pylist(), t["chunk_uid"].to_pylist()):
+            acc ^= stable_hash64(f"{p}:{u}", salt="order")
+        return {"acc": [acc & ((1 << 63) - 1)], "n": [t.num_rows]}  # int64-safe
+
+    acc, rows_out = 0, 0
+    for row in final.map_batches(order_partial, batch_format="pyarrow").iter_rows():
+        acc ^= int(row["acc"])
+        rows_out += int(row["n"])
+
+    stats = {
+        "rows_in": rows_in,
+        "rows_out": rows_out,
+        "n_shards": n_shards,
+        "order_hash": f"{acc:016x}",
+    }
+    manifest.record({"part_id": part_id, "status": "done", "seq": 0, **stats})
+    return stats
+
+
+def _contaminated(txt: pa.Array, needles: tuple[str, ...]) -> pa.Array:
+    hit = None
+    for nd in needles:
+        m = pc.match_substring(txt, nd)
+        hit = m if hit is None else pc.or_(hit, m)
+    return hit if hit is not None else pa.array([False] * len(txt), pa.bool_())

@@ -34,10 +34,13 @@ import ray.data as rd
 _SCHEMA_TAIL = [("h", pa.string()), ("bucket", pa.int64())]
 
 
-def _hash_block(t: pa.Table, id_col: str) -> pa.Table:
+def _hash_block(t: pa.Table, id_col: str, n_buckets: int) -> pa.Table:
     ids = t[id_col].to_pylist()
     hs = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
-    buckets = [int(h[:2], 16) for h in hs]
+    # bucket = the hash-PREFIX range (first 16 bits ÷ range width), so
+    # bucket order == hash order for any power-of-two n_buckets ≤ 65536
+    width = 65536 // n_buckets
+    buckets = [int(h[:4], 16) // width for h in hs]
     return pa.table(
         {
             id_col: t[id_col],
@@ -47,13 +50,20 @@ def _hash_block(t: pa.Table, id_col: str) -> pa.Table:
     )
 
 
-def global_rank(ds: rd.Dataset, id_col: str = "doc_id") -> rd.Dataset:
-    """(id_col, pos): pos = global row_number ordered by (md5(id), id)."""
+def global_rank(
+    ds: rd.Dataset, id_col: str = "doc_id", n_buckets: int = 256
+) -> rd.Dataset:
+    """(id_col, pos): pos = global row_number ordered by (md5(id), id).
+
+    ``n_buckets`` (power of two ≤ 65536) is the scale knob: a bucket holds
+    ~N/n_buckets rows and must fit one group task's heap."""
+    if n_buckets & (n_buckets - 1) or not 0 < n_buckets <= 65536:
+        raise ValueError("n_buckets must be a power of two in (0, 65536]")
     hashed = ds.map_batches(
-        lambda t: _hash_block(t, id_col), batch_format="pyarrow"
+        lambda t: _hash_block(t, id_col, n_buckets), batch_format="pyarrow"
     ).materialize()  # narrow (id, h, bucket) table; consumed twice below
 
-    # per-block bucket histograms -> driver merge (256 ints per block)
+    # per-block bucket histograms -> driver merge (n_buckets ints per block)
     def counts(t: pa.Table):
         g = t.group_by("bucket").aggregate([("bucket", "count")])
         return {
@@ -61,12 +71,12 @@ def global_rank(ds: rd.Dataset, id_col: str = "doc_id") -> rd.Dataset:
             "n": g["bucket_count"].to_numpy(zero_copy_only=False),
         }
 
-    totals = [0] * 256
+    totals = [0] * n_buckets
     for part in hashed.map_batches(counts, batch_format="pyarrow").iter_rows():
         totals[part["bucket"]] += int(part["n"])
-    offsets = [0] * 256
+    offsets = [0] * n_buckets
     run = 0
-    for b in range(256):
+    for b in range(n_buckets):
         offsets[b] = run
         run += totals[b]
 

@@ -151,3 +151,19 @@ def test_run_history_lists_newest_done_first(ray_session):
     assert out["seq"].tolist() == sorted(out["seq"], reverse=True)
     # failed runs (every 5th) are excluded
     assert all(s % 5 != 0 for s in out["seq"])
+
+
+def test_global_rank_same_permutation_at_any_bucket_count(ray_session):
+    from invoice_ocr_reconciler_ray.stages.rank import global_rank
+
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(list(range(0, 400, 3)), pa.int64())})
+    )
+    base = global_rank(ds, n_buckets=256).to_pandas().sort_values("pos")
+    for nb in (1, 16, 4096):
+        got = global_rank(ds, n_buckets=nb).to_pandas().sort_values("pos")
+        assert got["doc_id"].tolist() == base["doc_id"].tolist()
+    import pytest
+
+    with pytest.raises(ValueError):
+        global_rank(ds, n_buckets=100)
