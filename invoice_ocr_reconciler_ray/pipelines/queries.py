@@ -2370,6 +2370,52 @@ def run_history_top20(sf_dir: str):
     )
 
 
+def docs_token_diversity(sf_dir: str):
+    """Gopher-style repetition signal: per-document token count, distinct
+    token count, and the repeated-token fraction (µ-scaled integer so the
+    DuckDB comparison is exact).  Because a document's text lives in ONE
+    row, the whole computation is BLOCK-LOCAL — explode + pyarrow
+    ``group_by(doc_id)`` inside the batch, zero shuffle — the property that
+    makes per-document quality signals free at 100 TB while per-corpus ones
+    (`top_terms`) need a combiner."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        lst = pc.split_pattern_regex(
+            pc.utf8_lower(t["text"].combine_chunks()), pattern=r"[^a-z0-9]+"
+        )
+        terms = lst.flatten()
+        ids = t["doc_id"].combine_chunks().take(lst.value_parent_indices())
+        pairs = pa.table({"doc_id": ids, "term": terms}).filter(
+            pc.not_equal(terms, "")
+        )
+        g = pairs.group_by("doc_id").aggregate(
+            [("term", "count"), ("term", "count_distinct")]
+        )
+        n = pc.cast(g["term_count"], pa.int64())
+        d = pc.cast(g["term_count_distinct"], pa.int64())
+        # repeated fraction in exact millionths: floor((n-d)*1e6 / n)
+        rep = pc.divide(pc.multiply(pc.subtract(n, d), pa.scalar(1_000_000, pa.int64())), n)
+        return pa.table(
+            {"doc_id": g["doc_id"], "n_tokens": n, "n_distinct": d, "rep_ppm": rep}
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+DOCS_TOKEN_DIVERSITY_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT term) AS BIGINT) AS n_distinct,
+       CAST((COUNT(*) - COUNT(DISTINCT term)) * 1000000 // COUNT(*) AS BIGINT)
+           AS rep_ppm
+FROM toks WHERE term <> '' GROUP BY doc_id
+"""
+
+
 def training_export_demo(sf_dir: str):
     """The composed end-to-end training-set export
     (pipelines/training_export.py): curate → decontaminate → chunk →
@@ -2431,6 +2477,7 @@ ORACLE_SQL: dict[str, str] = {
     "term_postings": TERM_POSTINGS_SQL,
     "dedup_incremental_bloom": DEDUP_INCREMENTAL_BLOOM_SQL,
     "orders_csv_export": ORDERS_CSV_EXPORT_SQL,
+    "docs_token_diversity": DOCS_TOKEN_DIVERSITY_SQL,
     "docs_by_lang_salted": DOCS_BY_LANG_SALTED_SQL,
     "orders_page": ORDERS_PAGE_SQL,
     "register_csv_normalize": REGISTER_CSV_NORMALIZE_SQL,
@@ -2537,6 +2584,7 @@ def registry() -> dict:
         "embeddings_kmeans": embeddings_kmeans,
         "orders_csv_export": orders_csv_export,
         "run_history_top20": run_history_top20,
+        "docs_token_diversity": docs_token_diversity,
         "training_export_demo": training_export_demo,
         # rows-only (non-SQL-expressible).  Registry order matters: the
         # driver runs entries in order with a global time budget, and in r2

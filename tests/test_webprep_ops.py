@@ -167,3 +167,24 @@ def test_global_rank_same_permutation_at_any_bucket_count(ray_session):
 
     with pytest.raises(ValueError):
         global_rank(ds, n_buckets=100)
+
+
+def test_token_diversity_matches_python_sets(ray_session):
+    from invoice_ocr_reconciler_ray.pipelines.queries import docs_token_diversity
+
+    out = docs_token_diversity(SF).to_pandas().set_index("doc_id")
+    texts = (
+        rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        .to_pandas()
+        .set_index("doc_id")["text"]
+    )
+    import re
+
+    for doc_id in list(texts.index)[:50]:
+        toks = [w for w in re.split(r"[^a-z0-9]+", str(texts.loc[doc_id]).lower()) if w]
+        if not toks:
+            assert doc_id not in out.index
+            continue
+        assert out.loc[doc_id, "n_tokens"] == len(toks)
+        assert out.loc[doc_id, "n_distinct"] == len(set(toks))
+        assert out.loc[doc_id, "rep_ppm"] == (len(toks) - len(set(toks))) * 1_000_000 // len(toks)
