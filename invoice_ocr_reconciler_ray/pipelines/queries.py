@@ -2416,6 +2416,67 @@ FROM toks WHERE term <> '' GROUP BY doc_id
 """
 
 
+def embeddings_label_centroids(sf_dir: str):
+    """Distributed vector aggregation — the partial-sum kernel under
+    k-means (stages/cluster.py), exposed as its own ORACLE-CHECKED op:
+    per-label embedding sums in fixed-point µ-units (int64) plus counts.
+    Each block emits at most |labels|·d combiner rows regardless of block
+    size; the merge is one small groupby Sum.  Integer addition is exactly
+    associative, so the result is bit-identical at any parallelism AND to
+    DuckDB (the float32 source is widened to float64 BEFORE scaling on
+    both sides — widening after the multiply loses ulps)."""
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        from ..stages.cluster import _vecs
+
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(lab) == 0:
+            return pa.table(
+                {
+                    "label": pa.array([], pa.int64()),
+                    "dim": pa.array([], pa.int64()),
+                    "sum_uv": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        vecs = _vecs(t, "embedding")
+        fixed = np.floor(vecs * 1_000_000 + 0.5).astype(np.int64)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(uniq), vecs.shape[1]), np.int64)
+        np.add.at(sums, inv, fixed)
+        counts = np.bincount(inv).astype(np.int64)
+        d = vecs.shape[1]
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), len(uniq))),
+                "sum_uv": pa.array(sums.ravel(), pa.int64()),
+                "n": pa.array(np.repeat(counts, d), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("sum_uv", alias_name="sum_uv"), Sum("n", alias_name="n"))
+    )
+
+
+EMBEDDINGS_LABEL_CENTROIDS_SQL = """
+WITH ex AS (
+  SELECT label,
+         unnest(embedding) AS v,
+         unnest(range(len(embedding))) AS dim
+  FROM embeddings)
+SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+       CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE)*1000000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_uv,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM ex GROUP BY 1, 2
+"""
+
+
 def training_export_demo(sf_dir: str):
     """The composed end-to-end training-set export
     (pipelines/training_export.py): curate → decontaminate → chunk →
@@ -2478,6 +2539,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_incremental_bloom": DEDUP_INCREMENTAL_BLOOM_SQL,
     "orders_csv_export": ORDERS_CSV_EXPORT_SQL,
     "docs_token_diversity": DOCS_TOKEN_DIVERSITY_SQL,
+    "embeddings_label_centroids": EMBEDDINGS_LABEL_CENTROIDS_SQL,
     "docs_by_lang_salted": DOCS_BY_LANG_SALTED_SQL,
     "orders_page": ORDERS_PAGE_SQL,
     "register_csv_normalize": REGISTER_CSV_NORMALIZE_SQL,
@@ -2585,6 +2647,7 @@ def registry() -> dict:
         "orders_csv_export": orders_csv_export,
         "run_history_top20": run_history_top20,
         "docs_token_diversity": docs_token_diversity,
+        "embeddings_label_centroids": embeddings_label_centroids,
         "training_export_demo": training_export_demo,
         # rows-only (non-SQL-expressible).  Registry order matters: the
         # driver runs entries in order with a global time budget, and in r2

@@ -139,3 +139,18 @@ def test_term_postings_lists_are_sorted_and_counted(ray_session):
         ids = [int(x) for x in r["postings"].split(",")]
         assert ids == sorted(ids)
         assert len(ids) == len(set(ids)) == r["n_docs"]
+
+
+def test_label_centroid_partials_bit_identical_and_schema(ray_session):
+    """The exposed vector-aggregation op: fixed-point int64 sums are exactly
+    associative, so any block layout yields the same bytes; schema stays
+    all-int64 (the dtype class the r2 asof bug lived in)."""
+    from invoice_ocr_reconciler_ray.pipelines.queries import embeddings_label_centroids
+
+    out = embeddings_label_centroids(SF).to_pandas().sort_values(["label", "dim"])
+    assert {str(t) for t in out.dtypes} == {"int64"}
+    n_labels = out["label"].nunique()
+    d = out["dim"].nunique()
+    assert len(out) == n_labels * d
+    # per-label count is constant across dims (every vector has every dim)
+    assert (out.groupby("label")["n"].nunique() == 1).all()
