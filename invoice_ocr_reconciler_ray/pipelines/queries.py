@@ -2477,6 +2477,171 @@ FROM ex GROUP BY 1, 2
 """
 
 
+def orders_rollup_revenue(sf_dir: str):
+    """OLAP ROLLUP / grouping-sets aggregate: revenue by (year, priority)
+    plus per-year subtotals plus the grand total, one row set (≙ the
+    reference dashboard's stacked year/priority charts, server.js:244-267,
+    generalized to multi-level).  Distributed part: block-local cents
+    partials merged by one small groupby on the finest key — the rollup
+    expansion runs over the already-aggregated |years|×|priorities| table
+    (a few dozen rows), never over row data, so the super-levels cost
+    O(groups) and are exact by int64 re-summation.  NULL rollup keys are
+    materialized as sentinels (yr=-1, prio='ALL') on BOTH sides so the
+    hash compare never sees nullable-int coercion; lvl is the standard
+    GROUPING() bitmask (0 finest, 1 year subtotal, 3 grand total)."""
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderdate", "o_orderpriority", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+                t["o_orderpriority"],
+                _cents(t["o_totalprice"]),
+            ],
+            names=["yr", "prio", "total_c"],
+        )
+
+    finest = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["yr", "prio"])
+        .aggregate(Sum("total_c", alias_name="sum_total_cents"), Count(alias_name="n"))
+        .to_pandas()  # |years|×|priorities| rows — the small-result exception
+    )
+    import pandas as pd
+
+    finest["lvl"] = np.int64(0)
+    per_year = (
+        finest.groupby("yr", as_index=False)[["sum_total_cents", "n"]].sum().assign(prio="ALL", lvl=np.int64(1))
+    )
+    grand = pd.DataFrame(
+        {
+            "yr": [np.int64(-1)],
+            "prio": ["ALL"],
+            "sum_total_cents": [finest["sum_total_cents"].sum()],
+            "n": [finest["n"].sum()],
+            "lvl": [np.int64(3)],
+        }
+    )
+    cols = ["yr", "prio", "sum_total_cents", "n", "lvl"]
+    out = pd.concat([finest[cols], per_year[cols], grand[cols]], ignore_index=True)
+    for c in ("yr", "sum_total_cents", "n", "lvl"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+ORDERS_ROLLUP_REVENUE_SQL = """
+WITH f AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderpriority AS prio,
+         CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS total_c
+  FROM orders)
+SELECT COALESCE(yr, -1) AS yr, COALESCE(prio, 'ALL') AS prio,
+       CAST(SUM(total_c) AS BIGINT) AS sum_total_cents,
+       COUNT(*) AS n,
+       CAST(GROUPING(yr) * 2 + GROUPING(prio) AS BIGINT) AS lvl
+FROM f GROUP BY ROLLUP (yr, prio)
+"""
+
+
+def lineitem_moment_stats(sf_dir: str):
+    """Mergeable sufficient statistics (distributed second moments): per
+    return-flag n, Σq, Σprice_c, Σq·price_c, Σq² — the exact inputs to a
+    least-squares price~quantity fit, kept in int64 so block partials merge
+    associatively and match DuckDB bit-for-bit.  Bounds: q ≤ 50 (integral
+    in the data, floor(+0.5) guards ties), price_c ≤ ~1.05e7, so Σq·price_c
+    grows ~5e8/row — int64 holds to ~1.7e10 rows per GROUP; at 100 TB
+    partition the merge per shard or widen the merge side to decimal128."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_returnflag", "l_quantity", "l_extendedprice"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        q = pc.cast(pc.floor(pc.add(pc.cast(t["l_quantity"], pa.float64()), 0.5)), pa.int64())
+        p = _cents(t["l_extendedprice"])
+        return pa.Table.from_arrays(
+            [
+                t["l_returnflag"],
+                q,
+                p,
+                pc.multiply(q, p),
+                pc.multiply(q, q),
+            ],
+            names=["l_returnflag", "q", "p_c", "qp_c", "q2"],
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("q", alias_name="sum_q"),
+            Sum("p_c", alias_name="sum_price_cents"),
+            Sum("qp_c", alias_name="sum_qprice_cents"),
+            Sum("q2", alias_name="sum_q2"),
+        )
+    )
+
+
+LINEITEM_MOMENT_STATS_SQL = """
+WITH f AS (
+  SELECT l_returnflag,
+         CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS q,
+         CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT) AS p_c
+  FROM lineitem)
+SELECT l_returnflag, COUNT(*) AS n,
+       CAST(SUM(q) AS BIGINT) AS sum_q,
+       CAST(SUM(p_c) AS BIGINT) AS sum_price_cents,
+       CAST(SUM(q*p_c) AS BIGINT) AS sum_qprice_cents,
+       CAST(SUM(q*q) AS BIGINT) AS sum_q2
+FROM f GROUP BY 1
+"""
+
+
+def events_type_setops(sf_dir: str):
+    """Distinct set operations (INTERSECT / EXCEPT) over two scoped views
+    of one table: event types seen for even vs odd user ids.  One scan;
+    each block emits its DISTINCT (type, side-bit) pairs — O(|types|) per
+    block regardless of block size — and the merge is a tiny groupby Max
+    per side, classified into common / even_only / odd_only.  The shuffle
+    therefore carries the type dictionary, never event rows."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        even = pc.equal(pc.bit_wise_and(t["user_id"], 1), 0)
+        g = (
+            pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "in_even": pc.cast(even, pa.int64()),
+                    "in_odd": pc.cast(pc.invert(even), pa.int64()),
+                }
+            )
+            .group_by("event_type")
+            .aggregate([("in_even", "max"), ("in_odd", "max")])
+        )
+        return g.rename_columns(["event_type", "in_even", "in_odd"])
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Max("in_even", alias_name="in_even"), Max("in_odd", alias_name="in_odd"))
+        .to_pandas()  # |event types| rows
+    )
+    both = (merged["in_even"] == 1) & (merged["in_odd"] == 1)
+    merged["setop"] = np.where(both, "common", np.where(merged["in_even"] == 1, "even_only", "odd_only"))
+    return merged[["event_type", "setop"]]
+
+
+EVENTS_TYPE_SETOPS_SQL = """
+WITH a AS (SELECT DISTINCT event_type FROM events WHERE user_id % 2 = 0),
+     b AS (SELECT DISTINCT event_type FROM events WHERE user_id % 2 = 1)
+SELECT event_type, 'common' AS setop FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+UNION ALL
+SELECT event_type, 'even_only' FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+UNION ALL
+SELECT event_type, 'odd_only' FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+"""
+
+
 def training_export_demo(sf_dir: str):
     """The composed end-to-end training-set export
     (pipelines/training_export.py): curate → decontaminate → chunk →
@@ -2540,6 +2705,9 @@ ORACLE_SQL: dict[str, str] = {
     "orders_csv_export": ORDERS_CSV_EXPORT_SQL,
     "docs_token_diversity": DOCS_TOKEN_DIVERSITY_SQL,
     "embeddings_label_centroids": EMBEDDINGS_LABEL_CENTROIDS_SQL,
+    "orders_rollup_revenue": ORDERS_ROLLUP_REVENUE_SQL,
+    "lineitem_moment_stats": LINEITEM_MOMENT_STATS_SQL,
+    "events_type_setops": EVENTS_TYPE_SETOPS_SQL,
     "docs_by_lang_salted": DOCS_BY_LANG_SALTED_SQL,
     "orders_page": ORDERS_PAGE_SQL,
     "register_csv_normalize": REGISTER_CSV_NORMALIZE_SQL,
@@ -2648,6 +2816,9 @@ def registry() -> dict:
         "run_history_top20": run_history_top20,
         "docs_token_diversity": docs_token_diversity,
         "embeddings_label_centroids": embeddings_label_centroids,
+        "orders_rollup_revenue": orders_rollup_revenue,
+        "lineitem_moment_stats": lineitem_moment_stats,
+        "events_type_setops": events_type_setops,
         "training_export_demo": training_export_demo,
         # rows-only (non-SQL-expressible).  Registry order matters: the
         # driver runs entries in order with a global time budget, and in r2

@@ -162,3 +162,72 @@ def test_bucketed_join_colocated(ray_session, tmp_path):
     # alignment property: identical keys hash to identical buckets
     ks = np.array([1, 2, 3, 4], dtype=np.int64)
     assert (bucket_of(ks, n_buckets) == bucket_of(ks.copy(), n_buckets)).all()
+
+
+def test_rollup_levels_are_consistent(ray_session):
+    """The finest ROLLUP level must re-sum exactly to the year subtotals
+    and the grand total (int64 exactness across levels), and sentinels /
+    grouping bitmask must follow the GROUPING() convention."""
+    from invoice_ocr_reconciler_ray.pipelines.queries import orders_rollup_revenue
+
+    out = orders_rollup_revenue("/root/testdata/sf0.001")
+    fin = out[out.lvl == 0]
+    yr = out[out.lvl == 1].set_index("yr")
+    assert (out[out.lvl == 1].prio == "ALL").all()
+    for y, g in fin.groupby("yr"):
+        assert yr.loc[y, "sum_total_cents"] == g.sum_total_cents.sum()
+        assert yr.loc[y, "n"] == g.n.sum()
+    grand = out[out.lvl == 3]
+    assert len(grand) == 1 and int(grand.yr.iloc[0]) == -1
+    assert int(grand.sum_total_cents.iloc[0]) == fin.sum_total_cents.sum()
+    assert {str(t) for t in out[["yr", "sum_total_cents", "n", "lvl"]].dtypes} == {"int64"}
+
+
+def test_moment_stats_merge_is_block_invariant(ray_session, tmp_path):
+    """Sufficient statistics are associative: one block vs many blocks must
+    produce identical int64 sums, and the sums must equal a numpy ground
+    truth computed on the raw rows."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(3)
+    n = 5000
+    tbl = pa.table(
+        {
+            "l_returnflag": pa.array(rng.choice(["A", "N", "R"], n)),
+            "l_quantity": pa.array(rng.randint(1, 51, n).astype("float64")),
+            "l_extendedprice": pa.array(np.round(rng.uniform(900, 105000, n), 2)),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "lineitem.parquet")
+    from invoice_ocr_reconciler_ray.pipelines.queries import lineitem_moment_stats
+
+    out = lineitem_moment_stats(str(tmp_path)).to_pandas().set_index("l_returnflag").sort_index()
+    q = np.floor(tbl["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+    p = np.floor(tbl["l_extendedprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+    flags = tbl["l_returnflag"].to_numpy(zero_copy_only=False)
+    for f in "ANR":
+        m = flags == f
+        assert out.loc[f, "n"] == m.sum()
+        assert out.loc[f, "sum_q"] == q[m].sum()
+        assert out.loc[f, "sum_qprice_cents"] == (q[m] * p[m]).sum()
+        assert out.loc[f, "sum_q2"] == (q[m] * q[m]).sum()
+    assert {str(t) for t in out.dtypes} == {"int64"}
+
+
+def test_type_setops_classification(ray_session, tmp_path):
+    """INTERSECT/EXCEPT classification on a hand-built table: type 'a' on
+    both sides, 'b' only even users, 'c' only odd."""
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "event_type": pa.array(["a", "a", "b", "c", "a"]),
+            "user_id": pa.array([2, 3, 4, 5, 7], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    from invoice_ocr_reconciler_ray.pipelines.queries import events_type_setops
+
+    out = events_type_setops(str(tmp_path)).set_index("event_type").setop
+    assert out["a"] == "common" and out["b"] == "even_only" and out["c"] == "odd_only"
