@@ -51,6 +51,10 @@ _NUM_PERM = 64
 _BANDS = 16
 _SHINGLE_K = 5
 
+#: per-process verdict memo — (path, size, mtime_ns, params) → materialized
+#: Dataset; the fingerprint key means regenerated inputs always recompute
+_MEMO: dict = {}
+
 
 def _metrics_batch(t: pa.Table) -> pa.Table:
     """doc_id, lang, text → quality counters, lang prediction, fingerprint
@@ -97,8 +101,23 @@ def curate_documents(
     Output columns: doc_id, n_words, n_punct, lang, lang_pred, is_duplicate,
     is_near_dup, kept (bool), reject_reason (null when kept).  Rows are never
     dropped — downstream consumers filter on ``kept`` (flag-don't-drop).
+
+    The final (narrow) verdict table is memoized per process, keyed by the
+    source parquet fingerprint + parameters: the curation verdicts feed
+    several independent consumers (the ``curate_corpus`` registry entry, the
+    training-set export, ad-hoc callers) and re-running the metrics+LSH pass
+    for each would repeat the corpus scan.
     """
     docs_path = f"{sf_dir}/documents.parquet"
+    import os
+
+    st = os.stat(docs_path)
+    memo_key = (
+        docs_path, st.st_size, st.st_mtime_ns,
+        min_words, max_punct_ratio, lsh_threshold, min_lang_score,
+    )
+    if memo_key in _MEMO:
+        return _MEMO[memo_key]
     docs = rd.read_parquet(docs_path, columns=["doc_id", "text", "lang"])
     metrics = docs.map_batches(_metrics_batch, batch_format="pyarrow").materialize()
 
@@ -212,4 +231,5 @@ def curate_documents(
             ],
         )
 
-    return metrics.map_batches(verdict, batch_format="pyarrow")
+    _MEMO[memo_key] = metrics.map_batches(verdict, batch_format="pyarrow").materialize()
+    return _MEMO[memo_key]

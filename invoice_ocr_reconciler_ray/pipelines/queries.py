@@ -42,6 +42,33 @@ def _t(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+# Several registry entries are different PROJECTIONS of the same expensive
+# run (flagship verdicts / summary / spans; fuzzy verdicts / manual-link
+# overlay).  The driver's correctness sweep calls each entry independently,
+# so without sharing it re-executes the full pipeline once per entry.  The
+# memo holds the materialized result for the lifetime of the process, keyed
+# by a content fingerprint of the source parquet so regenerated testdata can
+# never serve a stale run.  bench.py times the flagship through its own
+# uncached path — nothing here is on a timed hot path.
+_MEMO: dict = {}
+
+
+def _fingerprint(path: str) -> str:
+    import os
+
+    st = os.stat(path)
+    return f"{st.st_size}:{st.st_mtime_ns}"
+
+
+def _flagship_materialized(sf_dir: str):
+    from .flagship import run_flagship
+
+    key = ("flagship", sf_dir, _fingerprint(_t(sf_dir.rstrip("/"), "documents")))
+    if key not in _MEMO:
+        _MEMO[key] = run_flagship(sf_dir).materialize()
+    return _MEMO[key]
+
+
 # ---------------------------------------------------------------- aggregates
 
 def pricing_summary(sf_dir: str):
@@ -717,7 +744,12 @@ def lang_id_documents(sf_dir: str):
 def fuzzy_reconcile_demo(sf_dir: str):
     """Generic fuzzy reconcile (J1/J2/J4/J6) over a register deterministically
     perturbed from the customer table: every 10th customer is missing from
-    the register; every 7th has a perturbed amount (→ mismatch)."""
+    the register; every 7th has a perturbed amount (→ mismatch).  Memoized
+    (materialized) per source fingerprint: reconcile_manual_link overlays
+    the SAME verdicts, so the sweep runs the fuzzy pipeline once."""
+    key = ("fuzzy_demo", sf_dir, _fingerprint(_t(sf_dir.rstrip("/"), "customer")))
+    if key in _MEMO:
+        return _MEMO[key]
     cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_name", "c_acctbal"])
     pdf = cust.to_pandas()
     # vectorized register derivation (small side, but keep the idiom clean)
@@ -742,7 +774,8 @@ def fuzzy_reconcile_demo(sf_dir: str):
         )
 
     invoices = cust.map_batches(shape, batch_format="pyarrow")
-    return fuzzy_reconcile(invoices, register)
+    _MEMO[key] = fuzzy_reconcile(invoices, register).materialize()
+    return _MEMO[key]
 
 
 # --------------------------------------------------- skew / paging / register
@@ -1030,9 +1063,8 @@ def flagship_summary(sf_dir: str):
     import pandas as pd
 
     from ..stages.aggregates import dashboard_stats
-    from .flagship import run_flagship
 
-    return pd.DataFrame([dashboard_stats(run_flagship(sf_dir))])
+    return pd.DataFrame([dashboard_stats(_flagship_materialized(sf_dir))])
 
 
 def events_sessionize(sf_dir: str):
@@ -1089,9 +1121,7 @@ def spans_exploded(sf_dir: str):
     """``flat_map``-style explode of the nested spans column (≙ M4 list<struct>
     realized flat, invoiceParser.js:69-86): one output row per span, counted
     per block kind.  Rows-only (span extraction is not SQL-expressible)."""
-    from .flagship import run_flagship
-
-    v = run_flagship(sf_dir).select_columns(["url", "spans"])
+    v = _flagship_materialized(sf_dir).select_columns(["url", "spans"])
 
     def explode(t: pa.Table) -> pa.Table:
         # vectorized list explode: flatten the list<struct> column and project
@@ -2734,10 +2764,9 @@ ORACLE_SQL: dict[str, str] = {
 def registry() -> dict:
     """name → callable(sf_dir).  Keys with an ORACLE_SQL entry are
     value-checked against DuckDB; the rest get rows-only checks."""
-    from .flagship import run_flagship
 
     def flagship_verdicts(sf_dir: str):
-        return run_flagship(sf_dir).select_columns(
+        return _flagship_materialized(sf_dir).select_columns(
             [
                 "url",
                 "warc_ts",
@@ -2819,7 +2848,6 @@ def registry() -> dict:
         "orders_rollup_revenue": orders_rollup_revenue,
         "lineitem_moment_stats": lineitem_moment_stats,
         "events_type_setops": events_type_setops,
-        "training_export_demo": training_export_demo,
         # rows-only (non-SQL-expressible).  Registry order matters: the
         # driver runs entries in order with a global time budget, and in r2
         # the last three fell off with no CORRECTNESS row — so the cheap
@@ -2838,6 +2866,12 @@ def registry() -> dict:
         "flagship_verdicts": flagship_verdicts,
         "ann_ivf_topk": ann_ivf_topk,
         "curate_corpus": curate_corpus,
+        # the composed export re-curates + shuffles + writes shards — the
+        # single most expensive entry; it runs after every oracle-checked
+        # and cheap rows-only entry so a driver time-budget cut costs the
+        # least-informative row first (the neardup family below has r01/r02
+        # precedent rows)
+        "training_export_demo": training_export_demo,
         # simhash/embedding planted recall is genuinely probabilistic (bit
         # votes / hyperplane sign flips) — they stay rows-only with analytic
         # pytest coverage instead of a partial oracle

@@ -64,9 +64,18 @@ def export_training_set(
     docs = rd.read_parquet(
         f"{sf_dir.rstrip('/')}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
-    rows_in = docs.count()
+    # exact row count straight from the parquet footer metadata — a
+    # Dataset.count() here would be a whole extra scan of the corpus
+    import pyarrow.parquet as pq
+
+    rows_in = pq.ParquetFile(f"{sf_dir.rstrip('/')}/documents.parquet").metadata.num_rows
+    # partition count sized to the data: the hash-join actor fleet has a
+    # fixed per-partition spin-up cost (CLAUDE.md: 8 partitions was the
+    # measured optimum at 600k rows — ~75k rows/partition), so tiny inputs
+    # get a minimal fleet and big inputs scale up
+    npart = max(2, min(64, rows_in // 75_000))
     joined = docs.join(
-        verdicts, join_type="inner", num_partitions=8, on=("doc_id",)
+        verdicts, join_type="inner", num_partitions=npart, on=("doc_id",)
     )
 
     def keep_and_chunk(t: pa.Table) -> pa.Table:
@@ -118,7 +127,7 @@ def export_training_set(
 
     chunks = joined.map_batches(keep_and_chunk, batch_format="pyarrow").materialize()
     ranks = global_rank(chunks.select_columns(["chunk_uid"]), id_col="chunk_uid")
-    with_pos = chunks.join(ranks, join_type="inner", num_partitions=8, on=("chunk_uid",))
+    with_pos = chunks.join(ranks, join_type="inner", num_partitions=npart, on=("chunk_uid",))
 
     def shard_col(t: pa.Table) -> pa.Table:
         return t.append_column(
@@ -136,15 +145,19 @@ def export_training_set(
     final.write_parquet(data_dir, partition_cols=["shard"])
 
     # order fingerprint: commutative XOR of per-row (pos, chunk_uid) hashes —
-    # identical at any parallelism iff the global order is identical
+    # identical at any parallelism iff the global order is identical.
+    # Computed from the WRITTEN shards (a two-column pruned read of the
+    # output), never by re-consuming ``final``: a lazy Dataset consumed a
+    # second time would re-execute the whole rank+join plan.
     def order_partial(t: pa.Table):
         acc = 0
         for p, u in zip(t["pos"].to_pylist(), t["chunk_uid"].to_pylist()):
             acc ^= stable_hash64(f"{p}:{u}", salt="order")
         return {"acc": [acc & ((1 << 63) - 1)], "n": [t.num_rows]}  # int64-safe
 
+    written = rd.read_parquet(data_dir, columns=["pos", "chunk_uid"])
     acc, rows_out = 0, 0
-    for row in final.map_batches(order_partial, batch_format="pyarrow").iter_rows():
+    for row in written.map_batches(order_partial, batch_format="pyarrow").iter_rows():
         acc ^= int(row["acc"])
         rows_out += int(row["n"])
 
