@@ -2672,6 +2672,281 @@ SELECT event_type, 'odd_only' FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
 """
 
 
+def orders_asof_next_event(sf_dir: str):
+    """Forward as-of join (stages/asof.py direction='forward'): every order
+    is matched to the customer's FIRST event at-or-after the order date
+    (smallest ts ≥ o_orderdate, ties → min event_id — the mirror of the
+    backward rule).  Same co-partition layout; the direction costs one
+    extra searchsorted, not a second shuffle."""
+    from ..stages.asof import asof_join
+
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "user_id", "o_orderdate"]),
+        batch_format="pyarrow",
+    )
+    events = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+    out = asof_join(
+        orders,
+        events,
+        key="user_id",
+        left_ts="o_orderdate",
+        right_ts="ts",
+        left_cols=["o_orderkey"],
+        right_cols=["event_id"],
+        tiebreak="event_id",
+        direction="forward",
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "next_event_id"]),
+        batch_format="pyarrow",
+    )
+
+
+ORDERS_ASOF_NEXT_EVENT_SQL = """
+WITH m AS (
+  SELECT o.o_orderkey, e.event_id,
+         row_number() OVER (PARTITION BY o.o_orderkey
+                            ORDER BY e.ts ASC, e.event_id ASC) AS rn
+  FROM orders o JOIN events e
+    ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate)
+SELECT o_orderkey, event_id AS next_event_id FROM m WHERE rn = 1
+"""
+
+
+def events_asof_nearest_checkpoint(sf_dir: str):
+    """Nearest as-of join (direction='nearest') with candidates on BOTH
+    sides: every non-checkpoint event finds the time-closest checkpoint
+    event (event_id % 5 == 0) of the same user.  An exact distance tie
+    prefers the backward (at-or-before) candidate; within a side, backward
+    ties take the max checkpoint id, forward ties the min."""
+    from ..stages.asof import asof_join
+
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+
+    def _mod5(t: pa.Table):
+        return pc.subtract(
+            t["event_id"], pc.multiply(pc.divide(t["event_id"], 5), 5)
+        )
+
+    left = ev.map_batches(
+        lambda t: t.filter(pc.not_equal(_mod5(t), 0)), batch_format="pyarrow"
+    )
+    right = ev.map_batches(
+        lambda t: t.filter(pc.equal(_mod5(t), 0)).rename_columns(
+            ["checkpoint_id", "user_id", "cts"]
+        ),
+        batch_format="pyarrow",
+    )
+    out = asof_join(
+        left,
+        right,
+        key="user_id",
+        left_ts="ts",
+        right_ts="cts",
+        left_cols=["event_id"],
+        right_cols=["checkpoint_id"],
+        tiebreak="checkpoint_id",
+        direction="nearest",
+    )
+    return out
+
+
+EVENTS_ASOF_NEAREST_CHECKPOINT_SQL = """
+WITH cp AS (SELECT event_id AS checkpoint_id, user_id, ts AS cts
+            FROM events WHERE event_id % 5 = 0),
+m AS (
+  SELECT e.event_id, c.checkpoint_id,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY abs(epoch_us(c.cts) - epoch_us(e.ts)),
+                                     (c.cts > e.ts),
+                                     CASE WHEN c.cts > e.ts
+                                          THEN c.checkpoint_id
+                                          ELSE -c.checkpoint_id END) AS rn
+  FROM events e JOIN cp c ON c.user_id = e.user_id
+  WHERE e.event_id % 5 <> 0)
+SELECT event_id, checkpoint_id FROM m WHERE rn = 1
+"""
+
+
+def orders_quantiles_by_priority(sf_dir: str):
+    """PER-GROUP exact quantiles (stages/quantiles.exact_group_quantiles):
+    p25/p50/p75/p90 of o_totalprice within each priority, via per-(key,bin)
+    sparse histogram partials — no group ever has to fit in one task, unlike
+    a map_groups sort.  Selected values reported in integer cents."""
+    from ..stages.quantiles import exact_group_quantiles
+
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderpriority", "o_totalprice"])
+    qs = [0.25, 0.5, 0.75, 0.9]
+    t = exact_group_quantiles(ds, "o_orderpriority", "o_totalprice", qs)
+    return pa.table(
+        {
+            "prio": t["key"],
+            "q_pct": pc.cast(
+                pc.floor(pc.add(pc.multiply(t["q"], 100.0), 0.5)), pa.int64()
+            ),
+            "value_cents": _cents(t["value"]),
+        }
+    )
+
+
+ORDERS_QUANTILES_BY_PRIORITY_SQL = """
+WITH s AS (
+  SELECT o_orderpriority AS prio,
+         quantile_disc(o_totalprice, [0.25, 0.5, 0.75, 0.9]) AS v
+  FROM orders GROUP BY 1)
+SELECT prio, CAST(z[1]*100 AS BIGINT) AS q_pct,
+       CAST(FLOOR(CAST(z[2] AS DOUBLE)*100 + 0.5) AS BIGINT) AS value_cents
+FROM (SELECT prio, unnest(list_zip([0.25, 0.5, 0.75, 0.9], v)) AS z FROM s)
+"""
+
+
+def events_mode_user(sf_dir: str):
+    """Per-group MODE with deterministic tie-break: for each event type the
+    user with the most events (ties → smallest user id).  Block-local
+    (type, user) count partials bound the shuffle to the pair dictionary;
+    the final argmax runs over the merged O(|pairs|) aggregate."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "user_id"])
+
+    def part(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"event_type": t["event_type"], "user_id": t["user_id"]})
+            .group_by(["event_type", "user_id"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["event_type", "user_id", "n"])
+
+    merged = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # |types|x|users| pair counts — small vs row data
+    )
+    merged = merged.sort_values(
+        ["event_type", "n", "user_id"], ascending=[True, False, True]
+    )
+    top = merged.groupby("event_type", as_index=False).first()
+    top = top.rename(columns={"user_id": "mode_user_id", "n": "n_events"})
+    for c in ("mode_user_id", "n_events"):
+        top[c] = top[c].astype("int64")
+    return top[["event_type", "mode_user_id", "n_events"]]
+
+
+EVENTS_MODE_USER_SQL = """
+WITH c AS (SELECT event_type, user_id, COUNT(*) AS n FROM events GROUP BY 1, 2),
+r AS (SELECT event_type, user_id, n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY n DESC, user_id ASC) AS rn
+      FROM c)
+SELECT event_type, CAST(user_id AS BIGINT) AS mode_user_id,
+       CAST(n AS BIGINT) AS n_events
+FROM r WHERE rn = 1
+"""
+
+
+def orders_diff_demo(sf_dir: str):
+    """Keyed table diff (stages/cdc.py:diff_by_key): classify keys across
+    two dataset versions into added / removed / changed; identical keys emit
+    nothing.  The 'new' version here is a deterministic perturbation of
+    orders (drop key%13, re-prioritize key%7, clone key%97 under key+1e9) so
+    the oracle can reconstruct the exact expected classification."""
+    from ..stages.cdc import diff_by_key
+
+    cols = ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"]
+    base = rd.read_parquet(_t(sf_dir, "orders"), columns=cols)
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_orderstatus": t["o_orderstatus"],
+                "o_orderpriority": t["o_orderpriority"],
+                "total_c": _cents(t["o_totalprice"]),
+            }
+        )
+
+    def _mod(arr, m: int):
+        return pc.subtract(arr, pc.multiply(pc.divide(arr, m), m))
+
+    def perturb(t: pa.Table) -> pa.Table:
+        t = shape(t)
+        t = t.filter(pc.not_equal(_mod(t["o_orderkey"], 13), 0))
+        prio = pc.if_else(
+            pc.equal(_mod(t["o_orderkey"], 7), 0), pa.scalar("X-DIFF"), t["o_orderpriority"]
+        )
+        t = t.set_column(2, "o_orderpriority", prio)
+        clones = t.filter(pc.equal(_mod(t["o_orderkey"], 97), 0))
+        clones = clones.set_column(
+            0, "o_orderkey", pc.add(clones["o_orderkey"], 1_000_000_000)
+        )
+        return pa.concat_tables([t, clones])
+
+    base_s = base.map_batches(shape, batch_format="pyarrow")
+    new_s = base.map_batches(perturb, batch_format="pyarrow")
+    return diff_by_key(
+        base_s,
+        new_s,
+        key="o_orderkey",
+        value_cols=["o_orderstatus", "o_orderpriority", "total_c"],
+    )
+
+
+ORDERS_DIFF_DEMO_SQL = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, 'removed' AS diff
+FROM orders WHERE o_orderkey % 13 = 0
+UNION ALL
+SELECT o_orderkey, 'changed' FROM orders
+WHERE o_orderkey % 13 <> 0 AND o_orderkey % 7 = 0
+UNION ALL
+SELECT o_orderkey + 1000000000, 'added' FROM orders
+WHERE o_orderkey % 13 <> 0 AND o_orderkey % 97 = 0
+"""
+
+
+def events_latest_per_user(sf_dir: str):
+    """CDC log compaction (stages/cdc.py:latest_per_key): per user, the
+    single most recent event row (max ts, ties → max event_id).  Block
+    partials keep one row per user per block, so the shuffle is bounded by
+    the user dictionary per block — the upsert-resolution shape."""
+    from ..stages.cdc import latest_per_key
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "event_id", "ts", "value"]
+    )
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "last_event_id": t["event_id"],
+                "last_ts_us": pc.cast(t["ts"], pa.int64()),
+                "last_value_cents": _cents(t["value"]),
+            }
+        )
+
+    return latest_per_key(
+        ds.map_batches(shape, batch_format="pyarrow"),
+        key="user_id",
+        order_col="last_ts_us",
+        tiebreak="last_event_id",
+    )
+
+
+EVENTS_LATEST_PER_USER_SQL = """
+WITH r AS (
+  SELECT user_id, event_id, ts, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(event_id AS BIGINT) AS last_event_id,
+       CAST(epoch_us(ts) AS BIGINT) AS last_ts_us,
+       CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS last_value_cents
+FROM r WHERE rn = 1
+"""
+
+
 def training_export_demo(sf_dir: str):
     """The composed end-to-end training-set export
     (pipelines/training_export.py): curate → decontaminate → chunk →
@@ -2738,6 +3013,12 @@ ORACLE_SQL: dict[str, str] = {
     "orders_rollup_revenue": ORDERS_ROLLUP_REVENUE_SQL,
     "lineitem_moment_stats": LINEITEM_MOMENT_STATS_SQL,
     "events_type_setops": EVENTS_TYPE_SETOPS_SQL,
+    "orders_asof_next_event": ORDERS_ASOF_NEXT_EVENT_SQL,
+    "events_asof_nearest_checkpoint": EVENTS_ASOF_NEAREST_CHECKPOINT_SQL,
+    "orders_quantiles_by_priority": ORDERS_QUANTILES_BY_PRIORITY_SQL,
+    "events_mode_user": EVENTS_MODE_USER_SQL,
+    "orders_diff_demo": ORDERS_DIFF_DEMO_SQL,
+    "events_latest_per_user": EVENTS_LATEST_PER_USER_SQL,
     "docs_by_lang_salted": DOCS_BY_LANG_SALTED_SQL,
     "orders_page": ORDERS_PAGE_SQL,
     "register_csv_normalize": REGISTER_CSV_NORMALIZE_SQL,
@@ -2848,6 +3129,12 @@ def registry() -> dict:
         "orders_rollup_revenue": orders_rollup_revenue,
         "lineitem_moment_stats": lineitem_moment_stats,
         "events_type_setops": events_type_setops,
+        "orders_asof_next_event": orders_asof_next_event,
+        "events_asof_nearest_checkpoint": events_asof_nearest_checkpoint,
+        "orders_quantiles_by_priority": orders_quantiles_by_priority,
+        "events_mode_user": events_mode_user,
+        "orders_diff_demo": orders_diff_demo,
+        "events_latest_per_user": events_latest_per_user,
         # rows-only (non-SQL-expressible).  Registry order matters: the
         # driver runs entries in order with a global time budget, and in r2
         # the last three fell off with no CORRECTNESS row — so the cheap

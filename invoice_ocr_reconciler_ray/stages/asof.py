@@ -56,7 +56,7 @@ def _warn_hot_key(n: int, op: str, warn_rows: int) -> None:
         )
 
 
-def asof_join_backward(
+def asof_join(
     left_ds,
     right_ds,
     *,
@@ -66,14 +66,24 @@ def asof_join_backward(
     left_cols: list[str],
     right_cols: list[str],
     tiebreak: str,
+    direction: str = "backward",
     hot_key_warn_rows: int = HOT_KEY_WARN_ROWS,
 ):
     """left(key, left_ts, left_cols) ⋈asof right(key, right_ts, right_cols).
 
     Returns Dataset(left_cols + right_cols) — one row per matched left row.
-    ``tiebreak`` must be one of ``right_cols``; among right rows sharing the
-    as-of timestamp the largest tiebreak value wins.  ``key`` names the join
-    key column on BOTH sides (project/rename upstream if they differ).
+    ``key`` names the join key column on BOTH sides (project/rename upstream
+    if they differ).  ``direction``:
+
+    - ``"backward"`` — greatest ``right_ts`` ≤ ``left_ts``; equal-timestamp
+      ties go to the LARGEST ``tiebreak`` value;
+    - ``"forward"`` — smallest ``right_ts`` ≥ ``left_ts``; ties go to the
+      SMALLEST ``tiebreak`` (the mirror-image deterministic rule);
+    - ``"nearest"`` — whichever of the two candidates is closer in time;
+      an exact distance tie prefers the backward row.
+
+    All three share one sorted-right layout per group, so the added
+    directions cost one extra ``searchsorted`` — never a second shuffle.
     """
     ltypes = dict(zip(left_ds.schema().names, left_ds.schema().types))
     rtypes = dict(zip(right_ds.schema().names, right_ds.schema().types))
@@ -110,14 +120,15 @@ def asof_join_backward(
     )
 
     def join_group(t: pa.Table) -> pa.Table:
-        _warn_hot_key(t.num_rows, "asof_join_backward", hot_key_warn_rows)
+        _warn_hot_key(t.num_rows, f"asof_join[{direction}]", hot_key_warn_rows)
         lmask = pc.equal(t["_side"], 0)
         lt = t.filter(lmask)
         rt = t.filter(pc.invert(lmask))
         if lt.num_rows == 0 or rt.num_rows == 0:
             return out_schema.empty_table()
-        # sort right by (_t, tiebreak) ascending: searchsorted side='right'
-        # then lands on the max-tiebreak row among equal timestamps
+        # sort right by (_t, tiebreak) ascending: searchsorted side='right'-1
+        # lands on the max-tiebreak row among equal timestamps (backward),
+        # side='left' on the min-tiebreak row (forward)
         rt = rt.take(
             pc.sort_indices(
                 rt, sort_keys=[("_t", "ascending"), (tiebreak, "ascending")]
@@ -125,15 +136,35 @@ def asof_join_backward(
         )
         rts = _ts_to_i64(rt["_t"])
         lts = _ts_to_i64(lt["_t"])
-        # greatest right_ts <= left_ts (inclusive backward as-of)
-        idx = np.searchsorted(rts, lts, side="right") - 1
-        matched = idx >= 0
+        back = np.searchsorted(rts, lts, side="right") - 1  # greatest ts <= l
+        fwd = np.searchsorted(rts, lts, side="left")  # smallest ts >= l
+        if direction == "backward":
+            idx, matched = back, back >= 0
+        elif direction == "forward":
+            matched = fwd < len(rts)
+            idx = np.minimum(fwd, len(rts) - 1)
+        elif direction == "nearest":
+            has_b, has_f = back >= 0, fwd < len(rts)
+            db = np.where(has_b, lts - rts[np.maximum(back, 0)], np.iinfo(np.int64).max)
+            df = np.where(
+                has_f, rts[np.minimum(fwd, len(rts) - 1)] - lts, np.iinfo(np.int64).max
+            )
+            use_b = np.where(has_b & has_f, db <= df, has_b)  # distance tie → backward
+            idx = np.where(use_b, np.maximum(back, 0), np.minimum(fwd, len(rts) - 1))
+            matched = has_b | has_f
+        else:
+            raise ValueError(f"unknown as-of direction: {direction!r}")
         lt = lt.filter(pa.array(matched))
         ridx = pa.array(idx[matched])
         arrays = [lt[c] for c in left_cols] + [rt[c].take(ridx) for c in right_cols]
         return pa.Table.from_arrays(arrays, schema=out_schema)
 
     return both.groupby("_k").map_groups(join_group, batch_format="pyarrow")
+
+
+def asof_join_backward(left_ds, right_ds, **kw):
+    """Back-compat alias for the original backward-only entry point."""
+    return asof_join(left_ds, right_ds, direction="backward", **kw)
 
 
 def range_join_count(
