@@ -2947,6 +2947,40 @@ FROM r WHERE rn = 1
 """
 
 
+def events_multi_window_features(sf_dir: str):
+    """Multi-horizon activity features (stages/asof.py:range_join_multi_count):
+    for every event, the same user's event counts in the trailing 1 h / 6 h /
+    24 h (inclusive of the event itself).  One co-partition shuffle and one
+    sorted timestamp array per user serve ALL horizons — each extra window
+    is one more vectorized searchsorted, never another join."""
+    from ..stages.asof import range_join_multi_count
+
+    left = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+    right = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    h = 3_600_000_000  # one hour in µs
+    return range_join_multi_count(
+        left,
+        right,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        left_cols=["event_id"],
+        windows_us={"n_1h": h, "n_6h": 6 * h, "n_24h": 24 * h},
+    )
+
+
+EVENTS_MULTI_WINDOW_FEATURES_SQL = """
+SELECT e.event_id,
+       CAST(COUNT(*) FILTER (WHERE e2.ts > e.ts - INTERVAL 1 HOUR) AS BIGINT) AS n_1h,
+       CAST(COUNT(*) FILTER (WHERE e2.ts > e.ts - INTERVAL 6 HOUR) AS BIGINT) AS n_6h,
+       CAST(COUNT(*) AS BIGINT) AS n_24h
+FROM events e JOIN events e2
+  ON e2.user_id = e.user_id AND e2.ts <= e.ts
+ AND e2.ts > e.ts - INTERVAL 24 HOUR
+GROUP BY e.event_id
+"""
+
+
 def training_export_demo(sf_dir: str):
     """The composed end-to-end training-set export
     (pipelines/training_export.py): curate → decontaminate → chunk →
@@ -3019,6 +3053,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_mode_user": EVENTS_MODE_USER_SQL,
     "orders_diff_demo": ORDERS_DIFF_DEMO_SQL,
     "events_latest_per_user": EVENTS_LATEST_PER_USER_SQL,
+    "events_multi_window_features": EVENTS_MULTI_WINDOW_FEATURES_SQL,
     "docs_by_lang_salted": DOCS_BY_LANG_SALTED_SQL,
     "orders_page": ORDERS_PAGE_SQL,
     "register_csv_normalize": REGISTER_CSV_NORMALIZE_SQL,
@@ -3135,6 +3170,7 @@ def registry() -> dict:
         "events_mode_user": events_mode_user,
         "orders_diff_demo": orders_diff_demo,
         "events_latest_per_user": events_latest_per_user,
+        "events_multi_window_features": events_multi_window_features,
         # rows-only (non-SQL-expressible).  Registry order matters: the
         # driver runs entries in order with a global time budget, and in r2
         # the last three fell off with no CORRECTNESS row — so the cheap

@@ -230,3 +230,70 @@ def range_join_count(
         return pa.Table.from_arrays(arrays, schema=out_schema)
 
     return both.groupby("_k").map_groups(count_group, batch_format="pyarrow")
+
+
+def range_join_multi_count(
+    left_ds,
+    right_ds,
+    *,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    left_cols: list[str],
+    windows_us: dict[str, int],
+    hot_key_warn_rows: int = HOT_KEY_WARN_ROWS,
+):
+    """Multi-horizon trailing-window counts — the feature-generation form of
+    :func:`range_join_count`: for every left row, one int64 column per named
+    window with the number of same-key right rows in ``(left_ts - w,
+    left_ts]``.
+
+    All horizons share ONE co-partition shuffle and ONE sorted right
+    timestamp array per group; each extra window costs exactly one more
+    vectorized ``searchsorted`` (the upper bound is computed once).  This is
+    how activity features at 7/30/90-day horizons should be produced — never
+    as three separate range joins."""
+    ltypes = dict(zip(left_ds.schema().names, left_ds.schema().types))
+    wnames = list(windows_us)
+    out_schema = pa.schema(
+        [(c, ltypes[c]) for c in left_cols] + [(w, pa.int64()) for w in wnames]
+    )
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        arrays = [t[key], t[left_ts], pa.array([0] * n, pa.int8())]
+        names = ["_k", "_t", "_side"]
+        for c in left_cols:
+            arrays.append(t[c])
+            names.append(c)
+        return pa.Table.from_arrays(arrays, names=names)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        arrays = [t[key], t[right_ts], pa.array([1] * n, pa.int8())]
+        names = ["_k", "_t", "_side"]
+        for c in left_cols:
+            arrays.append(pa.nulls(n, ltypes[c]))
+            names.append(c)
+        return pa.Table.from_arrays(arrays, names=names)
+
+    both = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
+        right_ds.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def count_group(t: pa.Table) -> pa.Table:
+        _warn_hot_key(t.num_rows, "range_join_multi_count", hot_key_warn_rows)
+        lmask = pc.equal(t["_side"], 0)
+        lt = t.filter(lmask)
+        if lt.num_rows == 0:
+            return out_schema.empty_table()
+        rts = np.sort(_ts_to_i64(t.filter(pc.invert(lmask))["_t"]))
+        lts = _ts_to_i64(lt["_t"])
+        hi = np.searchsorted(rts, lts, side="right")
+        arrays = [lt[c] for c in left_cols]
+        for w in wnames:
+            lo = np.searchsorted(rts, lts - windows_us[w], side="right")
+            arrays.append(pa.array((hi - lo).astype("int64")))
+        return pa.Table.from_arrays(arrays, schema=out_schema)
+
+    return both.groupby("_k").map_groups(count_group, batch_format="pyarrow")

@@ -161,3 +161,35 @@ def test_group_quantiles_match_rank_semantics(ray_session):
         for q in qs:
             want = sv[max(1, int(np.ceil(q * len(sv)))) - 1]
             assert out[(g, q)] == want, (g, q)
+
+
+def test_multi_window_counts_match_bruteforce(ray_session):
+    """All horizons from one sorted layout must equal per-row brute force
+    over a random keyed layout (windows inclusive-upper, exclusive-lower)."""
+    from invoice_ocr_reconciler_ray.stages.asof import range_join_multi_count
+
+    rng = np.random.RandomState(23)
+    n = 1500
+    keys = rng.randint(0, 20, n).astype(np.int64)
+    ts = rng.randint(0, 10**6, n).astype(np.int64)
+    tbl = pa.table(
+        {"k": pa.array(keys), "t": pa.array(ts), "rid": pa.array(np.arange(n, dtype=np.int64))}
+    )
+    windows = {"w_small": 10_000, "w_big": 200_000}
+    out = (
+        range_join_multi_count(
+            rd.from_arrow(tbl).repartition(5),
+            rd.from_arrow(tbl.select(["k", "t"])).repartition(3),
+            key="k", left_ts="t", right_ts="t",
+            left_cols=["rid"], windows_us=windows,
+        )
+        .to_pandas()
+        .set_index("rid")
+        .sort_index()
+    )
+    assert len(out) == n
+    for rid in rng.choice(n, 60, replace=False):
+        same = keys == keys[rid]
+        for w, width in windows.items():
+            want = int(((ts[same] > ts[rid] - width) & (ts[same] <= ts[rid])).sum())
+            assert out.loc[rid, w] == want, (rid, w)
