@@ -1,6 +1,8 @@
 """Driver-style oracle cross-check: run every queries() entry at a given sf
 and compare against oracle_sql() through DuckDB (row count + column names +
-order-insensitive values).  Usage: python scripts/oracle_check.py [sf_dir]
+order-insensitive values).
+
+Usage: python scripts/oracle_check.py [sf_dir] [--only name1,name2,...]
 """
 
 from __future__ import annotations
@@ -37,7 +39,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    argv = list(sys.argv[1:])
+    only: set[str] | None = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        del argv[i : i + 2]
+    sf = argv[0] if argv else "/root/testdata/sf0.01"
     warnings.filterwarnings("ignore")
     import ray
 
@@ -57,6 +65,8 @@ def main() -> int:
     qs, oracles = E.queries(), E.oracle_sql()
     failures = 0
     for name, fn in qs.items():
+        if only is not None and name not in only:
+            continue
         try:
             got = canon(to_pandas(fn(sf)))
         except Exception as e:
