@@ -22,7 +22,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..stages import neardup
-from ..stages.ann import brute_force_topk, ivf_topk
+from ..stages.ann import brute_force_topk, ivf_topk, knn_join
 from ..stages.fuzzy import fuzzy_reconcile
 from ..stages.text_analysis import (
     fingerprint_stage,
@@ -533,6 +533,143 @@ def ann_ivf_exact_fullprobe(sf_dir: str):
 
 
 ANN_IVF_EXACT_FULLPROBE_SQL = ANN_COSINE_TOPK_SQL
+
+
+def embeddings_knn_join(sf_dir: str):
+    """Embedding kNN JOIN (similarity-search family): every probe vector
+    (vec_id % 7 = 3) joined to its 3 nearest build vectors (the rest) by
+    cosine.  Build side broadcast once via ``ray.put``; probe side streams —
+    zero shuffle (stages/ann.py:knn_join).  Exact oracle: DuckDB CROSS JOIN
+    + row_number window with the identical (sim DESC, build_id) tiebreak."""
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+
+    def _side(want_probe: bool):
+        def f(t: pa.Table) -> pa.Table:
+            mask = (t["vec_id"].to_numpy(zero_copy_only=False) % 7) == 3
+            return t.filter(pa.array(mask if want_probe else ~mask))
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    return knn_join(_side(True), _side(False), k=3)
+
+
+EMBEDDINGS_KNN_JOIN_SQL = """
+WITH p AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pe
+           FROM embeddings WHERE vec_id % 7 = 3),
+b AS (SELECT vec_id AS build_id, CAST(embedding AS DOUBLE[]) AS be
+      FROM embeddings WHERE vec_id % 7 <> 3),
+s AS (SELECT p.probe_id, b.build_id,
+             list_cosine_similarity(pe, be) AS sim_raw
+      FROM p CROSS JOIN b),
+r AS (SELECT probe_id, build_id, sim_raw,
+             row_number() OVER (PARTITION BY probe_id ORDER BY sim_raw DESC, build_id) AS rank
+      FROM s)
+SELECT probe_id, build_id, ROUND(sim_raw, 6) AS sim, rank FROM r WHERE rank <= 3
+"""
+
+
+def orders_customer_full_outer(sf_dir: str):
+    """FULL OUTER join through Ray Data's native hash-shuffle ``Dataset.join``
+    (completes the join-type family next to the inner `top_building_orders`,
+    semi/anti `customers_without_early_orders`, and the co-located
+    `orders_customer_bucketed_join`).  Big orders (>3500.00×100 cents) ⟗
+    high-balance customers: big orders whose customer is not high-balance
+    surface left-only; high-balance customers with no big order surface
+    right-only (both classes non-empty at every sf).  Every nullable column is
+    COALESCEd to a sentinel on BOTH engines so the int64 schema survives
+    pandas' NaN upcast (the r2 as-of join lesson — never hand the oracle a
+    null-tainted int column)."""
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["o_orderkey"], t["o_custkey"], _cents(t["o_totalprice"])],
+            names=["o_orderkey", "o_custkey", "o_total_cents"],
+        ).filter(pc.greater(t["o_totalprice"], 350000.0)),
+        batch_format="pyarrow",
+    )
+    cust = rd.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_name", "c_acctbal"]
+    ).map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["c_custkey"], t["c_name"], _cents(t["c_acctbal"])],
+            names=["c_custkey", "c_name", "c_acctbal_cents"],
+        ).filter(pc.greater(t["c_acctbal"], 5000.0)),
+        batch_format="pyarrow",
+    )
+    joined = orders.join(
+        cust,
+        join_type="full_outer",
+        num_partitions=8,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        # Ray's full_outer join merges the two key columns into the left
+        # name, already COALESCEd — only the non-key columns can be null
+        neg1 = pa.scalar(-1, pa.int64())
+        cust_key = pc.cast(t["o_custkey"], pa.int64())
+        return pa.Table.from_arrays(
+            [
+                cust_key,
+                pc.coalesce(pc.cast(t["o_orderkey"], pa.int64()), neg1),
+                pc.coalesce(pc.cast(t["o_total_cents"], pa.int64()), neg1),
+                pc.coalesce(pc.cast(t["c_name"], pa.string()), pa.scalar("", pa.string())),
+                pc.coalesce(pc.cast(t["c_acctbal_cents"], pa.int64()), neg1),
+            ],
+            names=["cust_key", "o_orderkey", "o_total_cents", "c_name", "c_acctbal_cents"],
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+ORDERS_CUSTOMER_FULL_OUTER_SQL = """
+WITH o AS (SELECT o_orderkey, o_custkey,
+                  CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS o_total_cents
+           FROM orders WHERE o_totalprice > 350000),
+c AS (SELECT c_custkey, c_name,
+             CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT) AS c_acctbal_cents
+      FROM customer WHERE c_acctbal > 5000)
+SELECT COALESCE(o.o_custkey, c.c_custkey) AS cust_key,
+       COALESCE(o.o_orderkey, -1) AS o_orderkey,
+       COALESCE(o.o_total_cents, -1) AS o_total_cents,
+       COALESCE(c.c_name, '') AS c_name,
+       COALESCE(c.c_acctbal_cents, -1) AS c_acctbal_cents
+FROM o FULL OUTER JOIN c ON o.o_custkey = c.c_custkey
+"""
+
+
+def docs_jsonl_export(sf_dir: str):
+    """JSONL sink + source roundtrip (the training-data interchange format,
+    next to the S6 CSV roundtrip): the documents metadata projection is
+    written as JSONL shards via ``write_json`` and read back via
+    ``read_json`` — the oracle checks the ROUNDTRIPPED values, so JSON
+    escaping and numeric fidelity are in the verified surface.  Cached per
+    source fingerprint like the CSV/register exports (never serves stale
+    data after a testdata regen)."""
+    import os
+
+    from ..functions.hashing import stable_hash64
+
+    st = os.stat(f"{sf_dir.rstrip('/')}/documents.parquet")
+    key = stable_hash64(f"{sf_dir}|docs_jsonl|v1|{st.st_size}|{st.st_mtime_ns}")
+    out = f"/tmp/iocr_jsonl_export_{key:016x}"
+    if not os.path.isdir(out):
+        ds = rd.read_parquet(
+            _t(sf_dir, "documents"), columns=["doc_id", "lang", "source", "n_chars"]
+        ).map_batches(
+            lambda t: t.filter(pc.less(t["doc_id"], 2000)), batch_format="pyarrow"
+        )
+        tmp = out + ".tmp"
+        ds.write_json(tmp)
+        os.rename(tmp, out)
+    return rd.read_json(out).select_columns(["doc_id", "lang", "source", "n_chars"])
+
+
+DOCS_JSONL_EXPORT_SQL = """
+SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id < 2000
+"""
 
 
 # -------------------------------------------------- near-dup suite (rows-only)
@@ -3074,6 +3211,9 @@ ORACLE_SQL: dict[str, str] = {
     "events_range_join_orders": EVENTS_RANGE_JOIN_ORDERS_SQL,
     "docs_stratified_sample": DOCS_STRATIFIED_SAMPLE_SQL,
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
+    "embeddings_knn_join": EMBEDDINGS_KNN_JOIN_SQL,
+    "orders_customer_full_outer": ORDERS_CUSTOMER_FULL_OUTER_SQL,
+    "docs_jsonl_export": DOCS_JSONL_EXPORT_SQL,
 }
 
 
@@ -3171,6 +3311,9 @@ def registry() -> dict:
         "orders_diff_demo": orders_diff_demo,
         "events_latest_per_user": events_latest_per_user,
         "events_multi_window_features": events_multi_window_features,
+        "embeddings_knn_join": embeddings_knn_join,
+        "orders_customer_full_outer": orders_customer_full_outer,
+        "docs_jsonl_export": docs_jsonl_export,
         # rows-only (non-SQL-expressible).  Registry order matters: the
         # driver runs entries in order with a global time budget, and in r2
         # the last three fell off with no CORRECTNESS row — so the cheap

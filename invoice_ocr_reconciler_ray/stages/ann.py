@@ -90,6 +90,77 @@ def brute_force_topk(ds, query_ids: list[int], query_matrix: np.ndarray, k: int 
     return partial.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")
 
 
+def knn_join(
+    probe_ds,
+    build_ds,
+    k: int = 3,
+    *,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_id_name: str = "probe_id",
+    build_id_name: str = "build_id",
+):
+    """Embedding kNN *join*: every probe row is joined to its ``k`` nearest
+    build rows by cosine similarity (the vector analogue of a broadcast hash
+    join — a core similarity-search primitive for near-dup mining and
+    retrieval labelling over training corpora).
+
+    Plan: the build side is collected, unit-normalised and ``ray.put``
+    ONCE; the probe side STREAMS through ``map_batches`` with one matmul
+    per batch and a vectorised per-row tie-safe top-k.  Zero shuffle, no
+    groupby — unlike :func:`brute_force_topk` (which broadcasts the
+    queries and reduces partials), here each probe row's answer completes
+    inside its own batch, so the probe side can be arbitrarily large.
+
+    Documented bound: the BUILD side must fit in a worker's heap
+    (N_build × D × 8 bytes + ids).  Beyond that, flip the sides (if the
+    probe side is the small one), fall back to ``brute_force_topk``'s
+    partial-top-k + groupby shape, or prune with :func:`ivf_topk`.
+
+    Deterministic output order per probe row: sim DESC, build id ASC
+    (ties fixed); ``sim`` rounded to 6 dp AFTER ranking.
+    """
+    build = build_ds.select_columns([id_col, emb_col]).to_pandas()  # small side
+    bids = np.asarray(build[id_col].to_numpy(), dtype=np.int64)
+    bmat = np.asarray(build[emb_col].tolist(), dtype=np.float64)
+    bn = np.linalg.norm(bmat, axis=1)
+    bn[bn == 0] = 1.0
+    bref = ray.put({"ids": bids, "matrix": (bmat / bn[:, None]).T})  # (D, NB)
+
+    def probe_batch(t: pa.Table) -> pa.Table:
+        b = ray.get(bref)
+        nb = b["ids"].shape[0]
+        kk = min(k, nb)
+        out_p, out_b, out_s, out_r = [], [], [], []
+        if t.num_rows and nb:
+            pids = np.asarray(t.column(id_col).to_pylist(), dtype=np.int64)
+            pmat = np.asarray(t.column(emb_col).to_pylist(), dtype=np.float64)
+            pn = np.linalg.norm(pmat, axis=1)
+            pn[pn == 0] = 1.0
+            sims = (pmat / pn[:, None]) @ b["matrix"]  # (P, NB)
+            # vectorised kth-largest per row; per-row candidate sets are ~k
+            thresh = np.partition(sims, nb - kk, axis=1)[:, nb - kk]
+            for i in range(sims.shape[0]):
+                cand = np.nonzero(sims[i] >= thresh[i])[0]
+                order = np.lexsort((b["ids"][cand], -sims[i, cand]))[:kk]
+                idx = cand[order]
+                out_p.extend([int(pids[i])] * len(idx))
+                out_b.extend(int(b["ids"][j]) for j in idx)
+                out_s.extend(float(sims[i, j]) for j in idx)
+                out_r.extend(range(1, len(idx) + 1))
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_p, pa.int64()),
+                pa.array(out_b, pa.int64()),
+                pa.array(np.round(np.asarray(out_s, dtype=np.float64), 6), pa.float64()),
+                pa.array(out_r, pa.int64()),
+            ],
+            names=[probe_id_name, build_id_name, "sim", "rank"],
+        )
+
+    return probe_ds.map_batches(probe_batch, batch_format="pyarrow")
+
+
 def ivf_topk(
     ds,
     query_ids: list[int],
