@@ -672,6 +672,112 @@ SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id < 2000
 """
 
 
+def corpus_mix_weighted(sf_dir: str):
+    """Weighted corpus MIXING — the 'data recipe' step of every large-scale
+    training pipeline: each source contributes at its own rate, selected by
+    a content-stable hash (never seed/partitioning-dependent sampling), so
+    the mixture is reproducible by any engine and any re-run.  Per-source
+    rate here derives from the source id (``(n % 5 + 1) × 150`` permille);
+    one streaming pass, zero shuffle.  The kept row carries its source rate
+    so downstream loss-weighting can invert the sampling bias."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang", "source"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids = t["doc_id"].to_pylist()
+        srcs = t["source"].to_pylist()
+        rates = [((int(s[3:]) % 5) + 1) * 150 for s in srcs]
+        keep = [
+            int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 1000 < r
+            for i, r in zip(ids, rates)
+        ]
+        t = t.append_column("rate_permille", pa.array(rates, pa.int64()))
+        return t.filter(pa.array(keep, pa.bool_()))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+CORPUS_MIX_WEIGHTED_SQL = """
+SELECT doc_id, lang, source,
+       ((CAST(substr(source, 4) AS BIGINT) % 5) + 1) * 150 AS rate_permille
+FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 1000
+      < ((CAST(substr(source, 4) AS BIGINT) % 5) + 1) * 150
+"""
+
+
+def docs_epoch_repeat(sf_dir: str):
+    """Deterministic epoch UPSAMPLING — the other half of the data recipe:
+    high-value sources repeat for multiple epochs (weight ``n % 3 + 1``),
+    each copy tagged with its epoch number so shuffling/sharding downstream
+    can interleave epochs.  Pure vectorized ``np.repeat`` inside one
+    map_batches — output is w× the input rows with zero shuffle (the
+    flat_map shape, done columnar)."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "source"])
+
+    def rep(t: pa.Table) -> pa.Table:
+        srcs = t["source"].to_pylist()
+        w = np.asarray([(int(s[3:]) % 3) + 1 for s in srcs], dtype=np.int64)
+        idx = np.repeat(np.arange(len(w)), w)
+        out = t.take(pa.array(idx, pa.int64()))
+        # epoch = 1..w per source row: global arange minus each row's start
+        starts = np.concatenate(([0], np.cumsum(w)[:-1]))
+        epoch = np.arange(len(idx), dtype=np.int64) - np.repeat(starts, w) + 1
+        return out.append_column("epoch", pa.array(epoch, pa.int64()))
+
+    return ds.map_batches(rep, batch_format="pyarrow")
+
+
+DOCS_EPOCH_REPEAT_SQL = """
+SELECT doc_id, source, CAST(t.epoch AS BIGINT) AS epoch
+FROM documents,
+     LATERAL unnest(generate_series(1, (CAST(substr(source, 4) AS BIGINT) % 3) + 1))
+         AS t(epoch)
+"""
+
+
+def orders_price_cdf(sf_dir: str):
+    """Exact cumulative distribution over a value column (the CUME_DIST /
+    percent-rank shape without a global sort): block-local value counts →
+    one O(distinct-values) groupby → driver prefix-sum over the aggregate.
+    Documented bound: the DRIVER holds O(distinct values) rows (a money
+    column has a bounded cent domain even at 100 TB); rows never sort
+    globally and never leave their blocks.  Integer-exact output
+    (value, count, cumulative count) — CUME_DIST is cum_cnt/n downstream."""
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        g = (
+            pa.Table.from_arrays([_cents(t["o_totalprice"])], names=["price_cents"])
+            .group_by("price_cents")
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["price_cents", "cnt"])
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("price_cents")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values("price_cents")
+        .reset_index(drop=True)
+    )
+    agg["cum_cnt"] = agg["cnt"].cumsum().astype(np.int64)
+    agg["cnt"] = agg["cnt"].astype(np.int64)
+    return agg
+
+
+ORDERS_PRICE_CDF_SQL = """
+WITH v AS (SELECT CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS price_cents
+           FROM orders),
+g AS (SELECT price_cents, COUNT(*) AS cnt FROM v GROUP BY price_cents)
+SELECT price_cents, CAST(cnt AS BIGINT) AS cnt,
+       CAST(SUM(cnt) OVER (ORDER BY price_cents) AS BIGINT) AS cum_cnt
+FROM g
+"""
+
+
 # -------------------------------------------------- near-dup suite (rows-only)
 
 def _docs_with_neardups(sf_dir: str):
@@ -3214,6 +3320,9 @@ ORACLE_SQL: dict[str, str] = {
     "embeddings_knn_join": EMBEDDINGS_KNN_JOIN_SQL,
     "orders_customer_full_outer": ORDERS_CUSTOMER_FULL_OUTER_SQL,
     "docs_jsonl_export": DOCS_JSONL_EXPORT_SQL,
+    "corpus_mix_weighted": CORPUS_MIX_WEIGHTED_SQL,
+    "docs_epoch_repeat": DOCS_EPOCH_REPEAT_SQL,
+    "orders_price_cdf": ORDERS_PRICE_CDF_SQL,
 }
 
 
@@ -3314,6 +3423,9 @@ def registry() -> dict:
         "embeddings_knn_join": embeddings_knn_join,
         "orders_customer_full_outer": orders_customer_full_outer,
         "docs_jsonl_export": docs_jsonl_export,
+        "corpus_mix_weighted": corpus_mix_weighted,
+        "docs_epoch_repeat": docs_epoch_repeat,
+        "orders_price_cdf": orders_price_cdf,
         # rows-only (non-SQL-expressible).  Registry order matters: the
         # driver runs entries in order with a global time budget, and in r2
         # the last three fell off with no CORRECTNESS row — so the cheap
