@@ -778,6 +778,105 @@ FROM g
 """
 
 
+def window_dedup_docs(sf_dir: str):
+    """Exact substring-level duplication (Lee et al. 2022 shape): hop-1
+    rolling 8-word windows; a window seen in an earlier doc counts as
+    duplicated AT ANY ALIGNMENT (stages/corpus_stats.py:window_dedup_stats
+    — the rolling complement of the chunk_dedup_docs fixed-chunk pass)."""
+    from ..stages.corpus_stats import window_dedup_stats
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return window_dedup_stats(ds, window_words=8)
+
+
+WINDOW_DEDUP_DOCS_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+                     w -> w <> '') AS words
+  FROM documents),
+wins AS (
+  SELECT doc_id, array_to_string(words[s.s : s.s + 7], ' ') AS win
+  FROM toks, LATERAL unnest(generate_series(1, len(words) - 7)) AS s(s)),
+owner AS (SELECT win, MIN(doc_id) AS first_doc FROM wins GROUP BY 1),
+have AS (
+  SELECT w.doc_id, COUNT(*) AS n_windows,
+         COUNT(*) FILTER (WHERE o.first_doc < w.doc_id) AS n_dup_windows
+  FROM wins w JOIN owner o USING (win) GROUP BY 1)
+SELECT d.doc_id, CAST(COALESCE(h.n_windows, 0) AS BIGINT) AS n_windows,
+       CAST(COALESCE(h.n_dup_windows, 0) AS BIGINT) AS n_dup_windows
+FROM documents d LEFT JOIN have h USING (doc_id)
+"""
+
+
+def _synth_link_edges(sf_dir: str):
+    """Deterministic synthetic link graph over the corpus: doc i links to up
+    to 3 targets ``md5(i:j) % N`` (j = 0..2), self-loops dropped, duplicate
+    targets collapsed — reproducible by any engine from the table alone."""
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(_t(sf_dir, "documents")).num_rows
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        srcs: list[int] = []
+        dsts: list[int] = []
+        for i in t["doc_id"].to_pylist():
+            tg = set()
+            for j in range(3):
+                d = int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:8], 16) % n
+                if d != i:
+                    tg.add(d)
+            for d in sorted(tg):
+                srcs.append(int(i))
+                dsts.append(d)
+        return pa.Table.from_arrays(
+            [pa.array(srcs, pa.int64()), pa.array(dsts, pa.int64())],
+            names=["src", "dst"],
+        )
+
+    return ds.map_batches(edges, batch_format="pyarrow"), n
+
+
+def docs_pagerank(sf_dir: str):
+    """Iterative distributed PageRank (stages/pagerank.py) over the
+    deterministic synthetic link graph — 5 power iterations in int64
+    fixed-point, so even this ITERATIVE algorithm has an exact SQL oracle
+    (the same floor arithmetic unrolled as 5 chained CTEs)."""
+    from ..stages.pagerank import pagerank
+
+    edges, n = _synth_link_edges(sf_dir)
+    return pagerank(edges.materialize(), n, iters=5)
+
+
+def _pagerank_sql(iters: int = 5) -> str:
+    sql = """WITH nodes AS (SELECT doc_id AS node FROM documents),
+edges_raw AS (
+  SELECT doc_id AS src,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)), 1, 8)) AS UBIGINT)
+              % (SELECT COUNT(*) FROM documents) AS BIGINT) AS dst
+  FROM documents, LATERAL unnest(generate_series(0, 2)) AS j(j)),
+edges AS (SELECT DISTINCT src, dst FROM edges_raw WHERE dst <> src),
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY 1),
+r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+acc{i} AS (SELECT e.dst AS node, SUM(r.r // dg.d) AS s
+           FROM edges e
+           JOIN deg dg ON e.src = dg.src
+           JOIN r{i - 1} r ON r.node = e.src
+           GROUP BY 1),
+r{i} AS (SELECT n.node,
+                CAST(150000000 + (85 * COALESCE(a.s, 0)) // 100 AS BIGINT) AS r
+         FROM nodes n LEFT JOIN acc{i} a USING (node))"""
+    return sql + f"\nSELECT node, r AS rank_fx FROM r{iters}"
+
+
+DOCS_PAGERANK_SQL = _pagerank_sql(5)
+
+
 # -------------------------------------------------- near-dup suite (rows-only)
 
 def _docs_with_neardups(sf_dir: str):
@@ -3323,6 +3422,8 @@ ORACLE_SQL: dict[str, str] = {
     "corpus_mix_weighted": CORPUS_MIX_WEIGHTED_SQL,
     "docs_epoch_repeat": DOCS_EPOCH_REPEAT_SQL,
     "orders_price_cdf": ORDERS_PRICE_CDF_SQL,
+    "window_dedup_docs": WINDOW_DEDUP_DOCS_SQL,
+    "docs_pagerank": DOCS_PAGERANK_SQL,
 }
 
 
@@ -3426,6 +3527,8 @@ def registry() -> dict:
         "corpus_mix_weighted": corpus_mix_weighted,
         "docs_epoch_repeat": docs_epoch_repeat,
         "orders_price_cdf": orders_price_cdf,
+        "window_dedup_docs": window_dedup_docs,
+        "docs_pagerank": docs_pagerank,
         # rows-only (non-SQL-expressible).  Registry order matters: the
         # driver runs entries in order with a global time budget, and in r2
         # the last three fell off with no CORRECTNESS row — so the cheap

@@ -240,3 +240,100 @@ def tfidf_topk(
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def _window_rows(batch: pa.Table, *, id_col: str, text_col: str, window_words: int):
+    """One batch of docs → per-window (doc_id, fingerprint) for EVERY
+    hop-1 rolling window, plus n_windows per doc.  A doc shorter than the
+    window emits nothing."""
+    ids = batch.column(id_col).to_pylist()
+    toks = _tokenize_column(batch.column(text_col)).to_pylist()
+    w_doc: list[int] = []
+    w_fp: list[str] = []
+    n_windows: list[int] = []
+    for i, words in zip(ids, toks):
+        words = [w for w in (words or []) if w]
+        n = max(0, len(words) - window_words + 1)
+        for s in range(n):
+            win = " ".join(words[s : s + window_words])
+            w_doc.append(int(i))
+            w_fp.append(f"{stable_hash64(win, salt='window'):016x}")
+        n_windows.append(n)
+    return ids, w_doc, w_fp, n_windows
+
+
+def window_dedup_stats(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_words: int = 8,
+):
+    """Dataset(docs) → Dataset(doc_id, n_windows, n_dup_windows): exact
+    SUBSTRING-level duplication — every hop-1 rolling ``window_words``-word
+    window that already appears in an earlier document (smaller doc_id)
+    counts as duplicated, AT ANY ALIGNMENT.
+
+    This is the rolling-window complement of :func:`chunk_dedup_stats`
+    (fixed non-overlapping chunks): a span copied between documents at a
+    different word offset shifts across chunk boundaries and evades the
+    chunk pass, but its interior windows are identical and are caught here
+    — the published exact-substring-dedup observation (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better") expressed
+    in this engine's shuffle-free winner-map shape.
+
+    Cost note: hop-1 windows mean O(total tokens) fingerprints through the
+    winner map (vs O(tokens/chunk_words) for chunks) — the driver/broadcast
+    bound is O(distinct windows).  At 100 TB run the winner resolution as a
+    hash-partitioned groupby on the fingerprint instead (the
+    `stages/dedup.py` shuffle strategy) and keep the probe identical; the
+    per-block emit/probe kernels are unchanged under either resolution.
+    """
+
+    def window_table(batch: pa.Table) -> pa.Table:
+        _, w_doc, w_fp, _ = _window_rows(
+            batch, id_col=id_col, text_col=text_col, window_words=window_words
+        )
+        return pa.Table.from_arrays(
+            [pa.array(w_doc, pa.int64()), pa.array(w_fp, pa.string())],
+            names=["doc_id_", "win"],
+        )
+
+    owners = compute_winner_map(
+        ds.map_batches(window_table, batch_format="pyarrow"),
+        key_col="win",
+        pri_col="doc_id_",
+    )
+    ok = sorted(owners)
+    oref = ray.put(
+        {
+            "keys": pa.array(ok, pa.string()),
+            "first": pa.array([owners[k] for k in ok], pa.int64()),
+        }
+    )
+
+    def probe(batch: pa.Table) -> pa.Table:
+        o = ray.get(oref)
+        ids, w_doc, w_fp, n_windows = _window_rows(
+            batch, id_col=id_col, text_col=text_col, window_words=window_words
+        )
+        per_doc: dict[int, int] = {}
+        if len(o["keys"]) and w_fp:
+            idx = pc.index_in(pa.array(w_fp, pa.string()), value_set=o["keys"])
+            first = pc.take(o["first"], idx)
+            dup = pc.fill_null(
+                pc.less(first, pa.array(w_doc, pa.int64())), False
+            ).to_numpy(zero_copy_only=False)
+            for d, f in zip(w_doc, dup):
+                if f:
+                    per_doc[d] = per_doc.get(d, 0) + 1
+        return pa.Table.from_arrays(
+            [
+                pa.array([int(i) for i in ids], pa.int64()),
+                pa.array(n_windows, pa.int64()),
+                pa.array([per_doc.get(int(i), 0) for i in ids], pa.int64()),
+            ],
+            names=["doc_id", "n_windows", "n_dup_windows"],
+        )
+
+    return ds.map_batches(probe, batch_format="pyarrow")
