@@ -877,6 +877,146 @@ r{i} AS (SELECT n.node,
 DOCS_PAGERANK_SQL = _pagerank_sql(5)
 
 
+def docs_ngram_decontaminate(sf_dir: str):
+    """N-gram-overlap decontamination: training docs (doc_id ≥ 20) flagged
+    if any rolling 8-word window collides with the benchmark set (doc_id
+    < 20) — partial-overlap hygiene the substring-needle pass can't see
+    (stages/corpus_stats.py:ngram_contamination)."""
+    from ..stages.corpus_stats import ngram_contamination
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    bench = docs.map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], 20)), batch_format="pyarrow"
+    )
+    train = docs.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["doc_id"], 20)), batch_format="pyarrow"
+    )
+    return ngram_contamination(train, bench, window_words=8)
+
+
+DOCS_NGRAM_DECONTAMINATE_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+                     w -> w <> '') AS words
+  FROM documents),
+bwins AS (
+  SELECT DISTINCT array_to_string(words[s.s : s.s + 7], ' ') AS win
+  FROM toks, LATERAL unnest(generate_series(1, len(words) - 7)) AS s(s)
+  WHERE doc_id < 20),
+twins AS (
+  SELECT doc_id, array_to_string(words[s.s : s.s + 7], ' ') AS win
+  FROM toks, LATERAL unnest(generate_series(1, len(words) - 7)) AS s(s)
+  WHERE doc_id >= 20),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n FROM twins
+  WHERE win IN (SELECT win FROM bwins) GROUP BY 1)
+SELECT d.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_contam_windows,
+       COALESCE(h.n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id >= 20
+"""
+
+
+def orders_equidepth_buckets(sf_dir: str):
+    """Equi-depth (quartile) feature binning: boundaries from the exact
+    distributed quantile machinery (stages/quantiles.py, quantile_disc
+    semantics — histogram partition + refinement, no global sort), then one
+    streaming pass assigns each row its bucket by value.  The
+    feature-engineering shape: bucket ids are stable under re-partitioning
+    because they derive from VALUES, not row positions (unlike NTILE)."""
+    from ..stages.quantiles import exact_quantiles
+
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
+    cents = ds.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["o_orderkey"], _cents(t["o_totalprice"])],
+            names=["o_orderkey", "price_cents"],
+        ),
+        batch_format="pyarrow",
+    )
+    qt = exact_quantiles(cents, "price_cents", [0.25, 0.5, 0.75])
+    bounds = np.asarray(qt["value"].to_pylist(), dtype=np.int64)
+
+    def assign(t: pa.Table) -> pa.Table:
+        v = t["price_cents"].to_numpy(zero_copy_only=False)
+        bucket = 1 + (v[:, None] > bounds[None, :]).sum(axis=1)
+        return t.append_column("bucket", pa.array(bucket.astype(np.int64), pa.int64()))
+
+    return cents.map_batches(assign, batch_format="pyarrow")
+
+
+ORDERS_EQUIDEPTH_BUCKETS_SQL = """
+WITH v AS (SELECT o_orderkey,
+                  CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS price_cents
+           FROM orders),
+q AS (SELECT quantile_disc(price_cents, 0.25) AS q1,
+             quantile_disc(price_cents, 0.50) AS q2,
+             quantile_disc(price_cents, 0.75) AS q3 FROM v)
+SELECT o_orderkey, price_cents,
+       CAST(1 + CAST(price_cents > q1 AS INT) + CAST(price_cents > q2 AS INT)
+              + CAST(price_cents > q3 AS INT) AS BIGINT) AS bucket
+FROM v, q
+"""
+
+
+def events_funnel_stages(sf_dir: str):
+    """Ordered-sequence FUNNEL per user (signup → view → purchase, each
+    step strictly after the previous step's first completion and within a
+    48-hour conversion window) — the MATCH_RECOGNIZE-ish event-sequence
+    class.  Co-partition by user (one groupby shuffle), then a fully
+    vectorized per-group three-step min-scan over value comparisons — no
+    sort needed, so same-timestamp ties cannot make the result
+    order-dependent."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "event_type"])
+    window_us = 48 * 3600 * 1_000_000
+
+    def per_user(g: pa.Table) -> pa.Table:
+        uid = g["user_id"][0].as_py()
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        et = np.asarray(g["event_type"].to_pylist())
+        stage = 0
+        t_prev = None
+        for step_type in ("signup", "view", "purchase"):
+            mask = et == step_type
+            if t_prev is not None:
+                mask &= (ts > t_prev) & (ts <= t_prev + window_us)
+            if not mask.any():
+                break
+            t_prev = ts[mask].min()
+            stage += 1
+        return pa.Table.from_arrays(
+            [pa.array([uid], pa.int64()), pa.array([stage], pa.int64())],
+            names=["user_id", "funnel_stage"],
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
+EVENTS_FUNNEL_STAGES_SQL = """
+WITH s AS (SELECT user_id, MIN(ts) AS t1 FROM events
+           WHERE event_type = 'signup' GROUP BY 1),
+v AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'view' AND e.ts > s.t1
+        AND e.ts <= s.t1 + INTERVAL '48 hours' GROUP BY 1),
+p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+      JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > v.t2
+        AND e.ts <= v.t2 + INTERVAL '48 hours' GROUP BY 1),
+u AS (SELECT DISTINCT user_id FROM events)
+SELECT u.user_id,
+       CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                 WHEN v.user_id IS NOT NULL THEN 2
+                 WHEN s.user_id IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS funnel_stage
+FROM u
+LEFT JOIN s ON u.user_id = s.user_id
+LEFT JOIN v ON u.user_id = v.user_id
+LEFT JOIN p ON u.user_id = p.user_id
+"""
+
+
 # -------------------------------------------------- near-dup suite (rows-only)
 
 def _docs_with_neardups(sf_dir: str):
@@ -3424,6 +3564,9 @@ ORACLE_SQL: dict[str, str] = {
     "orders_price_cdf": ORDERS_PRICE_CDF_SQL,
     "window_dedup_docs": WINDOW_DEDUP_DOCS_SQL,
     "docs_pagerank": DOCS_PAGERANK_SQL,
+    "docs_ngram_decontaminate": DOCS_NGRAM_DECONTAMINATE_SQL,
+    "orders_equidepth_buckets": ORDERS_EQUIDEPTH_BUCKETS_SQL,
+    "events_funnel_stages": EVENTS_FUNNEL_STAGES_SQL,
 }
 
 
@@ -3529,6 +3672,9 @@ def registry() -> dict:
         "orders_price_cdf": orders_price_cdf,
         "window_dedup_docs": window_dedup_docs,
         "docs_pagerank": docs_pagerank,
+        "docs_ngram_decontaminate": docs_ngram_decontaminate,
+        "orders_equidepth_buckets": orders_equidepth_buckets,
+        "events_funnel_stages": events_funnel_stages,
         # rows-only (non-SQL-expressible).  Registry order matters: the
         # driver runs entries in order with a global time budget, and in r2
         # the last three fell off with no CORRECTNESS row — so the cheap

@@ -337,3 +337,66 @@ def window_dedup_stats(
         )
 
     return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def ngram_contamination(
+    train_ds,
+    bench_ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_words: int = 8,
+):
+    """Dataset(train docs) × Dataset(benchmark docs) →
+    Dataset(doc_id, n_contam_windows, contaminated): n-gram-overlap
+    benchmark DECONTAMINATION — a training doc is contaminated if any of
+    its hop-1 rolling ``window_words``-word windows appears anywhere in the
+    benchmark set (the published n-gram-collision hygiene check, e.g. the
+    13-gram rule of GPT-3/PaLM appendix dedup; window size is a parameter).
+
+    Complements the substring-needle pass (`docs_decontaminate`): needles
+    catch verbatim whole-prompt inclusion; n-gram windows catch PARTIAL
+    overlap at any alignment.  The benchmark side is small by definition —
+    its distinct window fingerprints are collected once (O(bench tokens)
+    driver bound) and broadcast; the training side streams, zero shuffle.
+    """
+
+    def bench_windows(batch: pa.Table) -> pa.Table:
+        _, _, w_fp, _ = _window_rows(
+            batch, id_col=id_col, text_col=text_col, window_words=window_words
+        )
+        return pa.Table.from_arrays(
+            [pa.array(sorted(set(w_fp)), pa.string())], names=["win"]
+        )
+
+    fps: set[str] = set()
+    for b in bench_ds.map_batches(bench_windows, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        fps.update(b["win"].to_pylist())
+    bref = ray.put(pa.array(sorted(fps), pa.string()))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bench = ray.get(bref)
+        ids, w_doc, w_fp, _ = _window_rows(
+            batch, id_col=id_col, text_col=text_col, window_words=window_words
+        )
+        per_doc: dict[int, int] = {}
+        if len(bench) and w_fp:
+            hit = pc.fill_null(
+                pc.is_in(pa.array(w_fp, pa.string()), value_set=bench), False
+            ).to_numpy(zero_copy_only=False)
+            for d, h in zip(w_doc, hit):
+                if h:
+                    per_doc[d] = per_doc.get(d, 0) + 1
+        n = [per_doc.get(int(i), 0) for i in ids]
+        return pa.Table.from_arrays(
+            [
+                pa.array([int(i) for i in ids], pa.int64()),
+                pa.array(n, pa.int64()),
+                pa.array([c > 0 for c in n], pa.bool_()),
+            ],
+            names=["doc_id", "n_contam_windows", "contaminated"],
+        )
+
+    return train_ds.map_batches(probe, batch_format="pyarrow")
