@@ -177,3 +177,53 @@ def bloom_contains_hashes(
     pos = _bloom_positions(len(bits), hashes, k)
     hit = (bits[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
     return hit.all(axis=0)
+
+
+# ------------------------------------------------------- KMV bottom-k sample
+
+KMV_K = 1024
+
+
+def kmv_partial(ids: np.ndarray, values: np.ndarray, k: int = KMV_K):
+    """(hash, id, value) triples of the k rows with the smallest
+    ``splitmix64(id)`` in this subset — a content-stable uniform row sample.
+    Deterministic ties: (hash, id) lexicographic."""
+    ids = np.asarray(ids, dtype=np.int64)
+    h = splitmix64(ids)
+    take = np.lexsort((ids, h))[:k]
+    return h[take], ids[take], np.asarray(values)[take]
+
+
+def kmv_merge(parts: list[tuple[np.ndarray, np.ndarray, np.ndarray]], k: int = KMV_K):
+    """Union of partial samples → the exact bottom-k of the union.  The
+    merge is commutative/associative and idempotent (duplicate ids collapse
+    by the (hash, id) sort + unique), so the result is BIT-IDENTICAL under
+    any partitioning/merge order — the mergeable-summaries law, same
+    discipline as hll_merge/mg_merge."""
+    if not parts:
+        return (
+            np.zeros(0, dtype=np.uint64),
+            np.zeros(0, dtype=np.int64),
+            np.zeros(0, dtype=np.float64),
+        )
+    h = np.concatenate([p[0] for p in parts])
+    i = np.concatenate([p[1] for p in parts])
+    v = np.concatenate([p[2] for p in parts])
+    order = np.lexsort((i, h))
+    h, i, v = h[order], i[order], v[order]
+    keep = np.ones(len(i), dtype=bool)
+    keep[1:] = i[1:] != i[:-1]
+    h, i, v = h[keep], i[keep], v[keep]
+    return h[:k], i[:k], v[:k]
+
+
+def kmv_quantiles(sample_values: np.ndarray, qs: list[float]) -> np.ndarray:
+    """quantile_disc over the uniform sample: the ceil(q·m)-th smallest
+    sample value.  Rank error vs the full data is O(sqrt(q(1-q)/k)) w.h.p.;
+    when k ≥ n the sample IS the data and the estimate is exact."""
+    s = np.sort(np.asarray(sample_values))
+    m = len(s)
+    if m == 0:
+        return np.full(len(qs), np.nan)
+    idx = [max(1, int(np.ceil(q * m))) - 1 for q in qs]
+    return s[idx]

@@ -993,6 +993,44 @@ def events_funnel_stages(sf_dir: str):
     return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
 
 
+def events_interval_overlap(sf_dir: str):
+    """INTERVAL-OVERLAP self-join (the range×range join class, beyond the
+    point-in-window range join): each event spans [ts, ts + (event_id %
+    120 + 10) minutes]; count, per event, how many other intervals of the
+    SAME user overlap it.  Co-partition by user (one groupby shuffle), then
+    the classic O(n log n) per-group kernel — two sorted arrays + two
+    vectorized searchsorteds: |{j : s_j ≤ e_i}| − |{j : e_j < s_i}| − 1 —
+    never the O(n²) pair materialization the SQL oracle uses."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+    minute_us = 60 * 1_000_000
+
+    def per_user(g: pa.Table) -> pa.Table:
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        s = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        e = s + (eid % 120 + 10) * minute_us
+        ss = np.sort(s)
+        es = np.sort(e)
+        n = np.searchsorted(ss, e, side="right") - np.searchsorted(es, s, side="left") - 1
+        return pa.Table.from_arrays(
+            [pa.array(eid, pa.int64()), pa.array(n.astype(np.int64), pa.int64())],
+            names=["event_id", "n_overlaps"],
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
+EVENTS_INTERVAL_OVERLAP_SQL = """
+WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS s,
+                   epoch_us(ts) + (event_id % 120 + 10) * 60 * 1000000 AS e
+            FROM events)
+SELECT a.event_id, CAST(COUNT(b.event_id) AS BIGINT) AS n_overlaps
+FROM iv a LEFT JOIN iv b
+  ON a.user_id = b.user_id AND a.event_id <> b.event_id
+ AND b.s <= a.e AND b.e >= a.s
+GROUP BY 1
+"""
+
+
 EVENTS_FUNNEL_STAGES_SQL = """
 WITH s AS (SELECT user_id, MIN(ts) AS t1 FROM events
            WHERE event_type = 'signup' GROUP BY 1),
@@ -2458,6 +2496,40 @@ def events_hll_users(sf_dir: str):
     return approx_distinct(ds, "user_id")
 
 
+def orders_price_quantile_sketch(sf_dir: str):
+    """One-scan approximate quantiles from the KMV bottom-k uniform row
+    sample (stages/sketch_stats.py:approx_quantiles_kmv) — mergeable and
+    bit-deterministic at any layout, unlike KLL/t-digest whose structure is
+    merge-order-dependent.  Rows-only: the estimate is approximate by
+    design; the ±O(1/sqrt(k)) rank-error bound, the merge law, and the
+    k≥n-exactness degradation are asserted in pytest."""
+    from ..stages.sketch_stats import approx_quantiles_kmv
+
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
+    cents = ds.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["o_orderkey"], _cents(t["o_totalprice"])],
+            names=["o_orderkey", "price_cents"],
+        ),
+        batch_format="pyarrow",
+    )
+    return approx_quantiles_kmv(
+        cents, id_col="o_orderkey", val_col="price_cents", qs=[0.25, 0.5, 0.75, 0.95]
+    )
+
+
+def events_user_type_hll(sf_dir: str):
+    """Grouped HLL: approximate COUNT(DISTINCT event_type) PER USER — the
+    grouped composition of the mergeable sketch (block-local per-key
+    register partials, one groupby shuffle carrying registers not rows).
+    Rows-only; pytest bounds the estimates against the exact per-user
+    distinct counts."""
+    from ..stages.sketch_stats import grouped_approx_distinct
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "event_type"])
+    return grouped_approx_distinct(ds, key_col="user_id", val_col="event_type")
+
+
 def heavy_hitter_terms(sf_dir: str):
     """Misra-Gries heavy-hitter terms over documents (k=20) — per-block MG
     summaries + the mergeable-summaries driver merge.  Counts are lower
@@ -3567,6 +3639,7 @@ ORACLE_SQL: dict[str, str] = {
     "docs_ngram_decontaminate": DOCS_NGRAM_DECONTAMINATE_SQL,
     "orders_equidepth_buckets": ORDERS_EQUIDEPTH_BUCKETS_SQL,
     "events_funnel_stages": EVENTS_FUNNEL_STAGES_SQL,
+    "events_interval_overlap": EVENTS_INTERVAL_OVERLAP_SQL,
 }
 
 
@@ -3675,6 +3748,7 @@ def registry() -> dict:
         "docs_ngram_decontaminate": docs_ngram_decontaminate,
         "orders_equidepth_buckets": orders_equidepth_buckets,
         "events_funnel_stages": events_funnel_stages,
+        "events_interval_overlap": events_interval_overlap,
         # rows-only (non-SQL-expressible).  Registry order matters: the
         # driver runs entries in order with a global time budget, and in r2
         # the last three fell off with no CORRECTNESS row — so the cheap
@@ -3690,6 +3764,8 @@ def registry() -> dict:
         "media_audio_features": media_audio_features,
         "events_hll_users": events_hll_users,
         "heavy_hitter_terms": heavy_hitter_terms,
+        "orders_price_quantile_sketch": orders_price_quantile_sketch,
+        "events_user_type_hll": events_user_type_hll,
         "flagship_verdicts": flagship_verdicts,
         "ann_ivf_topk": ann_ivf_topk,
         "curate_corpus": curate_corpus,

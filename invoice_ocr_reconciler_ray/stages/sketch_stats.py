@@ -87,3 +87,99 @@ def heavy_hitter_terms(
             "min_count": pa.array([n for _, n in order], pa.int64()),
         }
     )
+
+
+def approx_quantiles_kmv(
+    ds, *, id_col: str, val_col: str, qs: list[float], k: int = 1024
+) -> pa.Table:
+    """pa.Table(q, value_est): approximate quantiles from a KMV bottom-k
+    uniform row sample (functions/sketches.py:kmv_*) — ONE scan, no
+    shuffle, O(k) block partials and driver state.
+
+    The third member of the quantile family: `stages/quantiles.py` is
+    exact in 3 scans (histogram + refine); this is 1-scan ±O(1/sqrt(k))
+    rank error with a sample that is MERGEABLE and bit-deterministic at
+    any parallelism (hash-of-id bottom-k is order- and layout-independent
+    — unlike KLL/t-digest, whose structure depends on merge order).  When
+    k ≥ n it degrades gracefully to exact."""
+    from ..functions.sketches import kmv_merge, kmv_partial, kmv_quantiles
+
+    def part(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        vals = b[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        h, i, v = kmv_partial(ids, vals, k)
+        return pa.table(
+            {
+                "h": pa.array([h.tobytes()], pa.binary()),
+                "i": pa.array([i.tobytes()], pa.binary()),
+                "v": pa.array([v.tobytes()], pa.binary()),
+            }
+        )
+
+    parts = []
+    for b in ds.map_batches(part, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for hr, ir, vr in zip(b["h"].to_pylist(), b["i"].to_pylist(), b["v"].to_pylist()):
+            parts.append(
+                (
+                    np.frombuffer(hr, dtype=np.uint64),
+                    np.frombuffer(ir, dtype=np.int64),
+                    np.frombuffer(vr, dtype=np.float64),
+                )
+            )
+    _, _, sample = kmv_merge(parts, k)
+    est = kmv_quantiles(sample, qs)
+    return pa.table(
+        {"q": pa.array(qs, pa.float64()), "value_est": pa.array(est, pa.float64())}
+    )
+
+
+def grouped_approx_distinct(
+    ds, *, key_col: str, val_col: str, p: int = HLL_P
+):
+    """Dataset(key, hll_estimate): approximate COUNT(DISTINCT val) PER KEY —
+    the grouped composition of the HLL sketch: block-local per-key register
+    partials, one groupby shuffle carrying O(keys × 2^p) register payloads
+    (not rows), max-merge per key.  The scale shape for per-domain /
+    per-user distinct counts where the exact distinct set would not fit."""
+
+    def part(b: pa.Table) -> pa.Table:
+        keys = b[key_col].to_numpy(zero_copy_only=False)
+        vals = b[val_col].to_pylist()
+        regs: dict[int, np.ndarray] = {}
+        order = np.argsort(keys, kind="stable")
+        skeys = keys[order]
+        svals = [vals[j] for j in order]
+        bounds = np.searchsorted(skeys, np.unique(skeys))
+        uniq = np.unique(skeys)
+        for gi, kv in enumerate(uniq):
+            lo = bounds[gi]
+            hi = bounds[gi + 1] if gi + 1 < len(bounds) else len(skeys)
+            reg = hll_empty(p)
+            hll_add_hashes(reg, hll_hash_strings([str(x) for x in svals[lo:hi]]))
+            regs[int(kv)] = reg
+        return pa.table(
+            {
+                key_col: pa.array(list(regs), pa.int64()),
+                "reg": pa.array([r.tobytes() for r in regs.values()], pa.binary()),
+            }
+        )
+
+    def merge_group(g: pa.Table) -> pa.Table:
+        key = g[key_col][0].as_py()
+        reg = hll_empty(p)
+        for raw in g["reg"].to_pylist():
+            reg = hll_merge(reg, np.frombuffer(raw, dtype=np.uint8).copy())
+        return pa.table(
+            {
+                key_col: pa.array([key], pa.int64()),
+                "approx_distinct": pa.array([float(hll_estimate(reg))], pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(merge_group, batch_format="pyarrow")
+    )
