@@ -960,6 +960,109 @@ FROM v, q
 """
 
 
+def docs_domain_cap(sf_dir: str):
+    """Per-DOMAIN contribution cap (web-pipeline domain balancing): keep at
+    most 3 docs per source, chosen by content-stable md5 order (never
+    first-N-in-scan-order, which is layout-dependent).  Same lossless
+    block-local pre-prune shape as `docs_per_lang_longest`: each block
+    forwards ≤3 rows per source, so the final per-group selection sees
+    O(3 × sources × blocks) rows — no full shuffle of the corpus."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "source"])
+
+    def local_prune(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids = t["doc_id"].to_pylist()
+        h = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        t = t.append_column("h", pa.array(h, pa.string()))
+        out = []
+        # block-local bottom-3 per source (lossless: the global bottom-3
+        # of a source is a subset of every block's bottom-3 union)
+        for src in pc.unique(t["source"]).to_pylist():
+            sub = t.filter(pc.equal(t["source"], src))
+            order = pc.sort_indices(
+                sub, sort_keys=[("h", "ascending"), ("doc_id", "ascending")]
+            )
+            out.append(sub.take(order[:3]))
+        return pa.concat_tables(out)
+
+    pruned = ds.map_batches(local_prune, batch_format="pyarrow")
+
+    def final_group(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g, sort_keys=[("h", "ascending"), ("doc_id", "ascending")]
+        )
+        return g.take(order[:3]).select(["doc_id", "source"])
+
+    return pruned.groupby("source").map_groups(final_group, batch_format="pyarrow")
+
+
+DOCS_DOMAIN_CAP_SQL = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents)
+WHERE rn <= 3
+"""
+
+
+def orders_price_outliers(sf_dir: str):
+    """Robust outlier flagging via median/MAD (the data-quality gate shape:
+    quantile-based, so one corrupted value can't shift the threshold the
+    way a mean/stddev gate would).  Median and MAD both come from the
+    exact distributed quantile machinery (two histogram-refine passes, no
+    global sort); the flag pass streams.  Integer cents end-to-end — the
+    oracle reproduces the exact same MEDIAN/MAD in SQL."""
+    from ..stages.quantiles import exact_quantiles
+
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
+    cents = ds.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["o_orderkey"], _cents(t["o_totalprice"])],
+            names=["o_orderkey", "price_cents"],
+        ),
+        batch_format="pyarrow",
+    )
+    med = int(exact_quantiles(cents, "price_cents", [0.5])["value"][0].as_py())
+    dev = cents.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["o_orderkey"], pc.abs(pc.subtract(t["price_cents"], med))],
+            names=["o_orderkey", "adev"],
+        ),
+        batch_format="pyarrow",
+    )
+    mad = int(exact_quantiles(dev, "adev", [0.5])["value"][0].as_py())
+
+    def flag(t: pa.Table) -> pa.Table:
+        # threshold 1.9×MAD as the integer comparison 10·dev > 19·MAD (the
+        # classic 3×MAD never fires on a uniform-ish distribution, whose
+        # max deviation is 2×MAD — 1.9 flags the ~5% tails)
+        d = pc.abs(pc.subtract(t["price_cents"], med))
+        return pa.Table.from_arrays(
+            [
+                t["o_orderkey"],
+                t["price_cents"],
+                pc.greater(pc.multiply(d, 10), 19 * mad),
+            ],
+            names=["o_orderkey", "price_cents", "is_outlier"],
+        )
+
+    return cents.map_batches(flag, batch_format="pyarrow")
+
+
+ORDERS_PRICE_OUTLIERS_SQL = """
+WITH v AS (SELECT o_orderkey,
+                  CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS price_cents
+           FROM orders),
+m AS (SELECT quantile_disc(price_cents, 0.5) AS med FROM v),
+d AS (SELECT quantile_disc(abs(price_cents - m.med), 0.5) AS mad FROM v, m)
+SELECT v.o_orderkey, v.price_cents,
+       abs(v.price_cents - m.med) * 10 > 19 * d.mad AS is_outlier
+FROM v, m, d
+"""
+
+
 def events_funnel_stages(sf_dir: str):
     """Ordered-sequence FUNNEL per user (signup → view → purchase, each
     step strictly after the previous step's first completion and within a
@@ -3640,6 +3743,8 @@ ORACLE_SQL: dict[str, str] = {
     "orders_equidepth_buckets": ORDERS_EQUIDEPTH_BUCKETS_SQL,
     "events_funnel_stages": EVENTS_FUNNEL_STAGES_SQL,
     "events_interval_overlap": EVENTS_INTERVAL_OVERLAP_SQL,
+    "docs_domain_cap": DOCS_DOMAIN_CAP_SQL,
+    "orders_price_outliers": ORDERS_PRICE_OUTLIERS_SQL,
 }
 
 
@@ -3749,6 +3854,8 @@ def registry() -> dict:
         "orders_equidepth_buckets": orders_equidepth_buckets,
         "events_funnel_stages": events_funnel_stages,
         "events_interval_overlap": events_interval_overlap,
+        "docs_domain_cap": docs_domain_cap,
+        "orders_price_outliers": orders_price_outliers,
         # rows-only (non-SQL-expressible).  Registry order matters: the
         # driver runs entries in order with a global time budget, and in r2
         # the last three fell off with no CORRECTNESS row — so the cheap
