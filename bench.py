@@ -110,6 +110,9 @@ QUERY_SUBSET = [
     "curate_corpus",
     "events_asof_orders",
     "top_terms",
+    "window_dedup_docs",
+    "docs_pagerank",
+    "embeddings_knn_join",
 ]
 
 
@@ -193,7 +196,13 @@ def run_bench(headline_only: bool = False) -> dict:
         # at 32 CPUs is ~0.15 s for this small size — a repeat whose control
         # reads 2x that was measured on a degraded window, not this engine)
         controls.append(_cpu_control(tasks=32))
-    headline = sorted(repeats)[len(repeats) // 2]
+    # window-quality filter: a repeat whose same-run control reads >1.3× the
+    # best control of THIS run was measured while the host was externally
+    # loaded (CLAUDE.md: this box's clocks swing; controls 0.37 vs 0.22 were
+    # observed within one 5-repeat run) — median over the clean-window
+    # repeats only, with every raw repeat still reported alongside
+    good = [r for r, c in zip(repeats, controls) if c <= 1.3 * min(controls)]
+    headline = sorted(good)[len(good) // 2]
 
     q_times: dict[str, float] = {}
     reg = registry()
@@ -217,6 +226,7 @@ def run_bench(headline_only: bool = False) -> dict:
         "value": round(headline, 3),
         "repeats": repeats,
         "repeat_controls": controls,
+        "repeats_used": good,
         "unit": "sec",
         "queries": q_times,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],

@@ -960,6 +960,73 @@ FROM v, q
 """
 
 
+def lineitem_bloom_join_revenue(sf_dir: str):
+    """BLOOM-PREFILTERED distributed join (the classic 'Bloom join' shuffle
+    reduction, composed from existing stages): urgent orders' keys fold into
+    a fixed-size Bloom bitset (stages/dedup.py:bloom_flag_seen — the
+    broadcast is n_bits/8 bytes REGARDLESS of dim-key count), the lineitem
+    fact side drops ~80% of its rows BEFORE the hash-shuffle join, and the
+    join then runs exactly on the survivors.  No false negatives → the
+    result is exact; Bloom false positives are eliminated by the join
+    itself.  At 100 TB this is the difference between shuffling the whole
+    fact table and shuffling only the matching fraction."""
+    from ..stages.dedup import bloom_flag_seen
+
+    dim = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"]
+    ).map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))["o_orderkey"]],
+            names=["o_orderkey"],
+        ),
+        batch_format="pyarrow",
+    )
+    fact = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    ).map_batches(
+        lambda t: pa.Table.from_arrays(
+            [
+                t["l_orderkey"],
+                t["l_returnflag"],
+                _cents(pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))),
+            ],
+            names=["l_orderkey", "l_returnflag", "rev_c"],
+        ),
+        batch_format="pyarrow",
+    )
+    dim_keyed = dim.map_batches(
+        lambda t: t.rename_columns(["l_orderkey"]), batch_format="pyarrow"
+    )
+    flagged = bloom_flag_seen(fact, dim_keyed, key_col="l_orderkey")
+
+    def keep_maybe(t: pa.Table) -> pa.Table:
+        return t.filter(t["maybe_seen"]).drop_columns(["maybe_seen"])
+
+    survivors = flagged.map_batches(keep_maybe, batch_format="pyarrow")
+    joined = survivors.join(
+        dim,
+        join_type="inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    return (
+        joined.groupby("l_returnflag")
+        .aggregate(Sum("rev_c", alias_name="rev_cents"), Count(alias_name="n_items"))
+    )
+
+
+LINEITEM_BLOOM_JOIN_REVENUE_SQL = """
+WITH d AS (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+SELECT l_returnflag,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents,
+       COUNT(*) AS n_items
+FROM lineitem JOIN d ON l_orderkey = d.o_orderkey
+GROUP BY 1
+"""
+
+
 def docs_domain_cap(sf_dir: str):
     """Per-DOMAIN contribution cap (web-pipeline domain balancing): keep at
     most 3 docs per source, chosen by content-stable md5 order (never
@@ -3745,6 +3812,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_interval_overlap": EVENTS_INTERVAL_OVERLAP_SQL,
     "docs_domain_cap": DOCS_DOMAIN_CAP_SQL,
     "orders_price_outliers": ORDERS_PRICE_OUTLIERS_SQL,
+    "lineitem_bloom_join_revenue": LINEITEM_BLOOM_JOIN_REVENUE_SQL,
 }
 
 
@@ -3856,6 +3924,7 @@ def registry() -> dict:
         "events_interval_overlap": events_interval_overlap,
         "docs_domain_cap": docs_domain_cap,
         "orders_price_outliers": orders_price_outliers,
+        "lineitem_bloom_join_revenue": lineitem_bloom_join_revenue,
         # rows-only (non-SQL-expressible).  Registry order matters: the
         # driver runs entries in order with a global time budget, and in r2
         # the last three fell off with no CORRECTNESS row — so the cheap
