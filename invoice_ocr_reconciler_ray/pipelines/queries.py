@@ -3726,6 +3726,207 @@ def training_export_demo(sf_dir: str):
     return counts.rename_columns({"count()": "n_chunks"})
 
 
+def embeddings_gram_matrix(sf_dir: str):
+    """Distributed Gram / second-moment matrix of the embedding corpus — the
+    sufficient statistic under PCA, covariance whitening, and linear probes
+    (first moments are `embeddings_label_centroids`; together they give the
+    covariance).  Each block contributes ONE d×d int64 matmul
+    (``fixed.T @ fixed``) regardless of row count, so the shuffle carries
+    O(d²) combiner rows per block and the merge is a tiny groupby Sum —
+    integer addition keeps the result bit-identical at any parallelism and
+    to DuckDB.  Fixed-point: each component is scaled ×1000 BEFORE the
+    product (products are ~1e6-scaled; int64 safely sums ~10^12 unit-norm
+    vectors — document the bound, don't guess).  Only the upper triangle
+    (i ≤ j) ships; the matrix is symmetric."""
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        from ..stages.cluster import _vecs
+
+        empty = pa.table(
+            {
+                "i": pa.array([], pa.int64()),
+                "j": pa.array([], pa.int64()),
+                "sum_ij": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        vecs = _vecs(t, "embedding")
+        fixed = np.floor(vecs * 1000.0 + 0.5).astype(np.int64)
+        gram = fixed.T @ fixed
+        d = fixed.shape[1]
+        iu, ju = np.triu_indices(d)
+        return pa.table(
+            {
+                "i": pa.array(iu.astype(np.int64)),
+                "j": pa.array(ju.astype(np.int64)),
+                "sum_ij": pa.array(gram[iu, ju]),
+                "n": pa.array(np.full(len(iu), t.num_rows, np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["i", "j"])
+        .aggregate(Sum("sum_ij", alias_name="sum_ij"), Sum("n", alias_name="n"))
+    )
+
+
+EMBEDDINGS_GRAM_MATRIX_SQL = """
+WITH ex AS (
+  SELECT vec_id,
+         CAST(FLOOR(CAST(v AS DOUBLE)*1000 + 0.5) AS BIGINT) AS f,
+         CAST(dim AS BIGINT) AS dim
+  FROM (SELECT vec_id, unnest(embedding) AS v,
+               unnest(range(len(embedding))) AS dim
+        FROM embeddings))
+SELECT a.dim AS i, b.dim AS j,
+       CAST(SUM(a.f * b.f) AS BIGINT) AS sum_ij,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+GROUP BY 1, 2
+"""
+
+
+def events_gapfill_hourly(sf_dir: str):
+    """Time-series resample with GAP FILL: hourly (event_type, bucket)
+    counts + value cents where every hour between the corpus min and max
+    appears for every type, zero-filled — the densification step feeding
+    any windowed model or monitoring rollup (absent buckets are silent
+    data-loss bugs otherwise).  Block-local (type, hour) partials make the
+    shuffle O(types·hours); the dense grid is built on the DRIVER from the
+    already-aggregated table (documented bound: O(types·hours) rows — the
+    grid IS the output, so nothing smaller exists)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "event_type", "value"])
+    HOUR_US = 3_600_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        bucket = pc.multiply(pc.divide(us, HOUR_US), pa.scalar(3600, pa.int64()))
+        p = pa.table(
+            {"event_type": t["event_type"], "bucket_s": bucket, "_c": _cents(t["value"])}
+        )
+        g = p.group_by(["event_type", "bucket_s"]).aggregate(
+            [("_c", "sum"), ("_c", "count")]
+        )
+        return g.rename_columns(["event_type", "bucket_s", "_c", "_n"])
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "bucket_s"])
+        .aggregate(Sum("_c", alias_name="_c"), Sum("_n", alias_name="_n"))
+    )
+    t = pa.concat_tables(list(merged.iter_batches(batch_format="pyarrow")))
+    lo = pc.min(t["bucket_s"]).as_py()
+    hi = pc.max(t["bucket_s"]).as_py()
+    hours = np.arange(lo, hi + 3600, 3600, dtype=np.int64)
+    types = pc.unique(t["event_type"].combine_chunks()).sort()
+    grid = pa.table(
+        {
+            "event_type": pc.take(
+                types, pa.array(np.repeat(np.arange(len(types)), len(hours)))
+            ),
+            "bucket_s": pa.array(np.tile(hours, len(types))),
+        }
+    )
+    full = grid.join(
+        t, keys=["event_type", "bucket_s"], join_type="left outer"
+    )
+    out = pa.table(
+        {
+            "event_type": full["event_type"],
+            "bucket_s": full["bucket_s"],
+            "n_events": pc.fill_null(pc.cast(full["_n"], pa.int64()), 0),
+            "sum_value_cents": pc.fill_null(pc.cast(full["_c"], pa.int64()), 0),
+        }
+    )
+    return rd.from_arrow(out)
+
+
+EVENTS_GAPFILL_HOURLY_SQL = """
+WITH h AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_s,
+         CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+bounds AS (SELECT MIN(bucket_s) AS lo, MAX(bucket_s) AS hi FROM h),
+grid AS (
+  SELECT t.event_type, g.bucket_s
+  FROM (SELECT DISTINCT event_type FROM h) t
+  CROSS JOIN (SELECT unnest(range(lo, hi + 3600, 3600)) AS bucket_s
+              FROM bounds) g),
+agg AS (SELECT event_type, bucket_s, COUNT(*) AS n, SUM(cents) AS c
+        FROM h GROUP BY 1, 2)
+SELECT grid.event_type, grid.bucket_s,
+       CAST(COALESCE(agg.n, 0) AS BIGINT) AS n_events,
+       CAST(COALESCE(agg.c, 0) AS BIGINT) AS sum_value_cents
+FROM grid LEFT JOIN agg USING (event_type, bucket_s)
+"""
+
+
+def lineitem_salted_join_revenue(sf_dir: str):
+    """Skew-tolerant distributed JOIN (stages/skew.py:salted_join): revenue
+    by order priority through a lineitem⋈orders hash join where keys above
+    a row-count threshold get their dim rows replicated across 4 salts and
+    their fact rows spread round-robin — no shuffle partition ever receives
+    a whole hot key.  EXACT by construction (every plain-join output row
+    appears exactly once), verified against the unsalted SQL join.  The
+    hot-key detector is itself a block-partial count → O(distinct) merge."""
+    from ..stages.skew import hot_join_keys, salted_join
+
+    fact = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"l_orderkey": t["l_orderkey"], "price_cents": _cents(t["l_extendedprice"])}
+        ),
+        batch_format="pyarrow",
+    )
+    dim = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"]
+    )
+    hot = hot_join_keys(
+        rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_orderkey"]),
+        key_col="l_orderkey",
+        threshold=6,
+    )
+    joined = salted_join(
+        fact,
+        dim,
+        fact_key="l_orderkey",
+        dim_key="o_orderkey",
+        hot_keys=hot,
+        buckets=4,
+        num_partitions=8,
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_orderpriority").aggregate(
+            [("price_cents", "sum"), ("price_cents", "count")]
+        )
+        return g.rename_columns(["o_orderpriority", "_s", "_n"])
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("_s", alias_name="revenue_cents"), Sum("_n", alias_name="n_items")
+        )
+    )
+
+
+LINEITEM_SALTED_JOIN_REVENUE_SQL = """
+SELECT o_orderpriority,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "pricing_summary": PRICING_SUMMARY_SQL,
     "monthly_orders": MONTHLY_ORDERS_SQL,
@@ -3813,6 +4014,9 @@ ORACLE_SQL: dict[str, str] = {
     "docs_domain_cap": DOCS_DOMAIN_CAP_SQL,
     "orders_price_outliers": ORDERS_PRICE_OUTLIERS_SQL,
     "lineitem_bloom_join_revenue": LINEITEM_BLOOM_JOIN_REVENUE_SQL,
+    "embeddings_gram_matrix": EMBEDDINGS_GRAM_MATRIX_SQL,
+    "events_gapfill_hourly": EVENTS_GAPFILL_HOURLY_SQL,
+    "lineitem_salted_join_revenue": LINEITEM_SALTED_JOIN_REVENUE_SQL,
 }
 
 
@@ -3925,6 +4129,9 @@ def registry() -> dict:
         "docs_domain_cap": docs_domain_cap,
         "orders_price_outliers": orders_price_outliers,
         "lineitem_bloom_join_revenue": lineitem_bloom_join_revenue,
+        "embeddings_gram_matrix": embeddings_gram_matrix,
+        "events_gapfill_hourly": events_gapfill_hourly,
+        "lineitem_salted_join_revenue": lineitem_salted_join_revenue,
         # rows-only (non-SQL-expressible).  Registry order matters: the
         # driver runs entries in order with a global time budget, and in r2
         # the last three fell off with no CORRECTNESS row — so the cheap

@@ -19,8 +19,10 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 from ray.data.aggregate import Count, Sum
 
 
@@ -117,3 +119,99 @@ def rebatch_by_bytes(ds, *, payload_col: str = "html", target_bytes: int = 8 << 
         yield from slice_by_bytes(batch, payload_col=payload_col, target_bytes=target_bytes)
 
     return ds.map_batches(split, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- salted join
+
+
+def hot_join_keys(ds, *, key_col: str, threshold: int) -> pa.Array:
+    """Keys whose row count ≥ ``threshold`` — the candidates that would
+    overload one join partition.  Block-local ``group_by().count()``
+    partials keep the merge shuffle O(distinct keys); the driver holds only
+    the HOT set (small by definition — a key set that isn't small isn't
+    skew, it's cardinality)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([key_col]).group_by(key_col).aggregate([(key_col, "count")])
+        return g.rename_columns([key_col, "_n"])
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(Sum("_n", alias_name="_n"))
+    )
+    thr = int(threshold)
+    hot = merged.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["_n"], thr)).select([key_col]),
+        batch_format="pyarrow",
+    )
+    # the hot set collects to the driver by design (O(|hot|), tiny); the
+    # empty fallback assumes an integer key — pass string keys pre-listed
+    batches = list(hot.iter_batches(batch_format="pyarrow"))
+    t = pa.concat_tables(batches or [pa.table({key_col: pa.array([], pa.int64())})])
+    return t.column(key_col).combine_chunks()
+
+
+def salted_join(
+    fact,
+    dim,
+    *,
+    fact_key: str,
+    dim_key: str,
+    hot_keys: pa.Array,
+    buckets: int = 8,
+    num_partitions: int = 8,
+):
+    """Skew-tolerant distributed hash join (the JOIN counterpart of
+    :func:`salted_sum_count`): a hot key would send all its fact rows to one
+    shuffle partition, so hot-key DIM rows are REPLICATED across all
+    ``buckets`` salts while hot-key FACT rows spread round-robin over them;
+    cold keys ride salt 0 untouched.  The join runs on the composite
+    ``(key, salt)`` — every output row of the plain join appears exactly
+    once, so the result is EXACT, and no partition receives more than
+    ~1/buckets of a hot key's fact rows.  Shuffle overhead: |hot|·buckets
+    extra dim rows, one int32 column per side."""
+    hot_ref = ray.put(hot_keys)
+    salt_f, salt_d = "_salt", "_dsalt"
+
+    def salt_fact(t: pa.Table) -> pa.Table:
+        hot = ray.get(hot_ref)
+        if len(hot) == 0:
+            salt = np.zeros(t.num_rows, np.int32)
+        else:
+            is_hot = pc.is_in(t.column(fact_key), value_set=hot).to_numpy(
+                zero_copy_only=False
+            )
+            salt = np.where(
+                is_hot, np.arange(t.num_rows, dtype=np.int64) % buckets, 0
+            ).astype(np.int32)
+        return t.append_column(salt_f, pa.array(salt, pa.int32()))
+
+    def replicate_dim(t: pa.Table) -> pa.Table:
+        hot = ray.get(hot_ref)
+        zero = t.append_column(salt_d, pa.array(np.zeros(t.num_rows, np.int32)))
+        if len(hot) == 0:
+            return zero
+        mask = pc.is_in(t.column(dim_key), value_set=hot)
+        hot_rows = t.filter(mask)
+        if hot_rows.num_rows == 0:
+            return zero
+        reps = []
+        for s in range(1, buckets):
+            reps.append(
+                hot_rows.append_column(
+                    salt_d, pa.array(np.full(hot_rows.num_rows, s, np.int32))
+                )
+            )
+        return pa.concat_tables([zero, *reps])
+
+    f = fact.map_batches(salt_fact, batch_format="pyarrow")
+    d = dim.map_batches(replicate_dim, batch_format="pyarrow")
+    joined = f.join(
+        d,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=(fact_key, salt_f),
+        right_on=(dim_key, salt_d),
+    )
+    return joined.drop_columns([salt_f])
