@@ -124,32 +124,37 @@ def rebatch_by_bytes(ds, *, payload_col: str = "html", target_bytes: int = 8 << 
 # ------------------------------------------------------------- salted join
 
 
-def hot_join_keys(ds, *, key_col: str, threshold: int) -> pa.Array:
-    """Keys whose row count ≥ ``threshold`` — the candidates that would
-    overload one join partition.  Block-local ``group_by().count()``
-    partials keep the merge shuffle O(distinct keys); the driver holds only
-    the HOT set (small by definition — a key set that isn't small isn't
-    skew, it's cardinality)."""
+def hot_join_keys(ds, *, key_col: str, threshold: int, k: int = 256) -> pa.Array:
+    """Keys hot enough to overload one join partition, detected WITHOUT a
+    shuffle: each block emits ≤ ``k`` (key, count) rows from a one-pass
+    Misra-Gries summary (any key with in-block frequency > n/(k+1) is
+    guaranteed present); the driver sums the O(k·blocks) rows and keeps
+    keys reaching ``threshold // 2`` — the margin absorbs MG's bounded
+    undercount.  Detection is a HEURISTIC: a missed or extra key only
+    changes partition balance; :func:`salted_join`'s output is exact for
+    any hot set, including the empty one."""
+    from ..functions.sketches import mg_summarize
 
     def partial(t: pa.Table) -> pa.Table:
-        g = t.select([key_col]).group_by(key_col).aggregate([(key_col, "count")])
-        return g.rename_columns([key_col, "_n"])
+        summ = mg_summarize(t[key_col].to_pylist(), k)
+        keys = list(summ)
+        return pa.table(
+            {
+                key_col: pa.array(keys, t[key_col].type),
+                "_c": pa.array([summ[x] for x in keys], pa.int64()),
+            }
+        )
 
-    merged = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(key_col)
-        .aggregate(Sum("_n", alias_name="_n"))
+    batches = list(
+        ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
     )
-    thr = int(threshold)
-    hot = merged.map_batches(
-        lambda t: t.filter(pc.greater_equal(t["_n"], thr)).select([key_col]),
-        batch_format="pyarrow",
-    )
-    # the hot set collects to the driver by design (O(|hot|), tiny); the
-    # empty fallback assumes an integer key — pass string keys pre-listed
-    batches = list(hot.iter_batches(batch_format="pyarrow"))
-    t = pa.concat_tables(batches or [pa.table({key_col: pa.array([], pa.int64())})])
-    return t.column(key_col).combine_chunks()
+    # empty-input fallback assumes an integer key — pass string keys pre-listed
+    t = pa.concat_tables(batches or [pa.table({key_col: pa.array([], pa.int64()), "_c": pa.array([], pa.int64())})])
+    g = t.group_by(key_col).aggregate([("_c", "sum")])
+    hot = g.filter(pc.greater_equal(g["_c_sum"], max(1, int(threshold) // 2)))
+    return hot.column(key_col).combine_chunks()
 
 
 def salted_join(

@@ -62,11 +62,14 @@ def main() -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
 
+    import time
+
     qs, oracles = E.queries(), E.oracle_sql()
     failures = 0
     for name, fn in qs.items():
         if only is not None and name not in only:
             continue
+        t0 = time.monotonic()
         try:
             got = canon(to_pandas(fn(sf)))
         except Exception as e:
@@ -74,7 +77,10 @@ def main() -> int:
             failures += 1
             continue
         if name not in oracles:
-            print(f"rows-only {name}: {len(got)} rows, cols={list(got.columns)}")
+            print(
+                f"rows-only {name}: {len(got)} rows, cols={list(got.columns)}"
+                f" [{time.monotonic() - t0:.1f}s]"
+            )
             continue
         try:
             want = canon(con.execute(oracles[name]).df())
@@ -104,7 +110,7 @@ def main() -> int:
                 print("  want:", want2[c][neq].head(3).tolist())
             failures += 1
         else:
-            print(f"OK   {name}: {len(got)} rows")
+            print(f"OK   {name}: {len(got)} rows [{time.monotonic() - t0:.1f}s]")
     ray.shutdown()
     return failures
 
