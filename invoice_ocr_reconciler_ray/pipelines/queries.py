@@ -4202,6 +4202,111 @@ FROM customer a JOIN customer b
 """
 
 
+def events_burst_dedup(sf_dir: str):
+    """Streaming idempotency dedup: flag an event that repeats the same
+    (user, type) within 6 h of its predecessor — the at-least-once
+    delivery / double-click / retry-storm cleaner every event pipeline
+    needs (flag-don't-drop, like every dedup in this engine).  One
+    co-partition on user; inside a group the (type, ts, id) sort makes each
+    (user, type) run contiguous, so the window test is one vectorized diff
+    — never a per-row loop, never a self-join."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "ts"]
+    )
+    WINDOW_US = 21_600_000_000
+
+    def flag(g: pa.Table) -> pa.Table:
+        s = g.take(
+            pc.sort_indices(
+                g,
+                sort_keys=[
+                    ("event_type", "ascending"),
+                    ("ts", "ascending"),
+                    ("event_id", "ascending"),
+                ],
+            )
+        )
+        us = s["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        types = np.asarray(s["event_type"].to_pylist(), dtype=object)
+        dup = np.zeros(len(us), dtype=bool)
+        if len(us) > 1:
+            dup[1:] = (types[1:] == types[:-1]) & (us[1:] - us[:-1] <= WINDOW_US)
+        return pa.Table.from_arrays(
+            [s["event_id"], pa.array(dup, pa.bool_())],
+            names=["event_id", "is_burst"],
+        )
+
+    return ds.groupby("user_id").map_groups(flag, batch_format="pyarrow")
+
+
+EVENTS_BURST_DEDUP_SQL = """
+SELECT event_id,
+       COALESCE(epoch_us(ts) - lag(epoch_us(ts))
+                  OVER (PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id) <= 21600000000,
+                FALSE) AS is_burst
+FROM events
+"""
+
+
+def embeddings_quantize_int8(sf_dir: str):
+    """Symmetric int8 vector QUANTIZATION (the storage/serving compression
+    step of every embedding index): per-vector scale = max|x|, components
+    mapped to round(x·127/scale).  Pure per-row numpy — zero shuffle, and
+    the float64 op order (widen → ×127 → ÷scale → floor(+0.5)) is written
+    identically in the oracle so both engines walk the same IEEE path.
+    Output is unnested (vec_id, dim, qval, scale_ppm) — integer-exact."""
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+
+    def quant(t: pa.Table) -> pa.Table:
+        from ..stages.cluster import _vecs
+
+        empty = pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "dim": pa.array([], pa.int64()),
+                "qval": pa.array([], pa.int64()),
+                "scale_ppm": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        vecs = _vecs(t, "embedding")
+        n, d = vecs.shape
+        mx = np.abs(vecs).max(axis=1)
+        safe = np.where(mx == 0.0, 1.0, mx)
+        q = np.floor(vecs * 127.0 / safe[:, None] + 0.5).astype(np.int64)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, d)),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), n)),
+                "qval": pa.array(q.ravel()),
+                "scale_ppm": pa.array(
+                    np.repeat(np.floor(mx * 1_000_000 + 0.5).astype(np.int64), d)
+                ),
+            }
+        )
+
+    return ds.map_batches(quant, batch_format="pyarrow")
+
+
+EMBEDDINGS_QUANTIZE_INT8_SQL = """
+WITH ex AS (
+  SELECT vec_id,
+         unnest(embedding) AS v,
+         unnest(range(len(embedding))) AS dim,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+  FROM embeddings)
+SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+       CAST(FLOOR(CAST(v AS DOUBLE) * 127.0
+                  / (CASE WHEN mx = 0 THEN 1.0 ELSE mx END) + 0.5) AS BIGINT)
+           AS qval,
+       CAST(FLOOR(mx * 1000000 + 0.5) AS BIGINT) AS scale_ppm
+FROM ex
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "pricing_summary": PRICING_SUMMARY_SQL,
     "monthly_orders": MONTHLY_ORDERS_SQL,
@@ -4295,6 +4400,8 @@ ORACLE_SQL: dict[str, str] = {
     "docs_split_assign": DOCS_SPLIT_ASSIGN_SQL,
     "orders_profile": ORDERS_PROFILE_SQL,
     "customer_name_simjoin": CUSTOMER_NAME_SIMJOIN_SQL,
+    "events_burst_dedup": EVENTS_BURST_DEDUP_SQL,
+    "embeddings_quantize_int8": EMBEDDINGS_QUANTIZE_INT8_SQL,
 }
 
 
@@ -4413,6 +4520,8 @@ def registry() -> dict:
         "docs_split_assign": docs_split_assign,
         "orders_profile": orders_profile,
         "customer_name_simjoin": customer_name_simjoin,
+        "events_burst_dedup": events_burst_dedup,
+        "embeddings_quantize_int8": embeddings_quantize_int8,
         # rows-only (non-SQL-expressible).  Registry order matters: the
         # driver runs entries in order with a global time budget, and in r2
         # the last three fell off with no CORRECTNESS row — so the cheap
