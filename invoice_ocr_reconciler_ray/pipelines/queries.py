@@ -4426,6 +4426,78 @@ def lineitem_group_moments(sf_dir: str):
     )
 
 
+def docs_validate_constraints(sf_dir: str):
+    """Declarative data-contract validation (stages/validate.py — the
+    deequ/Great-Expectations shape): three row-local rules checked in one
+    vectorized pass plus a corpus-wide key-uniqueness rule via the dedup
+    partial-count layout.  `chars_match_text` passes everywhere and
+    `unique_doc_id` has no dups in this corpus — a contract that can only
+    fire is a contract nobody trusts; the zero-violation rules prove the
+    clean path too (pytest plants real violations for both)."""
+    from ..stages.validate import validate_constraints
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "lang", "text", "n_chars"]
+    )
+    rules = {
+        "min_length": lambda t: pc.greater_equal(t["n_chars"], 120),
+        "known_lang": lambda t: pc.is_in(
+            t["lang"], value_set=pa.array(["en", "de", "fr"])
+        ),
+        "chars_match_text": lambda t: pc.equal(
+            t["n_chars"], pc.cast(pc.utf8_length(t["text"]), pa.int64())
+        ),
+    }
+    return validate_constraints(ds, key_col="doc_id", rules=rules, unique_key=True)
+
+
+DOCS_VALIDATE_CONSTRAINTS_SQL = """
+SELECT doc_id, 'min_length' AS rule FROM documents WHERE NOT (n_chars >= 120)
+UNION ALL
+SELECT doc_id, 'known_lang' FROM documents WHERE lang NOT IN ('en','de','fr')
+UNION ALL
+SELECT doc_id, 'chars_match_text' FROM documents WHERE n_chars <> length(text)
+UNION ALL
+SELECT doc_id, 'unique_doc_id'
+FROM (SELECT doc_id,
+             row_number() OVER (PARTITION BY doc_id ORDER BY doc_id) AS rn
+      FROM documents)
+WHERE rn > 1
+"""
+
+
+def docs_compression_ratio(sf_dir: str):
+    """Gopher-style COMPRESSION-RATIO quality signal: zlib level-6 bytes
+    over raw bytes in exact ppm — highly repetitive (template/spam) text
+    compresses far below prose, making this the cheapest content-diversity
+    gate there is.  Block-local (the compressor is the kernel, like the
+    extract stage), zero shuffle.  Rows-only: DuckDB has no zlib — the
+    pytest recomputes ratios directly and pins the discrimination property
+    (repeated-token text ≪ diverse text)."""
+    import zlib
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def ratio(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        ppm = []
+        for s in texts:
+            raw = (s or "").encode()
+            ppm.append(
+                len(zlib.compress(raw, 6)) * 1_000_000 // len(raw) if raw else 0
+            )
+        arr = pa.array(ppm, pa.int64())
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "comp_ppm": arr,
+                "low_diversity": pc.less(arr, 100_000),
+            }
+        )
+
+    return ds.map_batches(ratio, batch_format="pyarrow")
+
+
 LINEITEM_GROUP_MOMENTS_SQL = """
 SELECT l_returnflag,
        CAST(COUNT(*) AS BIGINT) AS n,
@@ -4539,6 +4611,7 @@ ORACLE_SQL: dict[str, str] = {
     "embeddings_quantize_int8": EMBEDDINGS_QUANTIZE_INT8_SQL,
     "user_order_event_cogroup": USER_ORDER_EVENT_COGROUP_SQL,
     "lineitem_group_moments": LINEITEM_GROUP_MOMENTS_SQL,
+    "docs_validate_constraints": DOCS_VALIDATE_CONSTRAINTS_SQL,
 }
 
 
@@ -4661,6 +4734,8 @@ def registry() -> dict:
         "embeddings_quantize_int8": embeddings_quantize_int8,
         "user_order_event_cogroup": user_order_event_cogroup,
         "lineitem_group_moments": lineitem_group_moments,
+        "docs_validate_constraints": docs_validate_constraints,
+        "docs_compression_ratio": docs_compression_ratio,
         # rows-only (non-SQL-expressible).  Registry order matters: the
         # driver runs entries in order with a global time budget, and in r2
         # the last three fell off with no CORRECTNESS row — so the cheap
