@@ -28,7 +28,8 @@ import pyarrow.compute as pc
 
 from ..config import DEFAULT_RECONCILE, ReconcileConfig
 from ..functions.similarity import (
-    levenshtein_ratio,
+    levenshtein_ratio,  # noqa: F401  (re-exported; scalar reference kernel)
+    levenshtein_ratio_many,
     rel_tolerance_match,
     token_set_ratio,
 )
@@ -43,6 +44,8 @@ VERDICT_FIELDS = [
 
 def make_reconcile_fn(cfg: ReconcileConfig = DEFAULT_RECONCILE):
     def reconcile_batch(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
         n = batch.num_rows
         ext = batch.column("extracted_text")
         ref = batch.column("text")
@@ -54,67 +57,77 @@ def make_reconcile_fn(cfg: ReconcileConfig = DEFAULT_RECONCILE):
         )
         equal = pc.equal(pc.cast(ext, pa.large_string()), pc.cast(ref, pa.large_string()))
 
-        status: list[str] = [""] * n
-        disc: list[float] = [0.0] * n
-        reason: list[str | None] = [None] * n
-        conf: list[float] = [0.0] * n
+        # vectorized class masks, same precedence as the reference
+        # (duplicate > error-missing > matched > slow path) — the ~97% fast
+        # rows never enter Python; only the mismatch/empty tail loops
+        dup_m = pc.fill_null(isdup, False).to_numpy(zero_copy_only=False)
+        err_m = (~dup_m) & pc.is_valid(err).to_numpy(zero_copy_only=False)
+        eq_m = (
+            (~dup_m)
+            & (~err_m)
+            & pc.fill_null(equal, False).to_numpy(zero_copy_only=False)
+        )
+        slow_m = ~(dup_m | err_m | eq_m)
 
-        eq_l = equal.to_pylist()
-        dup_l = isdup.to_pylist()
-        err_l = err.to_pylist()
-        # only materialize the heavy strings lazily for the slow path
-        ext_l = None
-        ref_l = None
-        for i in range(n):
-            if dup_l[i]:
-                status[i] = "duplicate"
-                conf[i] = 100.0
-                reason[i] = "Duplicate url"
-                continue
-            if err_l[i] is not None:
-                status[i] = "missing"
-                if ref_l is None:
-                    ref_l = ref.to_pylist()
-                disc[i] = float(len(ref_l[i] or ""))
-                reason[i] = f"No extraction produced: {err_l[i]}"
-                continue
-            if eq_l[i]:
-                status[i] = "matched"
-                conf[i] = 100.0
-                continue
-            if ext_l is None:
-                ext_l = ext.to_pylist()
-            if ref_l is None:
-                ref_l = ref.to_pylist()
-            a, b = ext_l[i] or "", ref_l[i] or ""
-            if not a:
-                status[i] = "missing"
-                disc[i] = float(len(b))
-                reason[i] = "No extraction produced: empty result"
-                continue
-            edit_sim = levenshtein_ratio(a, b, cfg.max_edit_chars)
-            tok_sim = token_set_ratio(a, b)
-            combined = cfg.w_edit * (1.0 - edit_sim) + cfg.w_token * (1.0 - tok_sim)
-            len_ok, len_disc, len_pct = rel_tolerance_match(
-                float(len(a)), float(len(b)), cfg.tolerance
+        status = np.empty(n, dtype=object)
+        disc = np.zeros(n, dtype=np.float64)
+        reason = np.full(n, None, dtype=object)
+        conf = np.zeros(n, dtype=np.float64)
+
+        status[dup_m] = "duplicate"
+        conf[dup_m] = 100.0
+        reason[dup_m] = "Duplicate url"
+        status[eq_m] = "matched"
+        conf[eq_m] = 100.0
+
+        if err_m.any():
+            status[err_m] = "missing"
+            ref_len = pc.utf8_length(pc.fill_null(ref, "")).to_numpy(
+                zero_copy_only=False
             )
-            status[i] = "mismatch"
-            disc[i] = (1.0 - edit_sim) * max(len(a), len(b))
-            conf[i] = round((1.0 - combined) * 100.0, 2)
-            parts = []
-            if not len_ok:
-                parts.append(
-                    f"Length mismatch: extracted {len(a)} vs expected {len(b)} ({len_pct}% difference)"
+            disc[err_m] = ref_len[err_m].astype(np.float64)
+            eidx = np.nonzero(err_m)[0]
+            errs = pc.take(err, pa.array(eidx)).to_pylist()
+            reason[eidx] = [f"No extraction produced: {e}" for e in errs]
+
+        sidx = np.nonzero(slow_m)[0]
+        if len(sidx):
+            take = pa.array(sidx)
+            ext_l = [s or "" for s in pc.take(ext, take).to_pylist()]
+            ref_l = [s or "" for s in pc.take(ref, take).to_pylist()]
+            # one batched DP for the whole mismatch tail (pair-axis
+            # vectorized; bit-identical to the scalar kernel)
+            edit_sims = levenshtein_ratio_many(ext_l, ref_l, cfg.max_edit_chars)
+            for j, i in enumerate(sidx):
+                a, b = ext_l[j], ref_l[j]
+                if not a:
+                    status[i] = "missing"
+                    disc[i] = float(len(b))
+                    reason[i] = "No extraction produced: empty result"
+                    continue
+                edit_sim = float(edit_sims[j])
+                tok_sim = token_set_ratio(a, b)
+                combined = cfg.w_edit * (1.0 - edit_sim) + cfg.w_token * (1.0 - tok_sim)
+                len_ok, len_disc, len_pct = rel_tolerance_match(
+                    float(len(a)), float(len(b)), cfg.tolerance
                 )
-            if combined >= cfg.good_match_gate:
-                parts.append(f"Alignment confidence: {round((1 - combined) * 100)}%")
-            if not parts:
-                parts.append(f"Content differs (alignment {round((1 - combined) * 100)}%)")
-            reason[i] = "; ".join(parts)
+                status[i] = "mismatch"
+                disc[i] = (1.0 - edit_sim) * max(len(a), len(b))
+                conf[i] = round((1.0 - combined) * 100.0, 2)
+                parts = []
+                if not len_ok:
+                    parts.append(
+                        f"Length mismatch: extracted {len(a)} vs expected {len(b)} ({len_pct}% difference)"
+                    )
+                if combined >= cfg.good_match_gate:
+                    parts.append(f"Alignment confidence: {round((1 - combined) * 100)}%")
+                if not parts:
+                    parts.append(f"Content differs (alignment {round((1 - combined) * 100)}%)")
+                reason[i] = "; ".join(parts)
 
         out = batch
         for (name, typ), vals in zip(VERDICT_FIELDS, (status, disc, reason, conf)):
-            out = out.append_column(name, pa.array(vals, typ))
+            out = out.append_column(name, pa.array(vals.tolist(), typ))
         return out
 
     return reconcile_batch

@@ -126,3 +126,45 @@ def test_batched_and_bitparallel_levenshtein_match_scalar_dp():
     p = pack_myers(["x" * 64, "y" * 64, ""])
     assert myers_distance_many("x" * 64, p).tolist() == [0, 64, 64]
     assert pack_myers(["z" * 65]) is None
+
+
+def test_levenshtein_ratio_many_equals_scalar_ratio():
+    """The pair-axis-batched ratio kernel must equal levenshtein_ratio
+    bit-for-bit across every branch: identical, prefix/suffix trims, empty
+    remainders, the small scalar-DP case, the big batched case (chunked),
+    and the >max_chars coarse-bound guard."""
+    import random
+
+    import numpy as np
+
+    from invoice_ocr_reconciler_ray.functions.similarity import (
+        levenshtein_ratio,
+        levenshtein_ratio_many,
+    )
+
+    rng = random.Random(11)
+    pairs = []
+    for _ in range(300):
+        n, m = rng.randint(0, 90), rng.randint(0, 90)
+        pairs.append(
+            (
+                "".join(rng.choice("abcd") for _ in range(n)),
+                "".join(rng.choice("abcd") for _ in range(m)),
+            )
+        )
+    base = "p" * 250
+    pairs += [
+        ("same", "same"),
+        ("", ""),
+        ("", "xyz"),
+        ("xyz", ""),
+        (base + "aaa" + base, base + "aba" + base),  # big-DP after trim
+        ("q" * 80, "q" * 60 + "z" * 40),  # mixed lengths
+        ("a" * 3000, "b" * 3000),  # > max_chars coarse bound
+    ]
+    A = [a for a, _ in pairs]
+    B = [b for _, b in pairs]
+    for cap in (2000, 100):
+        got = levenshtein_ratio_many(A, B, cap)
+        want = np.array([levenshtein_ratio(a, b, cap) for a, b in pairs])
+        assert (got == want).all()
