@@ -185,7 +185,7 @@ def run_bench(headline_only: bool = False) -> dict:
             # phase-A dup-key count runs on a payload-free projection — the
             # html column never leaves storage for it (stages/dedup.py)
             side_narrow_ds=rd.read_parquet(
-                pages_dir, columns=["url", "warc_ts"], override_num_blocks=nblocks
+                pages_dir, columns=["url"], override_num_blocks=nblocks
             ),
         )
         verdicts.write_parquet(out_dir)

@@ -213,7 +213,7 @@ def flag_duplicates_with_side(
     :func:`priority_of`, so they agree byte-for-byte.
 
     Two-phase side scan (round-3): phase A counts keys over a NARROW
-    (key, ts) projection — pass ``narrow_ds`` as a column-pruned read so the
+    key-only projection — pass ``narrow_ds`` as a column-pruned read so the
     payload column never leaves storage for it — and only keys seen more
     than once survive; phase B then hashes payloads ONLY for rows of those
     dup keys (an ``is_in`` filter ahead of any hashing).  At realistic dup
@@ -229,7 +229,7 @@ def flag_duplicates_with_side(
         )
         return g.rename_columns(["k", "n"])
 
-    nds = narrow_ds if narrow_ds is not None else side_ds.select_columns([key_col, ts_col])
+    nds = narrow_ds if narrow_ds is not None else side_ds.select_columns([key_col])
     parts = list(
         nds.map_batches(cnt_partial, batch_format="pyarrow").iter_batches(
             batch_format="pyarrow"
