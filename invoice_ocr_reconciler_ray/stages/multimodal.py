@@ -92,7 +92,21 @@ def media_table_from_documents(batch: pa.Table) -> pa.Table:
             meta = f'{{"h":{h},"w":{w},"c":3}}'
         elif kind == "audio":
             sr, n = 8000, 1000 + (d % 7) * 500
-            payload = fake_audio(d, sr, n)
+            if d % 6 == 1:
+                # every other audio row is a REAL RIFF/WAVE container with
+                # the same deterministic samples — the genuine stdlib codec
+                # path (functions/wav.py) runs in-pipeline; PCM16 is
+                # lossless so features are identical either way
+                from ..functions.wav import encode_wav
+
+                # same keystream as fake_audio → identical samples, so the
+                # two container formats are feature-parity-testable
+                samples = np.frombuffer(
+                    _keystream(d * 7 + 1, n * 2).tobytes(), dtype=np.int16
+                )
+                payload = encode_wav(samples, sr)
+            else:
+                payload = fake_audio(d, sr, n)
             meta = f'{{"sample_rate":{sr},"n_samples":{n}}}'
         else:
             nf, h, w = 2 + d % 4, 16, 16
@@ -261,20 +275,33 @@ class FrameSampler:
 
 
 class AudioFeatures:
-    """Actor-pool stage: audio payload → duration + RMS energy."""
+    """Actor-pool stage: audio payload → duration + RMS energy.
+
+    Routes by container magic like the image stage: real RIFF/WAVE PCM16
+    payloads decode through the stdlib codec (functions/wav.py); the
+    deterministic fake format remains for payload-free plumbing tests."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.wav import decode_wav, is_wav
+
         ids, durs, rmss = [], [], []
         for mid, payload in zip(
             batch.column("media_id").to_pylist(), batch.column("payload").to_pylist()
         ):
-            sr, n = struct.unpack_from("<II", payload, len(_AUD_MAGIC))
-            samples = np.frombuffer(
-                payload, dtype=np.int16, count=n, offset=len(_AUD_MAGIC) + 8
-            ).astype(np.float64)
+            if payload[: len(_AUD_MAGIC)] == _AUD_MAGIC:
+                sr, n = struct.unpack_from("<II", payload, len(_AUD_MAGIC))
+                samples = np.frombuffer(
+                    payload, dtype=np.int16, count=n, offset=len(_AUD_MAGIC) + 8
+                ).astype(np.float64)
+            elif is_wav(payload):
+                frames, sr = decode_wav(payload)
+                n = frames.shape[0]
+                samples = frames.astype(np.float64).reshape(-1)
+            else:
+                raise ValueError("unknown audio payload format")
             ids.append(mid)
             durs.append(n / sr)
-            rmss.append(float(np.sqrt(np.mean(samples**2))) if n else 0.0)
+            rmss.append(float(np.sqrt(np.mean(samples**2))) if len(samples) else 0.0)
         return pa.Table.from_arrays(
             [
                 pa.array(ids, pa.int64()),
