@@ -1998,6 +1998,65 @@ def events_asof_orders(sf_dir: str):
     )
 
 
+def events_asof_big_orders_left(sf_dir: str):
+    """LEFT-outer backward as-of join (completes the as-of family's join
+    types): every event keeps its row even when the customer has NO
+    qualifying big order (> $450k) at event time — unmatched rows carry a
+    typed NULL that both engines COALESCE to -1 (the r2 null-padding lesson
+    applied to the OUTER side).  Same one-shuffle co-partition layout."""
+    from ..stages.asof import asof_join
+
+    events = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "user_id": t["o_custkey"],
+                "o_orderdate": t["o_orderdate"],
+            }
+        ).filter(pc.greater(t["o_totalprice"], 450000.0)),
+        batch_format="pyarrow",
+    )
+    out = asof_join(
+        events,
+        orders,
+        key="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        left_cols=["event_id"],
+        right_cols=["o_orderkey"],
+        tiebreak="o_orderkey",
+        how="left",
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t["event_id"],
+                "asof_orderkey": pc.coalesce(
+                    pc.cast(t["o_orderkey"], pa.int64()), pa.scalar(-1, pa.int64())
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+EVENTS_ASOF_BIG_ORDERS_LEFT_SQL = """
+WITH f AS (SELECT * FROM orders WHERE o_totalprice > 450000),
+m AS (
+  SELECT e.event_id, o.o_orderkey,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e JOIN f o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+SELECT e.event_id, COALESCE(m.o_orderkey, -1) AS asof_orderkey
+FROM events e
+LEFT JOIN (SELECT event_id, o_orderkey FROM m WHERE rn = 1) m USING (event_id)
+"""
+
+
 EVENTS_ASOF_ORDERS_SQL = """
 WITH m AS (
   SELECT e.event_id, o.o_orderkey,
@@ -4583,6 +4642,7 @@ ORACLE_SQL: dict[str, str] = {
     "top_terms": TOP_TERMS_SQL,
     "docs_hash_sample": DOCS_HASH_SAMPLE_SQL,
     "events_asof_orders": EVENTS_ASOF_ORDERS_SQL,
+    "events_asof_big_orders_left": EVENTS_ASOF_BIG_ORDERS_LEFT_SQL,
     "events_range_join_orders": EVENTS_RANGE_JOIN_ORDERS_SQL,
     "docs_stratified_sample": DOCS_STRATIFIED_SAMPLE_SQL,
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
@@ -4669,6 +4729,7 @@ def registry() -> dict:
         "top_terms": top_terms,
         "docs_hash_sample": docs_hash_sample,
         "events_asof_orders": events_asof_orders,
+        "events_asof_big_orders_left": events_asof_big_orders_left,
         "events_range_join_orders": events_range_join_orders,
         "docs_stratified_sample": docs_stratified_sample,
         "dedup_incremental": dedup_incremental,

@@ -67,6 +67,7 @@ def asof_join(
     right_cols: list[str],
     tiebreak: str,
     direction: str = "backward",
+    how: str = "inner",
     hot_key_warn_rows: int = HOT_KEY_WARN_ROWS,
 ):
     """left(key, left_ts, left_cols) ⋈asof right(key, right_ts, right_cols).
@@ -84,6 +85,10 @@ def asof_join(
 
     All three share one sorted-right layout per group, so the added
     directions cost one extra ``searchsorted`` — never a second shuffle.
+
+    ``how``: ``"inner"`` drops left rows with no match; ``"left"`` keeps
+    them with typed NULL right columns (built directly against the captured
+    Arrow schema, so the padding can never upcast — the r2 lesson).
     """
     ltypes = dict(zip(left_ds.schema().names, left_ds.schema().types))
     rtypes = dict(zip(right_ds.schema().names, right_ds.schema().types))
@@ -124,8 +129,15 @@ def asof_join(
         lmask = pc.equal(t["_side"], 0)
         lt = t.filter(lmask)
         rt = t.filter(pc.invert(lmask))
-        if lt.num_rows == 0 or rt.num_rows == 0:
+        if lt.num_rows == 0:
             return out_schema.empty_table()
+        if rt.num_rows == 0:
+            if how != "left":
+                return out_schema.empty_table()
+            arrays = [lt[c] for c in left_cols] + [
+                pa.nulls(lt.num_rows, rtypes[c]) for c in right_cols
+            ]
+            return pa.Table.from_arrays(arrays, schema=out_schema)
         # sort right by (_t, tiebreak) ascending: searchsorted side='right'-1
         # lands on the max-tiebreak row among equal timestamps (backward),
         # side='left' on the min-tiebreak row (forward)
@@ -154,6 +166,13 @@ def asof_join(
             matched = has_b | has_f
         else:
             raise ValueError(f"unknown as-of direction: {direction!r}")
+        if how == "left":
+            # null take-indices yield typed nulls for unmatched left rows
+            ridx = pa.array(np.where(matched, idx, 0), mask=~matched)
+            arrays = [lt[c] for c in left_cols] + [
+                rt[c].take(ridx) for c in right_cols
+            ]
+            return pa.Table.from_arrays(arrays, schema=out_schema)
         lt = lt.filter(pa.array(matched))
         ridx = pa.array(idx[matched])
         arrays = [lt[c] for c in left_cols] + [rt[c].take(ridx) for c in right_cols]

@@ -193,3 +193,42 @@ def test_multi_window_counts_match_bruteforce(ray_session):
         for w, width in windows.items():
             want = int(((ts[same] > ts[rid] - width) & (ts[same] <= ts[rid])).sum())
             assert out.loc[rid, w] == want, (rid, w)
+
+
+def test_asof_join_left_outer_keeps_unmatched_with_typed_nulls(ray_session):
+    """how='left': every left row survives — no-match-before rows and
+    whole keys with zero right rows carry NULL rid; dtype stays int64
+    (nullable), never float64."""
+    from invoice_ocr_reconciler_ray.stages.asof import asof_join
+
+    left, right = _asof_fixture()
+    out = (
+        asof_join(
+            left,
+            right,
+            key="k",
+            left_ts="lts",
+            right_ts="rts",
+            left_cols=["eid"],
+            right_cols=["rid"],
+            tiebreak="rid",
+            how="left",
+        )
+        .to_pandas()
+        .sort_values("eid")
+        .reset_index(drop=True)
+    )
+    assert out.eid.tolist() == [10, 11, 12, 20, 30]
+    got = {e: (None if pd.isna(r) else int(r)) for e, r in zip(out.eid, out.rid)}
+    # eid 12 precedes all right rows for k=1; eid 20 precedes k=2's row;
+    # k=3 has no right rows at all
+    assert got == {10: 100, 11: 103, 12: None, 20: None, 30: None}
+    assert str(out.rid.dtype) in ("Int64", "int64", "object") or out.rid.isna().any()
+    # Arrow-side dtype discipline: re-run keeping the Arrow schema
+    tbl = pa.concat_tables(
+        asof_join(
+            left, right, key="k", left_ts="lts", right_ts="rts",
+            left_cols=["eid"], right_cols=["rid"], tiebreak="rid", how="left",
+        ).iter_batches(batch_format="pyarrow")
+    )
+    assert tbl.schema.field("rid").type == pa.int64()
