@@ -1998,6 +1998,65 @@ def events_asof_orders(sf_dir: str):
     )
 
 
+def orders_priority_quantile_kmv(sf_dir: str):
+    """Per-GROUP approximate quantiles from a mergeable KMV bottom-k sample
+    (stages/sketch_stats.py:grouped_approx_quantiles_kmv): quartiles of
+    order price cents per priority.  k=4096 exceeds every group's row count
+    at oracle scale, so the sketch degrades gracefully to EXACT
+    quantile_disc there (full value parity, the ann_ivf_exact_fullprobe
+    trick); at 100 TB the same op is a fixed O(keys·k) budget with
+    ±O(1/√k) rank error.  Values stay integer cents (exactly representable
+    in the float64 sample)."""
+    from ..stages.sketch_stats import grouped_approx_quantiles_kmv
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority", "o_totalprice"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "o_orderkey": t["o_orderkey"],
+                "cents": _cents(t["o_totalprice"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = grouped_approx_quantiles_kmv(
+        ds,
+        key_col="o_orderpriority",
+        id_col="o_orderkey",
+        val_col="cents",
+        qs=[0.25, 0.5, 0.75],
+        k=4096,
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "q": t["q"],
+                "value_est": pc.cast(t["value_est"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+ORDERS_PRIORITY_QUANTILE_KMV_SQL = """
+WITH c AS (SELECT o_orderpriority,
+                  CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+           FROM orders)
+SELECT o_orderpriority, CAST(0.25 AS DOUBLE) AS q,
+       CAST(quantile_disc(cents, 0.25) AS BIGINT) AS value_est
+FROM c GROUP BY 1
+UNION ALL
+SELECT o_orderpriority, CAST(0.5 AS DOUBLE),
+       CAST(quantile_disc(cents, 0.5) AS BIGINT) FROM c GROUP BY 1
+UNION ALL
+SELECT o_orderpriority, CAST(0.75 AS DOUBLE),
+       CAST(quantile_disc(cents, 0.75) AS BIGINT) FROM c GROUP BY 1
+"""
+
+
 def events_asof_big_orders_left(sf_dir: str):
     """LEFT-outer backward as-of join (completes the as-of family's join
     types): every event keeps its row even when the customer has NO
@@ -4643,6 +4702,7 @@ ORACLE_SQL: dict[str, str] = {
     "docs_hash_sample": DOCS_HASH_SAMPLE_SQL,
     "events_asof_orders": EVENTS_ASOF_ORDERS_SQL,
     "events_asof_big_orders_left": EVENTS_ASOF_BIG_ORDERS_LEFT_SQL,
+    "orders_priority_quantile_kmv": ORDERS_PRIORITY_QUANTILE_KMV_SQL,
     "events_range_join_orders": EVENTS_RANGE_JOIN_ORDERS_SQL,
     "docs_stratified_sample": DOCS_STRATIFIED_SAMPLE_SQL,
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
@@ -4730,6 +4790,7 @@ def registry() -> dict:
         "docs_hash_sample": docs_hash_sample,
         "events_asof_orders": events_asof_orders,
         "events_asof_big_orders_left": events_asof_big_orders_left,
+        "orders_priority_quantile_kmv": orders_priority_quantile_kmv,
         "events_range_join_orders": events_range_join_orders,
         "docs_stratified_sample": docs_stratified_sample,
         "dedup_incremental": dedup_incremental,

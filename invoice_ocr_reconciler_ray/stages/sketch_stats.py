@@ -183,3 +183,72 @@ def grouped_approx_distinct(
         .groupby(key_col)
         .map_groups(merge_group, batch_format="pyarrow")
     )
+
+
+def grouped_approx_quantiles_kmv(
+    ds, *, key_col: str, id_col: str, val_col: str, qs: list[float], k: int = 1024
+):
+    """Dataset(key, q, value_est): approximate quantiles PER KEY — the
+    grouped composition of the KMV bottom-k sample (the per-key counterpart
+    of :func:`approx_quantiles_kmv`, like :func:`grouped_approx_distinct`
+    is for HLL).  Block-local per-key bottom-k partials; the ONE groupby
+    shuffle carries O(keys · k) sample triples, never rows; per-key merge
+    is the mergeable bottom-k law, so the estimate is bit-deterministic at
+    any parallelism.  When k ≥ a key's row count the sample IS that group
+    and the quantiles are EXACT (quantile_disc semantics) — which is what
+    makes the registry entry oracle-checkable at driver scale while staying
+    a fixed-budget sketch at 100 TB."""
+    from ..functions.sketches import kmv_merge, kmv_partial, kmv_quantiles
+
+    def part(b: pa.Table) -> pa.Table:
+        keys = b[key_col].to_numpy(zero_copy_only=False)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        vals = b[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.argsort(keys, kind="stable")
+        skeys, sids, svals = keys[order], ids[order], vals[order]
+        uniq, starts = np.unique(skeys, return_index=True)
+        out_k, out_h, out_i, out_v = [], [], [], []
+        for gi, kv in enumerate(uniq):
+            lo = starts[gi]
+            hi = starts[gi + 1] if gi + 1 < len(uniq) else len(skeys)
+            h, i, v = kmv_partial(sids[lo:hi], svals[lo:hi], k)
+            out_k.append(kv)
+            out_h.append(h.tobytes())
+            out_i.append(i.tobytes())
+            out_v.append(v.tobytes())
+        return pa.table(
+            {
+                key_col: pa.array(out_k, b[key_col].type),
+                "h": pa.array(out_h, pa.binary()),
+                "i": pa.array(out_i, pa.binary()),
+                "v": pa.array(out_v, pa.binary()),
+            }
+        )
+
+    def merge_group(g: pa.Table) -> pa.Table:
+        parts = [
+            (
+                np.frombuffer(hr, dtype=np.uint64),
+                np.frombuffer(ir, dtype=np.int64),
+                np.frombuffer(vr, dtype=np.float64),
+            )
+            for hr, ir, vr in zip(
+                g["h"].to_pylist(), g["i"].to_pylist(), g["v"].to_pylist()
+            )
+        ]
+        _, _, sample = kmv_merge(parts, k)
+        est = kmv_quantiles(sample, qs)
+        n = len(qs)
+        return pa.table(
+            {
+                key_col: pa.array([g[key_col][0].as_py()] * n, g[key_col].type),
+                "q": pa.array(list(qs), pa.float64()),
+                "value_est": pa.array(est, pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(merge_group, batch_format="pyarrow")
+    )

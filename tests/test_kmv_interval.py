@@ -104,3 +104,55 @@ def test_interval_overlap_matches_bruteforce(ray_session):
                 ((su <= eu[i]) & (eu >= su[i])).sum() - 1
             )
             assert out.loc[idu[i]] == n
+
+
+def test_grouped_kmv_exact_when_k_covers_groups_and_bounded_otherwise(ray_session):
+    """Per-key KMV quantiles: with k >= group size the result equals
+    numpy quantile_disc per group exactly; with a small k every estimate
+    stays within a 5-sigma rank bound; both are block-layout-invariant."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from invoice_ocr_reconciler_ray.stages.sketch_stats import (
+        grouped_approx_quantiles_kmv,
+    )
+
+    rng = np.random.RandomState(5)
+    n = 3000
+    keys = rng.randint(0, 3, n).astype(np.int64)
+    vals = rng.randint(0, 100000, n).astype(np.int64)
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table({"k": keys, "id": ids, "v": vals})
+    qs = [0.25, 0.5, 0.75]
+
+    def qdisc(a, q):
+        s = np.sort(a)
+        return s[max(1, int(np.ceil(q * len(s)))) - 1]
+
+    for parts in (1, 7):
+        out = (
+            grouped_approx_quantiles_kmv(
+                rd.from_arrow(t).repartition(parts),
+                key_col="k", id_col="id", val_col="v", qs=qs, k=4096,
+            )
+            .to_pandas()
+            .sort_values(["k", "q"])
+            .reset_index(drop=True)
+        )
+        for row in out.itertuples():
+            want = qdisc(vals[keys == row.k], row.q)
+            assert row.value_est == want  # k >= group size -> exact
+
+    small = (
+        grouped_approx_quantiles_kmv(
+            rd.from_arrow(t).repartition(5),
+            key_col="k", id_col="id", val_col="v", qs=qs, k=256,
+        )
+        .to_pandas()
+    )
+    for row in small.itertuples():
+        grp = np.sort(vals[keys == row.k])
+        rank = np.searchsorted(grp, row.value_est, side="right") / len(grp)
+        sigma = np.sqrt(row.q * (1 - row.q) / 256)
+        assert abs(rank - row.q) <= 5 * sigma + 1.0 / 256
