@@ -4632,6 +4632,195 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def orders_cube_revenue(sf_dir: str):
+    """GROUP BY CUBE over (status, priority) — all four grouping sets from
+    one pass (≙ the reference dashboard's status×priority matrix,
+    server.js:244-267, generalized).  Same scale shape as
+    ``orders_rollup_revenue``: block-local cents partials merged by ONE
+    small groupby on the finest (status, prio) key; every super-level is an
+    exact int64 re-summation over that |statuses|×|priorities| table —
+    O(groups) driver work, never a second scan.  Sentinel 'ALL' keys and
+    the GROUPING() bitmask (0 finest, 1 prio-rolled, 2 status-rolled,
+    3 grand) match the oracle exactly."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "status": t["o_orderstatus"],
+                "prio": t["o_orderpriority"],
+                "total_c": _cents(t["o_totalprice"]),
+            }
+        )
+
+    finest = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["status", "prio"])
+        .aggregate(Sum("total_c", alias_name="sum_total_cents"), Count(alias_name="n"))
+        .to_pandas()  # |statuses|×|priorities| rows — the small-result exception
+    )
+    import pandas as pd
+
+    finest["lvl"] = np.int64(0)
+    by_status = (
+        finest.groupby("status", as_index=False)[["sum_total_cents", "n"]]
+        .sum()
+        .assign(prio="ALL", lvl=np.int64(1))
+    )
+    by_prio = (
+        finest.groupby("prio", as_index=False)[["sum_total_cents", "n"]]
+        .sum()
+        .assign(status="ALL", lvl=np.int64(2))
+    )
+    grand = pd.DataFrame(
+        {
+            "status": ["ALL"],
+            "prio": ["ALL"],
+            "sum_total_cents": [finest["sum_total_cents"].sum()],
+            "n": [finest["n"].sum()],
+            "lvl": [np.int64(3)],
+        }
+    )
+    cols = ["status", "prio", "sum_total_cents", "n", "lvl"]
+    out = pd.concat(
+        [finest[cols], by_status[cols], by_prio[cols], grand[cols]], ignore_index=True
+    )
+    for c in ("sum_total_cents", "n", "lvl"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+ORDERS_CUBE_REVENUE_SQL = """
+WITH f AS (
+  SELECT o_orderstatus AS status, o_orderpriority AS prio,
+         CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS total_c
+  FROM orders)
+SELECT COALESCE(status, 'ALL') AS status, COALESCE(prio, 'ALL') AS prio,
+       CAST(SUM(total_c) AS BIGINT) AS sum_total_cents,
+       COUNT(*) AS n,
+       CAST(GROUPING(status) * 2 + GROUPING(prio) AS BIGINT) AS lvl
+FROM f GROUP BY CUBE (status, prio)
+"""
+
+
+def events_rolling_sum5(sf_dir: str):
+    """Moving-window aggregate — SUM OVER (... ROWS BETWEEN 4 PRECEDING AND
+    CURRENT ROW) per user: the trailing-feature shape (last-5-events spend)
+    every event pipeline computes.  One groupby(user) co-partition; inside a
+    group the window is cumsum minus its 5-lagged self — O(n) and exact in
+    integer cents (completing the window family: cumsum, lag, rolling)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def roll(g: pa.Table) -> pa.Table:
+        s = g.take(
+            pc.sort_indices(
+                g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+            )
+        )
+        cents = np.floor(
+            s["value"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        cs = np.cumsum(cents)
+        out = cs.copy()
+        out[5:] = cs[5:] - cs[:-5]
+        return pa.table(
+            {
+                "event_id": s["event_id"],
+                "user_id": s["user_id"],
+                "win5_cents": pa.array(out, pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(roll, batch_format="pyarrow")
+
+
+EVENTS_ROLLING_SUM5_SQL = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS win5_cents
+FROM events
+"""
+
+
+def events_scd2_intervals(sf_dir: str):
+    """SCD Type-2 interval construction — compress each user's event-type
+    stream into change rows with [valid_from, valid_to) validity (the
+    slowly-changing-dimension build every warehouse runs; valid_to of the
+    current state is NULL).  Co-partition by user + per-group sort, then a
+    vectorized neighbor-compare picks change points and a shift closes each
+    interval with the next one's start.  ``event_id`` (the change-anchoring
+    event) rides along so rows are unique and the closing order is
+    deterministic even when two changes share a timestamp."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    _scd_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("event_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("valid_from_us", pa.int64()),
+            ("valid_to_us", pa.int64()),
+        ]
+    )
+
+    def scd(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _scd_schema.empty_table()
+        s = g.take(
+            pc.sort_indices(
+                g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+            )
+        )
+        types = np.asarray(s["event_type"].to_pylist(), dtype=object)
+        change = np.ones(len(types), dtype=bool)
+        if len(types) > 1:
+            change[1:] = types[1:] != types[:-1]
+        ts_us = s["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eids = s["event_id"].to_numpy(zero_copy_only=False)
+        starts = ts_us[change]
+        valid_to = [int(x) for x in starts[1:]] + [None]
+        uid = s["user_id"][0].as_py()
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    np.full(int(change.sum()), uid, dtype=np.int64), pa.int64()
+                ),
+                "event_id": pa.array(eids[change], pa.int64()),
+                "event_type": pa.array(list(types[change]), pa.string()),
+                "valid_from_us": pa.array(starts, pa.int64()),
+                "valid_to_us": pa.array(valid_to, pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(scd, batch_format="pyarrow")
+
+
+EVENTS_SCD2_INTERVALS_SQL = """
+WITH s AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev
+  FROM events),
+c AS (
+  SELECT user_id, event_id, event_type, ts_us AS valid_from_us
+  FROM s WHERE prev IS NULL OR prev <> event_type)
+SELECT user_id, event_id, event_type, valid_from_us,
+       lead(valid_from_us)
+         OVER (PARTITION BY user_id ORDER BY valid_from_us, event_id)
+         AS valid_to_us
+FROM c
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "pricing_summary": PRICING_SUMMARY_SQL,
     "monthly_orders": MONTHLY_ORDERS_SQL,
@@ -4732,6 +4921,9 @@ ORACLE_SQL: dict[str, str] = {
     "user_order_event_cogroup": USER_ORDER_EVENT_COGROUP_SQL,
     "lineitem_group_moments": LINEITEM_GROUP_MOMENTS_SQL,
     "docs_validate_constraints": DOCS_VALIDATE_CONSTRAINTS_SQL,
+    "orders_cube_revenue": ORDERS_CUBE_REVENUE_SQL,
+    "events_rolling_sum5": EVENTS_ROLLING_SUM5_SQL,
+    "events_scd2_intervals": EVENTS_SCD2_INTERVALS_SQL,
 }
 
 
@@ -4857,6 +5049,9 @@ def registry() -> dict:
         "user_order_event_cogroup": user_order_event_cogroup,
         "lineitem_group_moments": lineitem_group_moments,
         "docs_validate_constraints": docs_validate_constraints,
+        "orders_cube_revenue": orders_cube_revenue,
+        "events_rolling_sum5": events_rolling_sum5,
+        "events_scd2_intervals": events_scd2_intervals,
         "docs_compression_ratio": docs_compression_ratio,
         # rows-only (non-SQL-expressible).  Registry order matters: the
         # driver runs entries in order with a global time budget, and in r2
