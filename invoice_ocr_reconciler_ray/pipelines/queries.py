@@ -4821,6 +4821,41 @@ FROM c
 """
 
 
+def docs_simjoin_jaccard(sf_dir: str):
+    """Exact set-similarity self-join: every document pair with token-set
+    Jaccard >= 0.95 (near-identical template detection), found by prefix
+    filtering under a global rarity order (AllPairs/PPJoin shape — see
+    ``stages/ssjoin.py`` for the 100 TB scale notes).  Unlike the LSH
+    near-dup family this is EXACT — completeness is guaranteed by the
+    prefix-filter theorem, so the O(n²) DuckDB cross-join oracle must match
+    pair-for-pair; the integer (inter_n, union_n) output makes the
+    threshold test engine-independent.  tau = 19/20: the synthetic corpus
+    is template-heavy (7–31-token sets from a small vocabulary), so lower
+    bars match a third of all pairs — the high bar keeps the result the
+    "same template, ≤1 token apart" set."""
+    from ..stages.ssjoin import jaccard_self_join
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return jaccard_self_join(ds, tau_num=19, tau_den=20)
+
+
+DOCS_SIMJOIN_JACCARD_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS toks
+  FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter_n,
+       CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))
+            AS BIGINT) AS union_n
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.toks, b.toks)) > 0
+  AND 20 * len(list_intersect(a.toks, b.toks))
+      >= 19 * (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "pricing_summary": PRICING_SUMMARY_SQL,
     "monthly_orders": MONTHLY_ORDERS_SQL,
@@ -4924,6 +4959,7 @@ ORACLE_SQL: dict[str, str] = {
     "orders_cube_revenue": ORDERS_CUBE_REVENUE_SQL,
     "events_rolling_sum5": EVENTS_ROLLING_SUM5_SQL,
     "events_scd2_intervals": EVENTS_SCD2_INTERVALS_SQL,
+    "docs_simjoin_jaccard": DOCS_SIMJOIN_JACCARD_SQL,
 }
 
 
@@ -5052,6 +5088,7 @@ def registry() -> dict:
         "orders_cube_revenue": orders_cube_revenue,
         "events_rolling_sum5": events_rolling_sum5,
         "events_scd2_intervals": events_scd2_intervals,
+        "docs_simjoin_jaccard": docs_simjoin_jaccard,
         "docs_compression_ratio": docs_compression_ratio,
         # rows-only (non-SQL-expressible).  Registry order matters: the
         # driver runs entries in order with a global time budget, and in r2

@@ -1,0 +1,212 @@
+"""Exact set-similarity self-join (Jaccard >= tau) via prefix filtering.
+
+The AllPairs/PPJoin family (Bayardo et al. 2007, Xiao et al. 2008 — public
+algorithms): order every document's distinct token set by a single global
+total order (ascending document frequency, rarest first), emit only the
+first ``n - ceil(tau*n) + 1`` tokens of each set as candidate keys, and two
+sets with Jaccard >= tau are GUARANTEED to share at least one prefix token
+— so grouping by prefix token finds every qualifying pair (no recall loss,
+unlike LSH), while the rarity order keeps buckets small (a stopword never
+lands in a prefix unless a document is almost nothing but stopwords).
+
+Relation to the reference: this is the exact-threshold cousin of the fuzzy
+vendor match (reference ``reconciliationEngine.js:53-67`` top-10 scan) at
+corpus scale — every pair of documents above a similarity bar, not a best
+match per probe.
+
+Scale shape (100 TB):
+- DF pass: block-local distinct-token counts, one ``groupby(term)`` merge —
+  the shuffle is O(vocab), and the rank map collected/broadcast is O(vocab)
+  (same documented bound as the TF-IDF stage's document-frequency table).
+- Prefix shuffle carries (int64 token rank, id, set size) per prefix token —
+  O(sum of prefix lengths) ~ half the token incidence; never text.
+- Candidate pairs are collected and deduped on the DRIVER — tiny by
+  prefix-filter + size-filter construction (the documented O(|candidates|)
+  bound shared with stages/neardup.py:104-171); exact verification runs
+  distributed over the pair Dataset against token sets point-read for ONLY
+  the candidate ids and broadcast once.
+- No bucket caps: completeness is the contract (the oracle is exact), so an
+  oversized bucket logs a warning instead of dropping pairs; the rarity
+  order is what bounds buckets in practice.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+logger = logging.getLogger(__name__)
+
+TOKEN_RE = r"[^a-z0-9]+"
+
+_PAIR_SCHEMA = pa.schema(
+    [
+        ("id_a", pa.int64()),
+        ("id_b", pa.int64()),
+        ("inter_n", pa.int64()),
+        ("union_n", pa.int64()),
+    ]
+)
+
+
+def _token_set(text: str | None) -> set[str]:
+    import re
+
+    return {t for t in re.split(TOKEN_RE, (text or "").lower()) if t}
+
+
+def jaccard_self_join(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tau_num: int = 1,
+    tau_den: int = 2,
+    bucket_warn: int = 5000,
+):
+    """All pairs with exact token-set Jaccard >= tau_num/tau_den.
+
+    Returns Dataset(id_a, id_b, inter_n, union_n) with id_a < id_b and
+    ``tau_den * inter_n >= tau_num * union_n`` — pure integers, so the
+    threshold test is exact on any engine.
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    # ---- pass 1: global document frequencies -> rarity rank (O(vocab)) ----
+    def df_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(t[text_col]), pattern=TOKEN_RE
+        ).to_pylist()
+        out: list[str] = []
+        for lst in toks:
+            out.extend({x for x in lst if x})
+        tb = pa.table({"term": pa.array(out, pa.string())})
+        g = tb.group_by("term").aggregate([("term", "count")])
+        return g.rename_columns(["term", "df"])
+
+    dfp = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()  # O(vocab) — documented driver bound (TF-IDF stage shape)
+    )
+    order = sorted(zip(dfp["df"].tolist(), dfp["term"].tolist()))
+    rank = {t: i for i, (_, t) in enumerate(order)}
+    rank_ref = ray.put(rank)
+
+    # ---- pass 2: prefix emission under the global rarity order ----
+    def prefixes(t: pa.Table) -> pa.Table:
+        rk = ray.get(rank_ref)
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(t[text_col]), pattern=TOKEN_RE
+        ).to_pylist()
+        ids = t[id_col].to_pylist()
+        o_rank: list[int] = []
+        o_id: list[int] = []
+        o_n: list[int] = []
+        for i, lst in zip(ids, toks):
+            s = {x for x in lst if x}
+            n = len(s)
+            if n == 0:
+                continue
+            p = n - (n * tau_num + tau_den - 1) // tau_den + 1
+            rs = sorted(rk[x] for x in s)[:p]
+            o_rank.extend(rs)
+            o_id.extend([i] * len(rs))
+            o_n.extend([n] * len(rs))
+        return pa.table(
+            {
+                "tok_rank": pa.array(o_rank, pa.int64()),
+                "doc_id": pa.array(o_id, pa.int64()),
+                "n_tok": pa.array(o_n, pa.int64()),
+            }
+        )
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_pylist()
+        ns = g["n_tok"].to_pylist()
+        if len(ids) > bucket_warn:
+            logger.warning(
+                "ssjoin prefix bucket rank=%s holds %d docs (> %d); emitting "
+                "all pairs anyway — completeness is the contract",
+                g["tok_rank"][0].as_py(),
+                len(ids),
+                bucket_warn,
+            )
+        rows = sorted(zip(ids, ns))
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for x in range(len(rows)):
+            ia, na = rows[x]
+            for y in range(x + 1, len(rows)):
+                ib, nb = rows[y]
+                lo, hi = (na, nb) if na <= nb else (nb, na)
+                # size filter: J <= min/max, so J >= tau needs min*den >= num*max
+                if lo * tau_den >= tau_num * hi:
+                    out_a.append(ia)
+                    out_b.append(ib)
+        return pa.table(
+            {"id_a": pa.array(out_a, pa.int64()), "id_b": pa.array(out_b, pa.int64())}
+        )
+
+    cand = (
+        ds.map_batches(prefixes, batch_format="pyarrow")
+        .groupby("tok_rank")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+
+    # ---- driver dedup + point-read verification (O(|candidates|)) ----
+    uniq: set[tuple[int, int]] = set()
+    for b in cand.iter_batches(batch_format="pyarrow"):
+        uniq.update(zip(b.column("id_a").to_pylist(), b.column("id_b").to_pylist()))
+    if not uniq:
+        return rd.from_arrow(_PAIR_SCHEMA.empty_table())
+    ks = sorted(uniq)
+    pair_tbl = pa.table(
+        {
+            "id_a": pa.array([a for a, _ in ks], pa.int64()),
+            "id_b": pa.array([b for _, b in ks], pa.int64()),
+        }
+    )
+    ids_arr = pa.array(sorted({i for p in ks for i in p}), pa.int64())
+    sets: dict[int, frozenset] = {}
+    fetched = ds.map_batches(
+        lambda t: t.select([id_col, text_col]).filter(
+            pc.is_in(t[id_col], value_set=ids_arr)
+        ),
+        batch_format="pyarrow",
+    )
+    for b in fetched.iter_batches(batch_format="pyarrow"):
+        for i, tx in zip(b.column(id_col).to_pylist(), b.column(text_col).to_pylist()):
+            sets[i] = frozenset(_token_set(tx))
+    sets_ref = ray.put(sets)
+
+    def verify(t: pa.Table) -> pa.Table:
+        sx = ray.get(sets_ref)
+        oa: list[int] = []
+        ob: list[int] = []
+        oi: list[int] = []
+        ou: list[int] = []
+        for a, b_ in zip(t.column("id_a").to_pylist(), t.column("id_b").to_pylist()):
+            sa, sb = sx.get(a, frozenset()), sx.get(b_, frozenset())
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            if inter > 0 and tau_den * inter >= tau_num * union:
+                oa.append(a)
+                ob.append(b_)
+                oi.append(inter)
+                ou.append(union)
+        return pa.table(
+            {
+                "id_a": pa.array(oa, pa.int64()),
+                "id_b": pa.array(ob, pa.int64()),
+                "inter_n": pa.array(oi, pa.int64()),
+                "union_n": pa.array(ou, pa.int64()),
+            }
+        )
+
+    return rd.from_arrow(pair_tbl).map_batches(verify, batch_format="pyarrow")
