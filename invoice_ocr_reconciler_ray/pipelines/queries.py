@@ -4856,6 +4856,80 @@ WHERE len(list_intersect(a.toks, b.toks)) > 0
 """
 
 
+def events_graph_components(sf_dir: str):
+    """Generic connected components, ORACLE-checked — the entry that
+    upgrades the distributed min-label-propagation machinery (shared with
+    ``neardup_clusters``) from rows-only to value-verified.  The graph is
+    derived deterministically from events (md5-hashed ids onto 397 nodes;
+    two-level forest edges u→u%97→%13 — 13 irregular components, diameter
+    ~3 so propagation converges in 3 rounds); DuckDB recomputes the same
+    components via a recursive transitive-closure CTE.  Edges are
+    block-local distinct before the broadcast (the documented O(|edges|)
+    bound of stages/graph.py)."""
+    from ..stages.graph import connected_components
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id"])
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        us = sorted(
+            {
+                int(hashlib.md5(str(e).encode()).hexdigest()[:8], 16) % 397
+                for e in t["event_id"].to_pylist()
+            }
+        )
+        ea: list[int] = []
+        eb: list[int] = []
+        for u in us:
+            m = u % 97
+            if u != m:
+                ea.append(u)
+                eb.append(m)
+            r = m % 13
+            if m != r:
+                ea.append(m)
+                eb.append(r)
+        tb = pa.table(
+            {"src": pa.array(ea, pa.int64()), "dst": pa.array(eb, pa.int64())}
+        )
+        return tb.group_by(["src", "dst"]).aggregate([])
+
+    edges = ds.map_batches(mk_edges, batch_format="pyarrow")
+    nodes = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [t["src"].combine_chunks(), t["dst"].combine_chunks()]
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return connected_components(nodes, edges, max_rounds=8)
+
+
+EVENTS_GRAPH_COMPONENTS_SQL = """
+WITH RECURSIVE u AS (
+  SELECT DISTINCT
+    CAST(CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+         % 397 AS BIGINT) AS u
+  FROM events),
+edges AS (
+  SELECT u, u % 97 AS v FROM u WHERE u <> u % 97
+  UNION
+  SELECT u % 97, (u % 97) % 13 FROM u WHERE u % 97 <> (u % 97) % 13),
+nodes AS (
+  SELECT DISTINCT n FROM (SELECT u AS n FROM edges UNION SELECT v FROM edges)),
+sym AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
+reach AS (
+  SELECT n AS node, n AS r FROM nodes
+  UNION
+  SELECT re.node, s.v AS r FROM reach re JOIN sym s ON re.r = s.u)
+SELECT node, CAST(MIN(r) AS BIGINT) AS component FROM reach GROUP BY node
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "pricing_summary": PRICING_SUMMARY_SQL,
     "monthly_orders": MONTHLY_ORDERS_SQL,
@@ -4960,6 +5034,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_rolling_sum5": EVENTS_ROLLING_SUM5_SQL,
     "events_scd2_intervals": EVENTS_SCD2_INTERVALS_SQL,
     "docs_simjoin_jaccard": DOCS_SIMJOIN_JACCARD_SQL,
+    "events_graph_components": EVENTS_GRAPH_COMPONENTS_SQL,
 }
 
 
@@ -5089,6 +5164,7 @@ def registry() -> dict:
         "events_rolling_sum5": events_rolling_sum5,
         "events_scd2_intervals": events_scd2_intervals,
         "docs_simjoin_jaccard": docs_simjoin_jaccard,
+        "events_graph_components": events_graph_components,
         "docs_compression_ratio": docs_compression_ratio,
         # rows-only (non-SQL-expressible).  Registry order matters: the
         # driver runs entries in order with a global time budget, and in r2

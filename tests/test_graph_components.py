@@ -1,0 +1,48 @@
+"""Generic connected-components stage: hand-built topologies through the
+distributed min-label propagation (chain, two components, isolated node,
+duplicate node rows)."""
+
+import pyarrow as pa
+import ray.data as rd
+
+from invoice_ocr_reconciler_ray.stages.graph import connected_components
+
+
+def test_components_chain_two_comps_isolated(ray_session):
+    # chain 5-4-3-2-1 (diameter 4 — needs several propagation rounds),
+    # separate pair 10-11, isolated node 20
+    nodes = rd.from_arrow(
+        pa.table({"node": pa.array([1, 2, 3, 4, 5, 10, 11, 20], pa.int64())})
+    )
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([5, 4, 3, 2, 10], pa.int64()),
+                "dst": pa.array([4, 3, 2, 1, 11], pa.int64()),
+            }
+        )
+    )
+    out = (
+        connected_components(nodes, edges, max_rounds=8)
+        .to_pandas()
+        .set_index("node")
+        .component
+    )
+    assert out.to_dict() == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20}
+    assert str(out.dtype) == "int64"
+
+
+def test_components_duplicate_node_rows_collapse(ray_session):
+    """nodes_ds with duplicate rows (block-local distinct only) still yields
+    one output row per node."""
+    nodes = rd.from_arrow(
+        pa.table({"node": pa.array([1, 1, 2, 2, 3], pa.int64())})
+    )
+    edges = rd.from_arrow(
+        pa.table(
+            {"src": pa.array([1], pa.int64()), "dst": pa.array([2], pa.int64())}
+        )
+    )
+    out = connected_components(nodes, edges).to_pandas()
+    assert len(out) == 3
+    assert out.set_index("node").component.to_dict() == {1: 1, 2: 1, 3: 3}
