@@ -4930,6 +4930,216 @@ SELECT node, CAST(MIN(r) AS BIGINT) AS component FROM reach GROUP BY node
 """
 
 
+def orders_price_band_join(sf_dir: str):
+    """Non-equi BAND join (dimension banding): map every order to a price
+    tier by range lookup — a join shape (`ON c >= lo AND c < hi`) Ray Data
+    has no native operator for.  The tier table is tiny and static, so the
+    right design is broadcast + vectorized ``np.searchsorted`` against the
+    sorted boundaries inside ``map_batches``: zero shuffle, O(log k) per
+    row, streaming-safe at any corpus size (the same pattern as the
+    broadcast dim joins in J7)."""
+    bounds = np.array(
+        [0, 5_000_000, 10_000_000, 20_000_000, 40_000_000], dtype=np.int64
+    )
+    names = ["T0", "T1", "T2", "T3", "T4"]
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
+
+    def band(t: pa.Table) -> pa.Table:
+        c = np.floor(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        tier_idx = np.searchsorted(bounds, c, side="right") - 1
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "price_cents": pa.array(c, pa.int64()),
+                "tier": pa.array([names[i] for i in tier_idx], pa.string()),
+            }
+        )
+
+    return ds.map_batches(band, batch_format="pyarrow")
+
+
+ORDERS_PRICE_BAND_JOIN_SQL = """
+WITH tiers(tier, lo, hi) AS (VALUES
+  ('T0', 0,        5000000),
+  ('T1', 5000000,  10000000),
+  ('T2', 10000000, 20000000),
+  ('T3', 20000000, 40000000),
+  ('T4', 40000000, 4611686018427387904)),
+o AS (SELECT o_orderkey,
+             CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS price_cents
+      FROM orders)
+SELECT o.o_orderkey, o.price_cents, t.tier
+FROM o JOIN tiers t ON o.price_cents >= t.lo AND o.price_cents < t.hi
+"""
+
+
+def docs_lang_top_terms(sf_dir: str):
+    """Per-GROUP top terms (per-language vocabulary heads) — the two-level
+    combiner shape: block-local (lang, term) counts shrink the first
+    shuffle to O(langs·block vocab); the merged table is O(langs·vocab)
+    rows, so the per-lang top-5 runs over an already-tiny aggregate (one
+    more groupby, deterministic (n DESC, term) order with a rank column)."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["lang", "text"])
+
+    def term_counts(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), pattern=r"[^a-z0-9]+")
+        n_per_row = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        langs = pa.array(
+            np.repeat(
+                t["lang"].to_numpy(zero_copy_only=False).astype(object), n_per_row
+            ),
+            pa.string(),
+        )
+        flat = pc.list_flatten(toks)
+        tb = pa.table({"lang": langs, "term": flat}).filter(
+            pc.not_equal(pc.coalesce(flat, ""), "")
+        )
+        g = tb.group_by(["lang", "term"]).aggregate([("term", "count")])
+        return g.rename_columns(["lang", "term", "n"])
+
+    merged = (
+        ds.map_batches(term_counts, batch_format="pyarrow")
+        .groupby(["lang", "term"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def topk(g: pa.Table) -> pa.Table:
+        s = g.take(
+            pc.sort_indices(
+                g, sort_keys=[("n", "descending"), ("term", "ascending")]
+            )
+        ).slice(0, 5)
+        return s.append_column(
+            "rn", pa.array(np.arange(1, s.num_rows + 1), pa.int64())
+        )
+
+    return merged.groupby("lang").map_groups(topk, batch_format="pyarrow")
+
+
+DOCS_LANG_TOP_TERMS_SQL = """
+WITH toks AS (
+  SELECT lang,
+         unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents),
+tc AS (
+  SELECT lang, term, COUNT(*) AS n FROM toks WHERE term <> ''
+  GROUP BY lang, term),
+r AS (
+  SELECT lang, term, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rn
+  FROM tc)
+SELECT lang, term, CAST(n AS BIGINT) AS n, CAST(rn AS BIGINT) AS rn
+FROM r WHERE rn <= 5
+"""
+
+
+def orders_price_winsorized(sf_dir: str):
+    """Quantile winsorization (robust feature clipping): clamp price cents
+    to the exact [p05, p95] — outlier handling every feature pipeline runs
+    before normalization.  The two boundaries come from the exact
+    distributed quantile machinery (histogram-partition + refinement, no
+    global sort — stages/quantiles.py) and are broadcast as two scalars;
+    the clip itself is one vectorized pass, zero shuffle."""
+    from ..stages.quantiles import exact_quantiles
+
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_orderkey": t["o_orderkey"], "cents": _cents(t["o_totalprice"])}
+        )
+
+    cds = ds.map_batches(prep, batch_format="pyarrow")
+    qt = exact_quantiles(cds, "cents", [0.05, 0.95])
+    lo, hi = (int(v) for v in qt["value"].to_pylist())
+
+    def clip(t: pa.Table) -> pa.Table:
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "price_cents": t["cents"],
+                "winsorized_cents": pa.array(np.clip(c, lo, hi), pa.int64()),
+            }
+        )
+
+    return cds.map_batches(clip, batch_format="pyarrow")
+
+
+ORDERS_PRICE_WINSORIZED_SQL = """
+WITH c AS (
+  SELECT o_orderkey,
+         CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS price_cents
+  FROM orders),
+b AS (
+  SELECT quantile_disc(price_cents, 0.05) AS lo,
+         quantile_disc(price_cents, 0.95) AS hi
+  FROM c)
+SELECT c.o_orderkey, c.price_cents,
+       CAST(LEAST(GREATEST(c.price_cents, b.lo), b.hi) AS BIGINT)
+         AS winsorized_cents
+FROM c, b
+"""
+
+
+def orders_agg_ivm(sf_dir: str):
+    """Incremental view maintenance: a standing aggregate (orders before a
+    cutoff date) is updated with a DELTA batch (orders on/after it) by
+    merging int64 partials — never recomputing from the full table.  Both
+    sides are predicate-pushdown reads; the merge is an O(groups) re-sum of
+    the two aggregate tables (the IVM contract: agg(old ∪ delta) =
+    merge(agg(old), agg(delta)), which holds for the sum/count partials all
+    this repo's aggregates use).  The oracle recomputes from scratch — the
+    check IS the maintenance invariant."""
+    import pandas as pd
+
+    cutoff = np.datetime64("1996-01-01", "us")
+
+    def agg_side(flt) -> "pd.DataFrame":
+        ds = rd.read_parquet(
+            _t(sf_dir, "orders"),
+            columns=["o_orderstatus", "o_totalprice", "o_orderdate"],
+            filter=flt,
+        )
+
+        def prep(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "o_orderstatus": t["o_orderstatus"],
+                    "total_c": _cents(t["o_totalprice"]),
+                }
+            )
+
+        return (
+            ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("o_orderstatus")
+            .aggregate(Sum("total_c", alias_name="sum_total_cents"), Count(alias_name="n"))
+            .to_pandas()  # O(statuses) — the small-result exception
+        )
+
+    standing = agg_side(pc.field("o_orderdate") < cutoff)
+    delta = agg_side(pc.field("o_orderdate") >= cutoff)
+    merged = (
+        pd.concat([standing, delta], ignore_index=True)
+        .groupby("o_orderstatus", as_index=False)[["sum_total_cents", "n"]]
+        .sum()
+    )
+    for c in ("sum_total_cents", "n"):
+        merged[c] = merged[c].astype("int64")
+    return merged
+
+
+ORDERS_AGG_IVM_SQL = """
+SELECT o_orderstatus,
+       CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_total_cents,
+       COUNT(*) AS n
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "pricing_summary": PRICING_SUMMARY_SQL,
     "monthly_orders": MONTHLY_ORDERS_SQL,
@@ -5035,6 +5245,10 @@ ORACLE_SQL: dict[str, str] = {
     "events_scd2_intervals": EVENTS_SCD2_INTERVALS_SQL,
     "docs_simjoin_jaccard": DOCS_SIMJOIN_JACCARD_SQL,
     "events_graph_components": EVENTS_GRAPH_COMPONENTS_SQL,
+    "orders_price_band_join": ORDERS_PRICE_BAND_JOIN_SQL,
+    "docs_lang_top_terms": DOCS_LANG_TOP_TERMS_SQL,
+    "orders_price_winsorized": ORDERS_PRICE_WINSORIZED_SQL,
+    "orders_agg_ivm": ORDERS_AGG_IVM_SQL,
 }
 
 
@@ -5165,6 +5379,10 @@ def registry() -> dict:
         "events_scd2_intervals": events_scd2_intervals,
         "docs_simjoin_jaccard": docs_simjoin_jaccard,
         "events_graph_components": events_graph_components,
+        "orders_price_band_join": orders_price_band_join,
+        "docs_lang_top_terms": docs_lang_top_terms,
+        "orders_price_winsorized": orders_price_winsorized,
+        "orders_agg_ivm": orders_agg_ivm,
         "docs_compression_ratio": docs_compression_ratio,
         # rows-only (non-SQL-expressible).  Registry order matters: the
         # driver runs entries in order with a global time budget, and in r2
