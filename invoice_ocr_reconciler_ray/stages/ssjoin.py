@@ -127,30 +127,32 @@ def jaccard_self_join(
         )
 
     def bucket_pairs(g: pa.Table) -> pa.Table:
-        ids = g["doc_id"].to_pylist()
-        ns = g["n_tok"].to_pylist()
-        if len(ids) > bucket_warn:
+        import numpy as np
+
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        ns = g["n_tok"].to_numpy(zero_copy_only=False)
+        k = len(ids)
+        if k > bucket_warn:
             logger.warning(
                 "ssjoin prefix bucket rank=%s holds %d docs (> %d); emitting "
                 "all pairs anyway — completeness is the contract",
                 g["tok_rank"][0].as_py(),
-                len(ids),
+                k,
                 bucket_warn,
             )
-        rows = sorted(zip(ids, ns))
-        out_a: list[int] = []
-        out_b: list[int] = []
-        for x in range(len(rows)):
-            ia, na = rows[x]
-            for y in range(x + 1, len(rows)):
-                ib, nb = rows[y]
-                lo, hi = (na, nb) if na <= nb else (nb, na)
-                # size filter: J <= min/max, so J >= tau needs min*den >= num*max
-                if lo * tau_den >= tau_num * hi:
-                    out_a.append(ia)
-                    out_b.append(ib)
+        order = np.argsort(ids, kind="stable")
+        ids, ns = ids[order], ns[order]
+        xi, yi = np.triu_indices(k, k=1)
+        na, nb = ns[xi], ns[yi]
+        lo = np.minimum(na, nb)
+        hi = np.maximum(na, nb)
+        # size filter: J <= min/max, so J >= tau needs min*den >= num*max
+        keep = lo * tau_den >= tau_num * hi
         return pa.table(
-            {"id_a": pa.array(out_a, pa.int64()), "id_b": pa.array(out_b, pa.int64())}
+            {
+                "id_a": pa.array(ids[xi[keep]], pa.int64()),
+                "id_b": pa.array(ids[yi[keep]], pa.int64()),
+            }
         )
 
     cand = (
@@ -160,19 +162,29 @@ def jaccard_self_join(
     )
 
     # ---- driver dedup + point-read verification (O(|candidates|)) ----
-    uniq: set[tuple[int, int]] = set()
+    # dedup is vectorized: pack (a, b) into one int64 key, np.unique — a
+    # template-heavy corpus can surface millions of raw candidates and a
+    # Python set would be the bottleneck
+    import numpy as np
+
+    chunks_a: list = []
+    chunks_b: list = []
     for b in cand.iter_batches(batch_format="pyarrow"):
-        uniq.update(zip(b.column("id_a").to_pylist(), b.column("id_b").to_pylist()))
-    if not uniq:
+        chunks_a.append(b.column("id_a").to_numpy(zero_copy_only=False))
+        chunks_b.append(b.column("id_b").to_numpy(zero_copy_only=False))
+    if not chunks_a or sum(len(c) for c in chunks_a) == 0:
         return rd.from_arrow(_PAIR_SCHEMA.empty_table())
-    ks = sorted(uniq)
+    aa = np.concatenate(chunks_a)
+    bb = np.concatenate(chunks_b)
+    if aa.min() < 0 or aa.max() >= (1 << 31) or bb.min() < 0 or bb.max() >= (1 << 31):
+        raise ValueError("ssjoin pair packing assumes ids in [0, 2^31)")
+    keys = np.unique(aa.astype(np.int64) * (1 << 31) + bb.astype(np.int64))
+    ua = keys >> 31
+    ub = keys & ((1 << 31) - 1)
     pair_tbl = pa.table(
-        {
-            "id_a": pa.array([a for a, _ in ks], pa.int64()),
-            "id_b": pa.array([b for _, b in ks], pa.int64()),
-        }
+        {"id_a": pa.array(ua, pa.int64()), "id_b": pa.array(ub, pa.int64())}
     )
-    ids_arr = pa.array(sorted({i for p in ks for i in p}), pa.int64())
+    ids_arr = pa.array(np.unique(np.concatenate([ua, ub])), pa.int64())
     sets: dict[int, frozenset] = {}
     fetched = ds.map_batches(
         lambda t: t.select([id_col, text_col]).filter(
@@ -183,30 +195,85 @@ def jaccard_self_join(
     for b in fetched.iter_batches(batch_format="pyarrow"):
         for i, tx in zip(b.column(id_col).to_pylist(), b.column(text_col).to_pylist()):
             sets[i] = frozenset(_token_set(tx))
-    sets_ref = ray.put(sets)
 
-    def verify(t: pa.Table) -> pa.Table:
-        sx = ray.get(sets_ref)
-        oa: list[int] = []
-        ob: list[int] = []
-        oi: list[int] = []
-        ou: list[int] = []
-        for a, b_ in zip(t.column("id_a").to_pylist(), t.column("id_b").to_pylist()):
-            sa, sb = sx.get(a, frozenset()), sx.get(b_, frozenset())
-            inter = len(sa & sb)
-            union = len(sa) + len(sb) - inter
-            if inter > 0 and tau_den * inter >= tau_num * union:
-                oa.append(a)
-                ob.append(b_)
-                oi.append(inter)
-                ou.append(union)
-        return pa.table(
-            {
-                "id_a": pa.array(oa, pa.int64()),
-                "id_b": pa.array(ob, pa.int64()),
-                "inter_n": pa.array(oi, pa.int64()),
-                "union_n": pa.array(ou, pa.int64()),
-            }
-        )
+    # Two verification kernels.  Small universes (template corpora — the
+    # adversarial case where prefix filtering can't prune and candidates
+    # explode) get a fully-vectorized bitmap path: each set is packed into
+    # ceil(V/64) uint64 words, intersection = popcount(a & b) over pair
+    # arrays, no Python loop.  Large vocabularies (real web text) keep the
+    # per-pair set kernel — a dense bitmap would be wider than the text.
+    vocab = sorted({t for s in sets.values() for t in s})
+    use_bitmap = 0 < len(vocab) <= 4096
 
-    return rd.from_arrow(pair_tbl).map_batches(verify, batch_format="pyarrow")
+    if use_bitmap:
+        tok_ix = {t: i for i, t in enumerate(vocab)}
+        words = (len(vocab) + 63) // 64
+        id_list = sorted(sets)
+        id_np = np.array(id_list, dtype=np.int64)
+        id_pos = {i: p for p, i in enumerate(id_list)}
+        bitmap = np.zeros((len(id_list), words), dtype=np.uint64)
+        sizes = np.zeros(len(id_list), dtype=np.int64)
+        for i, s in sets.items():
+            p = id_pos[i]
+            sizes[p] = len(s)
+            for t in s:
+                j = tok_ix[t]
+                bitmap[p, j >> 6] |= np.uint64(1 << (j & 63))
+        _POP = np.array([bin(x).count("1") for x in range(256)], dtype=np.int64)
+        broadcast_ref = ray.put((id_np, bitmap, sizes))
+
+        def verify(t: pa.Table) -> pa.Table:
+            id_sorted, bm, sz = ray.get(broadcast_ref)
+            a_ids = t.column("id_a").to_numpy(zero_copy_only=False)
+            b_ids = t.column("id_b").to_numpy(zero_copy_only=False)
+            # every candidate id is in id_sorted by construction
+            pa_ix = np.searchsorted(id_sorted, a_ids)
+            pb_ix = np.searchsorted(id_sorted, b_ids)
+            inter_words = bm[pa_ix] & bm[pb_ix]
+            inter = _POP[inter_words.view(np.uint8)].reshape(len(a_ids), -1).sum(axis=1)
+            union = sz[pa_ix] + sz[pb_ix] - inter
+            keep = (inter > 0) & (tau_den * inter >= tau_num * union)
+            return pa.table(
+                {
+                    "id_a": pa.array(a_ids[keep], pa.int64()),
+                    "id_b": pa.array(b_ids[keep], pa.int64()),
+                    "inter_n": pa.array(inter[keep], pa.int64()),
+                    "union_n": pa.array(union[keep], pa.int64()),
+                }
+            )
+
+    else:
+        sets_ref = ray.put(sets)
+
+        def verify(t: pa.Table) -> pa.Table:
+            sx = ray.get(sets_ref)
+            oa: list[int] = []
+            ob: list[int] = []
+            oi: list[int] = []
+            ou: list[int] = []
+            for a, b_ in zip(
+                t.column("id_a").to_pylist(), t.column("id_b").to_pylist()
+            ):
+                sa, sb = sx.get(a, frozenset()), sx.get(b_, frozenset())
+                inter = len(sa & sb)
+                union = len(sa) + len(sb) - inter
+                if inter > 0 and tau_den * inter >= tau_num * union:
+                    oa.append(a)
+                    ob.append(b_)
+                    oi.append(inter)
+                    ou.append(union)
+            return pa.table(
+                {
+                    "id_a": pa.array(oa, pa.int64()),
+                    "id_b": pa.array(ob, pa.int64()),
+                    "inter_n": pa.array(oi, pa.int64()),
+                    "union_n": pa.array(ou, pa.int64()),
+                }
+            )
+
+    # split the pair table into multiple blocks so verification parallelizes
+    # (from_arrow on one table would make a single block -> a single task)
+    n_pairs = pair_tbl.num_rows
+    step = max(4096, -(-n_pairs // 64))
+    parts = [pair_tbl.slice(i, step) for i in range(0, n_pairs, step)]
+    return rd.from_arrow(parts).map_batches(verify, batch_format="pyarrow")
