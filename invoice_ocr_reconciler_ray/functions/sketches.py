@@ -227,3 +227,60 @@ def kmv_quantiles(sample_values: np.ndarray, qs: list[float]) -> np.ndarray:
         return np.full(len(qs), np.nan)
     idx = [max(1, int(np.ceil(q * m))) - 1 for q in qs]
     return s[idx]
+
+
+# --------------------------------------------------------------- Count-Min
+
+CMS_DEPTH = 4
+CMS_WIDTH = 2048
+
+
+def cms_empty(depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> np.ndarray:
+    """Count-Min sketch state (Cormode & Muthukrishnan 2005): a depth×width
+    int64 counter matrix.  Merge = elementwise ADD (unlike HLL's max), so
+    per-block partials combine associatively and the merged sketch equals
+    the single-pass sketch of the concatenated stream — bit-deterministic
+    at any parallelism."""
+    return np.zeros((depth, width), dtype=np.int64)
+
+
+def _cms_positions(hashes: np.ndarray, depth: int, width: int) -> np.ndarray:
+    """Row positions (depth × n) from one 64-bit hash per item: each row
+    re-mixes the base hash with splitmix64 seeded by the row index — the
+    standard pairwise-independent-per-row construction."""
+    hs = np.asarray(hashes, dtype=np.uint64)
+    rows = []
+    for d in range(depth):
+        salt = np.uint64((0x9E3779B97F4A7C15 * (d + 1)) & 0xFFFFFFFFFFFFFFFF)
+        rows.append(splitmix64(hs + salt) % np.uint64(width))
+    return np.stack(rows).astype(np.int64)
+
+
+def cms_add_hashes(cms: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+    """Count occurrences: every item increments one counter per row."""
+    depth, width = cms.shape
+    pos = _cms_positions(hashes, depth, width)
+    for d in range(depth):
+        np.add.at(cms[d], pos[d], 1)
+    return cms
+
+
+def cms_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return a + b
+
+
+def cms_query_hashes(cms: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+    """Point estimates: min over rows.  Guarantees (classic CMS): estimate
+    >= true count always (no underestimates), and estimate <= true +
+    (e/width)·N with probability >= 1 - exp(-depth), N = stream length."""
+    depth, width = cms.shape
+    pos = _cms_positions(hashes, depth, width)
+    ests = np.stack([cms[d][pos[d]] for d in range(depth)])
+    return ests.min(axis=0)
+
+
+def cms_hash_strings(values: list) -> np.ndarray:
+    return np.array(
+        [stable_hash64(v if v is not None else "", salt="cms") for v in values],
+        dtype=np.uint64,
+    )

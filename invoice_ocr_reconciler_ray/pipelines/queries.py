@@ -5140,6 +5140,128 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def docs_term_counts_cms(sf_dir: str):
+    """Count-Min point-frequency estimates for a fixed probe vocabulary —
+    the fourth mergeable sketch (HLL distinct / MG hitters / KMV quantiles
+    / CMS frequencies).  Add-merge is associative and layout-independent,
+    so the merged sketch is BIT-identical at any parallelism (pytest pins
+    this plus the never-undercount bound vs exact counts); rows-only —
+    the estimate is approximate by design."""
+    from ..stages.sketch_stats import approx_term_counts_cms
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    probes = ["the", "invoice", "total", "amount", "data", "nonexistentterm"]
+    return approx_term_counts_cms(ds, probes)
+
+
+def docs_lang_heavy_hitters(sf_dir: str):
+    """Per-GROUP Misra-Gries heavy hitters (top terms per language with a
+    FIXED counter budget) — the sketch-path counterpart of the exact
+    ``docs_lang_top_terms``: when the per-group vocabulary won't fit, MG
+    keeps k counters per key and still guarantees every term above
+    n_g/(k+1) surfaces.  Block count pinned for run-to-run determinism
+    (MG counts are boundary-dependent); rows-only with the guarantee
+    asserted in pytest."""
+    from ..stages.sketch_stats import grouped_heavy_hitters
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "documents"), columns=["lang", "text"], override_num_blocks=8
+    )
+    return grouped_heavy_hitters(ds, key_col="lang", k=10)
+
+
+def lineitem_star_denorm(sf_dir: str):
+    """Star-schema denormalization — the flatten-before-training-export
+    step: lineitem (fact) widened with orders, customer and nation
+    attributes in ONE pass over the fact table.  Join strategy follows the
+    size hierarchy: fact↔fact (lineitem–orders) is the proven
+    ``Dataset.join`` hash shuffle at 8 partitions (BASELINE.md sweep);
+    the two DIMENSION hops (customer, nation) are broadcast maps applied
+    via vectorized ``index_in``/``take`` probes inside the SAME map pass —
+    dims ship once per node, the fact table never reshuffles for them.
+    Pruned to the filtered year to keep the demo driver-budget-friendly."""
+    lo = np.datetime64("1995-01-01", "us")
+    hi = np.datetime64("1996-01-01", "us")
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate"],
+        filter=(pc.field("l_shipdate") >= lo) & (pc.field("l_shipdate") < hi),
+    )
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderpriority"]
+    )
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": pc.cast(t["l_linenumber"], pa.int64()),
+                "price_cents": _cents(t["l_extendedprice"]),
+            }
+        )
+
+    fact = li.map_batches(prep_li, batch_format="pyarrow").join(
+        orders,
+        join_type="inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    cust = pa.concat_tables(
+        [
+            b
+            for b in rd.read_parquet(
+                _t(sf_dir, "customer"), columns=["c_custkey", "c_name", "c_nationkey"]
+            ).iter_batches(batch_format="pyarrow")
+        ]
+    )
+    nation = pa.concat_tables(
+        [
+            b
+            for b in rd.read_parquet(
+                _t(sf_dir, "nation"), columns=["n_nationkey", "n_name"]
+            ).iter_batches(batch_format="pyarrow")
+        ]
+    )
+    cust_ref = ray.put(cust)
+    nation_ref = ray.put(nation)
+
+    def widen(t: pa.Table) -> pa.Table:
+        c = ray.get(cust_ref)
+        n = ray.get(nation_ref)
+        ci = pc.index_in(t["o_custkey"], value_set=c["c_custkey"].combine_chunks())
+        c_name = pc.take(c["c_name"].combine_chunks(), ci)
+        c_nat = pc.take(c["c_nationkey"].combine_chunks(), ci)
+        ni = pc.index_in(c_nat, value_set=n["n_nationkey"].combine_chunks())
+        n_name = pc.take(n["n_name"].combine_chunks(), ni)
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": t["l_linenumber"],
+                "price_cents": t["price_cents"],
+                "o_orderpriority": t["o_orderpriority"],
+                "c_name": c_name,
+                "n_name": n_name,
+            }
+        )
+
+    return fact.map_batches(widen, batch_format="pyarrow")
+
+
+LINEITEM_STAR_DENORM_SQL = """
+SELECT l.l_orderkey, CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+       CAST(FLOOR(l.l_extendedprice*100 + 0.5) AS BIGINT) AS price_cents,
+       o.o_orderpriority, c.c_name, n.n_name
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l.l_shipdate < TIMESTAMP '1996-01-01'
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "pricing_summary": PRICING_SUMMARY_SQL,
     "monthly_orders": MONTHLY_ORDERS_SQL,
@@ -5249,6 +5371,7 @@ ORACLE_SQL: dict[str, str] = {
     "docs_lang_top_terms": DOCS_LANG_TOP_TERMS_SQL,
     "orders_price_winsorized": ORDERS_PRICE_WINSORIZED_SQL,
     "orders_agg_ivm": ORDERS_AGG_IVM_SQL,
+    "lineitem_star_denorm": LINEITEM_STAR_DENORM_SQL,
 }
 
 
@@ -5383,6 +5506,7 @@ def registry() -> dict:
         "docs_lang_top_terms": docs_lang_top_terms,
         "orders_price_winsorized": orders_price_winsorized,
         "orders_agg_ivm": orders_agg_ivm,
+        "lineitem_star_denorm": lineitem_star_denorm,
         "docs_compression_ratio": docs_compression_ratio,
         # rows-only (non-SQL-expressible).  Registry order matters: the
         # driver runs entries in order with a global time budget, and in r2
@@ -5399,6 +5523,8 @@ def registry() -> dict:
         "media_audio_features": media_audio_features,
         "events_hll_users": events_hll_users,
         "heavy_hitter_terms": heavy_hitter_terms,
+        "docs_term_counts_cms": docs_term_counts_cms,
+        "docs_lang_heavy_hitters": docs_lang_heavy_hitters,
         "orders_price_quantile_sketch": orders_price_quantile_sketch,
         "events_user_type_hll": events_user_type_hll,
         "flagship_verdicts": flagship_verdicts,

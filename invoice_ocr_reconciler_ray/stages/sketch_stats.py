@@ -252,3 +252,126 @@ def grouped_approx_quantiles_kmv(
         .groupby(key_col)
         .map_groups(merge_group, batch_format="pyarrow")
     )
+
+
+def approx_term_counts_cms(
+    ds,
+    query_terms: list[str],
+    *,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 2048,
+) -> pa.Table:
+    """→ pa.Table(term, est_count int64): Count-Min point-frequency
+    estimates for ``query_terms`` over the corpus token stream.
+
+    The fourth member of the sketch family (HLL distinct / Misra-Gries
+    hitters / KMV quantiles / CMS frequencies): per-block CMS partials
+    (functions/sketches.py:cms_*) merged by elementwise ADD on the driver —
+    one scan, no shuffle, O(depth·width) state.  Because add-merge is
+    associative AND the sketch of a concatenated stream equals the sum of
+    its parts' sketches, the merged CMS is BIT-IDENTICAL at any block
+    layout or parallelism (stronger than MG, whose counters are
+    order-dependent).  Estimates never undercount; overcount <= (e/width)·N
+    with probability >= 1 - e^-depth."""
+    from ..functions.sketches import (
+        cms_add_hashes,
+        cms_empty,
+        cms_hash_strings,
+        cms_merge,
+        cms_query_hashes,
+    )
+
+    def part(b: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for t in b.column(text_col).to_pylist():
+            toks.extend(w for w in (t or "").lower().split() if w)
+        cms = cms_empty(depth, width)
+        if toks:
+            cms_add_hashes(cms, cms_hash_strings(toks))
+        return pa.table({"cms": pa.array([cms.tobytes()], pa.binary())})
+
+    merged = cms_empty(depth, width)
+    for b in ds.map_batches(part, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for raw in b.column("cms").to_pylist():
+            merged = cms_merge(
+                merged, np.frombuffer(raw, dtype=np.int64).reshape(depth, width)
+            )
+    ests = cms_query_hashes(merged, cms_hash_strings(query_terms))
+    return pa.table(
+        {
+            "term": pa.array(query_terms, pa.string()),
+            "est_count": pa.array(ests, pa.int64()),
+        }
+    )
+
+
+def grouped_heavy_hitters(
+    ds, *, key_col: str, text_col: str = "text", k: int = 10
+) -> pa.Table:
+    """→ pa.Table(key, term, min_count) — per-GROUP Misra-Gries heavy
+    hitters: block-local per-key summaries, merged per key on the driver.
+    Targets CATEGORICAL keys (lang, source, status): driver state is
+    O(|keys|·k), the same documented bound as the grouped HLL/KMV stages.
+    Per group, every term with true in-group frequency > n_g/(k+1) is
+    guaranteed present; min_count is the merged lower bound."""
+
+    def part(b: pa.Table) -> pa.Table:
+        per_key: dict[str, list[str]] = {}
+        for key, t in zip(
+            b.column(key_col).to_pylist(), b.column(text_col).to_pylist()
+        ):
+            per_key.setdefault(key, []).extend(
+                w for w in (t or "").lower().split() if w
+            )
+        keys: list[str] = []
+        terms: list[str] = []
+        counts: list[int] = []
+        for key, toks in per_key.items():
+            s = mg_summarize(toks, k)
+            for t in sorted(s):
+                keys.append(key)
+                terms.append(t)
+                counts.append(s[t])
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.string()),
+                "term": pa.array(terms, pa.string()),
+                "c": pa.array(counts, pa.int64()),
+            }
+        )
+
+    per_key_summaries: dict[str, list[dict[str, int]]] = {}
+    for b in ds.map_batches(part, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        # one partial dict per (block, key): rows for a key within one
+        # iter_batches batch may span chunk boundaries, so accumulate per
+        # batch then close
+        block_acc: dict[str, dict[str, int]] = {}
+        for key, t, c in zip(
+            b.column("key").to_pylist(),
+            b.column("term").to_pylist(),
+            b.column("c").to_pylist(),
+        ):
+            block_acc.setdefault(key, {})[t] = c
+        for key, s in block_acc.items():
+            per_key_summaries.setdefault(key, []).append(s)
+    out_k: list[str] = []
+    out_t: list[str] = []
+    out_c: list[int] = []
+    for key in sorted(per_key_summaries):
+        merged = mg_merge(per_key_summaries[key], k)
+        for t, n in sorted(merged.items(), key=lambda kv: (-kv[1], kv[0])):
+            out_k.append(key)
+            out_t.append(t)
+            out_c.append(n)
+    return pa.table(
+        {
+            "key": pa.array(out_k, pa.string()),
+            "term": pa.array(out_t, pa.string()),
+            "min_count": pa.array(out_c, pa.int64()),
+        }
+    )
