@@ -5262,6 +5262,111 @@ WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
 """
 
 
+def docs_source_label_encode(sf_dir: str):
+    """Label encoding (dictionary/categorical compaction): map each source
+    string to a dense integer code under the deterministic sorted-vocabulary
+    order — the preprocessing step every ML featurizer runs.  Two-phase
+    broadcast shape: distinct values via block partials + one tiny driver
+    sort (O(cardinality)), then the code map rides ``ray.put`` and the
+    encode pass is a vectorized ``index_in`` — zero shuffle over the data."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "source"])
+
+    def distinct_part(t: pa.Table) -> pa.Table:
+        return pa.table({"source": t["source"].unique()})
+
+    vals = set()
+    for b in (
+        ds.map_batches(distinct_part, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ):
+        vals.update(b["source"].to_pylist())
+    vocab = pa.array(sorted(vals), pa.string())
+    vocab_ref = ray.put(vocab)
+
+    def encode(t: pa.Table) -> pa.Table:
+        v = ray.get(vocab_ref)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "source": t["source"],
+                "source_code": pc.cast(pc.index_in(t["source"], value_set=v), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+DOCS_SOURCE_LABEL_ENCODE_SQL = """
+WITH v AS (
+  SELECT source AS s,
+         CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS code
+  FROM (SELECT DISTINCT source FROM documents))
+SELECT d.doc_id, d.source, v.code AS source_code
+FROM documents d JOIN v ON d.source = v.s
+"""
+
+
+def docs_feature_hashing(sf_dir: str):
+    """The hashing trick (Weinberger et al. 2009): featurize each document
+    as sparse (feature_index, count) pairs with feature_index = stable hash
+    of the token mod D — fixed dimensionality with NO vocabulary pass, the
+    feature map every streaming featurizer uses when the vocab won't fit.
+    Block-local: tokenize, hash, aggregate (doc, index) counts inside the
+    batch — zero shuffle; D=64 keeps the oracle's md5 arithmetic cheap."""
+    D = 64
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def feats(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        toks_col = pc.split_pattern_regex(
+            pc.utf8_lower(t["text"]), pattern=r"[^a-z0-9]+"
+        ).to_pylist()
+        ids = t["doc_id"].to_pylist()
+        o_id: list[int] = []
+        o_ix: list[int] = []
+        o_n: list[int] = []
+        cache: dict[str, int] = {}
+        for i, lst in zip(ids, toks_col):
+            counts: dict[int, int] = {}
+            for w in lst:
+                if not w:
+                    continue
+                ix = cache.get(w)
+                if ix is None:
+                    ix = int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % D
+                    cache[w] = ix
+                counts[ix] = counts.get(ix, 0) + 1
+            for ix in sorted(counts):
+                o_id.append(i)
+                o_ix.append(ix)
+                o_n.append(counts[ix])
+        return pa.table(
+            {
+                "doc_id": pa.array(o_id, pa.int64()),
+                "feat_ix": pa.array(o_ix, pa.int64()),
+                "n": pa.array(o_n, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(feats, batch_format="pyarrow")
+
+
+DOCS_FEATURE_HASHING_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents)
+SELECT doc_id,
+       CAST(CAST(('0x' || substr(md5(term), 1, 8)) AS UBIGINT) % 64 AS BIGINT)
+         AS feat_ix,
+       COUNT(*) AS n
+FROM toks WHERE term <> ''
+GROUP BY doc_id, feat_ix
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "pricing_summary": PRICING_SUMMARY_SQL,
     "monthly_orders": MONTHLY_ORDERS_SQL,
@@ -5372,6 +5477,8 @@ ORACLE_SQL: dict[str, str] = {
     "orders_price_winsorized": ORDERS_PRICE_WINSORIZED_SQL,
     "orders_agg_ivm": ORDERS_AGG_IVM_SQL,
     "lineitem_star_denorm": LINEITEM_STAR_DENORM_SQL,
+    "docs_source_label_encode": DOCS_SOURCE_LABEL_ENCODE_SQL,
+    "docs_feature_hashing": DOCS_FEATURE_HASHING_SQL,
 }
 
 
@@ -5507,6 +5614,8 @@ def registry() -> dict:
         "orders_price_winsorized": orders_price_winsorized,
         "orders_agg_ivm": orders_agg_ivm,
         "lineitem_star_denorm": lineitem_star_denorm,
+        "docs_source_label_encode": docs_source_label_encode,
+        "docs_feature_hashing": docs_feature_hashing,
         "docs_compression_ratio": docs_compression_ratio,
         # rows-only (non-SQL-expressible).  Registry order matters: the
         # driver runs entries in order with a global time budget, and in r2
