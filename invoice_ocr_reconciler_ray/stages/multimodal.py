@@ -87,6 +87,16 @@ def media_table_from_documents(batch: pa.Table) -> pa.Table:
 
                 px = _keystream(d, h * w * 3).reshape(h, w, 3)
                 payload = encode_png(px)
+            elif d % 12 == 3:
+                # ...and a quarter of image rows are REAL 24-bit BMPs of the
+                # same deterministic pixels (functions/bmp.py) — three
+                # container formats flow through one decode stage, features
+                # identical (both real codecs are lossless); d%12==9 rows
+                # stay fake-format so all three paths run in-pipeline
+                from ..functions.bmp import encode_bmp
+
+                px = _keystream(d, h * w * 3).reshape(h, w, 3)
+                payload = encode_bmp(px)
             else:
                 payload = fake_image(d, h, w)
             meta = f'{{"h":{h},"w":{w},"c":3}}'
@@ -136,8 +146,8 @@ def _decode_fake_image(payload: bytes) -> np.ndarray:
 
 
 def _decode_any_image(payload: bytes) -> np.ndarray:
-    """Fake-format or real PNG (functions/png.py) → uint8 array; always
-    (h, w, c)."""
+    """Fake-format, real PNG (functions/png.py) or real BMP
+    (functions/bmp.py) → uint8 array; always (h, w, c)."""
     if payload[: len(_IMG_MAGIC)] == _IMG_MAGIC:
         return _decode_fake_image(payload)
     from ..functions.png import PNG_MAGIC, decode_png
@@ -145,6 +155,10 @@ def _decode_any_image(payload: bytes) -> np.ndarray:
     if payload[: len(PNG_MAGIC)] == PNG_MAGIC:
         arr = decode_png(payload)
         return arr[:, :, None] if arr.ndim == 2 else arr
+    from ..functions.bmp import BMP_MAGIC, decode_bmp
+
+    if payload[: len(BMP_MAGIC)] == BMP_MAGIC:
+        return decode_bmp(payload)
     raise ValueError("unknown image payload format")
 
 
@@ -171,6 +185,14 @@ class ImageFeatures:
         if payload[: len(PNG_MAGIC)] == PNG_MAGIC:
             try:  # real stdlib PNG decode (functions/png.py)
                 return decode_png(payload)
+            except ValueError:
+                if self._backend != "pil":  # unsupported variant, no PIL
+                    raise
+        from ..functions.bmp import BMP_MAGIC, decode_bmp
+
+        if payload[: len(BMP_MAGIC)] == BMP_MAGIC:
+            try:  # real stdlib BMP decode (functions/bmp.py)
+                return decode_bmp(payload)
             except ValueError:
                 if self._backend != "pil":  # unsupported variant, no PIL
                     raise
