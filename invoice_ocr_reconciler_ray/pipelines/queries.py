@@ -535,6 +535,38 @@ def ann_ivf_exact_fullprobe(sf_dir: str):
 ANN_IVF_EXACT_FULLPROBE_SQL = ANN_COSINE_TOPK_SQL
 
 
+def ann_lsh_topk(sf_dir: str):
+    """Random-hyperplane LSH ANN (third family member next to brute force
+    and IVF — the data-independent scale path: no training sample, no index
+    build; signatures computed inline).  Multi-probe at Hamming radius 1
+    over 4 planes (5/16 of the bucket space — a probe fraction comparable
+    to the IVF entry's nprobe=4/16; more planes only pay off when true
+    neighbors are genuinely close, which synthetic gaussian embeddings are
+    not); rows-only — planted-neighbor recall is asserted in pytest."""
+    from ..stages.ann import lsh_topk
+
+    qids, qmat = _query_vectors(sf_dir)
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return lsh_topk(ds, qids, qmat, k=10, n_planes=4, max_hamming=1)
+
+
+def ann_lsh_exact_fullprobe(sf_dir: str):
+    """Partial ORACLE for the LSH pipeline (the ivf_fullprobe trick): with
+    ``max_hamming = n_planes`` every bucket is allowed, the filter provably
+    passes every row, and LSH must equal exact brute force — DuckDB's exact
+    top-k SQL checks the whole machinery (projection, bucketing, pruning,
+    partial top-k, final rank).  Recall at radius 1 stays the documented
+    approximation, asserted in pytest."""
+    from ..stages.ann import lsh_topk
+
+    qids, qmat = _query_vectors(sf_dir)
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return lsh_topk(ds, qids, qmat, k=10, n_planes=8, max_hamming=8)
+
+
+ANN_LSH_EXACT_FULLPROBE_SQL = ANN_COSINE_TOPK_SQL
+
+
 def embeddings_knn_join(sf_dir: str):
     """Embedding kNN JOIN (similarity-search family): every probe vector
     (vec_id % 7 = 3) joined to its 3 nearest build vectors (the rest) by
@@ -5367,6 +5399,107 @@ GROUP BY doc_id, feat_ix
 """
 
 
+def events_hourly_distinct_users(sf_dir: str):
+    """Windowed COUNT(DISTINCT): distinct active users per tumbling hour —
+    the window × distinct composition (dashboards, rate limiting).  Block-
+    local distinct (hour, user) pairs are the combiner (the shuffle carries
+    O(hours·users) pairs, never event rows), then one groupby counts per
+    hour — the same two-level shape as ``events_user_type_diversity``
+    rotated onto a time key."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "user_id"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        hour = pc.multiply(
+            pc.divide(pc.cast(t["ts"], pa.int64()), 3_600_000_000), 3_600_000_000
+        )
+        return (
+            pa.table({"hour_us": hour, "user_id": t["user_id"]})
+            .group_by(["hour_us", "user_id"])
+            .aggregate([])
+        )
+
+    def count_users(g: pa.Table) -> pa.Table:
+        uniq = len(set(g["user_id"].to_pylist()))
+        return pa.table(
+            {
+                "hour_us": g["hour_us"].slice(0, 1),
+                "n_users": pa.array([uniq], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("hour_us")
+        .map_groups(count_users, batch_format="pyarrow")
+    )
+
+
+EVENTS_HOURLY_DISTINCT_USERS_SQL = """
+SELECT CAST(epoch_us(ts) // 3600000000 * 3600000000 AS BIGINT) AS hour_us,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY hour_us
+"""
+
+
+def events_user_cohorts(sf_dir: str):
+    """Cohort retention matrix: users bucketed by first-seen day, counted
+    per (cohort_day, activity_day) — the retention triangle every product
+    pipeline computes.  Join-free two-shuffle design: block-local distinct
+    (user, day) pairs (the combiner — the first shuffle carries at most
+    |users|·|distinct days| pairs per block, never event rows), then ONE
+    ``groupby(user)`` where each user's group computes its own first-seen
+    min and emits (cohort_day, activity_day) rows — a user's group is
+    bounded by its distinct DAYS, not its events, so no hot-user blowup —
+    and a final count over the O(days²/2) triangle.  Day keys in integer
+    epoch-days so both engines bucket identically."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def day_pairs(t: pa.Table) -> pa.Table:
+        return (
+            pa.table(
+                {
+                    "user_id": t["user_id"],
+                    "day": pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000),
+                }
+            )
+            .group_by(["user_id", "day"])
+            .aggregate([])
+        )
+
+    def cohortize(g: pa.Table) -> pa.Table:
+        d = np.unique(g["day"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "cohort_day": pa.array(np.full(len(d), d.min()), pa.int64()),
+                "activity_day": pa.array(d, pa.int64()),
+            }
+        )
+
+    triples = (
+        ds.map_batches(day_pairs, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(cohortize, batch_format="pyarrow")
+    )
+    return (
+        triples.groupby(["cohort_day", "activity_day"])
+        .aggregate(Count(alias_name="n_users"))
+    )
+
+
+EVENTS_USER_COHORTS_SQL = """
+WITH d AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+  FROM events),
+f AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id)
+SELECT f.cohort_day, d.day AS activity_day,
+       CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS n_users
+FROM d JOIN f ON d.user_id = f.user_id
+GROUP BY f.cohort_day, d.day
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "pricing_summary": PRICING_SUMMARY_SQL,
     "monthly_orders": MONTHLY_ORDERS_SQL,
@@ -5479,6 +5612,9 @@ ORACLE_SQL: dict[str, str] = {
     "lineitem_star_denorm": LINEITEM_STAR_DENORM_SQL,
     "docs_source_label_encode": DOCS_SOURCE_LABEL_ENCODE_SQL,
     "docs_feature_hashing": DOCS_FEATURE_HASHING_SQL,
+    "events_hourly_distinct_users": EVENTS_HOURLY_DISTINCT_USERS_SQL,
+    "events_user_cohorts": EVENTS_USER_COHORTS_SQL,
+    "ann_lsh_exact_fullprobe": ANN_LSH_EXACT_FULLPROBE_SQL,
 }
 
 
@@ -5521,6 +5657,7 @@ def registry() -> dict:
         "text_quality": text_quality,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_ivf_exact_fullprobe": ann_ivf_exact_fullprobe,
+        "ann_lsh_exact_fullprobe": ann_lsh_exact_fullprobe,
         "docs_by_lang_salted": docs_by_lang_salted,
         "orders_page": orders_page,
         "register_csv_normalize": register_csv_normalize,
@@ -5616,6 +5753,8 @@ def registry() -> dict:
         "lineitem_star_denorm": lineitem_star_denorm,
         "docs_source_label_encode": docs_source_label_encode,
         "docs_feature_hashing": docs_feature_hashing,
+        "events_hourly_distinct_users": events_hourly_distinct_users,
+        "events_user_cohorts": events_user_cohorts,
         "docs_compression_ratio": docs_compression_ratio,
         # rows-only (non-SQL-expressible).  Registry order matters: the
         # driver runs entries in order with a global time budget, and in r2
@@ -5638,6 +5777,7 @@ def registry() -> dict:
         "events_user_type_hll": events_user_type_hll,
         "flagship_verdicts": flagship_verdicts,
         "ann_ivf_topk": ann_ivf_topk,
+        "ann_lsh_topk": ann_lsh_topk,
         "curate_corpus": curate_corpus,
         # the composed export re-curates + shuffles + writes shards — the
         # single most expensive entry; it runs after every oracle-checked

@@ -205,3 +205,73 @@ def ivf_topk(
 
     pruned = ds.map_batches(filter_batch, batch_format="pyarrow")
     return brute_force_topk(pruned, query_ids, query_matrix, k, emb_col=emb_col, id_col=id_col)
+
+
+def lsh_topk(
+    ds,
+    query_ids: list[int],
+    query_matrix: np.ndarray,
+    k: int = 10,
+    *,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    max_hamming: int = 1,
+    seed: int = 31337,
+):
+    """Random-hyperplane LSH ANN (Charikar 2002 SimHash buckets) — the
+    third family member (brute force = exact baseline, IVF = learned
+    coarse buckets, LSH = data-independent buckets): sign of ``n_planes``
+    fixed random projections is a bucket key; each query probes every
+    bucket within ``max_hamming`` bit flips of its own signature (multi-
+    probe LSH), then brute-forces only those rows.
+
+    Same broadcast-and-prune shape as :func:`ivf_topk`: the plane matrix
+    and allowed-bucket set ride ONE ``ray.put``; the corpus filter is a
+    vectorized sign-projection inside ``map_batches`` (zero shuffle, no
+    index build, no training sample — the property that distinguishes LSH
+    from IVF at ingest time).  Approximate: recall bounds come from the
+    collision probability 1 - theta/pi per plane."""
+    rng = np.random.RandomState(seed)
+    d = query_matrix.shape[1]
+    planes = rng.standard_normal((n_planes, d))
+
+    qn = np.linalg.norm(query_matrix, axis=1)
+    qn[qn == 0] = 1.0
+    qunit = query_matrix / qn[:, None]
+    qsig = ((qunit @ planes.T) >= 0).astype(np.int64)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))[::-1]
+    qkeys = qsig @ weights
+
+    allowed: set[int] = set()
+    if max_hamming >= n_planes:
+        # full probe: every bucket allowed — the filter provably passes all
+        # rows, so LSH must equal exact brute force (the oracle hook, same
+        # trick as ivf_topk with nprobe = n_centroids)
+        allowed = set(range(1 << n_planes))
+    else:
+        for key in qkeys:
+            allowed.add(int(key))
+            if max_hamming >= 1:
+                for b in range(n_planes):
+                    allowed.add(int(key) ^ int(weights[b]))
+            if max_hamming >= 2:
+                for b1 in range(n_planes):
+                    for b2 in range(b1 + 1, n_planes):
+                        allowed.add(int(key) ^ int(weights[b1]) ^ int(weights[b2]))
+    bref = ray.put(
+        {"planes": planes, "allowed": np.asarray(sorted(allowed), dtype=np.int64), "w": weights}
+    )
+
+    def filter_batch(batch: pa.Table) -> pa.Table:
+        b = ray.get(bref)
+        emb_b = np.asarray(batch.column(emb_col).to_pylist(), dtype=np.float64)
+        if len(emb_b) == 0:
+            return batch
+        sig = ((emb_b @ b["planes"].T) >= 0).astype(np.int64)
+        keys = sig @ b["w"]
+        mask = np.isin(keys, b["allowed"])
+        return batch.filter(pa.array(mask))
+
+    pruned = ds.map_batches(filter_batch, batch_format="pyarrow")
+    return brute_force_topk(pruned, query_ids, query_matrix, k, emb_col=emb_col, id_col=id_col)
