@@ -122,3 +122,79 @@ def bucketed_join(
         pa.table({"bucket": pa.array(list(range(n_buckets)), pa.int64())})
     ).repartition(n_buckets)
     return buckets.map_batches(join_bucket, batch_format="pyarrow")
+
+
+# ------------------------------------------------------ range partitioning
+
+
+def write_range_partitioned(
+    ds, *, key_col: str, boundaries: list, out_dir: str
+) -> None:
+    """Write ``ds`` as ``out_dir/range=<r>/part-*.parquet`` partitioned by
+    VALUE RANGE: row → partition ``searchsorted(boundaries, key, 'right')``
+    (partition r holds boundaries[r-1] <= key < boundaries[r]).
+
+    The second classic layout next to hash bucketing: hash buckets co-locate
+    equal keys (join play); range partitions co-locate NEIGHBORING keys, so
+    a range predicate (``key BETWEEN a AND b``) touches only the partitions
+    whose span intersects [a, b] — at 100 TB the read plan opens a handful
+    of directories instead of every file (`read_range_pruned` computes that
+    set driver-side from the same boundaries, zero I/O).  Boundaries come
+    from the exact-quantile machinery (equi-depth) or domain knowledge
+    (dates); they are the partition CONTRACT and must be identical between
+    writer and reader, like n_buckets for hash buckets."""
+    bounds = np.asarray(sorted(boundaries), dtype=np.float64)
+
+    def write_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"written": pa.array([], pa.int64())})
+        keys = t[key_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        parts = np.searchsorted(bounds, keys, side="right")
+        written = []
+        for r in np.unique(parts):
+            sub = t.filter(pa.array(parts == r))
+            d = os.path.join(out_dir, f"range={int(r)}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(sub, os.path.join(d, f"part-{uuid.uuid4().hex}.parquet"))
+            written.append(int(r))
+        return pa.table({"written": pa.array(written, pa.int64())})
+
+    schema = pa.schema(list(zip(ds.schema().names, ds.schema().types)))
+    # consume the write plan (count() drives execution; tiny result)
+    ds.map_batches(write_block, batch_format="pyarrow").count()
+    # every partition dir carries the schema even when empty — readers of a
+    # pruned range never see a schemaless directory (same contract as
+    # write_bucketed)
+    for r in range(len(bounds) + 1):
+        d = os.path.join(out_dir, f"range={r}")
+        os.makedirs(d, exist_ok=True)
+        if not os.listdir(d):
+            pq.write_table(schema.empty_table(), os.path.join(d, "part-empty.parquet"))
+
+
+def read_range_pruned(
+    out_dir: str, *, boundaries: list, lo: float, hi: float, **read_kwargs
+):
+    """Read only the partitions whose span intersects [lo, hi) — the
+    driver-side pruning that makes the layout pay: partition r spans
+    [boundaries[r-1], boundaries[r]), so the qualifying set is one
+    searchsorted interval, computed without touching storage.  Returns a
+    Dataset over just those files (callers still apply the exact row
+    predicate — pruning is file-level, correctness stays row-level).  The
+    hive-style ``range=<r>`` directory names mean readers also get the
+    partition id as a free ``range`` column (standard hive-partitioning
+    behavior)."""
+    import ray.data as rd
+
+    bounds = np.asarray(sorted(boundaries), dtype=np.float64)
+    r_lo = int(np.searchsorted(bounds, lo, side="right"))
+    r_hi = int(np.searchsorted(bounds, hi, side="left"))
+    paths = []
+    for r in range(r_lo, r_hi + 1):
+        d = os.path.join(out_dir, f"range={r}")
+        if os.path.isdir(d):
+            files = [os.path.join(d, f) for f in sorted(os.listdir(d))]
+            paths.extend(f for f in files if f.endswith(".parquet"))
+    if not paths:
+        raise FileNotFoundError(f"no parquet files for [{lo}, {hi}) under {out_dir}")
+    return rd.read_parquet(paths, **read_kwargs)
