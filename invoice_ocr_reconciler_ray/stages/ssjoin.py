@@ -20,11 +20,13 @@ Scale shape (100 TB):
   (same documented bound as the TF-IDF stage's document-frequency table).
 - Prefix shuffle carries (int64 token rank, id, set size) per prefix token —
   O(sum of prefix lengths) ~ half the token incidence; never text.
-- Candidate pairs are collected and deduped on the DRIVER — tiny by
-  prefix-filter + size-filter construction (the documented O(|candidates|)
-  bound shared with stages/neardup.py:104-171); exact verification runs
-  distributed over the pair Dataset against token sets point-read for ONLY
-  the candidate ids and broadcast once.
+- Candidate dedup is HYBRID: block-local np.unique pre-dedup always; under
+  20M survivors the packed keys collect to the driver (np.unique — ~8
+  bytes/candidate), beyond that ONE groupby(packed-key) shuffle with the
+  vectorized Count-aggregate distinct — the driver never holds an
+  unbounded pair list.  Exact verification runs distributed over the pair
+  Dataset against token sets point-read for ONLY the candidate ids and
+  broadcast once (O(|candidate ids|)).
 - No bucket caps: completeness is the contract (the oracle is exact), so an
   oversized bucket logs a warning instead of dropping pairs; the rarity
   order is what bounds buckets in practice.
@@ -161,30 +163,95 @@ def jaccard_self_join(
         .map_groups(bucket_pairs, batch_format="pyarrow")
     )
 
-    # ---- driver dedup + point-read verification (O(|candidates|)) ----
-    # dedup is vectorized: pack (a, b) into one int64 key, np.unique — a
-    # template-heavy corpus can surface millions of raw candidates and a
-    # Python set would be the bottleneck
+    # ---- candidate dedup: hybrid driver / distributed ----
+    # Block-local pre-dedup first (pack (a, b) into one int64 key, np.unique
+    # per batch) — shrinks re-surfaced pairs before anything moves.  Then:
+    # small candidate sets (the LSH-realistic case) collect to the driver
+    # and np.unique there; past ``driver_dedup_max`` the dedup goes through
+    # one groupby(packed key) shuffle instead — the driver never holds an
+    # unbounded pair list (the r1/r2 "watch" item, closed).
     import numpy as np
 
-    chunks_a: list = []
-    chunks_b: list = []
-    for b in cand.iter_batches(batch_format="pyarrow"):
-        chunks_a.append(b.column("id_a").to_numpy(zero_copy_only=False))
-        chunks_b.append(b.column("id_b").to_numpy(zero_copy_only=False))
-    if not chunks_a or sum(len(c) for c in chunks_a) == 0:
+    driver_dedup_max = 20_000_000
+
+    def pack_dedup(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"pk": pa.array([], pa.int64())})
+        a = t.column("id_a").to_numpy(zero_copy_only=False)
+        b = t.column("id_b").to_numpy(zero_copy_only=False)
+        if a.min() < 0 or a.max() >= (1 << 31) or b.min() < 0 or b.max() >= (1 << 31):
+            raise ValueError("ssjoin pair packing assumes ids in [0, 2^31)")
+        pk = np.unique(a.astype(np.int64) * (1 << 31) + b.astype(np.int64))
+        return pa.table({"pk": pa.array(pk, pa.int64())})
+
+    packed = cand.map_batches(pack_dedup, batch_format="pyarrow").materialize()
+    n_cand = packed.count()
+    if n_cand == 0:
         return rd.from_arrow(_PAIR_SCHEMA.empty_table())
-    aa = np.concatenate(chunks_a)
-    bb = np.concatenate(chunks_b)
-    if aa.min() < 0 or aa.max() >= (1 << 31) or bb.min() < 0 or bb.max() >= (1 << 31):
-        raise ValueError("ssjoin pair packing assumes ids in [0, 2^31)")
-    keys = np.unique(aa.astype(np.int64) * (1 << 31) + bb.astype(np.int64))
-    ua = keys >> 31
-    ub = keys & ((1 << 31) - 1)
-    pair_tbl = pa.table(
-        {"id_a": pa.array(ua, pa.int64()), "id_b": pa.array(ub, pa.int64())}
-    )
-    ids_arr = pa.array(np.unique(np.concatenate([ua, ub])), pa.int64())
+
+    def unpack_tbl(keys: "np.ndarray") -> pa.Table:
+        return pa.table(
+            {
+                "id_a": pa.array(keys >> 31, pa.int64()),
+                "id_b": pa.array(keys & ((1 << 31) - 1), pa.int64()),
+            }
+        )
+
+    if n_cand <= driver_dedup_max:
+        chunks = [
+            b.column("pk").to_numpy(zero_copy_only=False)
+            for b in packed.iter_batches(batch_format="pyarrow")
+        ]
+        keys = np.unique(np.concatenate(chunks))
+        pairs_ds = None
+        pair_tbl = unpack_tbl(keys)
+        ids_np = np.unique(
+            np.concatenate([keys >> 31, keys & ((1 << 31) - 1)])
+        )
+    else:
+        logger.warning(
+            "ssjoin: %d candidates exceed the driver dedup bound (%d); "
+            "deduping through a groupby shuffle",
+            n_cand,
+            driver_dedup_max,
+        )
+
+        from ray.data.aggregate import Count as _Count
+
+        def unpack_batch(t: pa.Table) -> pa.Table:
+            k = t.column("pk").to_numpy(zero_copy_only=False).astype(np.int64)
+            return unpack_tbl(k)
+
+        # groupby().aggregate(Count) is the VECTORIZED distinct — one row
+        # per key with no per-group Python call (map_groups at 3M+
+        # single-row groups would be a Python call per pair)
+        pairs_ds = (
+            packed.groupby("pk")
+            .aggregate(_Count(alias_name="_n"))
+            .map_batches(unpack_batch, batch_format="pyarrow")
+            .materialize()
+        )
+        pair_tbl = None
+        # distinct candidate ids via block partials — O(|ids|) driver state
+        # (the sets/bitmap broadcast below needs them anyway)
+        id_chunks = []
+        for b in pairs_ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "i": pa.concat_arrays(
+                        [
+                            t["id_a"].combine_chunks(),
+                            t["id_b"].combine_chunks(),
+                        ]
+                    ).unique()
+                }
+            ),
+            batch_format="pyarrow",
+        ).iter_batches(batch_format="pyarrow"):
+            id_chunks.append(b.column("i").to_numpy(zero_copy_only=False))
+        ids_np = np.unique(np.concatenate(id_chunks))
+
+    ids_arr = pa.array(ids_np, pa.int64())
     sets: dict[int, frozenset] = {}
     fetched = ds.map_batches(
         lambda t: t.select([id_col, text_col]).filter(
@@ -271,6 +338,9 @@ def jaccard_self_join(
                 }
             )
 
+    if pairs_ds is not None:
+        # distributed-dedup path: verify over the already-distributed pairs
+        return pairs_ds.map_batches(verify, batch_format="pyarrow")
     # split the pair table into multiple blocks so verification parallelizes
     # (from_arrow on one table would make a single block -> a single task)
     n_pairs = pair_tbl.num_rows
