@@ -5574,6 +5574,61 @@ GROUP BY o_orderstatus
 """
 
 
+def docs_term_cooccurrence(sf_dir: str):
+    """Term co-occurrence counts (market-basket / PMI numerator): for every
+    unordered pair of distinct tokens appearing in the same document, the
+    number of documents containing both — plus each term's document
+    frequency, the exact integer sufficient statistics for PMI/lift
+    (the log itself is left to the consumer so the output stays
+    engine-exact).  Block-local pair counting is the combiner (the shuffle
+    carries O(pair-vocab) rows per block, never documents); top-30 pairs by
+    (count DESC, pair ASC) keep the result bounded."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+
+    def pair_counts(t: pa.Table) -> pa.Table:
+        toks_col = pc.split_pattern_regex(
+            pc.utf8_lower(t["text"]), pattern=r"[^a-z0-9]+"
+        ).to_pylist()
+        counts: dict[tuple[str, str], int] = {}
+        for lst in toks_col:
+            s = sorted({x for x in lst if x})
+            for x in range(len(s)):
+                for y in range(x + 1, len(s)):
+                    k = (s[x], s[y])
+                    counts[k] = counts.get(k, 0) + 1
+        ks = sorted(counts)
+        return pa.table(
+            {
+                "term_a": pa.array([a for a, _ in ks], pa.string()),
+                "term_b": pa.array([b for _, b in ks], pa.string()),
+                "n_both": pa.array([counts[k] for k in ks], pa.int64()),
+            }
+        )
+
+    merged = (
+        ds.map_batches(pair_counts, batch_format="pyarrow")
+        .groupby(["term_a", "term_b"])
+        .aggregate(Sum("n_both", alias_name="n_both"))
+    )
+    return merged.sort(
+        ["n_both", "term_a", "term_b"], descending=[True, False, False]
+    ).limit(30)
+
+
+DOCS_TERM_COOCCURRENCE_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')))
+           AS term
+  FROM documents)
+SELECT a.term AS term_a, b.term AS term_b, COUNT(*) AS n_both
+FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.term < b.term
+GROUP BY a.term, b.term
+ORDER BY n_both DESC, term_a, term_b LIMIT 30
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "pricing_summary": PRICING_SUMMARY_SQL,
     "monthly_orders": MONTHLY_ORDERS_SQL,
@@ -5690,6 +5745,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_user_cohorts": EVENTS_USER_COHORTS_SQL,
     "ann_lsh_exact_fullprobe": ANN_LSH_EXACT_FULLPROBE_SQL,
     "orders_range_layout_query": ORDERS_RANGE_LAYOUT_QUERY_SQL,
+    "docs_term_cooccurrence": DOCS_TERM_COOCCURRENCE_SQL,
 }
 
 
@@ -5829,6 +5885,7 @@ def registry() -> dict:
         "events_hourly_distinct_users": events_hourly_distinct_users,
         "events_user_cohorts": events_user_cohorts,
         "orders_range_layout_query": orders_range_layout_query,
+        "docs_term_cooccurrence": docs_term_cooccurrence,
         # the two most expensive ORACLE entries run at the END of the
         # oracle-checked block (but before the rows-only tail) so a driver
         # time-budget cut never costs a cheap oracle row
