@@ -77,3 +77,17 @@ def test_ssjoin_identical_and_disjoint(ray_session, tmp_path):
     r = out.iloc[0]
     assert (r.id_a, r.id_b) == (10, 20)
     assert r.inter_n == r.union_n == 4
+
+
+def test_ssjoin_empty_and_tokenless_corpus(ray_session):
+    """No qualifying tokens anywhere -> empty result with the pair schema
+    (the zero-candidate early exit)."""
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": ["", "!!! ??? ..."],  # tokenless under [a-z0-9]
+        }
+    )
+    out = jaccard_self_join(rd.from_arrow(tbl), tau_num=1, tau_den=2)
+    assert out.count() == 0
+    assert out.schema().names == ["id_a", "id_b", "inter_n", "union_n"]
