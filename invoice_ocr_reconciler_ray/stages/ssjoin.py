@@ -96,6 +96,10 @@ def jaccard_self_join(
         .aggregate(Sum("df", alias_name="df"))
         .to_pandas()  # O(vocab) — documented driver bound (TF-IDF stage shape)
     )
+    if len(dfp) == 0:
+        # tokenless corpus: no vocabulary, no pairs (and Ray's to_pandas on
+        # a fully-empty dataset drops the columns, so bail before indexing)
+        return rd.from_arrow(_PAIR_SCHEMA.empty_table())
     order = sorted(zip(dfp["df"].tolist(), dfp["term"].tolist()))
     rank = {t: i for i, (_, t) in enumerate(order)}
     rank_ref = ray.put(rank)
