@@ -5629,6 +5629,92 @@ ORDER BY n_both DESC, term_a, term_b LIMIT 30
 """
 
 
+def events_triangle_counts(sf_dir: str):
+    """Per-node TRIANGLE counts — the third graph op (after PageRank and
+    connected components), the clustering-coefficient numerator.  The graph
+    is a deterministic triad generator (every 7th event hashes to three
+    nodes on a 211-node space and contributes the 3-cycle between them —
+    guaranteed triangles plus emergent ones where triads overlap); DuckDB
+    recomputes per-node counts with the oriented three-way self-join.
+    Edges broadcast once as a sorted-neighbor adjacency; nodes stream
+    through a vectorized intersect kernel (stages/graph.py)."""
+    from ..stages.graph import triangle_count_per_node
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id"])
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        def h(s: str) -> int:
+            return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % 211
+
+        ea: list[int] = []
+        eb: list[int] = []
+        for e in t["event_id"].to_pylist():
+            if e % 7 != 0:
+                continue
+            a, b, c = h(str(e)), h(str(e) + "x"), h(str(e) + "y")
+            ea.extend([a, b, c])
+            eb.extend([b, c, a])
+        tb = pa.table(
+            {"src": pa.array(ea, pa.int64()), "dst": pa.array(eb, pa.int64())}
+        )
+        return tb.group_by(["src", "dst"]).aggregate([])
+
+    edges = ds.map_batches(mk_edges, batch_format="pyarrow")
+    nodes = (
+        edges.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": pa.concat_arrays(
+                        [t["src"].combine_chunks(), t["dst"].combine_chunks()]
+                    ).unique()
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(
+            lambda t: pa.table({"node": t["node"]}), batch_format="pyarrow"
+        )
+    )
+    return triangle_count_per_node(nodes, edges)
+
+
+EVENTS_TRIANGLE_COUNTS_SQL = """
+WITH gen AS (
+  SELECT CAST(CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+              AS UBIGINT) % 211 AS BIGINT) AS a,
+         CAST(CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || 'x'), 1, 8))
+              AS UBIGINT) % 211 AS BIGINT) AS b,
+         CAST(CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || 'y'), 1, 8))
+              AS UBIGINT) % 211 AS BIGINT) AS c
+  FROM events WHERE event_id % 7 = 0),
+e0 AS (
+  SELECT a AS u, b AS v FROM gen UNION
+  SELECT b, c FROM gen UNION
+  SELECT c, a FROM gen),
+edges AS (SELECT u, v FROM e0 WHERE u <> v),
+sym AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
+tri AS (
+  SELECT a.u AS n1, a.v AS n2, b.v AS n3
+  FROM sym a
+  JOIN sym b ON a.v = b.u
+  JOIN sym c ON b.v = c.u AND c.v = a.u
+  WHERE a.u < a.v AND a.v < b.v),
+members AS (
+  SELECT n1 AS n FROM tri UNION ALL
+  SELECT n2 FROM tri UNION ALL
+  SELECT n3 FROM tri),
+nodes AS (SELECT DISTINCT u AS n FROM sym)
+SELECT nodes.n AS node,
+       CAST(COUNT(members.n) AS BIGINT) AS n_triangles
+FROM nodes LEFT JOIN members ON nodes.n = members.n
+GROUP BY nodes.n
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "pricing_summary": PRICING_SUMMARY_SQL,
     "monthly_orders": MONTHLY_ORDERS_SQL,
@@ -5746,6 +5832,7 @@ ORACLE_SQL: dict[str, str] = {
     "ann_lsh_exact_fullprobe": ANN_LSH_EXACT_FULLPROBE_SQL,
     "orders_range_layout_query": ORDERS_RANGE_LAYOUT_QUERY_SQL,
     "docs_term_cooccurrence": DOCS_TERM_COOCCURRENCE_SQL,
+    "events_triangle_counts": EVENTS_TRIANGLE_COUNTS_SQL,
 }
 
 
@@ -5886,6 +5973,7 @@ def registry() -> dict:
         "events_user_cohorts": events_user_cohorts,
         "orders_range_layout_query": orders_range_layout_query,
         "docs_term_cooccurrence": docs_term_cooccurrence,
+        "events_triangle_counts": events_triangle_counts,
         # the two most expensive ORACLE entries run at the END of the
         # oracle-checked block (but before the rows-only tail) so a driver
         # time-budget cut never costs a cheap oracle row

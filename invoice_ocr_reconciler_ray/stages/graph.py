@@ -49,3 +49,82 @@ def connected_components(
         lambda t: pa.table({node_col: t["doc_id"], "component": t["cluster_id"]}),
         batch_format="pyarrow",
     )
+
+
+def triangle_count_per_node(
+    nodes_ds,
+    edges_ds,
+    *,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+):
+    """Dataset(node) × Dataset(src, dst) → Dataset(node, n_triangles): the
+    number of triangles each node participates in (undirected, self-loops
+    ignored) — the third graph op next to PageRank and connected
+    components, and the standard clustering-coefficient numerator.
+
+    Shape: the edge list is collected once and broadcast as a CSR-style
+    sorted-neighbor adjacency (``ray.put`` — same documented O(|edges|)
+    bound as cluster_pairs); each node block counts its nodes' triangles
+    with vectorized ``np.intersect1d`` over neighbor lists (node u's count
+    = ½ Σ_{v ∈ N(u)} |N(u) ∩ N(v)|).  Nodes stream — no shuffle.  For
+    graphs whose edge list outgrows a broadcast, partition by the standard
+    u<v<w orientation (each edge to its lower endpoint's partition) — the
+    documented scale path, same note as cluster_pairs."""
+    import numpy as np
+    import ray
+    import ray.data as rd  # noqa: F401
+
+    batches = list(
+        edges_ds.select_columns([src_col, dst_col]).iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    adj: dict[int, "np.ndarray"] = {}
+    if batches:
+        et = pa.concat_tables(batches)
+        u = et.column(src_col).to_numpy(zero_copy_only=False)
+        v = et.column(dst_col).to_numpy(zero_copy_only=False)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        src = np.concatenate([u, v])
+        dst = np.concatenate([v, u])
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
+        # dedup parallel edges
+        if len(src):
+            first = np.ones(len(src), dtype=bool)
+            first[1:] = (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
+            src, dst = src[first], dst[first]
+        bounds = np.searchsorted(src, np.unique(src))
+        uniq = np.unique(src)
+        ends = np.append(bounds[1:], len(src))
+        for n, lo, hi in zip(uniq, bounds, ends):
+            adj[int(n)] = dst[lo:hi]  # sorted by construction
+    adj_ref = ray.put(adj)
+
+    def count(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        a = ray.get(adj_ref)
+        out = []
+        for n in t[node_col].to_pylist():
+            nb = a.get(int(n))
+            if nb is None or len(nb) < 2:
+                out.append(0)
+                continue
+            tri = 0
+            for v2 in nb:
+                nb2 = a.get(int(v2))
+                if nb2 is not None:
+                    tri += len(np.intersect1d(nb, nb2, assume_unique=True))
+            out.append(tri // 2)
+        return pa.table(
+            {
+                node_col: t[node_col],
+                "n_triangles": pa.array(out, pa.int64()),
+            }
+        )
+
+    return nodes_ds.map_batches(count, batch_format="pyarrow")

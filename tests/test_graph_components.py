@@ -46,3 +46,29 @@ def test_components_duplicate_node_rows_collapse(ray_session):
     out = connected_components(nodes, edges).to_pandas()
     assert len(out) == 3
     assert out.set_index("node").component.to_dict() == {1: 1, 2: 1, 3: 3}
+
+
+def test_triangle_counts_hand_graph(ray_session):
+    """K4 on {1,2,3,4} (every node in 3 triangles), a pendant node 5 on
+    node 1 (no triangles), an isolated node 6; parallel/reversed edges and
+    self-loops must not change counts."""
+    from invoice_ocr_reconciler_ray.stages.graph import triangle_count_per_node
+
+    src = [1, 1, 1, 2, 2, 3, 1, 3, 1, 6]
+    dst = [2, 3, 4, 3, 4, 4, 5, 2, 1, 6]  # 3->2 dup reversed; 1->1 self-loop
+    nodes = rd.from_arrow(
+        pa.table({"node": pa.array([1, 2, 3, 4, 5, 6], pa.int64())})
+    )
+    edges = rd.from_arrow(
+        pa.table(
+            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+        )
+    )
+    out = (
+        triangle_count_per_node(nodes, edges)
+        .to_pandas()
+        .set_index("node")
+        .n_triangles
+    )
+    assert out.to_dict() == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0, 6: 0}
+    assert str(out.dtype) == "int64"
