@@ -5715,6 +5715,345 @@ GROUP BY nodes.n
 """
 
 
+def events_user_transitions(sf_dir: str):
+    """Markov transition-count matrix over each user's time-ordered event
+    stream: for every consecutive pair of a user's events, count
+    (from_type, to_type) corpus-wide — the sufficient statistics for a
+    first-order behavioral model.  Same co-partition + per-group sort shape
+    as ``events_time_deltas`` (one shuffle on user_id); each group emits its
+    tiny local pair-count table, merged by an O(|types|²) groupby — the
+    second shuffle carries at most types² rows per user, never events."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    def pairs(g: pa.Table) -> pa.Table:
+        s = g.take(
+            pc.sort_indices(
+                g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+            )
+        )
+        et = s["event_type"].to_pylist()
+        counts: dict[tuple[str, str], int] = {}
+        for a, b in zip(et, et[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+        ks = sorted(counts)
+        return pa.table(
+            {
+                "from_type": pa.array([a for a, _ in ks], pa.string()),
+                "to_type": pa.array([b for _, b in ks], pa.string()),
+                "n_trans": pa.array([counts[k] for k in ks], pa.int64()),
+            }
+        )
+
+    return (
+        ds.groupby("user_id")
+        .map_groups(pairs, batch_format="pyarrow")
+        .groupby(["from_type", "to_type"])
+        .aggregate(Sum("n_trans", alias_name="n_trans"))
+    )
+
+
+EVENTS_USER_TRANSITIONS_SQL = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events)
+SELECT prev_type AS from_type, event_type AS to_type, COUNT(*) AS n_trans
+FROM s WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+"""
+
+
+def lineitem_unpivot_measures(sf_dir: str):
+    """UNPIVOT / melt — the wide (quantity, extendedprice, discount)
+    columns become long (measure, value) rows.  The reshape itself is a
+    pure block-local projection (3× rows out, zero shuffle); the long table
+    is immediately re-aggregated per (l_returnflag, measure) by a
+    block-local pyarrow combiner, so the one shuffle carries
+    O(|flags|×3) rows per block.  Integer cents keep the oracle exact."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def melt(t: pa.Table) -> pa.Table:
+        parts = []
+        for col in ("l_quantity", "l_extendedprice", "l_discount"):
+            parts.append(
+                pa.table(
+                    {
+                        "l_returnflag": t["l_returnflag"],
+                        "measure": pa.array([col] * t.num_rows, pa.string()),
+                        "cents": _cents(t[col]),
+                    }
+                )
+            )
+        long = pa.concat_tables(parts)
+        g = long.group_by(["l_returnflag", "measure"]).aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        )
+        return g.rename_columns(["l_returnflag", "measure", "value_cents", "n_values"])
+
+    return (
+        ds.map_batches(melt, batch_format="pyarrow")
+        .groupby(["l_returnflag", "measure"])
+        .aggregate(
+            Sum("value_cents", alias_name="value_cents"),
+            Sum("n_values", alias_name="n_values"),
+        )
+    )
+
+
+LINEITEM_UNPIVOT_MEASURES_SQL = """
+WITH long AS (
+  SELECT l_returnflag, measure,
+         CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents
+  FROM (SELECT l_returnflag, l_quantity, l_extendedprice, l_discount
+        FROM lineitem)
+  UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice, l_discount)))
+SELECT l_returnflag, measure,
+       CAST(SUM(cents) AS BIGINT) AS value_cents,
+       COUNT(*) AS n_values
+FROM long GROUP BY l_returnflag, measure
+"""
+
+
+def parts_above_brand_avg(sf_dir: str):
+    """Group-relative filter (the correlated-scalar-subquery shape: rows
+    priced strictly above their own group's mean).  Two streaming passes:
+    (1) per-block (brand, Σcents, n) partials → tiny brand map merged by
+    one O(|brands|) groupby, collected and broadcast once via ``ray.put``;
+    (2) a block-local vectorized filter evaluating
+    ``cents·n_brand > Σcents`` — an integer cross-multiplication, so the
+    comparison is exact (a float mean would tie-break differently at the
+    ulp).  No shuffle ever touches the fact rows."""
+    stats_ds = rd.read_parquet(
+        _t(sf_dir, "part"), columns=["p_brand", "p_retailprice"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        tb = pa.table({"p_brand": t["p_brand"], "cents": _cents(t["p_retailprice"])})
+        g = tb.group_by("p_brand").aggregate([("cents", "sum"), ("cents", "count")])
+        return g.rename_columns(["p_brand", "s", "n"])
+
+    rows = (
+        stats_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        .take_all()
+    )
+    stats_ref = ray.put({r["p_brand"]: (r["s"], r["n"]) for r in rows})
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "part"),
+        columns=["p_partkey", "p_name", "p_brand", "p_retailprice"],
+    )
+
+    def filt(t: pa.Table) -> pa.Table:
+        st = ray.get(stats_ref)
+        brands = t["p_brand"].to_pylist()
+        cents = _cents(t["p_retailprice"]).combine_chunks().to_numpy()
+        s = np.array([st[b][0] for b in brands], dtype=np.int64)
+        n = np.array([st[b][1] for b in brands], dtype=np.int64)
+        kept = t.filter(pa.array(cents * n > s))
+        return pa.table(
+            {
+                "p_partkey": kept["p_partkey"],
+                "p_name": kept["p_name"],
+                "p_brand": kept["p_brand"],
+                "price_cents": _cents(kept["p_retailprice"]),
+            }
+        )
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
+PARTS_ABOVE_BRAND_AVG_SQL = """
+WITH b AS (
+  SELECT p_brand,
+         CAST(SUM(CAST(FLOOR(p_retailprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+         COUNT(*) AS n
+  FROM part GROUP BY p_brand)
+SELECT p.p_partkey, p.p_name, p.p_brand,
+       CAST(FLOOR(p.p_retailprice*100 + 0.5) AS BIGINT) AS price_cents
+FROM part p JOIN b ON p.p_brand = b.p_brand
+WHERE CAST(FLOOR(p.p_retailprice*100 + 0.5) AS BIGINT) * b.n > b.s
+"""
+
+
+def promo_revenue_share(sf_dir: str):
+    """Conditional-aggregate ratio (TPC-H Q14 shape): per ship-month, the
+    promo-part revenue alongside total revenue — numerator and denominator
+    as exact integer cents (the division is the consumer's, so the result
+    stays engine-exact).  The part dimension reduces to a broadcast
+    promo-key set (``ray.put`` once, ``pc.is_in`` probe per block — no
+    shuffle join); rows whose partkey is absent from ``part`` drop, matching
+    the oracle's inner join.  Block-local partials keep the one shuffle at
+    O(|months|) rows per block."""
+    pkeys = rd.read_parquet(_t(sf_dir, "part"), columns=["p_partkey", "p_type"])
+    all_keys: list[int] = []
+    promo_keys: list[int] = []
+    for r in pkeys.take_all():
+        all_keys.append(r["p_partkey"])
+        if r["p_type"] == "PROMO":
+            promo_keys.append(r["p_partkey"])
+    all_ref = ray.put(pa.array(sorted(all_keys), pa.int64()))
+    promo_ref = ray.put(pa.array(sorted(promo_keys), pa.int64()))
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["l_partkey"], value_set=ray.get(all_ref)))
+        rev = _cents(
+            pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        ).combine_chunks().to_numpy()
+        promo = pc.is_in(t["l_partkey"], value_set=ray.get(promo_ref))
+        promo_np = promo.combine_chunks().to_numpy(zero_copy_only=False)
+        ym = pc.add(
+            pc.multiply(pc.cast(pc.year(t["l_shipdate"]), pa.int64()), 100),
+            pc.cast(pc.month(t["l_shipdate"]), pa.int64()),
+        )
+        tb = pa.table(
+            {
+                "ym": ym,
+                "promo_cents": pa.array(np.where(promo_np, rev, 0), pa.int64()),
+                "total_cents": pa.array(rev, pa.int64()),
+            }
+        )
+        g = tb.group_by("ym").aggregate(
+            [("promo_cents", "sum"), ("total_cents", "sum")]
+        )
+        return g.rename_columns(["ym", "promo_cents", "total_cents"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("ym")
+        .aggregate(
+            Sum("promo_cents", alias_name="promo_cents"),
+            Sum("total_cents", alias_name="total_cents"),
+        )
+    )
+
+
+PROMO_REVENUE_SHARE_SQL = """
+SELECT CAST(year(l_shipdate)*100 + month(l_shipdate) AS BIGINT) AS ym,
+       CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                     THEN CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5)
+                               AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS promo_cents,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS total_cents
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY ym
+"""
+
+
+def orders_rank_ties_topk(sf_dir: str):
+    """Per-group top-k with RANK() tie semantics (ties at the boundary are
+    KEPT, so groups may emit more than k rows) — distinct from the
+    row_number() shape of ``docs_per_lang_longest``.  Block-local lossless
+    prune first: a row with ≥ k strictly-greater prices inside its own
+    block already has global rank > k, so each block forwards at most the
+    k-th-largest-and-above slice per priority; the one shuffle then carries
+    O(k + ties) rows per (block, priority), and the per-group kernel
+    computes exact ranks with one searchsorted."""
+    K = 5
+    ds = rd.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    )
+
+    def prune(t: pa.Table) -> pa.Table:
+        tb = pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "o_orderkey": t["o_orderkey"],
+                "price_cents": _cents(t["o_totalprice"]),
+            }
+        )
+        pri = np.asarray(tb["o_orderpriority"].to_pylist(), dtype=object)
+        cents = tb["price_cents"].combine_chunks().to_numpy()
+        mask = np.zeros(len(cents), dtype=bool)
+        for p in np.unique(pri):
+            m = pri == p
+            c = cents[m]
+            if len(c) <= K:
+                mask[m] = True
+            else:
+                mask[m] = c >= np.partition(c, -K)[-K]
+        return tb.filter(pa.array(mask))
+
+    def rank_filter(g: pa.Table) -> pa.Table:
+        c = g["price_cents"].combine_chunks().to_numpy()
+        c_asc = np.sort(c)
+        rnk = (len(c) - np.searchsorted(c_asc, c, side="right")) + 1
+        keep = rnk <= K
+        out = g.filter(pa.array(keep))
+        return out.append_column("rnk", pa.array(rnk[keep], pa.int64()))
+
+    return (
+        ds.map_batches(prune, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .map_groups(rank_filter, batch_format="pyarrow")
+    )
+
+
+ORDERS_RANK_TIES_TOPK_SQL = """
+SELECT o_orderpriority, o_orderkey,
+       CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS price_cents,
+       CAST(RANK() OVER (PARTITION BY o_orderpriority
+                         ORDER BY FLOOR(o_totalprice*100 + 0.5) DESC)
+            AS BIGINT) AS rnk
+FROM orders
+QUALIFY rnk <= 5
+"""
+
+
+def events_dow_hour_profile(sf_dir: str):
+    """Day-of-week × hour-of-day activity heatmap (date-part aggregate at a
+    granularity the monthly/hourly family doesn't cover).  ISO dow on both
+    engines: pyarrow ``day_of_week`` counts 0=Monday, so +1 equals DuckDB's
+    ``isodow``.  Block-local partials → one O(168)-row shuffle."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tb = pa.table(
+            {
+                "dow": pc.cast(pc.add(pc.day_of_week(t["ts"]), 1), pa.int64()),
+                "hour": pc.cast(pc.hour(t["ts"]), pa.int64()),
+                "value_cents": _cents(t["value"]),
+                "n_events": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        g = tb.group_by(["dow", "hour"]).aggregate(
+            [("value_cents", "sum"), ("n_events", "sum")]
+        )
+        return g.rename_columns(["dow", "hour", "value_cents", "n_events"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["dow", "hour"])
+        .aggregate(
+            Sum("value_cents", alias_name="value_cents"),
+            Sum("n_events", alias_name="n_events"),
+        )
+    )
+
+
+EVENTS_DOW_HOUR_PROFILE_SQL = """
+SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+       CAST(hour(ts) AS BIGINT) AS hour,
+       CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents,
+       COUNT(*) AS n_events
+FROM events GROUP BY dow, hour
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "pricing_summary": PRICING_SUMMARY_SQL,
     "monthly_orders": MONTHLY_ORDERS_SQL,
@@ -5833,6 +6172,12 @@ ORACLE_SQL: dict[str, str] = {
     "orders_range_layout_query": ORDERS_RANGE_LAYOUT_QUERY_SQL,
     "docs_term_cooccurrence": DOCS_TERM_COOCCURRENCE_SQL,
     "events_triangle_counts": EVENTS_TRIANGLE_COUNTS_SQL,
+    "events_user_transitions": EVENTS_USER_TRANSITIONS_SQL,
+    "lineitem_unpivot_measures": LINEITEM_UNPIVOT_MEASURES_SQL,
+    "parts_above_brand_avg": PARTS_ABOVE_BRAND_AVG_SQL,
+    "promo_revenue_share": PROMO_REVENUE_SHARE_SQL,
+    "orders_rank_ties_topk": ORDERS_RANK_TIES_TOPK_SQL,
+    "events_dow_hour_profile": EVENTS_DOW_HOUR_PROFILE_SQL,
 }
 
 
@@ -5974,6 +6319,12 @@ def registry() -> dict:
         "orders_range_layout_query": orders_range_layout_query,
         "docs_term_cooccurrence": docs_term_cooccurrence,
         "events_triangle_counts": events_triangle_counts,
+        "events_user_transitions": events_user_transitions,
+        "lineitem_unpivot_measures": lineitem_unpivot_measures,
+        "parts_above_brand_avg": parts_above_brand_avg,
+        "promo_revenue_share": promo_revenue_share,
+        "orders_rank_ties_topk": orders_rank_ties_topk,
+        "events_dow_hour_profile": events_dow_hour_profile,
         # the two most expensive ORACLE entries run at the END of the
         # oracle-checked block (but before the rows-only tail) so a driver
         # time-budget cut never costs a cheap oracle row
