@@ -6054,6 +6054,201 @@ FROM events GROUP BY dow, hour
 """
 
 
+def docs_bigram_counts(sf_dir: str):
+    """Corpus ADJACENT-bigram counts (the first-order LM-pretraining
+    statistic — distinct from ``docs_term_cooccurrence``'s unordered
+    doc-level pairs).  Fully vectorized: tokens flatten once per block with
+    ``list_flatten``/``list_parent_indices``; adjacency is a numpy shift
+    compare on the parent ids, so no Python loop ever touches a token.
+    Block-local pair counts are the combiner (shuffle is O(bigram-vocab)
+    per block); top-50 by (n DESC, a, b) bounds the result."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(t["text"]), pattern=r"[^a-z0-9]+"
+        ).combine_chunks()
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        f = flat.filter(keep).to_numpy(zero_copy_only=False)
+        p = parents.filter(keep).to_numpy(zero_copy_only=False)
+        if len(f) < 2:
+            return pa.table(
+                {
+                    "term_a": pa.array([], pa.string()),
+                    "term_b": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        adj = p[1:] == p[:-1]
+        tb = pa.table(
+            {
+                "term_a": pa.array(f[:-1][adj], pa.string()),
+                "term_b": pa.array(f[1:][adj], pa.string()),
+                "n": pa.array(np.ones(int(adj.sum()), np.int64)),
+            }
+        )
+        g = tb.group_by(["term_a", "term_b"]).aggregate([("n", "sum")])
+        return g.rename_columns(["term_a", "term_b", "n"])
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["term_a", "term_b"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return merged.sort(
+        ["n", "term_a", "term_b"], descending=[True, False, False]
+    ).limit(50)
+
+
+DOCS_BIGRAM_COUNTS_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents),
+t AS (SELECT doc_id, unnest(l) AS term, unnest(range(1, len(l)+1)) AS pos
+      FROM d),
+b AS (SELECT doc_id, term AS term_a,
+             lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS term_b
+      FROM t)
+SELECT term_a, term_b, COUNT(*) AS n
+FROM b WHERE term_b IS NOT NULL
+GROUP BY term_a, term_b
+ORDER BY n DESC, term_a, term_b LIMIT 50
+"""
+
+
+def events_user_streaks(sf_dir: str):
+    """Gaps-and-islands: consecutive runs of the SAME event_type inside each
+    user's time-ordered stream (change-point segmentation — distinct from
+    the gap-threshold sessionizer).  Per (user, type): the longest run and
+    the number of runs.  Co-partition by user + per-group sort; run
+    boundaries are one numpy shift compare, run lengths one ``bincount``."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    def streaks(g: pa.Table) -> pa.Table:
+        s = g.take(
+            pc.sort_indices(
+                g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+            )
+        )
+        et = np.asarray(s["event_type"].to_pylist(), dtype=object)
+        change = np.ones(len(et), dtype=bool)
+        change[1:] = et[1:] != et[:-1]
+        run_len = np.bincount(np.cumsum(change) - 1)
+        run_type = et[change]
+        agg: dict[str, list[int]] = {}
+        for ty, ln in zip(run_type, run_len):
+            cur = agg.setdefault(ty, [0, 0])
+            cur[0] = max(cur[0], int(ln))
+            cur[1] += 1
+        ks = sorted(agg)
+        uid = s["user_id"][0].as_py()
+        return pa.table(
+            {
+                "user_id": pa.array([uid] * len(ks), pa.int64()),
+                "event_type": pa.array(ks, pa.string()),
+                "max_streak": pa.array([agg[k][0] for k in ks], pa.int64()),
+                "n_runs": pa.array([agg[k][1] for k in ks], pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(streaks, batch_format="pyarrow")
+
+
+EVENTS_USER_STREAKS_SQL = """
+WITH s AS (
+  SELECT user_id, event_type, event_id, ts,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS r1,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS r2
+  FROM events),
+runs AS (
+  SELECT user_id, event_type, r1 - r2 AS grp, COUNT(*) AS n_run
+  FROM s GROUP BY user_id, event_type, grp)
+SELECT user_id, event_type,
+       CAST(MAX(n_run) AS BIGINT) AS max_streak,
+       COUNT(*) AS n_runs
+FROM runs GROUP BY user_id, event_type
+"""
+
+
+def docs_lang_vocab(sf_dir: str):
+    """Per-language vocabulary statistics (the Heaps'-law numbers a corpus
+    report leads with): distinct-term count and total token count per lang.
+    Block-local (lang, term, n) partials make the shuffle O(vocab) per
+    block; the per-lang merge counts distinct terms over the pre-deduped
+    partials, so no task ever sees raw tokens twice."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(t["text"]), pattern=r"[^a-z0-9]+"
+        ).combine_chunks()
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        langs = t["lang"].combine_chunks().take(parents.filter(keep))
+        tb = pa.table({"lang": langs, "term": flat})
+        g = tb.group_by(["lang", "term"]).aggregate([("term", "count")])
+        return g.rename_columns(["lang", "term", "n_tokens"])
+
+    def merge(g: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": g["lang"].slice(0, 1),
+                "n_vocab": pa.array([len(set(g["term"].to_pylist()))], pa.int64()),
+                "n_tokens": pa.array(
+                    [pc.sum(g["n_tokens"]).as_py()], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+DOCS_LANG_VOCAB_SQL = """
+WITH t AS (
+  SELECT lang,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS term
+  FROM documents)
+SELECT lang, COUNT(DISTINCT term) AS n_vocab, COUNT(*) AS n_tokens
+FROM t GROUP BY lang
+"""
+
+
+def events_user_count_quantiles(sf_dir: str):
+    """Skew profile — quantiles of the per-key group-size distribution (the
+    number a partitioning decision actually needs: is user_id hashable or
+    does a hot key need salting?).  Aggregate-of-aggregate: a distributed
+    per-user count feeds the histogram-refine exact-quantile selection
+    (stages/quantiles.py) — the counts Dataset is never collected."""
+    from ..stages.quantiles import exact_quantiles
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id"])
+    counts = ds.groupby("user_id").aggregate(Count(alias_name="n"))
+    return exact_quantiles(counts, "n", [0.0, 0.25, 0.5, 0.75, 1.0])
+
+
+EVENTS_USER_COUNT_QUANTILES_SQL = """
+WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+s AS (SELECT quantile_disc(n, [0.0, 0.25, 0.5, 0.75, 1.0]) AS v FROM c)
+SELECT CAST(z[1] AS DOUBLE) AS q, CAST(z[2] AS DOUBLE) AS value
+FROM (SELECT unnest(list_zip([0.0, 0.25, 0.5, 0.75, 1.0], v)) AS z FROM s)
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "pricing_summary": PRICING_SUMMARY_SQL,
     "monthly_orders": MONTHLY_ORDERS_SQL,
@@ -6178,6 +6373,10 @@ ORACLE_SQL: dict[str, str] = {
     "promo_revenue_share": PROMO_REVENUE_SHARE_SQL,
     "orders_rank_ties_topk": ORDERS_RANK_TIES_TOPK_SQL,
     "events_dow_hour_profile": EVENTS_DOW_HOUR_PROFILE_SQL,
+    "docs_bigram_counts": DOCS_BIGRAM_COUNTS_SQL,
+    "events_user_streaks": EVENTS_USER_STREAKS_SQL,
+    "docs_lang_vocab": DOCS_LANG_VOCAB_SQL,
+    "events_user_count_quantiles": EVENTS_USER_COUNT_QUANTILES_SQL,
 }
 
 
@@ -6325,6 +6524,10 @@ def registry() -> dict:
         "promo_revenue_share": promo_revenue_share,
         "orders_rank_ties_topk": orders_rank_ties_topk,
         "events_dow_hour_profile": events_dow_hour_profile,
+        "docs_bigram_counts": docs_bigram_counts,
+        "events_user_streaks": events_user_streaks,
+        "docs_lang_vocab": docs_lang_vocab,
+        "events_user_count_quantiles": events_user_count_quantiles,
         # the two most expensive ORACLE entries run at the END of the
         # oracle-checked block (but before the rows-only tail) so a driver
         # time-budget cut never costs a cheap oracle row
