@@ -6249,6 +6249,49 @@ FROM (SELECT unnest(list_zip([0.0, 0.25, 0.5, 0.75, 1.0], v)) AS z FROM s)
 """
 
 
+def events_trailing_value_sum(sf_dir: str):
+    """RANGE-frame windowed measure (``SUM(value) OVER (... RANGE w
+    PRECEDING)``): for every event, the same user's total value (integer
+    cents) over the trailing 1 h and 6 h — the *sum* companion of
+    ``events_multi_window_features`` (stages/asof.py:range_join_multi_sum).
+    One co-partition shuffle, one prefix-sum per user; each horizon is two
+    searchsorted probes, never another join."""
+    from ..stages.asof import range_join_multi_sum
+
+    left = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+    right = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "ts", "value"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"user_id": t["user_id"], "ts": t["ts"], "v_c": _cents(t["value"])}
+        ),
+        batch_format="pyarrow",
+    )
+    h = 3_600_000_000  # one hour in µs
+    return range_join_multi_sum(
+        left,
+        right,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        left_cols=["event_id"],
+        measure="v_c",
+        windows_us={"sum_1h": h, "sum_6h": 6 * h},
+    )
+
+
+EVENTS_TRAILING_VALUE_SUM_SQL = """
+SELECT e.event_id,
+       CAST(SUM(CAST(FLOOR(e2.value*100 + 0.5) AS BIGINT))
+              FILTER (WHERE e2.ts > e.ts - INTERVAL 1 HOUR) AS BIGINT) AS sum_1h,
+       CAST(SUM(CAST(FLOOR(e2.value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_6h
+FROM events e JOIN events e2
+  ON e2.user_id = e.user_id AND e2.ts <= e.ts
+ AND e2.ts > e.ts - INTERVAL 6 HOUR
+GROUP BY e.event_id
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "pricing_summary": PRICING_SUMMARY_SQL,
     "monthly_orders": MONTHLY_ORDERS_SQL,
@@ -6377,6 +6420,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_user_streaks": EVENTS_USER_STREAKS_SQL,
     "docs_lang_vocab": DOCS_LANG_VOCAB_SQL,
     "events_user_count_quantiles": EVENTS_USER_COUNT_QUANTILES_SQL,
+    "events_trailing_value_sum": EVENTS_TRAILING_VALUE_SUM_SQL,
 }
 
 
@@ -6528,6 +6572,7 @@ def registry() -> dict:
         "events_user_streaks": events_user_streaks,
         "docs_lang_vocab": docs_lang_vocab,
         "events_user_count_quantiles": events_user_count_quantiles,
+        "events_trailing_value_sum": events_trailing_value_sum,
         # the two most expensive ORACLE entries run at the END of the
         # oracle-checked block (but before the rows-only tail) so a driver
         # time-budget cut never costs a cheap oracle row

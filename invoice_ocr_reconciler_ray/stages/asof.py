@@ -316,3 +316,78 @@ def range_join_multi_count(
         return pa.Table.from_arrays(arrays, schema=out_schema)
 
     return both.groupby("_k").map_groups(count_group, batch_format="pyarrow")
+
+
+def range_join_multi_sum(
+    left_ds,
+    right_ds,
+    *,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    left_cols: list[str],
+    measure: str,
+    windows_us: dict[str, int],
+    hot_key_warn_rows: int = HOT_KEY_WARN_ROWS,
+):
+    """Trailing-window SUM of an int64 right-side ``measure`` — the
+    RANGE-frame *value* companion of :func:`range_join_multi_count` (``SUM(x)
+    OVER (PARTITION BY key ORDER BY ts RANGE w PRECEDING)`` semantics: the
+    window is ``(left_ts - w, left_ts]``, timestamp peers included).
+
+    Same single co-partition layout: one sorted right timestamp array AND one
+    prefix-sum of the time-ordered measure per group; every window's sum is
+    two ``searchsorted`` probes and a prefix difference — adding a horizon
+    never adds a join.  The measure must already be an exact integer (cents /
+    counts); float measures would make the prefix sums order-dependent."""
+    ltypes = dict(zip(left_ds.schema().names, left_ds.schema().types))
+    wnames = list(windows_us)
+    out_schema = pa.schema(
+        [(c, ltypes[c]) for c in left_cols] + [(w, pa.int64()) for w in wnames]
+    )
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        arrays = [t[key], t[left_ts], pa.array([0] * n, pa.int8()),
+                  pa.nulls(n, pa.int64())]
+        names = ["_k", "_t", "_side", "_m"]
+        for c in left_cols:
+            arrays.append(t[c])
+            names.append(c)
+        return pa.Table.from_arrays(arrays, names=names)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        arrays = [t[key], t[right_ts], pa.array([1] * n, pa.int8()),
+                  pc.cast(t[measure], pa.int64())]
+        names = ["_k", "_t", "_side", "_m"]
+        for c in left_cols:
+            arrays.append(pa.nulls(n, ltypes[c]))
+            names.append(c)
+        return pa.Table.from_arrays(arrays, names=names)
+
+    both = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
+        right_ds.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def sum_group(t: pa.Table) -> pa.Table:
+        _warn_hot_key(t.num_rows, "range_join_multi_sum", hot_key_warn_rows)
+        lmask = pc.equal(t["_side"], 0)
+        lt = t.filter(lmask)
+        if lt.num_rows == 0:
+            return out_schema.empty_table()
+        rt = t.filter(pc.invert(lmask))
+        rts = _ts_to_i64(rt["_t"])
+        order = np.argsort(rts, kind="stable")
+        rts = rts[order]
+        m = rt["_m"].combine_chunks().to_numpy(zero_copy_only=False)[order]
+        prefix = np.concatenate([[0], np.cumsum(m, dtype=np.int64)])
+        lts = _ts_to_i64(lt["_t"])
+        hi = np.searchsorted(rts, lts, side="right")
+        arrays = [lt[c] for c in left_cols]
+        for w in wnames:
+            lo = np.searchsorted(rts, lts - windows_us[w], side="right")
+            arrays.append(pa.array(prefix[hi] - prefix[lo]))
+        return pa.Table.from_arrays(arrays, schema=out_schema)
+
+    return both.groupby("_k").map_groups(sum_group, batch_format="pyarrow")

@@ -232,3 +232,39 @@ def test_asof_join_left_outer_keeps_unmatched_with_typed_nulls(ray_session):
         ).iter_batches(batch_format="pyarrow")
     )
     assert tbl.schema.field("rid").type == pa.int64()
+
+
+def test_multi_window_sums_match_bruteforce(ray_session):
+    """RANGE-frame windowed SUM: the prefix-sum kernel must equal per-row
+    brute force (negative measures included — prefix differences must not
+    assume monotone sums), with the same (t-w, t] frame as the count op."""
+    from invoice_ocr_reconciler_ray.stages.asof import range_join_multi_sum
+
+    rng = np.random.RandomState(31)
+    n = 1200
+    keys = rng.randint(0, 15, n).astype(np.int64)
+    ts = rng.randint(0, 10**6, n).astype(np.int64)
+    m = rng.randint(-500, 500, n).astype(np.int64)
+    left = pa.table(
+        {"k": pa.array(keys), "t": pa.array(ts), "rid": pa.array(np.arange(n, dtype=np.int64))}
+    )
+    right = pa.table({"k": pa.array(keys), "t": pa.array(ts), "m": pa.array(m)})
+    windows = {"w_small": 10_000, "w_big": 200_000}
+    out = (
+        range_join_multi_sum(
+            rd.from_arrow(left).repartition(5),
+            rd.from_arrow(right).repartition(3),
+            key="k", left_ts="t", right_ts="t",
+            left_cols=["rid"], measure="m", windows_us=windows,
+        )
+        .to_pandas()
+        .set_index("rid")
+        .sort_index()
+    )
+    assert len(out) == n
+    assert str(out.w_small.dtype) == "int64"
+    for rid in rng.choice(n, 60, replace=False):
+        same = keys == keys[rid]
+        for w, width in windows.items():
+            sel = same & (ts > ts[rid] - width) & (ts <= ts[rid])
+            assert out.loc[rid, w] == int(m[sel].sum()), (rid, w)
