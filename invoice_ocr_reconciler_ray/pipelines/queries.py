@@ -6292,6 +6292,137 @@ GROUP BY e.event_id
 """
 
 
+def events_user_time_weighted_value(sf_dir: str):
+    """Time-weighted value integral per user (the TWA numerator/denominator
+    — how long each observed value LEVEL persisted, the metering/billing
+    aggregate a plain AVG gets wrong): Σ cents·Δµs over consecutive same-user
+    events, plus the total observed span.  Exact integer output (the
+    division is the consumer's).  Co-partition + per-group sort; the
+    integral is one numpy diff-dot product.  Overflow bound documented:
+    cents ≲ 1e6 × span ≲ 1e13 µs stays far inside int64 per term; the Σ is
+    int64 too because terms alternate in sign only via value, not time."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def integral(g: pa.Table) -> pa.Table:
+        s = g.take(
+            pc.sort_indices(
+                g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+            )
+        )
+        us = s["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = _cents(s["value"]).combine_chunks().to_numpy()
+        d = np.diff(us)
+        num = int(np.dot(cents[:-1], d)) if len(us) > 1 else 0
+        return pa.table(
+            {
+                "user_id": s["user_id"].slice(0, 1),
+                "weighted_cents_us": pa.array([num], pa.int64()),
+                "span_us": pa.array([int(us[-1] - us[0])], pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(integral, batch_format="pyarrow")
+
+
+EVENTS_USER_TIME_WEIGHTED_VALUE_SQL = """
+WITH s AS (
+  SELECT user_id,
+         CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents,
+         epoch_us(ts) AS t,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS t_next
+  FROM events)
+SELECT user_id,
+       CAST(COALESCE(SUM(cents * (t_next - t)), 0) AS BIGINT)
+         AS weighted_cents_us,
+       CAST(MAX(t) - MIN(t) AS BIGINT) AS span_us
+FROM s GROUP BY user_id
+"""
+
+
+def events_union_by_name(sf_dir: str):
+    """Schema-evolution UNION BY NAME: two inputs with overlapping but
+    different columns (an old feed without ``value``, a new feed without
+    ``event_type``) harmonize into one stream — missing columns null-filled
+    with their TYPED Arrow nulls before ``Dataset.union``, so downstream
+    schemas never degrade to object/float (the classic evolution bug the
+    as-of joins hit in round 2).  Block-local, zero shuffle; the aggregate
+    keeps the oracle bounded."""
+    old_feed = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "event_type"]
+    )
+    new_feed = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "value"])
+
+    def pad_old(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(pc.bit_wise_and(t["event_id"], 1), 0))
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "value_cents": pa.nulls(t.num_rows, pa.int64()),
+            }
+        )
+
+    def pad_new(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(pc.bit_wise_and(t["event_id"], 1), 1))
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "event_type": pa.nulls(t.num_rows, pa.string()),
+                "value_cents": _cents(t["value"]),
+            }
+        )
+
+    unioned = old_feed.map_batches(pad_old, batch_format="pyarrow").union(
+        new_feed.map_batches(pad_new, batch_format="pyarrow")
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "event_type": pc.fill_null(t["event_type"], "(none)"),
+                    "v": pc.fill_null(t["value_cents"], 0),
+                    "has_v": pc.cast(
+                        pc.is_valid(t["value_cents"]), pa.int64()
+                    ),
+                    "n": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            )
+            .group_by("event_type")
+            .aggregate([("v", "sum"), ("has_v", "sum"), ("n", "sum")])
+        )
+        return g.rename_columns(["event_type", "value_cents", "n_with_value", "n_rows"])
+
+    return (
+        unioned.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("value_cents", alias_name="value_cents"),
+            Sum("n_with_value", alias_name="n_with_value"),
+            Sum("n_rows", alias_name="n_rows"),
+        )
+    )
+
+
+EVENTS_UNION_BY_NAME_SQL = """
+WITH u AS (
+  SELECT event_id, event_type, NULL::BIGINT AS value_cents
+  FROM events WHERE event_id % 2 = 0
+  UNION ALL BY NAME
+  SELECT event_id, NULL::VARCHAR AS event_type,
+         CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS value_cents
+  FROM events WHERE event_id % 2 <> 0)
+SELECT COALESCE(event_type, '(none)') AS event_type,
+       CAST(COALESCE(SUM(value_cents), 0) AS BIGINT) AS value_cents,
+       CAST(COUNT(value_cents) AS BIGINT) AS n_with_value,
+       COUNT(*) AS n_rows
+FROM u GROUP BY event_type
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "pricing_summary": PRICING_SUMMARY_SQL,
     "monthly_orders": MONTHLY_ORDERS_SQL,
@@ -6421,6 +6552,8 @@ ORACLE_SQL: dict[str, str] = {
     "docs_lang_vocab": DOCS_LANG_VOCAB_SQL,
     "events_user_count_quantiles": EVENTS_USER_COUNT_QUANTILES_SQL,
     "events_trailing_value_sum": EVENTS_TRAILING_VALUE_SUM_SQL,
+    "events_user_time_weighted_value": EVENTS_USER_TIME_WEIGHTED_VALUE_SQL,
+    "events_union_by_name": EVENTS_UNION_BY_NAME_SQL,
 }
 
 
@@ -6573,6 +6706,8 @@ def registry() -> dict:
         "docs_lang_vocab": docs_lang_vocab,
         "events_user_count_quantiles": events_user_count_quantiles,
         "events_trailing_value_sum": events_trailing_value_sum,
+        "events_user_time_weighted_value": events_user_time_weighted_value,
+        "events_union_by_name": events_union_by_name,
         # the two most expensive ORACLE entries run at the END of the
         # oracle-checked block (but before the rows-only tail) so a driver
         # time-budget cut never costs a cheap oracle row
