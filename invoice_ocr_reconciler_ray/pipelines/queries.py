@@ -6423,6 +6423,131 @@ FROM u GROUP BY event_type
 """
 
 
+def returnflag_top_brands(sf_dir: str):
+    """Aggregate-then-rank reporting (the `GROUP BY … QUALIFY row_number()`
+    shape): revenue per (returnflag, brand) — part dim broadcast once as a
+    partkey→brand map, block-local conditional partials — then the top-3
+    brands per flag.  After the first aggregate the data is O(flags×brands),
+    so the rank step is a trivial per-group kernel; ties break on brand ASC
+    in both engines."""
+    pk: list[int] = []
+    br: list[str] = []
+    for r in rd.read_parquet(
+        _t(sf_dir, "part"), columns=["p_partkey", "p_brand"]
+    ).take_all():
+        pk.append(r["p_partkey"])
+        br.append(r["p_brand"])
+    order = np.argsort(pk)
+    keys_ref = ray.put(np.asarray(pk, np.int64)[order])
+    brands_ref = ray.put(np.asarray(br, dtype=object)[order])
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        brands = ray.get(brands_ref)
+        lp = t["l_partkey"].combine_chunks().to_numpy()
+        idx = np.searchsorted(keys, lp)
+        idx = np.clip(idx, 0, len(keys) - 1)
+        valid = keys[idx] == lp
+        rev = _cents(
+            pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        ).combine_chunks().to_numpy()
+        tb = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"].combine_chunks().filter(
+                    pa.array(valid)
+                ),
+                "p_brand": pa.array(brands[idx[valid]], pa.string()),
+                "revenue_cents": pa.array(rev[valid], pa.int64()),
+            }
+        )
+        g = tb.group_by(["l_returnflag", "p_brand"]).aggregate(
+            [("revenue_cents", "sum")]
+        )
+        return g.rename_columns(["l_returnflag", "p_brand", "revenue_cents"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "p_brand"])
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+
+    def topk(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[("revenue_cents", "descending"), ("p_brand", "ascending")],
+        )
+        out = g.take(idx.slice(0, 3))
+        return out.append_column(
+            "rn", pa.array(np.arange(1, out.num_rows + 1, dtype=np.int64))
+        )
+
+    return agg.groupby("l_returnflag").map_groups(topk, batch_format="pyarrow")
+
+
+RETURNFLAG_TOP_BRANDS_SQL = """
+WITH a AS (
+  SELECT l_returnflag, p_brand,
+         CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS revenue_cents
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY l_returnflag, p_brand)
+SELECT l_returnflag, p_brand, revenue_cents,
+       CAST(row_number() OVER (PARTITION BY l_returnflag
+                               ORDER BY revenue_cents DESC, p_brand)
+            AS BIGINT) AS rn
+FROM a
+QUALIFY rn <= 3
+"""
+
+
+def events_trailing_type_diversity(sf_dir: str):
+    """Windowed COUNT(DISTINCT): for every event, how many distinct event
+    types the same user produced in the trailing 1 h (inclusive) — the
+    engagement-breadth feature.  Distinct counts don't prefix-sum, but the
+    type dictionary is small: per (user, type) one sorted timestamp array,
+    and the distinct count is Σ over types of a two-searchsorted emptiness
+    test — O(|types| · log n) per event, all vectorized, one co-partition
+    shuffle."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    w = 3_600_000_000  # 1 h in µs
+
+    def diversity(g: pa.Table) -> pa.Table:
+        us = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        types = np.asarray(g["event_type"].to_pylist(), dtype=object)
+        n = len(us)
+        total = np.zeros(n, dtype=np.int64)
+        for ty in np.unique(types):
+            tts = np.sort(us[types == ty])
+            hi = np.searchsorted(tts, us, side="right")
+            lo = np.searchsorted(tts, us - w, side="right")
+            total += (hi > lo).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": g["event_id"],
+                "n_types_1h": pa.array(total, pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(diversity, batch_format="pyarrow")
+
+
+EVENTS_TRAILING_TYPE_DIVERSITY_SQL = """
+SELECT e.event_id,
+       CAST(COUNT(DISTINCT e2.event_type) AS BIGINT) AS n_types_1h
+FROM events e JOIN events e2
+  ON e2.user_id = e.user_id AND e2.ts <= e.ts
+ AND e2.ts > e.ts - INTERVAL 1 HOUR
+GROUP BY e.event_id
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "pricing_summary": PRICING_SUMMARY_SQL,
     "monthly_orders": MONTHLY_ORDERS_SQL,
@@ -6554,6 +6679,8 @@ ORACLE_SQL: dict[str, str] = {
     "events_trailing_value_sum": EVENTS_TRAILING_VALUE_SUM_SQL,
     "events_user_time_weighted_value": EVENTS_USER_TIME_WEIGHTED_VALUE_SQL,
     "events_union_by_name": EVENTS_UNION_BY_NAME_SQL,
+    "returnflag_top_brands": RETURNFLAG_TOP_BRANDS_SQL,
+    "events_trailing_type_diversity": EVENTS_TRAILING_TYPE_DIVERSITY_SQL,
 }
 
 
@@ -6708,6 +6835,8 @@ def registry() -> dict:
         "events_trailing_value_sum": events_trailing_value_sum,
         "events_user_time_weighted_value": events_user_time_weighted_value,
         "events_union_by_name": events_union_by_name,
+        "returnflag_top_brands": returnflag_top_brands,
+        "events_trailing_type_diversity": events_trailing_type_diversity,
         # the two most expensive ORACLE entries run at the END of the
         # oracle-checked block (but before the rows-only tail) so a driver
         # time-budget cut never costs a cheap oracle row
