@@ -6548,6 +6548,50 @@ GROUP BY e.event_id
 """
 
 
+def events_late_arrivals(sf_dir: str):
+    """Event-time WATERMARK / late-arrival detection (the streaming-system
+    shape): processing order is event_id; the watermark after each arrival
+    is the running MAX event-time seen so far; an event is LATE when its
+    own timestamp is more than 30 min behind that watermark.  The running
+    max is a sequential dependency — parallelized with the two-phase
+    range-bucket prefix scan (stages/scan.py:running_max: per-bucket
+    partials → O(B) driver fold → seeded local scans)."""
+    from ..stages.scan import running_max
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "ts"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_id": t["event_id"], "t_us": t["ts"].cast(pa.int64())}
+        )
+
+    scanned = running_max(
+        ds.map_batches(proj, batch_format="pyarrow"),
+        order_col="event_id",
+        value_col="t_us",
+        out_col="wm_us",
+    )
+    lateness = 1_800_000_000  # 30 min in µs
+
+    def flag(t: pa.Table) -> pa.Table:
+        late = pc.less(t["t_us"], pc.subtract(t["wm_us"], lateness))
+        return pa.table({"event_id": t["event_id"], "is_late": late})
+
+    return scanned.map_batches(flag, batch_format="pyarrow")
+
+
+EVENTS_LATE_ARRIVALS_SQL = """
+WITH s AS (
+  SELECT event_id, epoch_us(ts) AS t,
+         MAX(epoch_us(ts)) OVER (ORDER BY event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS wm
+  FROM events)
+SELECT event_id, t < wm - 1800000000 AS is_late
+FROM s
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "pricing_summary": PRICING_SUMMARY_SQL,
     "monthly_orders": MONTHLY_ORDERS_SQL,
@@ -6681,6 +6725,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_union_by_name": EVENTS_UNION_BY_NAME_SQL,
     "returnflag_top_brands": RETURNFLAG_TOP_BRANDS_SQL,
     "events_trailing_type_diversity": EVENTS_TRAILING_TYPE_DIVERSITY_SQL,
+    "events_late_arrivals": EVENTS_LATE_ARRIVALS_SQL,
 }
 
 
@@ -6837,6 +6882,7 @@ def registry() -> dict:
         "events_union_by_name": events_union_by_name,
         "returnflag_top_brands": returnflag_top_brands,
         "events_trailing_type_diversity": events_trailing_type_diversity,
+        "events_late_arrivals": events_late_arrivals,
         # the two most expensive ORACLE entries run at the END of the
         # oracle-checked block (but before the rows-only tail) so a driver
         # time-budget cut never costs a cheap oracle row
