@@ -6592,6 +6592,89 @@ FROM s
 """
 
 
+def orders_cumulative_revenue(sf_dir: str):
+    """GLOBAL cumulative aggregate (``SUM() OVER (ORDER BY k)`` with no
+    partition — the shape a per-key cumsum can't cover): running total of
+    order value in ingestion sequence, via the two-phase prefix scan
+    (stages/scan.py:running_sum).  Integer cents keep bucket-order addition
+    bit-exact."""
+    from ..stages.scan import running_sum
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"]
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_orderkey": t["o_orderkey"], "price_cents": _cents(t["o_totalprice"])}
+        )
+
+    return running_sum(
+        ds.map_batches(proj, batch_format="pyarrow"),
+        order_col="o_orderkey",
+        value_col="price_cents",
+        out_col="cum_cents",
+    )
+
+
+ORDERS_CUMULATIVE_REVENUE_SQL = """
+SELECT o_orderkey,
+       CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS price_cents,
+       CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT))
+              OVER (ORDER BY o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_cents
+FROM orders
+"""
+
+
+def docs_extract_numbers(sf_dir: str):
+    """Regex extract-all (``regexp_extract_all`` parity): every digit run in
+    each document, summed and counted per doc — the vectorized form uses the
+    same split-flatten-parent machinery as the tokenizers (split on
+    ``[^0-9]+`` → digit runs), so no Python regex loop touches a row.  Runs
+    longer than 18 digits are excluded on BOTH engines (int64 bound)."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        runs = pc.split_pattern_regex(t["text"], pattern="[^0-9]+").combine_chunks()
+        flat = pc.list_flatten(runs)
+        parents = pc.list_parent_indices(runs)
+        ln = pc.utf8_length(flat)
+        keep = pc.and_(pc.greater(ln, 0), pc.less_equal(ln, 18))
+        flat = flat.filter(keep)
+        par = parents.filter(keep).to_numpy(zero_copy_only=False)
+        vals = flat.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        sums = np.zeros(n, dtype=np.int64)
+        cnts = np.zeros(n, dtype=np.int64)
+        np.add.at(sums, par, vals)
+        np.add.at(cnts, par, 1)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_numbers": pa.array(cnts, pa.int64()),
+                "sum_numbers": pa.array(sums, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(extract, batch_format="pyarrow")
+
+
+DOCS_EXTRACT_NUMBERS_SQL = """
+WITH r AS (
+  SELECT doc_id,
+         list_filter(regexp_extract_all(text, '[0-9]+'),
+                     x -> length(x) <= 18) AS runs
+  FROM documents)
+SELECT doc_id,
+       CAST(len(runs) AS BIGINT) AS n_numbers,
+       CAST(COALESCE(list_sum(list_transform(runs, x -> CAST(x AS BIGINT))), 0)
+            AS BIGINT) AS sum_numbers
+FROM r
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "pricing_summary": PRICING_SUMMARY_SQL,
     "monthly_orders": MONTHLY_ORDERS_SQL,
@@ -6726,6 +6809,8 @@ ORACLE_SQL: dict[str, str] = {
     "returnflag_top_brands": RETURNFLAG_TOP_BRANDS_SQL,
     "events_trailing_type_diversity": EVENTS_TRAILING_TYPE_DIVERSITY_SQL,
     "events_late_arrivals": EVENTS_LATE_ARRIVALS_SQL,
+    "orders_cumulative_revenue": ORDERS_CUMULATIVE_REVENUE_SQL,
+    "docs_extract_numbers": DOCS_EXTRACT_NUMBERS_SQL,
 }
 
 
@@ -6883,6 +6968,8 @@ def registry() -> dict:
         "returnflag_top_brands": returnflag_top_brands,
         "events_trailing_type_diversity": events_trailing_type_diversity,
         "events_late_arrivals": events_late_arrivals,
+        "orders_cumulative_revenue": orders_cumulative_revenue,
+        "docs_extract_numbers": docs_extract_numbers,
         # the two most expensive ORACLE entries run at the END of the
         # oracle-checked block (but before the rows-only tail) so a driver
         # time-budget cut never costs a cheap oracle row

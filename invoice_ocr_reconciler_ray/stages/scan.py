@@ -87,3 +87,64 @@ def running_max(
         return out.append_column(out_col, pa.array(rm, pa.int64()))
 
     return tagged.groupby("_b").map_groups(scan_group, batch_format="pyarrow")
+
+
+def running_sum(
+    ds,
+    *,
+    order_col: str,
+    value_col: str,
+    out_col: str = "running_sum",
+    n_buckets: int = 64,
+):
+    """Dataset → Dataset with ``out_col`` = Σ of ``value_col`` over all rows
+    whose ``order_col`` ≤ this row's (current row included) — the global
+    CUMULATIVE aggregate (``SUM() OVER (ORDER BY k ROWS UNBOUNDED
+    PRECEDING)``), same two-phase scan as :func:`running_max` with the
+    bucket fold being addition.  ``value_col`` must be exact int64 (cents /
+    counts) so bucket-order addition is bit-exact."""
+    mm = ds.aggregate(Min(order_col), Max(order_col))
+    lo = int(mm[f"min({order_col})"])
+    hi = int(mm[f"max({order_col})"])
+    span = max(1, hi - lo + 1)
+
+    def tag(t: pa.Table) -> pa.Table:
+        oc = t[order_col].combine_chunks().to_numpy(zero_copy_only=False)
+        b = (oc.astype(np.int64) - lo) * n_buckets // span
+        return t.append_column("_b", pa.array(b.astype(np.int64)))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+
+    def bucket_sum(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"_b": t["_b"], "v": t[value_col]})
+            .group_by("_b")
+            .aggregate([("v", "sum")])
+        )
+        return g.rename_columns(["_b", "vsum"])
+
+    from ray.data.aggregate import Sum as _Sum
+
+    parts = (
+        tagged.map_batches(bucket_sum, batch_format="pyarrow")
+        .groupby("_b")
+        .aggregate(_Sum("vsum", alias_name="vsum"))
+        .take_all()
+    )
+    bsum = {int(r["_b"]): int(r["vsum"]) for r in parts}
+    prefix: dict[int, int] = {}
+    cur = 0
+    for b in range(n_buckets):
+        prefix[b] = cur
+        cur += bsum.get(b, 0)
+    pref_ref = ray.put(prefix)
+
+    def scan_group(g: pa.Table) -> pa.Table:
+        b = g["_b"][0].as_py()
+        s = g.take(pc.sort_indices(g, sort_keys=[(order_col, "ascending")]))
+        v = s[value_col].combine_chunks().to_numpy(zero_copy_only=False)
+        rs = np.cumsum(v.astype(np.int64)) + ray.get(pref_ref)[b]
+        out = s.drop_columns(["_b"])
+        return out.append_column(out_col, pa.array(rs, pa.int64()))
+
+    return tagged.groupby("_b").map_groups(scan_group, batch_format="pyarrow")

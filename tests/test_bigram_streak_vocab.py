@@ -86,3 +86,25 @@ def test_user_count_quantiles_disc_semantics(ray_session, tmp_path):
     out = events_user_count_quantiles(str(tmp_path))
     got = dict(zip(out["q"].to_pylist(), out["value"].to_pylist()))
     assert got == {0.0: 1.0, 0.25: 1.0, 0.5: 2.0, 0.75: 3.0, 1.0: 4.0}
+
+
+def test_extract_numbers_edges(ray_session, tmp_path):
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "pay 120 now, ref 034-7",   # 120 + 34 + 7, three runs
+                    "no digits here",            # zero runs
+                    "big 1234567890123456789 x 5",  # 19-digit run excluded
+                ]
+            ),
+        }
+    )
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    from invoice_ocr_reconciler_ray.pipelines.queries import docs_extract_numbers
+
+    out = docs_extract_numbers(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert out.loc[1].tolist() == [3, 120 + 34 + 7]
+    assert out.loc[2].tolist() == [0, 0]
+    assert out.loc[3].tolist() == [1, 5]

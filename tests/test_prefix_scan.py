@@ -56,3 +56,26 @@ def test_running_max_descending_values_stay_pinned(ray_session):
         .to_pandas()
     )
     assert set(out.rm) == {n}
+
+
+def test_running_sum_matches_numpy_with_negatives(ray_session):
+    from invoice_ocr_reconciler_ray.stages.scan import running_sum
+
+    rng = np.random.RandomState(13)
+    n = 2500
+    ids = rng.choice(10**6, n, replace=False).astype(np.int64)
+    vals = rng.randint(-1000, 1000, n).astype(np.int64)
+    tbl = pa.table({"oid": pa.array(ids), "v": pa.array(vals)})
+    out = (
+        running_sum(
+            rd.from_arrow(tbl).repartition(7),
+            order_col="oid",
+            value_col="v",
+            out_col="rs",
+            n_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("oid")
+    )
+    order = np.argsort(ids)
+    assert out.rs.tolist() == np.cumsum(vals[order]).tolist()
