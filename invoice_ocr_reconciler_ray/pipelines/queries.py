@@ -6675,6 +6675,49 @@ FROM r
 """
 
 
+def events_user_type_sequence(sf_dir: str):
+    """Ordered collect-list — the behavior-sequence training export: each
+    user's first 20 event types as one '>'-joined string (deterministic
+    (ts, event_id) order, capped so a hot user can't blow up a row).  One
+    co-partition shuffle; the per-group kernel is a sort + a slice + a
+    join."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    def seq(g: pa.Table) -> pa.Table:
+        s = g.take(
+            pc.sort_indices(
+                g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+            )
+        )
+        types = s["event_type"].to_pylist()[:20]
+        return pa.table(
+            {
+                "user_id": s["user_id"].slice(0, 1),
+                "type_seq": pa.array([">".join(types)], pa.string()),
+                "n_events": pa.array([g.num_rows], pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(seq, batch_format="pyarrow")
+
+
+EVENTS_USER_TYPE_SEQUENCE_SQL = """
+WITH r AS (
+  SELECT user_id, event_type, ts, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_events
+  FROM events)
+SELECT user_id,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS type_seq,
+       CAST(MIN(n_events) AS BIGINT) AS n_events
+FROM r WHERE rn <= 20
+GROUP BY user_id
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "pricing_summary": PRICING_SUMMARY_SQL,
     "monthly_orders": MONTHLY_ORDERS_SQL,
@@ -6811,6 +6854,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_late_arrivals": EVENTS_LATE_ARRIVALS_SQL,
     "orders_cumulative_revenue": ORDERS_CUMULATIVE_REVENUE_SQL,
     "docs_extract_numbers": DOCS_EXTRACT_NUMBERS_SQL,
+    "events_user_type_sequence": EVENTS_USER_TYPE_SEQUENCE_SQL,
 }
 
 
@@ -6970,6 +7014,7 @@ def registry() -> dict:
         "events_late_arrivals": events_late_arrivals,
         "orders_cumulative_revenue": orders_cumulative_revenue,
         "docs_extract_numbers": docs_extract_numbers,
+        "events_user_type_sequence": events_user_type_sequence,
         # the two most expensive ORACLE entries run at the END of the
         # oracle-checked block (but before the rows-only tail) so a driver
         # time-budget cut never costs a cheap oracle row

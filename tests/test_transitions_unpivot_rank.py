@@ -176,3 +176,25 @@ def test_dow_hour_profile_iso_weekday(ray_session, tmp_path):
         (1, 13, 125, 1),
         (7, 0, 200, 1),
     ]
+
+
+def test_user_type_sequence_order_and_cap(ray_session, tmp_path):
+    # 25 events: first 20 by (ts, event_id) make the sequence; n_events = 25.
+    n = 25
+    events = pa.table(
+        {
+            "event_id": pa.array(list(range(n)), pa.int64()),
+            "user_id": pa.array([1] * n, pa.int64()),
+            # all same ts → order falls back to event_id
+            "ts": pa.array([_ts(2026, 1, 1)] * n, pa.timestamp("us")),
+            "event_type": pa.array([f"t{i}" for i in range(n)]),
+        }
+    )
+    pq.write_table(events, tmp_path / "events.parquet")
+    from invoice_ocr_reconciler_ray.pipelines.queries import events_user_type_sequence
+
+    out = events_user_type_sequence(str(tmp_path)).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r.type_seq == ">".join(f"t{i}" for i in range(20))
+    assert r.n_events == 25
