@@ -6718,6 +6718,42 @@ GROUP BY user_id
 """
 
 
+def orders_price_ntile(sf_dir: str):
+    """Global value-ordered row_number + SQL-exact NTILE(4) — the window
+    family's last gap (``docs_global_shuffle_rank`` orders by hash; this
+    orders by VALUE) via stages/rank.py:global_value_rank: value-range
+    buckets + O(B) prefix offsets, no global sort, no driver collect."""
+    from ..stages.rank import global_value_rank
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"]
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_orderkey": t["o_orderkey"], "price_cents": _cents(t["o_totalprice"])}
+        )
+
+    return global_value_rank(
+        ds.map_batches(proj, batch_format="pyarrow"),
+        value_col="price_cents",
+        id_col="o_orderkey",
+        out_col="rnk",
+        ntile_k=4,
+    )
+
+
+ORDERS_PRICE_NTILE_SQL = """
+SELECT o_orderkey,
+       CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS price_cents,
+       CAST(row_number() OVER (ORDER BY FLOOR(o_totalprice*100 + 0.5),
+                               o_orderkey) AS BIGINT) AS rnk,
+       CAST(ntile(4) OVER (ORDER BY FLOOR(o_totalprice*100 + 0.5),
+                           o_orderkey) AS BIGINT) AS tile
+FROM orders
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "pricing_summary": PRICING_SUMMARY_SQL,
     "monthly_orders": MONTHLY_ORDERS_SQL,
@@ -6855,6 +6891,7 @@ ORACLE_SQL: dict[str, str] = {
     "orders_cumulative_revenue": ORDERS_CUMULATIVE_REVENUE_SQL,
     "docs_extract_numbers": DOCS_EXTRACT_NUMBERS_SQL,
     "events_user_type_sequence": EVENTS_USER_TYPE_SEQUENCE_SQL,
+    "orders_price_ntile": ORDERS_PRICE_NTILE_SQL,
 }
 
 
@@ -7015,6 +7052,7 @@ def registry() -> dict:
         "orders_cumulative_revenue": orders_cumulative_revenue,
         "docs_extract_numbers": docs_extract_numbers,
         "events_user_type_sequence": events_user_type_sequence,
+        "orders_price_ntile": orders_price_ntile,
         # the two most expensive ORACLE entries run at the END of the
         # oracle-checked block (but before the rows-only tail) so a driver
         # time-budget cut never costs a cheap oracle row

@@ -91,3 +91,87 @@ def global_rank(
         return pa.table({id_col: g[id_col].take(order), "pos": pos})
 
     return hashed.groupby("bucket").map_groups(rank_group, batch_format="pyarrow")
+
+
+def global_value_rank(
+    ds: rd.Dataset,
+    *,
+    value_col: str,
+    id_col: str,
+    out_col: str = "rnk",
+    ntile_k: int | None = None,
+    n_buckets: int = 256,
+) -> rd.Dataset:
+    """Exact global ``row_number() OVER (ORDER BY value, id)`` — and,
+    optionally, SQL-exact ``ntile(k)`` over the same order — WITHOUT a
+    global sort: value-RANGE buckets (bucket order == value order), per-block
+    bucket-count partials folded into O(B) driver prefix offsets, then one
+    groupby(bucket) shuffle where each bucket sorts locally and adds its
+    offset.  ``value_col`` must be int64-like and non-null; ``id_col`` breaks
+    ties (must be unique).  Unlike :func:`global_rank`'s md5 buckets, VALUE
+    buckets inherit the data's skew — a single hot value lands in one bucket;
+    raise ``n_buckets`` (or pre-shift to a finer key) when a bucket would
+    exceed a group task's heap, same contract as exact_group_quantiles."""
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    mm = ds.aggregate(Min(value_col), Max(value_col))
+    lo = int(mm[f"min({value_col})"])
+    hi = int(mm[f"max({value_col})"])
+    span = max(1, hi - lo + 1)
+
+    def tag(t: pa.Table) -> pa.Table:
+        v = t[value_col].combine_chunks().to_numpy(zero_copy_only=False)
+        b = (v.astype(np.int64) - lo) * n_buckets // span
+        return t.append_column("_b", pa.array(b.astype(np.int64)))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+
+    def bucket_count(t: pa.Table) -> pa.Table:
+        b = t["_b"].combine_chunks().to_numpy(zero_copy_only=False)
+        c = np.bincount(b, minlength=n_buckets)
+        return pa.table(
+            {
+                "_b": pa.array(np.arange(n_buckets), pa.int64()),
+                "c": pa.array(c, pa.int64()),
+            }
+        )
+
+    parts = (
+        tagged.map_batches(bucket_count, batch_format="pyarrow")
+        .groupby("_b")
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()
+    )
+    counts = np.zeros(n_buckets, dtype=np.int64)
+    for r in parts:
+        counts[int(r["_b"])] = int(r["c"])
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    n_total = int(counts.sum())
+    off_ref = ray.put(offsets)
+
+    if ntile_k is not None:
+        q, rem = divmod(n_total, ntile_k)
+        boundary = rem * (q + 1)
+
+    def rank_group(g: pa.Table) -> pa.Table:
+        b = g["_b"][0].as_py()
+        s = g.take(
+            pc.sort_indices(
+                g, sort_keys=[(value_col, "ascending"), (id_col, "ascending")]
+            )
+        )
+        rnk = ray.get(off_ref)[b] + np.arange(1, s.num_rows + 1, dtype=np.int64)
+        out = s.drop_columns(["_b"]).append_column(out_col, pa.array(rnk))
+        if ntile_k is not None:
+            # SQL NTILE: first (n % k) tiles get one extra row
+            tile = np.where(
+                rnk <= boundary,
+                (rnk - 1) // (q + 1) + 1,
+                rem + (rnk - 1 - boundary) // max(q, 1) + 1,
+            ).astype(np.int64)
+            out = out.append_column("tile", pa.array(tile))
+        return out
+
+    return tagged.groupby("_b").map_groups(rank_group, batch_format="pyarrow")

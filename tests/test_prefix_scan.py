@@ -79,3 +79,36 @@ def test_running_sum_matches_numpy_with_negatives(ray_session):
     )
     order = np.argsort(ids)
     assert out.rs.tolist() == np.cumsum(vals[order]).tolist()
+
+
+def test_global_value_rank_and_ntile_match_sequential(ray_session):
+    """Value-ordered rank across scattered blocks must equal the sequential
+    argsort, and NTILE must follow SQL's first-tiles-get-extras split —
+    including heavy ties on the value column (ties → id order)."""
+    from invoice_ocr_reconciler_ray.stages.rank import global_value_rank
+
+    rng = np.random.RandomState(17)
+    n = 1001  # deliberately not divisible by k
+    ids = rng.permutation(n).astype(np.int64)
+    vals = rng.randint(0, 50, n).astype(np.int64)  # heavy ties
+    tbl = pa.table({"oid": pa.array(ids), "v": pa.array(vals)})
+    out = (
+        global_value_rank(
+            rd.from_arrow(tbl).repartition(7),
+            value_col="v",
+            id_col="oid",
+            out_col="rnk",
+            ntile_k=4,
+            n_buckets=32,
+        )
+        .to_pandas()
+        .sort_values("rnk")
+    )
+    order = np.lexsort((ids, vals))
+    assert out.oid.tolist() == ids[order].tolist()
+    assert out.rnk.tolist() == list(range(1, n + 1))
+    # SQL ntile(4) over 1001 rows: tile sizes 251, 250, 250, 250
+    sizes = out.tile.value_counts().sort_index().tolist()
+    assert sizes == [251, 250, 250, 250]
+    # tiles are contiguous in rank order
+    assert out.tile.is_monotonic_increasing
