@@ -6754,6 +6754,55 @@ FROM orders
 """
 
 
+def customer_tree_roots(sf_dir: str):
+    """WITH RECURSIVE parity — hierarchy flattening: customers form a
+    deterministic parent-pointer tree (``parent = custkey // 3``, keys < 3
+    are self-looped roots); every node resolves to (root, depth) via
+    pointer doubling (stages/hierarchy.py:resolve_roots — O(log depth)
+    distributed joins, never a driver walk)."""
+    from ..stages.hierarchy import resolve_roots
+
+    ds = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey"])
+
+    def mk_parent(t: pa.Table) -> pa.Table:
+        k = t["c_custkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        parent = np.where(k >= 3, k // 3, k).astype(np.int64)
+        return pa.table(
+            {"c_custkey": t["c_custkey"], "parent": pa.array(parent)}
+        )
+
+    mx = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey"]).aggregate(
+        Max("c_custkey")
+    )["max(c_custkey)"]
+    import math
+
+    depth_bound = int(math.log(max(int(mx), 3), 3)) + 2
+    out = resolve_roots(
+        ds.map_batches(mk_parent, batch_format="pyarrow"),
+        node_col="c_custkey",
+        parent_col="parent",
+        max_depth=depth_bound,
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {"c_custkey": t["node"], "root": t["root"], "depth": t["depth"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+CUSTOMER_TREE_ROOTS_SQL = """
+WITH RECURSIVE up AS (
+  SELECT c_custkey AS node, c_custkey AS cur, CAST(0 AS BIGINT) AS depth
+  FROM customer
+  UNION ALL
+  SELECT node, cur // 3, depth + 1 FROM up WHERE cur >= 3)
+SELECT node AS c_custkey, CAST(cur AS BIGINT) AS root, depth
+FROM up
+QUALIFY row_number() OVER (PARTITION BY node ORDER BY depth DESC) = 1
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "pricing_summary": PRICING_SUMMARY_SQL,
     "monthly_orders": MONTHLY_ORDERS_SQL,
@@ -6892,6 +6941,7 @@ ORACLE_SQL: dict[str, str] = {
     "docs_extract_numbers": DOCS_EXTRACT_NUMBERS_SQL,
     "events_user_type_sequence": EVENTS_USER_TYPE_SEQUENCE_SQL,
     "orders_price_ntile": ORDERS_PRICE_NTILE_SQL,
+    "customer_tree_roots": CUSTOMER_TREE_ROOTS_SQL,
 }
 
 
@@ -7053,6 +7103,7 @@ def registry() -> dict:
         "docs_extract_numbers": docs_extract_numbers,
         "events_user_type_sequence": events_user_type_sequence,
         "orders_price_ntile": orders_price_ntile,
+        "customer_tree_roots": customer_tree_roots,
         # the two most expensive ORACLE entries run at the END of the
         # oracle-checked block (but before the rows-only tail) so a driver
         # time-budget cut never costs a cheap oracle row

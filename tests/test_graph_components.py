@@ -72,3 +72,37 @@ def test_triangle_counts_hand_graph(ray_session):
     )
     assert out.to_dict() == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0, 6: 0}
     assert str(out.dtype) == "int64"
+
+
+def test_resolve_roots_pointer_doubling_matches_walk(ray_session):
+    """Hierarchy flattening: roots/depths from log-round pointer doubling
+    must equal a sequential pointer walk, incl. multi-root forests and a
+    depth bound that overshoots (no-op rounds)."""
+    import numpy as np
+
+    from invoice_ocr_reconciler_ray.stages.hierarchy import resolve_roots
+
+    # forest: parent = n // 5 for n >= 5; nodes 1..4 are self-loop roots
+    nodes = np.arange(1, 800, dtype=np.int64)
+    parents = np.where(nodes >= 5, nodes // 5, nodes)
+    ds = rd.from_arrow(
+        pa.table({"n": pa.array(nodes), "p": pa.array(parents)})
+    ).repartition(6)
+    out = (
+        resolve_roots(ds, node_col="n", parent_col="p", max_depth=16)
+        .to_pandas()
+        .set_index("node")
+        .sort_index()
+    )
+
+    def walk(n):
+        d = 0
+        while n >= 5:
+            n //= 5
+            d += 1
+        return n, d
+
+    for n in [1, 4, 5, 24, 25, 124, 125, 624, 625, 799]:
+        root, depth = walk(n)
+        assert (out.loc[n, "root"], out.loc[n, "depth"]) == (root, depth), n
+    assert len(out) == len(nodes)
