@@ -113,6 +113,8 @@ QUERY_SUBSET = [
     "window_dedup_docs",
     "docs_pagerank",
     "embeddings_knn_join",
+    "orders_cumulative_revenue",
+    "events_trailing_value_sum",
 ]
 
 
