@@ -6803,6 +6803,359 @@ QUALIFY row_number() OVER (PARTITION BY node ORDER BY depth DESC) = 1
 """
 
 
+def customer_supplier_linkage(sf_dir: str):
+    """Blocked fuzzy record LINKAGE as an oracle-checked distributed join:
+    every (customer, supplier) pair in the same nation whose 9-digit name
+    suffixes are within Levenshtein 2 (stages/linkage.py — small side
+    broadcast once, big side streams through one shuffle-free map_batches
+    probing a Myers bit-parallel pack per block).  The first fuzzy-join op
+    with an EXACT DuckDB oracle (``levenshtein()`` join predicate) — the
+    reconciliation fuzzy ops are rows-only because greedy 1:1 assignment
+    isn't SQL."""
+    import pyarrow.parquet as pq
+
+    from ..stages.linkage import blocked_fuzzy_join
+
+    small = pq.read_table(
+        _t(sf_dir, "supplier"), columns=["s_suppkey", "s_name", "s_nationkey"]
+    )
+    small_rows = [
+        (b, i, n[9:])
+        for b, i, n in zip(
+            small["s_nationkey"].to_pylist(),
+            small["s_suppkey"].to_pylist(),
+            small["s_name"].to_pylist(),
+        )
+    ]
+    big = rd.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_name", "c_nationkey"]
+    )
+
+    def add_key(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "c_nationkey": t["c_nationkey"],
+                "_key": pc.utf8_slice_codeunits(
+                    t["c_name"], start=9, stop=2**31 - 1
+                ),
+            }
+        )
+
+    return blocked_fuzzy_join(
+        big.map_batches(add_key, batch_format="pyarrow"),
+        small_rows,
+        big_id="c_custkey",
+        big_block="c_nationkey",
+        big_key="_key",
+        threshold=2,
+        out_big="c_custkey",
+        out_small="s_suppkey",
+        out_block="c_nationkey",
+        out_dist="lev_dist",
+    )
+
+
+CUSTOMER_SUPPLIER_LINKAGE_SQL = """
+SELECT c.c_custkey AS c_custkey,
+       s.s_suppkey AS s_suppkey,
+       c.c_nationkey AS c_nationkey,
+       CAST(levenshtein(substr(c.c_name, 10), substr(s.s_name, 10)) AS BIGINT)
+         AS lev_dist
+FROM customer c JOIN supplier s
+  ON c.c_nationkey = s.s_nationkey
+ AND levenshtein(substr(c.c_name, 10), substr(s.s_name, 10)) <= 2
+"""
+
+
+def docs_sequence_pack(sf_dir: str):
+    """Training-sequence PACKING: assign every document a global token
+    offset (exclusive prefix sum of token counts in doc_id order) and a
+    fixed-capacity training block id (offset // 256) — the deterministic
+    "concat the corpus, cut every B tokens" layout every LLM pretraining
+    loader needs.  The global prefix sum is the two-phase range-bucket scan
+    (stages/scan.py:running_sum), so the plan has no all-to-all shuffle."""
+    from ..stages.scan import running_sum
+    from ..stages.text_analysis import token_count_stage
+
+    ds = token_count_stage(
+        rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    )
+    cum = running_sum(
+        ds, order_col="doc_id", value_col="n_tokens", out_col="_cum"
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        c = t["_cum"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = t["n_tokens"].combine_chunks().to_numpy(zero_copy_only=False)
+        off = c - n.astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": t["n_tokens"],
+                "token_offset": pa.array(off, pa.int64()),
+                "block_id": pa.array(off // 256, pa.int64()),
+            }
+        )
+
+    return cum.map_batches(finish, batch_format="pyarrow")
+
+
+DOCS_SEQUENCE_PACK_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+  FROM documents)
+SELECT doc_id, n_tokens,
+       CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+            - n_tokens AS BIGINT) AS token_offset,
+       CAST((SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+            - n_tokens) // 256 AS BIGINT) AS block_id
+FROM toks
+"""
+
+
+def docs_skipgram_pairs(sf_dir: str):
+    """Skip-gram co-occurrence (window ≤ 2): ordered token pairs (w_i,
+    w_{i+d}) for d ∈ {1, 2} — the word2vec-style positional statistic
+    (distinct from ``docs_bigram_counts``'s adjacency-only and
+    ``docs_term_cooccurrence``'s unordered doc-level pairs).  Same fully
+    vectorized shape as the bigram op: one ``list_flatten`` per block, the
+    d-shift adjacency is a numpy compare on parent ids, block-local pair
+    counts are the combiner so the shuffle carries O(pair-vocab) rows."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(t["text"]), pattern=r"[^a-z0-9]+"
+        ).combine_chunks()
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        f = flat.filter(keep).to_numpy(zero_copy_only=False)
+        p = parents.filter(keep).to_numpy(zero_copy_only=False)
+        a_parts, b_parts = [], []
+        for d in (1, 2):
+            if len(f) <= d:
+                continue
+            adj = p[d:] == p[:-d]
+            a_parts.append(f[:-d][adj])
+            b_parts.append(f[d:][adj])
+        if not a_parts:
+            return pa.table(
+                {
+                    "w1": pa.array([], pa.string()),
+                    "w2": pa.array([], pa.string()),
+                    "n_pairs": pa.array([], pa.int64()),
+                }
+            )
+        a = np.concatenate(a_parts)
+        b = np.concatenate(b_parts)
+        tb = pa.table(
+            {
+                "w1": pa.array(a, pa.string()),
+                "w2": pa.array(b, pa.string()),
+                "n_pairs": pa.array(np.ones(len(a), np.int64)),
+            }
+        )
+        g = tb.group_by(["w1", "w2"]).aggregate([("n_pairs", "sum")])
+        return g.rename_columns(["w1", "w2", "n_pairs"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("n_pairs", alias_name="n_pairs"))
+    )
+
+
+DOCS_SKIPGRAM_PAIRS_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents),
+t AS (SELECT doc_id, unnest(l) AS term, unnest(range(1, len(l)+1)) AS pos
+      FROM d),
+p AS (
+  SELECT doc_id, term AS w1,
+         lead(term, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM t
+  UNION ALL
+  SELECT doc_id, term,
+         lead(term, 2) OVER (PARTITION BY doc_id ORDER BY pos)
+  FROM t)
+SELECT w1, w2, COUNT(*) AS n_pairs
+FROM p WHERE w2 IS NOT NULL
+GROUP BY w1, w2
+"""
+
+
+def lineitem_ols_by_flag(sf_dir: str):
+    """Per-group linear regression (price-vs-quantity by return flag) via
+    exact integer sufficient statistics (stages/regression.py): the five
+    sums are order-independent int64 (quantity is integral, price in
+    cents), and slope/intercept are ONE fixed IEEE double expression over
+    them — bit-identical to the SQL oracle evaluating the same formula."""
+    from ..stages.regression import grouped_ols
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "qty": pc.cast(t["l_quantity"], pa.int64()),
+                "price_cents": _cents(t["l_extendedprice"]),
+            }
+        )
+
+    return grouped_ols(
+        ds.map_batches(proj, batch_format="pyarrow"),
+        group_col="l_returnflag",
+        x_col="qty",
+        y_col="price_cents",
+    )
+
+
+LINEITEM_OLS_BY_FLAG_SQL = """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_x,
+         CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_y,
+         CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+           AS BIGINT) AS sum_xx,
+         CAST(SUM(CAST(l_quantity AS BIGINT)
+                  * CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT))
+           AS BIGINT) AS sum_xy
+  FROM lineitem GROUP BY l_returnflag),
+f AS (
+  SELECT *,
+         (CAST(n_rows AS DOUBLE)*CAST(sum_xy AS DOUBLE)
+          - CAST(sum_x AS DOUBLE)*CAST(sum_y AS DOUBLE))
+         / (CAST(n_rows AS DOUBLE)*CAST(sum_xx AS DOUBLE)
+            - CAST(sum_x AS DOUBLE)*CAST(sum_x AS DOUBLE)) AS slope
+  FROM s)
+SELECT l_returnflag, n_rows, sum_x, sum_y, sum_xx, sum_xy, slope,
+       (CAST(sum_y AS DOUBLE) - slope*CAST(sum_x AS DOUBLE))
+         / CAST(n_rows AS DOUBLE) AS intercept
+FROM f
+"""
+
+
+def events_ohlc_hourly(sf_dir: str):
+    """Hourly OHLC bars over the event stream — the arg_min/arg_max
+    selection-aggregate family (stages/timeseries.py: per-block numpy
+    lexsort+reduceat partials, driver merge of buckets×blocks rows, zero
+    shuffle).  Ties on ts break by event_id so open/close are
+    deterministic."""
+    from ..stages.timeseries import ohlc_bars
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "ts", "value"]
+    )
+    return ohlc_bars(ds, ts_col="ts", id_col="event_id", value_col="value")
+
+
+EVENTS_OHLC_HOURLY_SQL = """
+WITH e AS (
+  SELECT CAST(epoch_us(ts) // 3600000000 * 3600000000 AS BIGINT) AS hour_us,
+         ts, event_id, value
+  FROM events),
+w AS (
+  SELECT hour_us, value,
+         row_number() OVER (PARTITION BY hour_us
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY hour_us
+                            ORDER BY ts DESC, event_id DESC) AS rn_z
+  FROM e)
+SELECT hour_us,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_z = 1 THEN value END) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM w GROUP BY hour_us
+"""
+
+
+def docs_weighted_sample(sf_dir: str):
+    """Weighted (probability-proportional-to-size) SYSTEMATIC sample of 50
+    docs: lay the corpus on a weight line (weight = n_tokens + 1) in doc_id
+    order via the global prefix scan, then select the doc covering each of
+    50 evenly-spaced integer anchors (2i+1)·W / 100 — classic systematic
+    PPS sampling with deterministic anchors, so every selection is exact
+    integer arithmetic (no float sort keys to hash-mismatch on).  Anchors
+    broadcast to a shuffle-free probe; heavy docs may legitimately cover
+    several anchors (one output row per anchor)."""
+    from ..stages.scan import running_sum
+    from ..stages.text_analysis import token_count_stage
+
+    k = 50
+    ds = token_count_stage(
+        rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    )
+
+    def wproj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "weight": pc.add(pc.cast(t["n_tokens"], pa.int64()), 1),
+            }
+        )
+
+    wds = ds.map_batches(wproj, batch_format="pyarrow")
+    total = int(wds.aggregate(Sum("weight"))["sum(weight)"])
+    anchors = np.array(
+        [(2 * i + 1) * total // (2 * k) for i in range(k)], np.int64
+    )
+    cum = running_sum(wds, order_col="doc_id", value_col="weight", out_col="_cum")
+
+    def probe(t: pa.Table) -> pa.Table:
+        c = t["_cum"].combine_chunks().to_numpy(zero_copy_only=False)
+        w = t["weight"].combine_chunks().to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        lo = c - w
+        hit_t, hit_r = np.nonzero(
+            (anchors[:, None] >= lo[None, :]) & (anchors[:, None] < c[None, :])
+        )
+        return pa.table(
+            {
+                "sample_idx": pa.array(hit_t.astype(np.int64)),
+                "doc_id": pa.array(ids[hit_r].astype(np.int64)),
+                "weight": pa.array(w[hit_r].astype(np.int64)),
+            }
+        )
+
+    return cum.map_batches(probe, batch_format="pyarrow")
+
+
+DOCS_WEIGHTED_SAMPLE_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END + 1
+           AS weight
+  FROM documents),
+c AS (
+  SELECT doc_id, weight,
+         SUM(weight) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_w
+  FROM toks),
+tot AS (SELECT SUM(weight) AS wtot FROM toks),
+tg AS (
+  SELECT CAST(r.range AS BIGINT) AS sample_idx,
+         (2*r.range + 1) * wtot // 100 AS pos
+  FROM range(50) r, tot)
+SELECT tg.sample_idx, c.doc_id, CAST(c.weight AS BIGINT) AS weight
+FROM c JOIN tg ON tg.pos >= c.cum_w - c.weight AND tg.pos < c.cum_w
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "pricing_summary": PRICING_SUMMARY_SQL,
     "monthly_orders": MONTHLY_ORDERS_SQL,
@@ -6942,6 +7295,12 @@ ORACLE_SQL: dict[str, str] = {
     "events_user_type_sequence": EVENTS_USER_TYPE_SEQUENCE_SQL,
     "orders_price_ntile": ORDERS_PRICE_NTILE_SQL,
     "customer_tree_roots": CUSTOMER_TREE_ROOTS_SQL,
+    "customer_supplier_linkage": CUSTOMER_SUPPLIER_LINKAGE_SQL,
+    "docs_sequence_pack": DOCS_SEQUENCE_PACK_SQL,
+    "docs_skipgram_pairs": DOCS_SKIPGRAM_PAIRS_SQL,
+    "lineitem_ols_by_flag": LINEITEM_OLS_BY_FLAG_SQL,
+    "events_ohlc_hourly": EVENTS_OHLC_HOURLY_SQL,
+    "docs_weighted_sample": DOCS_WEIGHTED_SAMPLE_SQL,
 }
 
 
@@ -7104,6 +7463,12 @@ def registry() -> dict:
         "events_user_type_sequence": events_user_type_sequence,
         "orders_price_ntile": orders_price_ntile,
         "customer_tree_roots": customer_tree_roots,
+        "customer_supplier_linkage": customer_supplier_linkage,
+        "docs_sequence_pack": docs_sequence_pack,
+        "docs_skipgram_pairs": docs_skipgram_pairs,
+        "lineitem_ols_by_flag": lineitem_ols_by_flag,
+        "events_ohlc_hourly": events_ohlc_hourly,
+        "docs_weighted_sample": docs_weighted_sample,
         # the two most expensive ORACLE entries run at the END of the
         # oracle-checked block (but before the rows-only tail) so a driver
         # time-budget cut never costs a cheap oracle row
