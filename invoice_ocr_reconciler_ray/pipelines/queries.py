@@ -7156,6 +7156,245 @@ FROM c JOIN tg ON tg.pos >= c.cum_w - c.weight AND tg.pos < c.cum_w
 """
 
 
+def lineitem_scaled_features(sf_dir: str):
+    """Grouped FEATURE SCALING (z-score + min-max of quantity per return
+    flag) — the ML-preprocessing normalization pass, bit-exact against SQL:
+    group stats are exact int64 block partials (n, Σx, Σx², min, max —
+    quantity ≤ 50 keeps Σx² far from overflow at any scale) merged on the
+    driver and broadcast; every per-row double comes from ONE fixed IEEE
+    expression (sqrt is correctly rounded, so numpy == DuckDB)."""
+    stats_src = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_returnflag", "l_quantity"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = pc.cast(t["l_quantity"], pa.int64())
+        xn = x.to_numpy(zero_copy_only=False)
+        tb = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "n": pa.array(np.ones(len(xn), np.int64)),
+                "sx": x,
+                "sxx": pa.array(xn * xn),
+                "mn": x,
+                "mx": x,
+            }
+        )
+        g = tb.group_by("l_returnflag").aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sxx", "sum"),
+             ("mn", "min"), ("mx", "max")]
+        )
+        return g.rename_columns(["l_returnflag", "n", "sx", "sxx", "mn", "mx"])
+
+    parts = (
+        stats_src.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("l_returnflag")
+        .agg(n=("n", "sum"), sx=("sx", "sum"), sxx=("sxx", "sum"),
+             mn=("mn", "min"), mx=("mx", "max"))
+    )
+    flags = list(parts.index)
+    n = parts["n"].to_numpy().astype(np.float64)
+    sx = parts["sx"].to_numpy().astype(np.float64)
+    sxx = parts["sxx"].to_numpy().astype(np.float64)
+    mean = sx / n
+    std = np.sqrt((n * sxx - sx * sx) / (n * n))
+    mn = parts["mn"].to_numpy().astype(np.int64)
+    den = (parts["mx"].to_numpy() - mn).astype(np.float64)
+    flag_arr = pa.array(flags, pa.string())
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"],
+    )
+
+    def scale(t: pa.Table) -> pa.Table:
+        x = (
+            pc.cast(t["l_quantity"], pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        idx = pc.index_in(t["l_returnflag"], value_set=flag_arr).to_numpy(
+            zero_copy_only=False
+        )
+        xf = x.astype(np.float64)
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": t["l_linenumber"],
+                "l_returnflag": t["l_returnflag"],
+                "qty": pa.array(x, pa.int64()),
+                "z_score": pa.array((xf - mean[idx]) / std[idx], pa.float64()),
+                "minmax_scaled": pa.array(
+                    (x - mn[idx]).astype(np.float64) / den[idx], pa.float64()
+                ),
+            }
+        )
+
+    return ds.map_batches(scale, batch_format="pyarrow")
+
+
+LINEITEM_SCALED_FEATURES_SQL = """
+WITH c AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem),
+s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(qty) AS BIGINT) AS sx,
+         CAST(SUM(qty*qty) AS BIGINT) AS sxx,
+         MIN(qty) AS mn, MAX(qty) AS mx
+  FROM c GROUP BY l_returnflag)
+SELECT c.l_orderkey, c.l_linenumber, c.l_returnflag, c.qty,
+       (CAST(c.qty AS DOUBLE) - CAST(s.sx AS DOUBLE)/CAST(s.n AS DOUBLE))
+       / sqrt((CAST(s.n AS DOUBLE)*CAST(s.sxx AS DOUBLE)
+               - CAST(s.sx AS DOUBLE)*CAST(s.sx AS DOUBLE))
+              / (CAST(s.n AS DOUBLE)*CAST(s.n AS DOUBLE))) AS z_score,
+       CAST(c.qty - s.mn AS DOUBLE) / CAST(s.mx - s.mn AS DOUBLE)
+         AS minmax_scaled
+FROM c JOIN s ON c.l_returnflag = s.l_returnflag
+"""
+
+
+def lineitem_measure_corr(sf_dir: str):
+    """Data-profiling CORRELATION MATRIX over the small-integer lineitem
+    measures (quantity, discount cents, tax cents) via
+    stages/regression.py:pairwise_corr — one partial row per block, exact
+    int64 sums, fixed IEEE corr expression (matches DuckDB bit-for-bit
+    without trusting its float-accumulating corr())."""
+    from ..stages.regression import pairwise_corr
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_quantity", "l_discount", "l_tax"]
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "qty": pc.cast(t["l_quantity"], pa.int64()),
+                "disc_cents": _cents(t["l_discount"]),
+                "tax_cents": _cents(t["l_tax"]),
+            }
+        )
+
+    return pairwise_corr(
+        ds.map_batches(proj, batch_format="pyarrow"),
+        cols=["qty", "disc_cents", "tax_cents"],
+    )
+
+
+LINEITEM_MEASURE_CORR_SQL = """
+WITH c AS (
+  SELECT CAST(l_quantity AS BIGINT) AS qty,
+         CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT) AS disc_cents,
+         CAST(FLOOR(l_tax*100 + 0.5) AS BIGINT) AS tax_cents
+  FROM lineitem),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(qty) AS BIGINT) AS s_q,
+         CAST(SUM(disc_cents) AS BIGINT) AS s_d,
+         CAST(SUM(tax_cents) AS BIGINT) AS s_t,
+         CAST(SUM(qty*qty) AS BIGINT) AS ss_q,
+         CAST(SUM(disc_cents*disc_cents) AS BIGINT) AS ss_d,
+         CAST(SUM(tax_cents*tax_cents) AS BIGINT) AS ss_t,
+         CAST(SUM(qty*disc_cents) AS BIGINT) AS sp_qd,
+         CAST(SUM(qty*tax_cents) AS BIGINT) AS sp_qt,
+         CAST(SUM(disc_cents*tax_cents) AS BIGINT) AS sp_dt
+  FROM c)
+SELECT 'qty' AS col_x, 'disc_cents' AS col_y, n AS n_rows,
+       (CAST(n AS DOUBLE)*CAST(sp_qd AS DOUBLE)
+        - CAST(s_q AS DOUBLE)*CAST(s_d AS DOUBLE))
+       / (sqrt(CAST(n AS DOUBLE)*CAST(ss_q AS DOUBLE)
+               - CAST(s_q AS DOUBLE)*CAST(s_q AS DOUBLE))
+          * sqrt(CAST(n AS DOUBLE)*CAST(ss_d AS DOUBLE)
+                 - CAST(s_d AS DOUBLE)*CAST(s_d AS DOUBLE))) AS corr
+FROM s
+UNION ALL
+SELECT 'qty', 'tax_cents', n,
+       (CAST(n AS DOUBLE)*CAST(sp_qt AS DOUBLE)
+        - CAST(s_q AS DOUBLE)*CAST(s_t AS DOUBLE))
+       / (sqrt(CAST(n AS DOUBLE)*CAST(ss_q AS DOUBLE)
+               - CAST(s_q AS DOUBLE)*CAST(s_q AS DOUBLE))
+          * sqrt(CAST(n AS DOUBLE)*CAST(ss_t AS DOUBLE)
+                 - CAST(s_t AS DOUBLE)*CAST(s_t AS DOUBLE)))
+FROM s
+UNION ALL
+SELECT 'disc_cents', 'tax_cents', n,
+       (CAST(n AS DOUBLE)*CAST(sp_dt AS DOUBLE)
+        - CAST(s_d AS DOUBLE)*CAST(s_t AS DOUBLE))
+       / (sqrt(CAST(n AS DOUBLE)*CAST(ss_d AS DOUBLE)
+               - CAST(s_d AS DOUBLE)*CAST(s_d AS DOUBLE))
+          * sqrt(CAST(n AS DOUBLE)*CAST(ss_t AS DOUBLE)
+                 - CAST(s_t AS DOUBLE)*CAST(s_t AS DOUBLE)))
+FROM s
+"""
+
+
+def events_chisq_type_dow(sf_dir: str):
+    """Chi-square CONTINGENCY terms for event_type × ISO day-of-week — the
+    independence-test statistic, emitted per CELL (not summed) so every
+    value is a fixed IEEE expression over exact integer counts and the
+    oracle hash can't depend on float summation order.  Block-local count
+    partials merge on the driver (O(types·7) cells)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tb = pa.table(
+            {
+                "event_type": t["event_type"],
+                "dow": pc.cast(pc.add(pc.day_of_week(t["ts"]), 1), pa.int64()),
+                "n_obs": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        g = tb.group_by(["event_type", "dow"]).aggregate([("n_obs", "sum")])
+        return g.rename_columns(["event_type", "dow", "n_obs"])
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["event_type", "dow"], as_index=False)["n_obs"]
+        .sum()
+    )
+    row_tot = cells.groupby("event_type")["n_obs"].transform("sum").to_numpy()
+    col_tot = cells.groupby("dow")["n_obs"].transform("sum").to_numpy()
+    grand = np.float64(cells["n_obs"].sum())
+    o = cells["n_obs"].to_numpy().astype(np.float64)
+    e = row_tot.astype(np.float64) * col_tot.astype(np.float64) / grand
+    return pa.table(
+        {
+            "event_type": pa.array(cells["event_type"], pa.string()),
+            "dow": pa.array(cells["dow"].to_numpy().astype(np.int64)),
+            "n_obs": pa.array(cells["n_obs"].to_numpy().astype(np.int64)),
+            "expected": pa.array(e, pa.float64()),
+            "chi2_term": pa.array((o - e) * (o - e) / e, pa.float64()),
+        }
+    )
+
+
+EVENTS_CHISQ_TYPE_DOW_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow,
+         CAST(COUNT(*) AS BIGINT) AS n_obs
+  FROM events GROUP BY event_type, dow),
+t AS (
+  SELECT *,
+         CAST(SUM(n_obs) OVER (PARTITION BY event_type) AS BIGINT) AS row_tot,
+         CAST(SUM(n_obs) OVER (PARTITION BY dow) AS BIGINT) AS col_tot,
+         CAST(SUM(n_obs) OVER () AS BIGINT) AS grand
+  FROM c)
+SELECT event_type, dow, n_obs,
+       CAST(row_tot AS DOUBLE)*CAST(col_tot AS DOUBLE)/CAST(grand AS DOUBLE)
+         AS expected,
+       (CAST(n_obs AS DOUBLE)
+        - CAST(row_tot AS DOUBLE)*CAST(col_tot AS DOUBLE)/CAST(grand AS DOUBLE))
+       * (CAST(n_obs AS DOUBLE)
+          - CAST(row_tot AS DOUBLE)*CAST(col_tot AS DOUBLE)/CAST(grand AS DOUBLE))
+       / (CAST(row_tot AS DOUBLE)*CAST(col_tot AS DOUBLE)/CAST(grand AS DOUBLE))
+         AS chi2_term
+FROM t
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "pricing_summary": PRICING_SUMMARY_SQL,
     "monthly_orders": MONTHLY_ORDERS_SQL,
@@ -7301,6 +7540,9 @@ ORACLE_SQL: dict[str, str] = {
     "lineitem_ols_by_flag": LINEITEM_OLS_BY_FLAG_SQL,
     "events_ohlc_hourly": EVENTS_OHLC_HOURLY_SQL,
     "docs_weighted_sample": DOCS_WEIGHTED_SAMPLE_SQL,
+    "lineitem_scaled_features": LINEITEM_SCALED_FEATURES_SQL,
+    "lineitem_measure_corr": LINEITEM_MEASURE_CORR_SQL,
+    "events_chisq_type_dow": EVENTS_CHISQ_TYPE_DOW_SQL,
 }
 
 
@@ -7469,6 +7711,9 @@ def registry() -> dict:
         "lineitem_ols_by_flag": lineitem_ols_by_flag,
         "events_ohlc_hourly": events_ohlc_hourly,
         "docs_weighted_sample": docs_weighted_sample,
+        "lineitem_scaled_features": lineitem_scaled_features,
+        "lineitem_measure_corr": lineitem_measure_corr,
+        "events_chisq_type_dow": events_chisq_type_dow,
         # the two most expensive ORACLE entries run at the END of the
         # oracle-checked block (but before the rows-only tail) so a driver
         # time-budget cut never costs a cheap oracle row

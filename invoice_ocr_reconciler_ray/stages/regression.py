@@ -54,6 +54,59 @@ def _block_stats(t: pa.Table, *, group_col: str, x_col: str, y_col: str) -> pa.T
     )
 
 
+def pairwise_corr(ds, *, cols: list[str]) -> pa.Table:
+    """Pearson correlation for every column pair — the data-profiling
+    correlation matrix, from the same exact-int64 sufficient statistics as
+    :func:`grouped_ols`: each block reduces to ONE partial row of sums
+    (n, Σc, Σc² per column, Σab per pair), the driver adds them, and
+    ``corr = (n·Σxy − Σx·Σy) / (√(n·Σxx − Σx²) · √(n·Σyy − Σy²))`` is a
+    fixed IEEE expression (sqrt is correctly rounded per IEEE 754, so the
+    doubles match the SQL oracle bit-for-bit).  ``cols`` MUST be exact
+    int64.  Output: one row per (col_x, col_y) pair, x before y in ``cols``
+    order."""
+    pairs = [
+        (cols[i], cols[j])
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+
+    def block_sums(t: pa.Table) -> pa.Table:
+        arrs = {
+            c: t[c].combine_chunks().to_numpy(zero_copy_only=False) for c in cols
+        }
+        row: dict[str, list] = {"n": [np.int64(len(t))]}
+        for c in cols:
+            row[f"s_{c}"] = [arrs[c].sum(dtype=np.int64)]
+            row[f"ss_{c}"] = [(arrs[c] * arrs[c]).sum(dtype=np.int64)]
+        for a, b in pairs:
+            row[f"sp_{a}_{b}"] = [(arrs[a] * arrs[b]).sum(dtype=np.int64)]
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in row.items()})
+
+    parts = ds.map_batches(block_sums, batch_format="pyarrow").to_pandas()
+    tot = parts.sum()
+    n = np.float64(tot["n"])
+    out_x, out_y, out_n, out_corr = [], [], [], []
+    for a, b in pairs:
+        sx, sy = np.float64(tot[f"s_{a}"]), np.float64(tot[f"s_{b}"])
+        sxx, syy = np.float64(tot[f"ss_{a}"]), np.float64(tot[f"ss_{b}"])
+        sxy = np.float64(tot[f"sp_{a}_{b}"])
+        corr = (n * sxy - sx * sy) / (
+            np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)
+        )
+        out_x.append(a)
+        out_y.append(b)
+        out_n.append(int(tot["n"]))
+        out_corr.append(float(corr))
+    return pa.table(
+        {
+            "col_x": pa.array(out_x, pa.string()),
+            "col_y": pa.array(out_y, pa.string()),
+            "n_rows": pa.array(out_n, pa.int64()),
+            "corr": pa.array(out_corr, pa.float64()),
+        }
+    )
+
+
 def grouped_ols(ds, *, group_col: str, x_col: str, y_col: str) -> pa.Table:
     """Dataset → driver pyarrow Table ``(group, n_rows, sum_x, sum_y,
     sum_xx, sum_xy, slope, intercept)``.  ``x_col``/``y_col`` MUST be exact
