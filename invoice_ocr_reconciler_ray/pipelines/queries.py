@@ -7395,6 +7395,321 @@ FROM t
 """
 
 
+def docs_bpe_merges(sf_dir: str):
+    """Tokenizer TRAINING: the first 10 BPE merges learned from the corpus
+    (stages/bpe.py — ONE distributed word-frequency pass, then the
+    inherently-sequential merge loop on the vocabulary-sized table, the
+    standard trainer layout).  Rows-only: the iterative merge recurrence
+    isn't SQL; determinism (lexicographic tie-break) is pytest-pinned."""
+    from ..stages.bpe import train_bpe
+
+    return train_bpe(
+        rd.read_parquet(_t(sf_dir, "documents"), columns=["text"]),
+        num_merges=10,
+    )
+
+
+def local_supplier_revenue(sf_dir: str):
+    """TPC-H Q5-parity SIX-table join (deepest plan in the registry):
+    revenue by nation for 1995 orders where customer and supplier share an
+    ASIA nation.  Ray-first decomposition: region⨝nation⨝supplier collapse
+    to driver-side broadcast structures (the classic dimension pre-join);
+    customer is SEMI-FILTERED to region nations before the orders hash join
+    (pushdown, not post-filter); the only all-to-all work is two
+    ``Dataset.join``s hash-partitioned on the two fact keys (custkey,
+    orderkey); the c_nat = s_nat equality applies as a vectorized
+    post-join mask."""
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(_t(sf_dir, "nation")).to_pandas()
+    reg = pq.read_table(_t(sf_dir, "region")).to_pandas()
+    asia = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    asia = asia[asia["r_name"] == "ASIA"]
+    nat_keys = set(int(k) for k in asia["n_nationkey"])
+    nat_name = dict(zip(asia["n_nationkey"].astype(int), asia["n_name"]))
+    nat_set = pa.array(sorted(nat_keys), pa.int64())
+
+    sup = pq.read_table(
+        _t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    sup = sup[sup["s_nationkey"].astype(int).isin(nat_keys)]
+    sup_key = pa.array(sup["s_suppkey"].astype(np.int64))
+    sup_nat = sup["s_nationkey"].to_numpy().astype(np.int64)
+
+    lo = int(np.datetime64("1995-01-01", "us").astype(np.int64))
+    hi = int(np.datetime64("1996-01-01", "us").astype(np.int64))
+
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def ofilter(t: pa.Table) -> pa.Table:
+        d = pc.cast(t["o_orderdate"], pa.int64())
+        keep = pc.and_(pc.greater_equal(d, lo), pc.less(d, hi))
+        return t.filter(keep).select(["o_orderkey", "o_custkey"])
+
+    cust = rd.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
+    )
+
+    def cfilter(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(pc.cast(t["c_nationkey"], pa.int64()), value_set=nat_set)
+        out = t.filter(keep)
+        return pa.table(
+            {
+                "c_custkey": out["c_custkey"],
+                "c_nat": pc.cast(out["c_nationkey"], pa.int64()),
+            }
+        )
+
+    oc = orders.map_batches(ofilter, batch_format="pyarrow").join(
+        cust.map_batches(cfilter, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=8,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def lprep(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t["l_suppkey"], value_set=sup_key)
+        keep = pc.is_valid(idx)
+        out = t.filter(keep)
+        ivals = idx.filter(keep).to_numpy(zero_copy_only=False).astype(np.int64)
+        rev = pc.multiply(
+            out["l_extendedprice"], pc.subtract(1.0, out["l_discount"])
+        )
+        return pa.table(
+            {
+                "l_orderkey": out["l_orderkey"],
+                "s_nat": pa.array(sup_nat[ivals], pa.int64()),
+                "rev_c": _cents(rev),
+            }
+        )
+
+    joined = li.map_batches(lprep, batch_format="pyarrow").join(
+        oc,
+        join_type="inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def same_nation(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["s_nat"], t["c_nat"])
+        out = t.filter(keep)
+        return pa.table({"s_nat": out["s_nat"], "rev_c": out["rev_c"]})
+
+    agg = (
+        joined.map_batches(same_nation, batch_format="pyarrow")
+        .groupby("s_nat")
+        .aggregate(Sum("rev_c", alias_name="sum_rev_cents"), Count(alias_name="n_items"))
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "n_name": pa.array(
+                [nat_name[int(k)] for k in agg["s_nat"]], pa.string()
+            ),
+            "sum_rev_cents": pa.array(
+                agg["sum_rev_cents"].to_numpy().astype(np.int64)
+            ),
+            "n_items": pa.array(agg["n_items"].to_numpy().astype(np.int64)),
+        }
+    )
+
+
+LOCAL_SUPPLIER_REVENUE_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_rev_cents,
+       COUNT(*) AS n_items
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate < TIMESTAMP '1996-01-01'
+GROUP BY n_name
+"""
+
+
+def docs_lang_vocab_jaccard(sf_dir: str):
+    """Corpus-level vocabulary overlap: exact Jaccard between every language
+    pair's distinct-term sets — the cross-corpus similarity profile used to
+    pick mixture weights.  Distributed part: block-local DISTINCT (lang,
+    term) combiner (the ``group_by([]).aggregate([])`` idiom) so the driver
+    only ever sees O(langs · vocab) pairs; the pairwise intersection math
+    runs on that tiny table.  Jaccard = one fixed integer division."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["lang", "text"])
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(t["text"]), pattern=r"[^a-z0-9]+"
+        ).combine_chunks()
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        lang = t["lang"].combine_chunks().take(parents.filter(keep))
+        return (
+            pa.table({"lang": lang, "term": flat.filter(keep)})
+            .group_by(["lang", "term"])
+            .aggregate([])
+        )
+
+    pairs = ds.map_batches(distinct_pairs, batch_format="pyarrow").to_pandas()
+    vocab: dict[str, set] = {}
+    for lang, term in zip(pairs["lang"], pairs["term"]):
+        vocab.setdefault(lang, set()).add(term)
+    langs = sorted(vocab)
+    la, lb, ni, nu, jac = [], [], [], [], []
+    for i in range(len(langs)):
+        for j in range(i + 1, len(langs)):
+            a, b = vocab[langs[i]], vocab[langs[j]]
+            inter = len(a & b)
+            union = len(a) + len(b) - inter
+            la.append(langs[i])
+            lb.append(langs[j])
+            ni.append(inter)
+            nu.append(union)
+            jac.append(np.float64(inter) / np.float64(union))
+    return pa.table(
+        {
+            "lang_a": pa.array(la, pa.string()),
+            "lang_b": pa.array(lb, pa.string()),
+            "n_inter": pa.array(ni, pa.int64()),
+            "n_union": pa.array(nu, pa.int64()),
+            "jaccard": pa.array(jac, pa.float64()),
+        }
+    )
+
+
+DOCS_LANG_VOCAB_JACCARD_SQL = """
+WITH v AS (
+  SELECT DISTINCT lang, term
+  FROM (SELECT lang,
+               unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                  x -> x <> '')) AS term
+        FROM documents)),
+s AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY lang),
+p AS (SELECT a.lang AS lang_a, b.lang AS lang_b, a.n AS na, b.n AS nb
+      FROM s a JOIN s b ON a.lang < b.lang),
+i AS (SELECT va.lang AS lang_a, vb.lang AS lang_b,
+             CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM v va JOIN v vb ON va.term = vb.term AND va.lang < vb.lang
+      GROUP BY 1, 2)
+SELECT p.lang_a, p.lang_b,
+       CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+       CAST(p.na + p.nb - COALESCE(i.n_inter, 0) AS BIGINT) AS n_union,
+       CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+         / CAST(p.na + p.nb - COALESCE(i.n_inter, 0) AS DOUBLE) AS jaccard
+FROM p LEFT JOIN i ON i.lang_a = p.lang_a AND i.lang_b = p.lang_b
+"""
+
+
+def docs_token_chunks(sf_dir: str):
+    """Token-window CHUNKING with overlap (window 64, stride 48) — the
+    context-window splitter every RAG/pretraining prep needs.  Fully
+    vectorized: the anchor loop runs over the ≤ ceil(max_len/48) stride
+    positions, each applying ``list_slice`` + ``binary_join`` across ALL
+    docs in the batch at once — no Python loop over documents.  Tokens are
+    the whitespace split (the ``token_counts`` definition) so the rejoined
+    chunk text is whitespace-normalized identically in SQL."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    window, stride = 64, 48
+
+    def chunk(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(t["text"])
+        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+").combine_chunks()
+        nonempty = pc.not_equal(trimmed, "")
+        n = np.where(
+            nonempty.to_numpy(zero_copy_only=False),
+            pc.list_value_length(toks).to_numpy(zero_copy_only=False),
+            0,
+        ).astype(np.int64)
+        ids = t["doc_id"].combine_chunks()
+        out_id, out_idx, out_start, out_len, out_text = [], [], [], [], []
+        max_n = int(n.max()) if len(n) else 0
+        i = 0
+        # anchor i is emitted only while the PREVIOUS window hasn't reached
+        # the doc end — the tail is covered without fully-redundant chunks
+        while (i == 0 and max_n > 0) or (
+            i > 0 and (i - 1) * stride + window < max_n
+        ):
+            start = i * stride
+            need = n > 0 if i == 0 else n > (i - 1) * stride + window
+            sel = np.nonzero(need)[0]
+            if not len(sel):
+                break
+            sel_pa = pa.array(sel)
+            sliced = pc.list_slice(
+                toks.take(sel_pa), start=start, stop=start + window
+            )
+            out_text.append(pc.binary_join(sliced, " "))
+            out_id.append(ids.take(sel_pa))
+            out_idx.append(pa.array(np.full(len(sel), i, np.int64)))
+            out_start.append(pa.array(np.full(len(sel), start, np.int64)))
+            out_len.append(
+                pa.array(np.minimum(window, n[sel] - start), pa.int64())
+            )
+            i += 1
+        if not out_id:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "chunk_idx": pa.array([], pa.int64()),
+                    "chunk_start": pa.array([], pa.int64()),
+                    "chunk_len": pa.array([], pa.int64()),
+                    "chunk_text": pa.array([], pa.string()),
+                }
+            )
+        return pa.table(
+            {
+                "doc_id": pa.concat_arrays(
+                    [a.combine_chunks() if hasattr(a, "combine_chunks") else a
+                     for a in out_id]
+                ),
+                "chunk_idx": pa.concat_arrays(out_idx),
+                "chunk_start": pa.concat_arrays(out_start),
+                "chunk_len": pa.concat_arrays(out_len),
+                "chunk_text": pa.concat_arrays(
+                    [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+                     for c in out_text]
+                ),
+            }
+        )
+
+    return ds.map_batches(chunk, batch_format="pyarrow")
+
+
+DOCS_TOKEN_CHUNKS_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\\s+') END AS l
+  FROM documents),
+c AS (
+  SELECT doc_id, l, len(l) AS n, CAST(r.range AS BIGINT) AS chunk_idx
+  FROM d JOIN range(1000) r
+    ON (r.range = 0 AND len(l) > 0)
+    OR (r.range > 0 AND 48 * (r.range - 1) + 64 < len(l)))
+SELECT doc_id, chunk_idx,
+       CAST(48 * chunk_idx AS BIGINT) AS chunk_start,
+       CAST(LEAST(64, n - 48 * chunk_idx) AS BIGINT) AS chunk_len,
+       array_to_string(l[48 * chunk_idx + 1 : 48 * chunk_idx + 64], ' ')
+         AS chunk_text
+FROM c
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "pricing_summary": PRICING_SUMMARY_SQL,
     "monthly_orders": MONTHLY_ORDERS_SQL,
@@ -7543,6 +7858,9 @@ ORACLE_SQL: dict[str, str] = {
     "lineitem_scaled_features": LINEITEM_SCALED_FEATURES_SQL,
     "lineitem_measure_corr": LINEITEM_MEASURE_CORR_SQL,
     "events_chisq_type_dow": EVENTS_CHISQ_TYPE_DOW_SQL,
+    "local_supplier_revenue": LOCAL_SUPPLIER_REVENUE_SQL,
+    "docs_lang_vocab_jaccard": DOCS_LANG_VOCAB_JACCARD_SQL,
+    "docs_token_chunks": DOCS_TOKEN_CHUNKS_SQL,
 }
 
 
@@ -7714,6 +8032,9 @@ def registry() -> dict:
         "lineitem_scaled_features": lineitem_scaled_features,
         "lineitem_measure_corr": lineitem_measure_corr,
         "events_chisq_type_dow": events_chisq_type_dow,
+        "local_supplier_revenue": local_supplier_revenue,
+        "docs_lang_vocab_jaccard": docs_lang_vocab_jaccard,
+        "docs_token_chunks": docs_token_chunks,
         # the two most expensive ORACLE entries run at the END of the
         # oracle-checked block (but before the rows-only tail) so a driver
         # time-budget cut never costs a cheap oracle row
@@ -7726,6 +8047,7 @@ def registry() -> dict:
         # rows-only entries (and the three truncated in r2) run BEFORE the
         # expensive neardup family, which goes last.
         "lang_id_documents": lang_id_documents,
+        "docs_bpe_merges": docs_bpe_merges,
         "fuzzy_reconcile_demo": fuzzy_reconcile_demo,
         "reconcile_manual_link": reconcile_manual_link,
         "flagship_summary": flagship_summary,
