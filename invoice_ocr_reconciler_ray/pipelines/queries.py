@@ -7710,6 +7710,93 @@ FROM c
 """
 
 
+def events_user_value_ewma(sf_dir: str):
+    """Per-user EWMA of event values (α = 0.25, (ts, id) order) — the
+    streaming smoothing aggregate (stages/timeseries.py:grouped_ewma:
+    co-partition by user, closed-form dot product per group)."""
+    from ..stages.timeseries import grouped_ewma
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "ts", "event_id", "value"]
+    )
+    return grouped_ewma(
+        ds,
+        key_col="user_id",
+        ts_col="ts",
+        id_col="event_id",
+        value_col="value",
+        alpha=0.25,
+    )
+
+
+def lineitem_weighted_median(sf_dir: str):
+    """WEIGHTED median (price weighted by quantity) per return flag — the
+    weighted-quantile aggregate (sampling temperatures, importance-weighted
+    corpus stats).  Exact integer semantics: per-(flag, value) weight
+    partials are the block combiner (shuffle carries distinct values, not
+    rows); each flag's group kernel sorts its distinct values, integer-
+    cumsums the weights, and picks the smallest value whose doubled
+    cumulative weight reaches the total — no float ever enters.  For a
+    value domain too big for one group, the histogram-refine machinery in
+    stages/quantiles.py is the documented scale path."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        tb = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "price_cents": _cents(t["l_extendedprice"]),
+                "w": pc.cast(t["l_quantity"], pa.int64()),
+            }
+        )
+        g = tb.group_by(["l_returnflag", "price_cents"]).aggregate([("w", "sum")])
+        return g.rename_columns(["l_returnflag", "price_cents", "w"])
+
+    def pick(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[("price_cents", "ascending")])
+        s = g.take(order)
+        w = s["w"].combine_chunks().to_numpy(zero_copy_only=False)
+        cw = np.cumsum(w)
+        total = int(cw[-1])
+        idx = int(np.searchsorted(2 * cw, total))
+        return pa.table(
+            {
+                "l_returnflag": s["l_returnflag"].slice(0, 1),
+                "weighted_median_cents": s["price_cents"].slice(idx, 1),
+                "total_weight": pa.array([total], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .map_groups(pick, batch_format="pyarrow")
+    )
+
+
+LINEITEM_WEIGHTED_MEDIAN_SQL = """
+WITH v AS (
+  SELECT l_returnflag,
+         CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT) AS price_cents,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2),
+t AS (
+  SELECT l_returnflag, price_cents,
+         SUM(w) OVER (PARTITION BY l_returnflag
+                      ORDER BY price_cents
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+  FROM v)
+SELECT l_returnflag,
+       CAST(MIN(price_cents) AS BIGINT) AS weighted_median_cents,
+       CAST(MIN(tw) AS BIGINT) AS total_weight
+FROM t WHERE 2*cw >= tw GROUP BY l_returnflag
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "pricing_summary": PRICING_SUMMARY_SQL,
     "monthly_orders": MONTHLY_ORDERS_SQL,
@@ -7861,6 +7948,7 @@ ORACLE_SQL: dict[str, str] = {
     "local_supplier_revenue": LOCAL_SUPPLIER_REVENUE_SQL,
     "docs_lang_vocab_jaccard": DOCS_LANG_VOCAB_JACCARD_SQL,
     "docs_token_chunks": DOCS_TOKEN_CHUNKS_SQL,
+    "lineitem_weighted_median": LINEITEM_WEIGHTED_MEDIAN_SQL,
 }
 
 
@@ -8035,6 +8123,7 @@ def registry() -> dict:
         "local_supplier_revenue": local_supplier_revenue,
         "docs_lang_vocab_jaccard": docs_lang_vocab_jaccard,
         "docs_token_chunks": docs_token_chunks,
+        "lineitem_weighted_median": lineitem_weighted_median,
         # the two most expensive ORACLE entries run at the END of the
         # oracle-checked block (but before the rows-only tail) so a driver
         # time-budget cut never costs a cheap oracle row
@@ -8048,6 +8137,7 @@ def registry() -> dict:
         # expensive neardup family, which goes last.
         "lang_id_documents": lang_id_documents,
         "docs_bpe_merges": docs_bpe_merges,
+        "events_user_value_ewma": events_user_value_ewma,
         "fuzzy_reconcile_demo": fuzzy_reconcile_demo,
         "reconcile_manual_link": reconcile_manual_link,
         "flagship_summary": flagship_summary,

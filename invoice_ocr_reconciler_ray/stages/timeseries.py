@@ -28,6 +28,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _block_ohlc(
@@ -59,6 +60,48 @@ def _block_ohlc(
             "n": pa.array(np.diff(np.r_[starts, len(bucket)]), pa.int64()),
         }
     )
+
+
+def grouped_ewma(
+    ds,
+    *,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    alpha: float = 0.25,
+):
+    """Per-key exponentially-weighted moving average of ``value_col`` in
+    (ts, id) order — the streaming smoother (s_t = α·x_t + (1−α)·s_{t−1},
+    seeded s_1 = x_1); returns one row per key: (key, n_events, ewma).
+    The recurrence is order-dependent, so the Ray layout co-partitions by
+    key (one groupby) and each group kernel evaluates the CLOSED FORM in
+    one vectorized dot product — (1−α)^{n−1}·x_1 + α·Σ(1−α)^{n−1−t}·x_t —
+    never a Python loop over rows.  Weights underflow to exactly 0 for
+    entries older than ~√precision, which is the correct limit.  Rows-only
+    op (the recurrence isn't ANSI SQL); pytest pins it against the serial
+    definition."""
+
+    def kernel(g: pa.Table) -> pa.Table:
+        s = g.take(
+            pc.sort_indices(
+                g,
+                sort_keys=[(ts_col, "ascending"), (id_col, "ascending")],
+            )
+        )
+        x = s[value_col].combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(x)
+        w = np.power(1.0 - alpha, np.arange(n - 1, -1, -1, dtype=np.float64))
+        ewma = w[0] * x[0] + alpha * float(np.dot(w[1:], x[1:]))
+        return pa.table(
+            {
+                key_col: s[key_col].slice(0, 1),
+                "n_events": pa.array([n], pa.int64()),
+                "ewma": pa.array([ewma], pa.float64()),
+            }
+        )
+
+    return ds.groupby(key_col).map_groups(kernel, batch_format="pyarrow")
 
 
 def ohlc_bars(
