@@ -7797,6 +7797,181 @@ FROM t WHERE 2*cw >= tw GROUP BY l_returnflag
 """
 
 
+def docs_quality_classifier(sf_dir: str):
+    """Distributed CLASSIFIER TRAINING demo (fastText-style curation
+    gate): full-batch logistic regression predicting lang=='en' from two
+    cheap text features, via the parameter-broadcast / gradient-reduce
+    loop in stages/sgd.py (one map_batches pass per epoch, O(features)
+    driver fold — never a shuffle).  Rows-only: the iterative update isn't
+    SQL; determinism + convergence are pytest-pinned.  Returns the model
+    as (param, value) rows."""
+    from ..functions.textstats import token_count
+    from ..stages.sgd import train_logistic
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "documents"), columns=["text", "lang", "n_chars"]
+    )
+
+    def feat(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "x_chars": pc.divide(
+                    pc.cast(t["n_chars"], pa.float64()), 1000.0
+                ),
+                "x_tokens": pc.divide(
+                    pc.cast(token_count(t["text"]), pa.float64()), 100.0
+                ),
+                "y": pc.cast(pc.equal(t["lang"], "en"), pa.int8()),
+            }
+        )
+
+    # the feature table is NARROW (3 doubles) — materialize once so the 10
+    # epochs iterate on cached blocks instead of re-reading + re-tokenizing
+    features = ds.map_batches(feat, batch_format="pyarrow").materialize()
+    model = train_logistic(
+        features,
+        feature_cols=["x_chars", "x_tokens"],
+        label_col="y",
+        lr=0.5,
+        epochs=10,
+    )
+    return pa.table(
+        {
+            "param": pa.array(
+                ["w_x_chars", "w_x_tokens", "bias", "final_loss", "n_rows"],
+                pa.string(),
+            ),
+            "value": pa.array(
+                [
+                    model["weights"][0],
+                    model["weights"][1],
+                    model["bias"],
+                    model["losses"][-1],
+                    float(model["n_rows"]),
+                ],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def dedup_canonical_pick(sf_dir: str):
+    """Duplicate-cluster CANONICALIZATION: per exact-duplicate group (text
+    md5), keep the best representative (longest n_chars, ties to the
+    smallest doc_id) and record the cluster size — the "merge dup records
+    into one canonical row" step after any dedup pass (the flagship flags
+    duplicates; this op picks survivors).  Shuffle carries (fp, doc_id,
+    n_chars) only — text never moves."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text", "n_chars"]
+    )
+
+    def fp(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        fps = [
+            hashlib.md5(s.encode()).hexdigest() for s in t["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "fp_md5": pa.array(fps, pa.string()),
+                "doc_id": t["doc_id"],
+                "n_chars": t["n_chars"],
+            }
+        )
+
+    def pick(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g,
+            sort_keys=[("n_chars", "descending"), ("doc_id", "ascending")],
+        )
+        s = g.take(order)
+        return pa.table(
+            {
+                "fp_md5": s["fp_md5"].slice(0, 1),
+                "doc_id": s["doc_id"].slice(0, 1),
+                "n_chars": s["n_chars"].slice(0, 1),
+                "group_size": pa.array([len(g)], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(fp, batch_format="pyarrow")
+        .groupby("fp_md5")
+        .map_groups(pick, batch_format="pyarrow")
+    )
+
+
+DEDUP_CANONICAL_PICK_SQL = """
+SELECT md5(text) AS fp_md5, doc_id, n_chars,
+       CAST(COUNT(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS group_size
+FROM documents
+QUALIFY row_number() OVER (PARTITION BY md5(text)
+                           ORDER BY n_chars DESC, doc_id) = 1
+"""
+
+
+def linkage_block_cost(sf_dir: str):
+    """Blocked-join COST PROFILE: candidate-pair count per blocking key
+    (nation) for the customer×supplier linkage — the planner statistic
+    that says whether a blocking scheme is viable before running it
+    (n_pairs = |big block| · |small block|, exactly the work
+    ``blocked_fuzzy_join`` will do).  Two tiny per-block count combiners,
+    driver product — no join executes."""
+    cds = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_nationkey"])
+    sds = rd.read_parquet(_t(sf_dir, "supplier"), columns=["s_nationkey"])
+
+    def count_col(col: str):
+        def f(t: pa.Table) -> pa.Table:
+            tb = pa.table(
+                {
+                    "nationkey": pc.cast(t[col], pa.int64()),
+                    "n": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            )
+            g = tb.group_by("nationkey").aggregate([("n", "sum")])
+            return g.rename_columns(["nationkey", "n"])
+
+        return f
+
+    c = (
+        cds.map_batches(count_col("c_nationkey"), batch_format="pyarrow")
+        .to_pandas()
+        .groupby("nationkey", as_index=False)["n"]
+        .sum()
+    )
+    s = (
+        sds.map_batches(count_col("s_nationkey"), batch_format="pyarrow")
+        .to_pandas()
+        .groupby("nationkey", as_index=False)["n"]
+        .sum()
+    )
+    m = c.merge(s, on="nationkey", suffixes=("_c", "_s"))
+    return pa.table(
+        {
+            "nationkey": pa.array(m["nationkey"].to_numpy().astype(np.int64)),
+            "n_customers": pa.array(m["n_c"].to_numpy().astype(np.int64)),
+            "n_suppliers": pa.array(m["n_s"].to_numpy().astype(np.int64)),
+            "n_pairs": pa.array(
+                (m["n_c"].to_numpy() * m["n_s"].to_numpy()).astype(np.int64)
+            ),
+        }
+    )
+
+
+LINKAGE_BLOCK_COST_SQL = """
+WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+                  CAST(COUNT(*) AS BIGINT) AS n_customers
+           FROM customer GROUP BY 1),
+s AS (SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n_suppliers
+      FROM supplier GROUP BY 1)
+SELECT c.nationkey, c.n_customers, s.n_suppliers,
+       CAST(c.n_customers * s.n_suppliers AS BIGINT) AS n_pairs
+FROM c JOIN s ON c.nationkey = s.nationkey
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "pricing_summary": PRICING_SUMMARY_SQL,
     "monthly_orders": MONTHLY_ORDERS_SQL,
@@ -7949,6 +8124,8 @@ ORACLE_SQL: dict[str, str] = {
     "docs_lang_vocab_jaccard": DOCS_LANG_VOCAB_JACCARD_SQL,
     "docs_token_chunks": DOCS_TOKEN_CHUNKS_SQL,
     "lineitem_weighted_median": LINEITEM_WEIGHTED_MEDIAN_SQL,
+    "dedup_canonical_pick": DEDUP_CANONICAL_PICK_SQL,
+    "linkage_block_cost": LINKAGE_BLOCK_COST_SQL,
 }
 
 
@@ -8124,6 +8301,8 @@ def registry() -> dict:
         "docs_lang_vocab_jaccard": docs_lang_vocab_jaccard,
         "docs_token_chunks": docs_token_chunks,
         "lineitem_weighted_median": lineitem_weighted_median,
+        "dedup_canonical_pick": dedup_canonical_pick,
+        "linkage_block_cost": linkage_block_cost,
         # the two most expensive ORACLE entries run at the END of the
         # oracle-checked block (but before the rows-only tail) so a driver
         # time-budget cut never costs a cheap oracle row
@@ -8138,6 +8317,7 @@ def registry() -> dict:
         "lang_id_documents": lang_id_documents,
         "docs_bpe_merges": docs_bpe_merges,
         "events_user_value_ewma": events_user_value_ewma,
+        "docs_quality_classifier": docs_quality_classifier,
         "fuzzy_reconcile_demo": fuzzy_reconcile_demo,
         "reconcile_manual_link": reconcile_manual_link,
         "flagship_summary": flagship_summary,
