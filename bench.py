@@ -115,6 +115,8 @@ QUERY_SUBSET = [
     "embeddings_knn_join",
     "orders_cumulative_revenue",
     "events_trailing_value_sum",
+    "customer_supplier_linkage",
+    "docs_token_chunks",
 ]
 
 
