@@ -7696,9 +7696,16 @@ WITH d AS (
          CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
               ELSE string_split_regex(trim(text), '\\s+') END AS l
   FROM documents),
+b AS (
+  -- anchor bound derived from the corpus itself (the Ray op loops
+  -- unbounded, so a fixed anchor cap would diverge on a >48k-token doc);
+  -- the range() TABLE function only takes constants, so generate anchors
+  -- with the scalar list range + unnest instead
+  SELECT CAST(COALESCE(MAX(len(l)), 0) / 48 + 2 AS BIGINT) AS hi FROM d),
+r AS (SELECT CAST(unnest(range(0, hi)) AS BIGINT) AS range FROM b),
 c AS (
   SELECT doc_id, l, len(l) AS n, CAST(r.range AS BIGINT) AS chunk_idx
-  FROM d JOIN range(1000) r
+  FROM d JOIN r
     ON (r.range = 0 AND len(l) > 0)
     OR (r.range > 0 AND 48 * (r.range - 1) + 64 < len(l)))
 SELECT doc_id, chunk_idx,

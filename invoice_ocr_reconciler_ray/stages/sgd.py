@@ -66,10 +66,10 @@ def train_logistic(
             .to_numpy(zero_copy_only=False)
             .astype(np.float64)
         )
-        p = _sigmoid(X @ w_now + b_now)
+        z = X @ w_now + b_now
+        p = _sigmoid(z)
         err = p - y
         # stable log-loss: -(y·log p + (1-y)·log(1-p)) via logaddexp
-        z = X @ w_now + b_now
         ll = np.logaddexp(0.0, z) - y * z
         return pa.table(
             {
@@ -88,11 +88,21 @@ def train_logistic(
             batch_format="pyarrow",
             fn_kwargs=dict(w_now=w.copy(), b_now=b),
         ).to_pandas()
-        # deterministic fold order: sort partials by their gb then loss
-        parts = parts.sort_values(["gb", "loss"], kind="mergesort")
-        gw = np.add.reduce(
-            [np.asarray(g, np.float64) for g in parts["gw"]], axis=0
+        # deterministic fold order: lexsort over the FULL partial value
+        # (gb, loss, n, every gw component) — a total order up to blocks
+        # whose partials are entirely identical, which commute anyway.
+        gw_mat = np.stack([np.asarray(g, np.float64) for g in parts["gw"]])
+        keys = tuple(gw_mat[:, j] for j in range(gw_mat.shape[1] - 1, -1, -1))
+        order = np.lexsort(
+            keys
+            + (
+                parts["n"].to_numpy(np.int64),
+                parts["loss"].to_numpy(np.float64),
+                parts["gb"].to_numpy(np.float64),
+            )
         )
+        parts = parts.iloc[order]
+        gw = np.add.reduce(list(gw_mat[order]), axis=0)
         gb = float(parts["gb"].sum())
         n_rows = int(parts["n"].sum())
         losses.append(float(parts["loss"].sum()) / n_rows)

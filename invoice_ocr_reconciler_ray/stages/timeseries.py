@@ -36,6 +36,22 @@ def _block_ohlc(
 ) -> pa.Table:
     """One partial row per bucket present in the block: the bucket's
     (open_ts, open_id, open), (close_ts, close_id, close), high, low, n."""
+    if t.num_rows == 0:
+        # zero-row block: starts=[0] would index past the empty arrays below
+        return pa.table(
+            {
+                "bucket_us": pa.array([], pa.int64()),
+                "open_ts": pa.array([], pa.int64()),
+                "open_id": pa.array([], pa.int64()),
+                "open": pa.array([], pa.float64()),
+                "close_ts": pa.array([], pa.int64()),
+                "close_id": pa.array([], pa.int64()),
+                "close": pa.array([], pa.float64()),
+                "high": pa.array([], pa.float64()),
+                "low": pa.array([], pa.float64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
     ts = t[ts_col].combine_chunks().to_numpy(zero_copy_only=False)
     ts_us = ts.astype("datetime64[us]").astype(np.int64)
     ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
