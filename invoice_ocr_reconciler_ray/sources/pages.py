@@ -295,6 +295,126 @@ def embedded_text(doc_id: int, source_text: str) -> str | None:
     return ground_truth(blocks)
 
 
+# --- oracle-mode pages ------------------------------------------------------
+#
+# A second, deliberately SQL-mirrorable page layout used by the driver-visible
+# flagship-extraction oracle (`flagship_extract_oracle` in pipelines/queries):
+# the title/paragraph split is a FIXED pure function of the word list (no
+# hash-gated mutations/giants/PDF/error rows), so DuckDB can reconstruct the
+# expected extracted text byte-for-byte from documents.text with list slicing
+# — while the HTML still carries the full boilerplate battery (nav, aside
+# link farm, ad stub, high-link-density related div, footer, script/style,
+# inline em/strong markup) that the real extractor must reject/strip.
+
+ORACLE_MIN_WORDS = 16  # docs below this are skipped (SQL filter mirrors it)
+ORACLE_TITLE_WORDS = 5
+ORACLE_SPLIT_AT = 35  # words[5:35] → para 1, rest → para 2 (when >= 43 words)
+ORACLE_TWO_PARA_MIN = 43  # guarantees para 2 has >= 8 words (min_words rule)
+
+
+def oracle_blocks(words: list[str]) -> list[str] | None:
+    """Fixed title/paragraph split — the SQL-expressible ground truth.
+    Returns None for documents too short to pass the extractor's
+    min-words rules unconditionally."""
+    if len(words) < ORACLE_MIN_WORDS:
+        return None
+    title = " ".join(words[:ORACLE_TITLE_WORDS])
+    if len(words) >= ORACLE_TWO_PARA_MIN:
+        return [
+            title,
+            " ".join(words[ORACLE_TITLE_WORDS:ORACLE_SPLIT_AT]),
+            " ".join(words[ORACLE_SPLIT_AT:]),
+        ]
+    return [title, " ".join(words[ORACLE_TITLE_WORDS:])]
+
+
+def oracle_pages_batch(batch: pa.Table) -> pa.Table:
+    """documents(doc_id, text, lang) → oracle-mode pages (keeps doc_id so the
+    extraction output joins back to the documents table without a shuffle)."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    langs = batch.column("lang").to_pylist()
+    out_id: list[int] = []
+    out: dict[str, list] = {k: [] for k in ("url", "warc_ts", "html", "text", "lang")}
+    for d, t, lg in zip(doc_ids, texts, langs):
+        blocks = oracle_blocks((t or "").split())
+        if blocks is None:
+            continue
+        out_id.append(int(d))
+        out["url"].append(url_for(int(d)))
+        out["warc_ts"].append(warc_ts_us(int(d)))
+        out["html"].append(build_html(int(d), blocks, lg or "en"))
+        out["text"].append(ground_truth(blocks))
+        out["lang"].append(lg or "en")
+    return pa.Table.from_arrays(
+        [
+            pa.array(out_id, pa.int64()),
+            pa.array(out["url"], pa.string()),
+            pa.array(out["warc_ts"], pa.timestamp("us")),
+            pa.array(out["html"], pa.large_binary()),
+            pa.array(out["text"], pa.string()),
+            pa.array(out["lang"], pa.string()),
+        ],
+        names=["doc_id", "url", "warc_ts", "html", "text", "lang"],
+    )
+
+
+ORACLE_PDF_LINE_WORDS = 10
+ORACLE_PDF_TWO_COL_MIN = 60  # >= 6 lines → two columns (XY-cut must reorder)
+
+
+def oracle_pdf_pages_batch(batch: pa.Table) -> pa.Table:
+    """documents(doc_id, text, lang) → oracle-mode PDF pages: fixed 10-word
+    lines through the REAL spec-valid Flate-compressed container
+    (functions/pdf.py:write_pdf).  Long docs lay out in two columns with the
+    RIGHT column emitted first in the content stream, so correct reading
+    order genuinely comes from XY-cut, not stream order.  Ground truth
+    (lines in order, joined with \\n) is SQL-reconstructible."""
+    from ..functions.pdf import write_pdf
+
+    doc_ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    langs = batch.column("lang").to_pylist()
+    out_id: list[int] = []
+    out: dict[str, list] = {k: [] for k in ("url", "warc_ts", "html", "text", "lang")}
+    for d, t, lg in zip(doc_ids, texts, langs):
+        words = (t or "").split()
+        if len(words) < ORACLE_MIN_WORDS:
+            continue
+        lines = [
+            " ".join(words[i : i + ORACLE_PDF_LINE_WORDS])
+            for i in range(0, len(words), ORACLE_PDF_LINE_WORDS)
+        ]
+        if len(words) >= ORACLE_PDF_TWO_COL_MIN:
+            half = (len(lines) + 1) // 2
+            cols = [(340.0, lines[half:]), (72.0, lines[:half])]  # right first
+        else:
+            cols = [(72.0, lines)]
+        placed: list[tuple[float, float, str]] = []
+        for x, col_lines in cols:
+            y = 720.0
+            for ln in col_lines:
+                placed.append((x, y, ln))
+                y -= 15.0
+        out_id.append(int(d))
+        out["url"].append(url_for(int(d)))
+        out["warc_ts"].append(warc_ts_us(int(d)))
+        out["html"].append(write_pdf(placed, compress=True))
+        out["text"].append("\n".join(lines))
+        out["lang"].append(lg or "en")
+    return pa.Table.from_arrays(
+        [
+            pa.array(out_id, pa.int64()),
+            pa.array(out["url"], pa.string()),
+            pa.array(out["warc_ts"], pa.timestamp("us")),
+            pa.array(out["html"], pa.large_binary()),
+            pa.array(out["text"], pa.string()),
+            pa.array(out["lang"], pa.string()),
+        ],
+        names=["doc_id", "url", "warc_ts", "html", "text", "lang"],
+    )
+
+
 def pages_batch_from_documents(batch: pa.Table) -> pa.Table:
     """map_batches kernel: documents(doc_id, text, lang, ...) → pages rows."""
     doc_ids = batch.column("doc_id").to_pylist()
