@@ -214,6 +214,14 @@ def fuzzy_reconcile(invoices_ds, register_rows: list[dict], cfg: ReconcileConfig
     names = [r["vendor_norm"] for r in reg]
     mat, lens = pack_strings(names)
     ids_np = np.array([r["id"] for r in reg])
+    from .broadcast import guard_broadcast_bytes, table_nbytes
+
+    guard_broadcast_bytes(
+        table_nbytes(mat) + table_nbytes(lens) + table_nbytes(ids_np),
+        label="fuzzy_reconcile register broadcast (ST2)",
+        alternative="block the register by a coarse key and use "
+        "stages/linkage.py:blocked_fuzzy_join per partition",
+    )
     reg_ref = ray.put(
         {"rows": reg, "mat": mat, "lens": lens, "ids": ids_np, "myers": pack_myers(names)}
     )

@@ -140,6 +140,14 @@ def blocked_fuzzy_join(
         sch = getattr(sch, "base_schema", sch)
         block_type = sch.field(big_block).type
     grouped = _group_small_side(small_rows)
+    from .broadcast import guard_broadcast_bytes
+
+    guard_broadcast_bytes(
+        sum(len(k) + 16 for _, _, k in small_rows),
+        label="blocked_fuzzy_join small side",
+        alternative="pre-partition BOTH sides by block key (the bucketed "
+        "layout, stages/bucketing.py) and run per-partition joins",
+    )
     small_ref = ray.put(grouped)
     return big.map_batches(
         _ProbeBatch,
