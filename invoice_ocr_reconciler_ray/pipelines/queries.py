@@ -225,6 +225,56 @@ GROUP BY 1
 """
 
 
+def run_summary_report(sf_dir: str):
+    """S7 summary-report writer (≙ reconciliationEngine.js:201-210 rendered
+    via the pdfkit endpoint server.js:605-657, re-expressed as a plain-text
+    artifact): per-status counts + money totals over orders, distributed
+    pre-aggregation, then the O(|statuses|)-row render on the driver
+    (stages/report.py:summary_report_lines).  The oracle reproduces the
+    EXACT formatted lines in SQL, so the report format itself is
+    hash-checked."""
+    from ..stages.report import summary_report_lines
+
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderstatus", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"s": t["o_orderstatus"], "cents": _cents(t["o_totalprice"])}
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("s")
+        .aggregate(Sum("cents", alias_name="cents"), Count(alias_name="n"))
+    )
+    tiny = pa.Table.from_pylist(agg.take_all())
+    return summary_report_lines(tiny, status_col="s", n_col="n", cents_col="cents")
+
+
+RUN_SUMMARY_REPORT_SQL = """
+WITH a AS (
+  SELECT o_orderstatus AS s, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+  FROM orders GROUP BY 1),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS c FROM a),
+lines AS (
+  SELECT CAST(0 AS BIGINT) AS line_no, 'RUN SUMMARY' AS line
+  UNION ALL
+  SELECT CAST(row_number() OVER (ORDER BY s) AS BIGINT),
+         'status=' || s || ' n=' || CAST(n AS VARCHAR) ||
+         ' total=$' || CAST(c // 100 AS VARCHAR) || '.' ||
+         lpad(CAST(c % 100 AS VARCHAR), 2, '0')
+  FROM a
+  UNION ALL
+  SELECT CAST((SELECT COUNT(*) FROM a) + 1 AS BIGINT),
+         'TOTAL n=' || CAST(n AS VARCHAR) ||
+         ' total=$' || CAST(c // 100 AS VARCHAR) || '.' ||
+         lpad(CAST(c % 100 AS VARCHAR), 2, '0')
+  FROM t)
+SELECT line_no, line FROM lines
+"""
+
+
 def search_parts(sf_dir: str):
     """Substring search (≙ F6 LIKE %q%, server.js:357-360)."""
     ds = rd.read_parquet(_t(sf_dir, "part"), columns=["p_partkey", "p_name"])
@@ -1924,31 +1974,40 @@ def events_sessionize(sf_dir: str):
     / ray_guide streaming section): per user, sort by event time and split on
     >30-min gaps — ``groupby(user).map_groups`` with pandas windowing inside
     the sorted group.  The shuffle key is the user id; ordering is an
-    explicit per-group sort, never an assumption about arrival order."""
-    import pandas as pd
-
+    explicit per-group sort, never an assumption about arrival order.
+    Arrow-native per-group kernel (VERDICT r3 #5 — the asof/timeseries
+    discipline): numpy diff/cumsum over the sorted int64 timestamps, user
+    dtype preserved via take from the input column, never a pandas frame."""
     ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
-    gap = pd.Timedelta(minutes=30)
+    gap_us = 30 * 60 * 1_000_000
 
-    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        brk = (g["ts"].diff() > gap).cumsum()
-        out = (
-            g.groupby(brk)["ts"]
-            .agg(n_events="size", start="min", end="max")
-            .reset_index(drop=True)
+    def sessionize(g: pa.Table) -> pa.Table:
+        ts = (
+            g["ts"]
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
         )
-        return pd.DataFrame(
+        ts = np.sort(ts, kind="stable")
+        # session id = running count of >gap jumps; session boundaries
+        brk = np.r_[True, np.diff(ts) > gap_us]
+        starts = np.nonzero(brk)[0]
+        ends = np.r_[starts[1:], len(ts)]
+        n = len(starts)
+        # take(0…0) keeps the exact input dtype for the group key
+        user = g["user_id"].combine_chunks().take(pa.array(np.zeros(n, np.int64)))
+        return pa.table(
             {
-                "user_id": g["user_id"].iloc[0],
-                "session_idx": range(len(out)),
-                "n_events": out["n_events"].astype("int64"),
-                "start_us": out["start"].astype("int64"),
-                "end_us": out["end"].astype("int64"),
+                "user_id": user,
+                "session_idx": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+                "n_events": pa.array(ends - starts, pa.int64()),
+                "start_us": pa.array(ts[starts], pa.int64()),
+                "end_us": pa.array(ts[ends - 1], pa.int64()),
             }
         )
 
-    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+    return ds.groupby("user_id").map_groups(sessionize, batch_format="pyarrow")
 
 
 EVENTS_SESSIONIZE_SQL = """
@@ -8279,6 +8338,7 @@ ORACLE_SQL: dict[str, str] = {
     "monthly_events": MONTHLY_EVENTS_SQL,
     "events_global_stats": EVENTS_GLOBAL_STATS_SQL,
     "order_status_counts": ORDER_STATUS_COUNTS_SQL,
+    "run_summary_report": RUN_SUMMARY_REPORT_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
     "top_customers": TOP_CUSTOMERS_SQL,
@@ -8460,6 +8520,7 @@ def registry() -> dict:
         "monthly_events": monthly_events,
         "events_global_stats": events_global_stats,
         "order_status_counts": order_status_counts,
+        "run_summary_report": run_summary_report,
         "search_parts": search_parts,
         "events_type_filter": events_type_filter,
         "top_customers": top_customers,

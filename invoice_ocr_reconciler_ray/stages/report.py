@@ -27,6 +27,39 @@ def paginated(ds, *, sort_keys: list[str], descending: list[bool], limit: int, o
     return tbl.slice(offset, limit)
 
 
+def summary_report_lines(
+    tbl: pa.Table,
+    *,
+    status_col: str,
+    n_col: str,
+    cents_col: str,
+    title: str = "RUN SUMMARY",
+) -> pa.Table:
+    """Render a per-status aggregate table as numbered text report lines —
+    the S7 summary-report writer (≙ reference reconciliationEngine.js:201-210
+    rendered by the pdfkit endpoint server.js:605-657; here the same counts
+    + money totals as a plain-text artifact, SQL-reproducible so the format
+    itself is oracle-checked).  Money renders from integer cents with pure
+    integer math (no float formatting): ``$<dollars>.<cc>``.  Input is the
+    already-aggregated tiny table (one row per status), so this is driver
+    work on O(|statuses|) rows by construction."""
+    t = tbl.sort_by([(status_col, "ascending")])
+    statuses = t[status_col].to_pylist()
+    ns = t[n_col].to_pylist()
+    cents = t[cents_col].to_pylist()
+    lines = [title]
+    for s, n, c in zip(statuses, ns, cents):
+        lines.append(f"status={s} n={n} total=${c // 100}.{c % 100:02d}")
+    tot_n, tot_c = sum(ns), sum(cents)
+    lines.append(f"TOTAL n={tot_n} total=${tot_c // 100}.{tot_c % 100:02d}")
+    return pa.table(
+        {
+            "line_no": pa.array(range(len(lines)), pa.int64()),
+            "line": pa.array(lines, pa.string()),
+        }
+    )
+
+
 def keyset_page(ds, *, sort_key: str, after: object | None, limit: int, descending: bool = False):
     """Seek-method pagination: WHERE sort_key > after ORDER BY sort_key
     LIMIT n — each page is one pruned scan + top-k, no global offset."""
