@@ -253,7 +253,7 @@ def _output_hash(out_dir: str) -> str:
     parallelism levels (north_rule per-row invariant).  Untimed."""
     import pyarrow.dataset as pads
 
-    t = pads.dataset(out_dir, format="parquet").to_table(
+    t = pads.dataset(out_dir, format="parquet").to_table(  # dir or file list
         columns=["url", "extracted_text", "match_status"]
     )
     rows = sorted(
@@ -345,6 +345,136 @@ def run_scaling() -> dict:
     }
 
 
+def ensure_bucketed_cache(num_buckets: int = 8) -> str:
+    """Hive bucket=hash(url)%B layout of the SAME amplified pages table —
+    the 10^12-key deployment input shape (runner.prepare_partitioned_input
+    applied to the bench cache)."""
+    pages_dir, _ = ensure_pages_cache()
+    bdir = os.path.join(_cache_dir(), f"pages_bucketed_{num_buckets}")
+    if os.path.exists(os.path.join(bdir, "_DONE")):
+        return bdir
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from invoice_ocr_reconciler_ray.functions.hashing import stable_hash64
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        buckets = [
+            stable_hash64(u, salt="bucket") % num_buckets
+            for u in t.column("url").to_pylist()
+        ]
+        return t.append_column("bucket", pa.array(buckets, pa.int32()))
+
+    tmp = bdir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    rd.read_parquet(pages_dir).map_batches(add_bucket, batch_format="pyarrow").write_parquet(
+        tmp, partition_cols=["bucket"]
+    )
+    shutil.rmtree(bdir, ignore_errors=True)
+    os.rename(tmp, bdir)
+    open(os.path.join(bdir, "_DONE"), "w").write("ok")
+    return bdir
+
+
+def run_partitioned_equivalence() -> dict:
+    """VERDICT r3 #6: the 10^12-key dedup path, end-to-end at bench scale —
+    run the hash-partitioned checkpointed runner (per-bucket dedup IS global
+    dedup because all rows of a url share a bucket) over the x128 input and
+    assert its output hash equals the broadcast flagship's, publishing
+    wall-time for both."""
+    import warnings
+
+    warnings.filterwarnings("ignore")
+    import logging
+
+    logging.getLogger("ray").setLevel(logging.ERROR)
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=NCPU, include_dashboard=False, logging_level="ERROR"
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data as rd
+
+    from invoice_ocr_reconciler_ray.pipelines.flagship import flagship
+    from invoice_ocr_reconciler_ray.pipelines.runner import run_checkpointed_files
+
+    pages_dir, meta = ensure_pages_cache()
+    bdir = ensure_bucketed_cache()
+
+    # warm exactly like run_bench
+    nblocks = 2 * NCPU
+
+    def _warm(t):
+        import invoice_ocr_reconciler_ray.stages.extract  # noqa: F401
+
+        return t.slice(0, 1)
+
+    rd.read_parquet(pages_dir, override_num_blocks=nblocks).map_batches(
+        _warm, batch_format="pyarrow"
+    ).count()
+    shutil.rmtree("/tmp/iocr_warm_out", ignore_errors=True)
+    flagship(
+        rd.read_parquet(pages_dir).limit(2000),
+        side_ds=rd.read_parquet(pages_dir, columns=["url", "warc_ts", "html"]).limit(2000),
+    ).write_parquet("/tmp/iocr_warm_out")
+
+    # broadcast flagship (the bench headline path), one timed pass
+    out_b = "/tmp/iocr_equiv_broadcast"
+    shutil.rmtree(out_b, ignore_errors=True)
+    t0 = time.perf_counter()
+    flagship(
+        rd.read_parquet(pages_dir, override_num_blocks=nblocks),
+        side_ds=rd.read_parquet(
+            pages_dir, columns=["url", "warc_ts", "html"], override_num_blocks=nblocks
+        ),
+        side_narrow_ds=rd.read_parquet(
+            pages_dir, columns=["url"], override_num_blocks=nblocks
+        ),
+    ).write_parquet(out_b)
+    t_broadcast = round(time.perf_counter() - t0, 3)
+    ctrl_b = _cpu_control(tasks=32)
+
+    # partitioned checkpointed runner over the bucketed layout, one timed run
+    out_p = "/tmp/iocr_equiv_partitioned"
+    shutil.rmtree(out_p, ignore_errors=True)
+    t0 = time.perf_counter()
+    totals = run_checkpointed_files(bdir, out_p)
+    t_part = round(time.perf_counter() - t0, 3)
+    ctrl_p = _cpu_control(tasks=32)
+
+    import glob
+
+    part_files = sorted(glob.glob(os.path.join(out_p, "bucket-*", "*.parquet")))
+    h_b = _output_hash(out_b)
+    h_p = _output_hash(part_files)
+    result = {
+        "metric": "partitioned_vs_broadcast_dedup_equivalence",
+        "rows": meta["rows"],
+        "num_cpus": NCPU,
+        "broadcast_sec": t_broadcast,
+        "partitioned_sec": t_part,
+        "control_broadcast": ctrl_b,
+        "control_partitioned": ctrl_p,
+        "partitions": totals["num_partitions"],
+        "hash_broadcast": h_b,
+        "hash_partitioned": h_p,
+        "output_identical": h_b == h_p,
+        "manifest_totals": {
+            k: totals[k]
+            for k in ("rows_out", "matched", "mismatched", "missing", "duplicate")
+        },
+    }
+    ray.shutdown()
+    return result
+
+
 def ensure_pages_cache_subprocess() -> None:
     """Generate the cache in a throwaway subprocess so both timed runs start
     from an identical, pre-existing input."""
@@ -363,5 +493,7 @@ def ensure_pages_cache_subprocess() -> None:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--partitioned" in sys.argv:
+        print(json.dumps(run_partitioned_equivalence()))
     else:
         print(json.dumps(run_bench(headline_only="--headline-only" in sys.argv)))
