@@ -8330,6 +8330,294 @@ FROM c JOIN s ON c.nationkey = s.nationkey
 """
 
 
+def orders_semi_join_returned(sf_dir: str):
+    """EXISTS semi-join (TPC-H Q4 shape): orders having at least one
+    returned lineitem, counted per priority.  Distributed shape: block-local
+    DISTINCT partials shrink the returned-key stream (the
+    ``group_by(keys).aggregate([])`` idiom), a hash groupby makes them
+    globally distinct, and the semi-join is an inner ``Dataset.join``
+    against the distinct-key Dataset — never a driver key-set when the key
+    domain is fact-scaled."""
+    keys = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_returnflag"],
+        filter=pc.field("l_returnflag") == "R",
+    ).map_batches(
+        lambda t: t.select(["l_orderkey"]).group_by("l_orderkey").aggregate([]),
+        batch_format="pyarrow",
+    ).groupby("l_orderkey").aggregate(Count(alias_name="_n"))
+
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"]
+    )
+    return (
+        orders.join(
+            keys,
+            join_type="inner",
+            num_partitions=8,
+            on=("o_orderkey",),
+            right_on=("l_orderkey",),
+        )
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_orders"))
+    )
+
+
+ORDERS_SEMI_JOIN_RETURNED_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY 1
+"""
+
+
+def large_orders_topk(sf_dir: str):
+    """HAVING-filter + join-back (TPC-H Q18 shape): orders whose total
+    lineitem quantity exceeds 150, top-10 by total price.  Block-local
+    per-order quantity partials pre-aggregate before the one hash groupby;
+    the join back to orders is inner at the measured-optimal 8 partitions;
+    ties at the limit break on o_orderkey ASC in both engines."""
+    li = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_orderkey", "l_quantity"])
+
+    def part(t: pa.Table) -> pa.Table:
+        tb = pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "qty": pc.cast(t["l_quantity"], pa.int64()),
+            }
+        )
+        g = tb.group_by("l_orderkey").aggregate([("qty", "sum")])
+        return g.rename_columns(["l_orderkey", "qty"])
+
+    big = (
+        li.map_batches(part, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("qty", alias_name="total_qty"))
+        .filter(expr="total_qty > 150")
+    )
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_custkey": t["o_custkey"],
+                "price_cents": _cents(t["o_totalprice"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = orders.join(
+        big,
+        join_type="inner",
+        num_partitions=8,
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+    return joined.sort(
+        ["price_cents", "o_orderkey"], descending=[True, False]
+    ).limit(10)
+
+
+LARGE_ORDERS_TOPK_SQL = """
+WITH q AS (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING SUM(CAST(l_quantity AS BIGINT)) > 150)
+SELECT o_orderkey, o_custkey,
+       CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS price_cents,
+       q.total_qty
+FROM orders JOIN q ON o_orderkey = q.l_orderkey
+ORDER BY price_cents DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def sole_supplier_orders(sf_dir: str):
+    """Multi-step distinct→count→filter→join composition (TPC-H Q21 family):
+    suppliers who were the ONLY supplier on finished ('F') orders, top-10 by
+    how many such orders.  Global (order, supplier) DISTINCT via block-local
+    pair-dedup partials + one two-key groupby; the n_supp==1 filter then
+    makes max(suppkey) THE supplier; semi-join against F orders and a final
+    tiny count.  Every shuffle carries pre-deduped pairs only."""
+    pairs = (
+        rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_orderkey", "l_suppkey"])
+        .map_batches(
+            lambda t: t.group_by(["l_orderkey", "l_suppkey"]).aggregate([]),
+            batch_format="pyarrow",
+        )
+        .groupby(["l_orderkey", "l_suppkey"])
+        .aggregate(Count(alias_name="_n"))
+    )
+    per_order = (
+        pairs.map_batches(
+            lambda t: t.select(["l_orderkey", "l_suppkey"]), batch_format="pyarrow"
+        )
+        .groupby("l_orderkey")
+        .aggregate(Count(alias_name="n_supp"), Max("l_suppkey", alias_name="suppkey"))
+        .filter(expr="n_supp == 1")
+    )
+    f_orders = rd.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderstatus"],
+        filter=pc.field("o_orderstatus") == "F",
+    )
+    sole_f = per_order.join(
+        f_orders,
+        join_type="inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    return (
+        sole_f.groupby("suppkey")
+        .aggregate(Count(alias_name="n_orders"))
+        .sort(["n_orders", "suppkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
+SOLE_SUPPLIER_ORDERS_SQL = """
+WITH p AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+s AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_supp,
+             MAX(l_suppkey) AS suppkey
+      FROM p GROUP BY 1)
+SELECT suppkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM s JOIN orders ON o_orderkey = s.l_orderkey
+WHERE n_supp = 1 AND o_orderstatus = 'F'
+GROUP BY 1
+ORDER BY n_orders DESC, suppkey
+LIMIT 10
+"""
+
+
+def idle_rich_customers(sf_dir: str):
+    """Global-scalar broadcast + SHUFFLE anti-join (TPC-H Q22 shape):
+    customers with above-average positive balance and NO urgent order, per
+    market segment.  The average gate is evaluated as an exact integer
+    cross-multiply (bal_cents · n > sum_cents — no float division on either
+    engine); the anti-join runs as a left-outer ``Dataset.join`` against the
+    distinct customer keys of urgent orders with a null-probe filter — the
+    shuffle mechanism, complementing the broadcast key-set anti-join of
+    ``customers_without_early_orders``."""
+    cust = rd.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_acctbal", "c_mktsegment"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "bal_cents": _cents(t["c_acctbal"]),
+                "c_mktsegment": t["c_mktsegment"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    # exact global average gate: per-block (sum, n) partials over positive
+    # balances, folded on the driver as integers
+    parts = list(
+        cust.map_batches(
+            lambda t: pa.table(
+                {
+                    "s": pa.array(
+                        [
+                            pc.sum(
+                                pc.if_else(
+                                    pc.greater(t["bal_cents"], 0), t["bal_cents"], 0
+                                )
+                            ).as_py()
+                            or 0
+                        ],
+                        pa.int64(),
+                    ),
+                    "n": pa.array(
+                        [pc.sum(pc.cast(pc.greater(t["bal_cents"], 0), pa.int64())).as_py() or 0],
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).iter_batches(batch_format="pyarrow")
+    )
+    tot = pa.concat_tables(parts)
+    sum_c = int(pc.sum(tot["s"]).as_py() or 0)
+    n_pos = int(pc.sum(tot["n"]).as_py() or 1)
+
+    okeys = (
+        rd.read_parquet(
+            _t(sf_dir, "orders"),
+            columns=["o_custkey", "o_orderpriority"],
+            filter=pc.field("o_orderpriority") == "1-URGENT",
+        )
+        .map_batches(
+            lambda t: t.select(["o_custkey"]).group_by("o_custkey").aggregate([]),
+            batch_format="pyarrow",
+        )
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="_n"))
+    )
+    rich = cust.map_batches(
+        lambda t, s=sum_c, n=n_pos: t.filter(
+            pc.greater(pc.multiply(t["bal_cents"], n), s)
+        ),
+        batch_format="pyarrow",
+    )
+    left = rich.join(
+        okeys,
+        join_type="left_outer",
+        num_partitions=8,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+    idle = left.map_batches(
+        lambda t: t.filter(pc.is_null(t["_n"])).drop_columns(["_n"]),
+        batch_format="pyarrow",
+    )
+    return idle.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_customers"), Sum("bal_cents", alias_name="bal_cents")
+    )
+
+
+IDLE_RICH_CUSTOMERS_SQL = """
+WITH b AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT) AS bal_cents
+  FROM customer),
+a AS (SELECT CAST(SUM(bal_cents) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+      FROM b WHERE bal_cents > 0)
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(bal_cents) AS BIGINT) AS bal_cents
+FROM b, a
+WHERE bal_cents * a.n > a.s
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY 1
+"""
+
+
+def custdist_order_counts(sf_dir: str):
+    """Order-count distribution (TPC-H Q13 shape): how many customers placed
+    exactly k orders, INCLUDING k=0 (the left-outer zero preservation of
+    ``customer_order_counts``), then a second tiny groupby over the
+    O(|distinct k|) histogram."""
+    counts = customer_order_counts(sf_dir)
+    return (
+        counts.groupby("n_orders")
+        .aggregate(Count(alias_name="n_customers"))
+        .sort(["n_orders"])
+    )
+
+
+CUSTDIST_ORDER_COUNTS_SQL = """
+WITH c AS (
+  SELECT c.c_custkey, CAST(COUNT(o.o_custkey) AS BIGINT) AS n_orders
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1)
+SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM c GROUP BY 1 ORDER BY 1
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -8339,6 +8627,11 @@ ORACLE_SQL: dict[str, str] = {
     "events_global_stats": EVENTS_GLOBAL_STATS_SQL,
     "order_status_counts": ORDER_STATUS_COUNTS_SQL,
     "run_summary_report": RUN_SUMMARY_REPORT_SQL,
+    "orders_semi_join_returned": ORDERS_SEMI_JOIN_RETURNED_SQL,
+    "large_orders_topk": LARGE_ORDERS_TOPK_SQL,
+    "sole_supplier_orders": SOLE_SUPPLIER_ORDERS_SQL,
+    "idle_rich_customers": IDLE_RICH_CUSTOMERS_SQL,
+    "custdist_order_counts": CUSTDIST_ORDER_COUNTS_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
     "top_customers": TOP_CUSTOMERS_SQL,
@@ -8567,6 +8860,11 @@ def registry() -> dict:
         "events_time_deltas": events_time_deltas,
         "events_user_type_diversity": events_user_type_diversity,
         "customer_order_counts": customer_order_counts,
+        "orders_semi_join_returned": orders_semi_join_returned,
+        "large_orders_topk": large_orders_topk,
+        "sole_supplier_orders": sole_supplier_orders,
+        "idle_rich_customers": idle_rich_customers,
+        "custdist_order_counts": custdist_order_counts,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
         "quality_flags_c4": quality_flags_c4,
