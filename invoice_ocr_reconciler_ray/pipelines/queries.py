@@ -619,6 +619,65 @@ FROM e
 """
 
 
+def flagship_mixed_oracle(sf_dir: str):
+    """Heterogeneous-payload routing oracle (F1): one pipeline over a page
+    table that mixes HTML and Flate-compressed PDF payloads (kind chosen by
+    the SQL-expressible ``doc_id % 5`` rule), extracted by the real
+    magic-bytes-sniffing extractor — per-row content_type AND byte-identical
+    text both come out of the oracle, so mis-routing any single row
+    hash-mismatches."""
+    from ..sources.pages import oracle_mixed_pages_batch
+    from ..stages.extract import extract_pages
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
+    pages = ds.map_batches(oracle_mixed_pages_batch, batch_format="pyarrow")
+    ext = extract_pages(pages)
+
+    def proj(t: pa.Table) -> pa.Table:
+        txt = pc.cast(t["extracted_text"], pa.string())
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "extracted_text": txt,
+                "n_spans": pc.cast(pc.list_value_length(t["spans"]), pa.int64()),
+                "content_type": t["content_type"],
+            }
+        )
+
+    return ext.map_batches(proj, batch_format="pyarrow")
+
+
+FLAGSHIP_MIXED_ORACLE_SQL = """
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents WHERE trim(text) <> ''),
+f AS (SELECT doc_id, w, len(w) AS nw FROM d WHERE len(w) >= 16),
+h AS (
+  SELECT doc_id,
+         array_to_string(w[1:5], ' ') || chr(10) ||
+         CASE WHEN nw >= 43
+              THEN array_to_string(w[6:35], ' ') || chr(10) ||
+                   array_to_string(w[36:nw], ' ')
+              ELSE array_to_string(w[6:nw], ' ') END AS extracted_text,
+         CAST(CASE WHEN nw >= 43 THEN 3 ELSE 2 END AS BIGINT) AS n_spans,
+         'html' AS content_type
+  FROM f WHERE doc_id % 5 <> 0),
+b AS (SELECT CAST(COALESCE(MAX(nw), 0) / 10 + 2 AS BIGINT) AS hi FROM f),
+r AS (SELECT CAST(unnest(range(0, hi)) AS BIGINT) AS i FROM b),
+l AS (
+  SELECT doc_id, i, array_to_string(w[10*i + 1 : 10*i + 10], ' ') AS line
+  FROM f JOIN r ON 10 * i < nw
+  WHERE doc_id % 5 = 0),
+p AS (
+  SELECT doc_id,
+         string_agg(line, chr(10) ORDER BY i) AS extracted_text,
+         CAST(COUNT(*) AS BIGINT) AS n_spans,
+         'pdf' AS content_type
+  FROM l GROUP BY doc_id)
+SELECT * FROM h UNION ALL SELECT * FROM p
+"""
+
+
 def doc_fingerprints(sf_dir: str):
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return fingerprint_stage(ds).select_columns(["doc_id", "fp_md5"])
@@ -8595,6 +8654,136 @@ GROUP BY 1
 """
 
 
+def orders_price_rank_stats(sf_dir: str):
+    """Global RANK / percent_rank / cume_dist window stats (completing the
+    row_number/ntile family of ``orders_price_ntile``): exact tie-sharing
+    ranks from value-range buckets (stages/rank.py:global_value_rank_stats —
+    O(B) driver offsets, one co-partition shuffle, never a global sort), and
+    the two ratios as ONE fixed IEEE division each, identical to DuckDB's
+    percent_rank()/cume_dist() definitions."""
+    from ..stages.rank import global_value_rank_stats
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"o_orderkey": t["o_orderkey"], "price_cents": _cents(t["o_totalprice"])}
+        ),
+        batch_format="pyarrow",
+    )
+    ranked = global_value_rank_stats(ds, value_col="price_cents", id_col="o_orderkey")
+
+    def ratios(t: pa.Table) -> pa.Table:
+        rnk = t["rnk"].combine_chunks().to_numpy(zero_copy_only=False)
+        n_le = t["n_le"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = t["n_total"].combine_chunks().to_numpy(zero_copy_only=False)
+        pct = (rnk - 1).astype(np.float64) / (n - 1).astype(np.float64)
+        cume = n_le.astype(np.float64) / n.astype(np.float64)
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "price_cents": t["price_cents"],
+                "rnk": t["rnk"],
+                "pct_rank": pa.array(pct, pa.float64()),
+                "cume": pa.array(cume, pa.float64()),
+            }
+        )
+
+    return ranked.map_batches(ratios, batch_format="pyarrow")
+
+
+ORDERS_PRICE_RANK_STATS_SQL = """
+WITH p AS (
+  SELECT o_orderkey, CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS price_cents
+  FROM orders)
+SELECT o_orderkey, price_cents,
+       CAST(rank() OVER (ORDER BY price_cents) AS BIGINT) AS rnk,
+       percent_rank() OVER (ORDER BY price_cents) AS pct_rank,
+       cume_dist() OVER (ORDER BY price_cents) AS cume
+FROM p
+"""
+
+
+def orders_grouping_sets(sf_dir: str):
+    """GROUP BY GROUPING SETS ((status), (priority), ()) — completing the
+    rollup/cube family: ONE block-local (status, priority) pre-aggregation
+    pass (the partial is O(|status|·|priority|) per block), materialized
+    narrow, then three tiny groupbys over the partials union into the
+    grouping-sets result.  NULL-key marking matches DuckDB's (the grouping
+    column absent from a set is NULL)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderstatus", "o_orderpriority", "o_totalprice"]
+    )
+
+    def part(t: pa.Table) -> pa.Table:
+        tb = pa.table(
+            {
+                "s": t["o_orderstatus"],
+                "p": t["o_orderpriority"],
+                "cents": _cents(t["o_totalprice"]),
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        g = tb.group_by(["s", "p"]).aggregate([("cents", "sum"), ("one", "sum")])
+        return g.rename_columns(["s", "p", "cents", "n"])
+
+    partials = ds.map_batches(part, batch_format="pyarrow").materialize()
+
+    by_s = partials.groupby("s").aggregate(
+        Sum("cents", alias_name="rev_cents"), Sum("n", alias_name="n_orders")
+    )
+    by_p = partials.groupby("p").aggregate(
+        Sum("cents", alias_name="rev_cents"), Sum("n", alias_name="n_orders")
+    )
+    tot = partials.aggregate(
+        Sum("cents", alias_name="rev_cents"), Sum("n", alias_name="n_orders")
+    )
+
+    def wide_s(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderstatus": t["s"],
+                "o_orderpriority": pa.nulls(t.num_rows, pa.string()),
+                "rev_cents": t["rev_cents"],
+                "n_orders": t["n_orders"],
+            }
+        )
+
+    def wide_p(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderstatus": pa.nulls(t.num_rows, pa.string()),
+                "o_orderpriority": t["p"],
+                "rev_cents": t["rev_cents"],
+                "n_orders": t["n_orders"],
+            }
+        )
+
+    total_tbl = pa.table(
+        {
+            "o_orderstatus": pa.nulls(1, pa.string()),
+            "o_orderpriority": pa.nulls(1, pa.string()),
+            "rev_cents": pa.array([int(tot["rev_cents"])], pa.int64()),
+            "n_orders": pa.array([int(tot["n_orders"])], pa.int64()),
+        }
+    )
+    return (
+        by_s.map_batches(wide_s, batch_format="pyarrow")
+        .union(by_p.map_batches(wide_p, batch_format="pyarrow"))
+        .union(rd.from_arrow(total_tbl))
+    )
+
+
+ORDERS_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS rev_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
 def custdist_order_counts(sf_dir: str):
     """Order-count distribution (TPC-H Q13 shape): how many customers placed
     exactly k orders, INCLUDING k=0 (the left-outer zero preservation of
@@ -8621,6 +8810,7 @@ FROM c GROUP BY 1 ORDER BY 1
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
+    "flagship_mixed_oracle": FLAGSHIP_MIXED_ORACLE_SQL,
     "pricing_summary": PRICING_SUMMARY_SQL,
     "monthly_orders": MONTHLY_ORDERS_SQL,
     "monthly_events": MONTHLY_EVENTS_SQL,
@@ -8632,6 +8822,8 @@ ORACLE_SQL: dict[str, str] = {
     "sole_supplier_orders": SOLE_SUPPLIER_ORDERS_SQL,
     "idle_rich_customers": IDLE_RICH_CUSTOMERS_SQL,
     "custdist_order_counts": CUSTDIST_ORDER_COUNTS_SQL,
+    "orders_price_rank_stats": ORDERS_PRICE_RANK_STATS_SQL,
+    "orders_grouping_sets": ORDERS_GROUPING_SETS_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
     "top_customers": TOP_CUSTOMERS_SQL,
@@ -8808,6 +9000,7 @@ def registry() -> dict:
         # registry so the driver's time-budgeted prefix always checks it
         "flagship_extract_oracle": flagship_extract_oracle,
         "flagship_pdf_oracle": flagship_pdf_oracle,
+        "flagship_mixed_oracle": flagship_mixed_oracle,
         "pricing_summary": pricing_summary,
         "monthly_orders": monthly_orders,
         "monthly_events": monthly_events,
@@ -8865,6 +9058,8 @@ def registry() -> dict:
         "sole_supplier_orders": sole_supplier_orders,
         "idle_rich_customers": idle_rich_customers,
         "custdist_order_counts": custdist_order_counts,
+        "orders_price_rank_stats": orders_price_rank_stats,
+        "orders_grouping_sets": orders_grouping_sets,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
         "quality_flags_c4": quality_flags_c4,

@@ -415,6 +415,23 @@ def oracle_pdf_pages_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def oracle_mixed_pages_batch(batch: pa.Table) -> pa.Table:
+    """Mixed-routing oracle pages: ``doc_id % 5 == 0`` rows get the PDF
+    layout, the rest the HTML layout — a SQL-expressible predicate, so the
+    per-row ``%PDF-`` magic-bytes routing (F1) is itself oracle-checked in
+    ONE pipeline over heterogeneous payloads."""
+    html_part = oracle_pages_batch(batch)
+    pdf_part = oracle_pdf_pages_batch(batch)
+    ids_h = html_part["doc_id"].to_numpy(zero_copy_only=False)
+    ids_p = pdf_part["doc_id"].to_numpy(zero_copy_only=False)
+    return pa.concat_tables(
+        [
+            html_part.filter(pa.array(ids_h % 5 != 0)),
+            pdf_part.filter(pa.array(ids_p % 5 == 0)),
+        ]
+    )
+
+
 def pages_batch_from_documents(batch: pa.Table) -> pa.Table:
     """map_batches kernel: documents(doc_id, text, lang, ...) → pages rows."""
     doc_ids = batch.column("doc_id").to_pylist()

@@ -175,3 +175,78 @@ def global_value_rank(
         return out
 
     return tagged.groupby("_b").map_groups(rank_group, batch_format="pyarrow")
+
+
+def global_value_rank_stats(
+    ds: rd.Dataset,
+    *,
+    value_col: str,
+    id_col: str,
+    n_buckets: int = 256,
+) -> rd.Dataset:
+    """Exact global ``RANK()`` (ties share the first row number) and
+    ``n_le`` (count of rows with value ≤ this row's — the cume_dist
+    numerator) over ``ORDER BY value`` — same value-range-bucket layout as
+    :func:`global_value_rank`.  Equal values always land in ONE bucket
+    (buckets partition the value domain), so tie groups never straddle an
+    offset boundary and two searchsorted calls per bucket give exact global
+    ranks.  percent_rank/cume_dist are then ONE fixed IEEE division each,
+    computed by the caller so the ratio expression is identical to SQL's."""
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    mm = ds.aggregate(Min(value_col), Max(value_col))
+    lo = int(mm[f"min({value_col})"])
+    hi = int(mm[f"max({value_col})"])
+    span = max(1, hi - lo + 1)
+
+    def tag(t: pa.Table) -> pa.Table:
+        v = t[value_col].combine_chunks().to_numpy(zero_copy_only=False)
+        b = (v.astype("int64") - lo) * n_buckets // span
+        return t.append_column("_b", pa.array(b.astype("int64")))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+
+    def bucket_count(t: pa.Table) -> pa.Table:
+        b = t["_b"].combine_chunks().to_numpy(zero_copy_only=False)
+        c = np.bincount(b, minlength=n_buckets)
+        return pa.table(
+            {
+                "_b": pa.array(np.arange(n_buckets), pa.int64()),
+                "c": pa.array(c, pa.int64()),
+            }
+        )
+
+    parts = (
+        tagged.map_batches(bucket_count, batch_format="pyarrow")
+        .groupby("_b")
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()
+    )
+    counts = np.zeros(n_buckets, dtype=np.int64)
+    for r in parts:
+        counts[int(r["_b"])] = int(r["c"])
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    n_total = int(counts.sum())
+    off_ref = ray.put(offsets)
+
+    def rank_group(g: pa.Table) -> pa.Table:
+        b = g["_b"][0].as_py()
+        s = g.take(
+            pc.sort_indices(
+                g, sort_keys=[(value_col, "ascending"), (id_col, "ascending")]
+            )
+        )
+        v = s[value_col].combine_chunks().to_numpy(zero_copy_only=False)
+        base = int(ray.get(off_ref)[b])
+        rnk = base + np.searchsorted(v, v, side="left") + 1
+        n_le = base + np.searchsorted(v, v, side="right")
+        out = s.drop_columns(["_b"])
+        out = out.append_column("rnk", pa.array(rnk.astype("int64")))
+        out = out.append_column("n_le", pa.array(n_le.astype("int64")))
+        return out.append_column(
+            "n_total", pa.array(np.full(s.num_rows, n_total, dtype="int64"))
+        )
+
+    return tagged.groupby("_b").map_groups(rank_group, batch_format="pyarrow")
