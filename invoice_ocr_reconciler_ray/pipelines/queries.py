@@ -8784,6 +8784,223 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """
 
 
+def events_anomaly_zscore(sf_dir: str):
+    """Per-type 3σ outlier FLAG (flag-don't-drop, the anomaly-detection
+    shape) with a float-free test: (n·v − s)² > 9·(n·ss − s²) over integer
+    cents is exactly |z| > 3 — no sqrt, no division, no IEEE anywhere, so
+    the oracle can't diverge by an ulp.  Per-block (type → n, s, ss)
+    partials merge on the driver (O(|types|)), broadcast once, probed
+    vectorized.  int64 headroom: safe to ~10^6 rows/type at cent scale;
+    beyond that promote the products to float128/object or split s² (noted
+    here so the guard is explicit)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "event_type", "value"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "value_cents": _cents(t["value"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def stat_part(t: pa.Table) -> pa.Table:
+        tb = t.append_column(
+            "sq", pc.multiply(t["value_cents"], t["value_cents"])
+        ).append_column("one", pa.array(np.ones(t.num_rows, np.int64)))
+        g = tb.group_by("event_type").aggregate(
+            [("one", "sum"), ("value_cents", "sum"), ("sq", "sum")]
+        )
+        return g.rename_columns(["event_type", "n", "s", "ss"])
+
+    parts = list(
+        ds.map_batches(stat_part, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    merged = (
+        pa.concat_tables(parts)
+        .group_by("event_type")
+        .aggregate([("n", "sum"), ("s", "sum"), ("ss", "sum")])
+        .rename_columns(["event_type", "n", "s", "ss"])
+    )
+    ref = ray.put(
+        {
+            "types": merged["event_type"].combine_chunks(),
+            "n": merged["n"].combine_chunks().to_numpy(),
+            "s": merged["s"].combine_chunks().to_numpy(),
+            "ss": merged["ss"].combine_chunks().to_numpy(),
+        }
+    )
+
+    def probe(t: pa.Table) -> pa.Table:
+        st = ray.get(ref)
+        idx = pc.index_in(t["event_type"], value_set=st["types"]).to_numpy(
+            zero_copy_only=False
+        )
+        n = st["n"][idx]
+        s = st["s"][idx]
+        ss = st["ss"][idx]
+        v = t["value_cents"].combine_chunks().to_numpy()
+        lhs = (n * v - s) ** 2
+        rhs = 9 * (n * ss - s * s)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "value_cents": t["value_cents"],
+                "is_outlier": pa.array(lhs > rhs, pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(probe, batch_format="pyarrow")
+
+
+EVENTS_ANOMALY_ZSCORE_SQL = """
+WITH v AS (
+  SELECT event_id, event_type,
+         CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS value_cents
+  FROM events),
+s AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(value_cents) AS BIGINT) AS s,
+         CAST(SUM(value_cents*value_cents) AS BIGINT) AS ss
+  FROM v GROUP BY 1)
+SELECT event_id, v.event_type, value_cents,
+       (n*value_cents - s)*(n*value_cents - s) > 9*(n*ss - s*s) AS is_outlier
+FROM v JOIN s ON v.event_type = s.event_type
+"""
+
+
+def events_value_histogram(sf_dir: str):
+    """Fixed-width histogram (profiling family): 20-unit (2000-cent) bins of
+    the event value with per-bin counts and exact cent sums — one block-local
+    combiner pass, O(|bins|) shuffle."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["value"])
+
+    def part(t: pa.Table) -> pa.Table:
+        vc = _cents(t["value"])
+        tb = pa.table(
+            {
+                "bin": pc.divide(vc, 2000),
+                "cents": vc,
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        g = tb.group_by("bin").aggregate([("one", "sum"), ("cents", "sum")])
+        return g.rename_columns(["bin", "n", "cents"])
+
+    return (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"), Sum("cents", alias_name="cents"))
+        .sort(["bin"])
+    )
+
+
+EVENTS_VALUE_HISTOGRAM_SQL = """
+SELECT CAST(FLOOR(value*100 + 0.5) AS BIGINT) // 2000 AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def orders_yearly_growth(sf_dir: str):
+    """Year-over-year delta (lag() over an aggregate): per-year revenue in
+    exact cents, distributed pre-aggregation, then the lag on the
+    O(|years|) driver table — the aggregate-then-window reporting shape."""
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderdate", "o_totalprice"])
+
+    def part(t: pa.Table) -> pa.Table:
+        tb = pa.table(
+            {
+                "yr": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+                "cents": _cents(t["o_totalprice"]),
+            }
+        )
+        g = tb.group_by("yr").aggregate([("cents", "sum")])
+        return g.rename_columns(["yr", "cents"])
+
+    agg = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("yr")
+        .aggregate(Sum("cents", alias_name="rev_cents"))
+    )
+    tiny = pa.Table.from_pylist(agg.take_all()).sort_by([("yr", "ascending")])
+    rev = tiny["rev_cents"].to_numpy()
+    delta = [None] + [int(d) for d in np.diff(rev)]
+    return pa.table(
+        {
+            "yr": tiny["yr"],
+            "rev_cents": tiny["rev_cents"],
+            "delta_cents": pa.array(delta, pa.int64()),
+        }
+    )
+
+
+ORDERS_YEARLY_GROWTH_SQL = """
+WITH y AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+         CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders GROUP BY 1)
+SELECT yr, rev_cents,
+       CAST(rev_cents - lag(rev_cents) OVER (ORDER BY yr) AS BIGINT)
+         AS delta_cents
+FROM y
+"""
+
+
+def docs_partition_skew_audit(sf_dir: str):
+    """Partition-layout skew audit (the diagnostic a 100 TB job runs before
+    choosing bucket counts): rows + total chars per md5-prefix bucket of the
+    would-be partition key.  md5 on both engines (same reproducible-hash
+    contract as stages/rank.py:global_rank); block-local combiners, O(16)
+    shuffle."""
+    import hashlib as _hl
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def part(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        buckets = pa.array(
+            [int(_hl.md5(str(i).encode()).hexdigest()[0], 16) for i in ids],
+            pa.int64(),
+        )
+        tb = pa.table(
+            {
+                "bucket": buckets,
+                "n_chars": pc.cast(
+                    pc.utf8_length(pc.cast(t["text"], pa.string())), pa.int64()
+                ),
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        g = tb.group_by("bucket").aggregate([("one", "sum"), ("n_chars", "sum")])
+        return g.rename_columns(["bucket", "n_docs", "n_chars"])
+
+    return (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("n_chars", alias_name="n_chars"))
+        .sort(["bucket"])
+    )
+
+
+DOCS_PARTITION_SKEW_AUDIT_SQL = """
+SELECT CAST(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) BETWEEN '0' AND '9'
+            THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 48
+            ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 87 END
+       AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS n_chars
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
 def custdist_order_counts(sf_dir: str):
     """Order-count distribution (TPC-H Q13 shape): how many customers placed
     exactly k orders, INCLUDING k=0 (the left-outer zero preservation of
@@ -8824,6 +9041,10 @@ ORACLE_SQL: dict[str, str] = {
     "custdist_order_counts": CUSTDIST_ORDER_COUNTS_SQL,
     "orders_price_rank_stats": ORDERS_PRICE_RANK_STATS_SQL,
     "orders_grouping_sets": ORDERS_GROUPING_SETS_SQL,
+    "events_anomaly_zscore": EVENTS_ANOMALY_ZSCORE_SQL,
+    "events_value_histogram": EVENTS_VALUE_HISTOGRAM_SQL,
+    "orders_yearly_growth": ORDERS_YEARLY_GROWTH_SQL,
+    "docs_partition_skew_audit": DOCS_PARTITION_SKEW_AUDIT_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
     "top_customers": TOP_CUSTOMERS_SQL,
@@ -9060,6 +9281,10 @@ def registry() -> dict:
         "custdist_order_counts": custdist_order_counts,
         "orders_price_rank_stats": orders_price_rank_stats,
         "orders_grouping_sets": orders_grouping_sets,
+        "events_anomaly_zscore": events_anomaly_zscore,
+        "events_value_histogram": events_value_histogram,
+        "orders_yearly_growth": orders_yearly_growth,
+        "docs_partition_skew_audit": docs_partition_skew_audit,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
         "quality_flags_c4": quality_flags_c4,
