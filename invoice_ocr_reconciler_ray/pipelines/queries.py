@@ -678,6 +678,52 @@ SELECT * FROM h UNION ALL SELECT * FROM p
 """
 
 
+def flagship_charset_oracle(sf_dir: str):
+    """Charset-path oracle (M6): every page declares iso-8859-1 and is
+    latin-1 encoded with a fixed accented title, extracted by the real
+    sniff + strict-decode path — the oracle reconstructs the decoded text
+    byte-for-byte (code-point lengths on both sides), so a wrong decode of
+    any single byte hash-mismatches."""
+    from ..sources.pages import oracle_latin1_pages_batch
+    from ..stages.extract import extract_pages
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
+    pages = ds.map_batches(oracle_latin1_pages_batch, batch_format="pyarrow")
+    ext = extract_pages(pages)
+
+    def proj(t: pa.Table) -> pa.Table:
+        txt = pc.cast(t["extracted_text"], pa.string())
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "extracted_text": txt,
+                "extracted_len": pc.cast(pc.utf8_length(txt), pa.int64()),
+                "n_spans": pc.cast(pc.list_value_length(t["spans"]), pa.int64()),
+                "error": pc.fill_null(pc.cast(t["error"], pa.string()), ""),
+            }
+        )
+
+    return ext.map_batches(proj, batch_format="pyarrow")
+
+
+FLAGSHIP_CHARSET_ORACLE_SQL = """
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents WHERE trim(text) <> ''),
+f AS (SELECT doc_id, w FROM d WHERE len(w) >= 16),
+e AS (
+  SELECT doc_id,
+         'Résumé café naïve exposé' || chr(10) || array_to_string(w, ' ')
+           AS extracted_text
+  FROM f)
+SELECT doc_id, extracted_text,
+       CAST(length(extracted_text) AS BIGINT) AS extracted_len,
+       CAST(2 AS BIGINT) AS n_spans,
+       '' AS error
+FROM e
+"""
+
+
 def doc_fingerprints(sf_dir: str):
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return fingerprint_stage(ds).select_columns(["doc_id", "fp_md5"])
@@ -9028,6 +9074,7 @@ ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
     "flagship_mixed_oracle": FLAGSHIP_MIXED_ORACLE_SQL,
+    "flagship_charset_oracle": FLAGSHIP_CHARSET_ORACLE_SQL,
     "pricing_summary": PRICING_SUMMARY_SQL,
     "monthly_orders": MONTHLY_ORDERS_SQL,
     "monthly_events": MONTHLY_EVENTS_SQL,
@@ -9222,6 +9269,7 @@ def registry() -> dict:
         "flagship_extract_oracle": flagship_extract_oracle,
         "flagship_pdf_oracle": flagship_pdf_oracle,
         "flagship_mixed_oracle": flagship_mixed_oracle,
+        "flagship_charset_oracle": flagship_charset_oracle,
         "pricing_summary": pricing_summary,
         "monthly_orders": monthly_orders,
         "monthly_events": monthly_events,

@@ -150,8 +150,17 @@ def _related_div(doc_id: int) -> str:
     return f'<div class="related">{links}</div>'
 
 
-def build_html(doc_id: int, blocks: list[str], lang: str, *, allow_latin: bool = True) -> bytes:
-    """Boilerplate-wrapped page; main content = ``blocks`` verbatim."""
+def build_html(
+    doc_id: int,
+    blocks: list[str],
+    lang: str,
+    *,
+    allow_latin: bool = True,
+    force_latin: bool = False,
+) -> bytes:
+    """Boilerplate-wrapped page; main content = ``blocks`` verbatim.
+    ``force_latin`` pins the iso-8859-1 charset deterministically (the
+    charset-path oracle needs a hash-free choice)."""
     title, paras = blocks[0], blocks[1:]
     esc = _htmlmod.escape
     body_paras = []
@@ -183,7 +192,7 @@ def build_html(doc_id: int, blocks: list[str], lang: str, *, allow_latin: bool =
         "</body></html>"
     )
     raw = doc.encode("utf-8")
-    if use_latin:
+    if use_latin or force_latin:
         try:
             raw = doc.replace('charset="utf-8"', 'charset="iso-8859-1"').encode("iso-8859-1")
         except UnicodeEncodeError:
@@ -401,6 +410,46 @@ def oracle_pdf_pages_batch(batch: pa.Table) -> pa.Table:
         out["warc_ts"].append(warc_ts_us(int(d)))
         out["html"].append(write_pdf(placed, compress=True))
         out["text"].append("\n".join(lines))
+        out["lang"].append(lg or "en")
+    return pa.Table.from_arrays(
+        [
+            pa.array(out_id, pa.int64()),
+            pa.array(out["url"], pa.string()),
+            pa.array(out["warc_ts"], pa.timestamp("us")),
+            pa.array(out["html"], pa.large_binary()),
+            pa.array(out["text"], pa.string()),
+            pa.array(out["lang"], pa.string()),
+        ],
+        names=["doc_id", "url", "warc_ts", "html", "text", "lang"],
+    )
+
+
+ORACLE_LATIN1_TITLE = "Résumé café naïve exposé"  # latin-1-encodable title
+
+
+def oracle_latin1_pages_batch(batch: pa.Table) -> pa.Table:
+    """Charset-path oracle pages: every page declares iso-8859-1 and is
+    latin-1 ENCODED, with a fixed accented title — so the sniff + strict
+    decode path (functions/html.py:sniff_charset/decode_html) is proven
+    byte-for-byte, not just exercised.  Body = all words as one paragraph
+    (>= 16-word filter keeps it above the min-words rule)."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    langs = batch.column("lang").to_pylist()
+    out_id: list[int] = []
+    out: dict[str, list] = {k: [] for k in ("url", "warc_ts", "html", "text", "lang")}
+    for d, t, lg in zip(doc_ids, texts, langs):
+        words = (t or "").split()
+        if len(words) < ORACLE_MIN_WORDS:
+            continue
+        blocks = [ORACLE_LATIN1_TITLE, " ".join(words)]
+        out_id.append(int(d))
+        out["url"].append(url_for(int(d)))
+        out["warc_ts"].append(warc_ts_us(int(d)))
+        out["html"].append(
+            build_html(int(d), blocks, lg or "en", force_latin=True)
+        )
+        out["text"].append(ground_truth(blocks))
         out["lang"].append(lg or "en")
     return pa.Table.from_arrays(
         [
