@@ -301,7 +301,12 @@ def run_scaling() -> dict:
     # are independent).  The low pair measures pipeline scaling in the
     # flat-clock region; the control ceiling is reported either way.
     n, n4 = (int(x) for x in os.environ.get("GRAFT_SCALE_PAIR", "2,8").split(","))
-    ensure_pages_cache_subprocess()
+    # scaling default: the COMPUTE-DENSE x256 input (round-4 rescale — the
+    # faster engine made x128 fixed-cost-heavy at 8 CPUs: ~18 s wall, where
+    # per-run fixed cost is a visible fraction; x256 halves its weight).
+    # Override with GRAFT_BENCH_REP as before.
+    rep = os.environ.get("GRAFT_BENCH_REP", "256")
+    ensure_pages_cache_subprocess(rep)
     results = {}
     for ncpu in (n, n4):
         # 3 in-run repeats per level (median) keeps one scaling run bounded;
@@ -309,6 +314,7 @@ def run_scaling() -> dict:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_BENCH_REP=rep,
             GRAFT_BENCH_REPEATS=os.environ.get("GRAFT_BENCH_REPEATS", "3"),
         )
         out = subprocess.run(
@@ -475,17 +481,21 @@ def run_partitioned_equivalence() -> dict:
     return result
 
 
-def ensure_pages_cache_subprocess() -> None:
+def ensure_pages_cache_subprocess(rep: str | None = None) -> None:
     """Generate the cache in a throwaway subprocess so both timed runs start
     from an identical, pre-existing input."""
     code = (
         "import bench; bench.ensure_pages_cache(); "
         "import ray; ray.shutdown() if ray.is_initialized() else None"
     )
+    env = dict(os.environ)
+    if rep is not None:
+        env["GRAFT_BENCH_REP"] = rep
     subprocess.run(
         [sys.executable, "-c", code],
         check=True,
         cwd=os.path.dirname(os.path.abspath(__file__)),
+        env=env,
         capture_output=True,
     )
 

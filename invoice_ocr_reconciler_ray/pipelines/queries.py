@@ -9047,6 +9047,77 @@ FROM documents GROUP BY 1 ORDER BY 1
 """
 
 
+def events_second_latest_per_user(sf_dir: str):
+    """nth_value window (n=2): each user's SECOND-latest event — distinct
+    from the latest-per-user argmax shape.  Lossless block-local prune: a
+    block forwards at most its top-2 rows per user (a row with ≥2 later
+    same-user rows in its own block can't be globally 2nd), so the shuffle
+    carries O(2 · users · blocks) rows; the per-group kernel then sorts the
+    tiny survivor set.  Users with a single event drop (matching the SQL
+    row_number() = 2 filter)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+                "value_cents": _cents(t["value"]),
+            }
+        )
+
+    def prune(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        s = t.take(
+            pc.sort_indices(
+                t,
+                sort_keys=[
+                    ("user_id", "ascending"),
+                    ("ts_us", "descending"),
+                    ("event_id", "descending"),
+                ],
+            )
+        )
+        u = s["user_id"].combine_chunks().to_numpy()
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        # position within the user's run (0-based); keep the first two
+        idx = np.arange(len(u))
+        run_start = np.maximum.accumulate(np.where(new_user, idx, 0))
+        keep = idx - run_start < 2
+        return s.filter(pa.array(keep))
+
+    def second(g: pa.Table) -> pa.Table:
+        s = g.take(
+            pc.sort_indices(
+                g,
+                sort_keys=[("ts_us", "descending"), ("event_id", "descending")],
+            )
+        )
+        if s.num_rows < 2:
+            return s.slice(0, 0)
+        return s.slice(1, 1)
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .map_batches(prune, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(second, batch_format="pyarrow")
+    )
+
+
+EVENTS_SECOND_LATEST_PER_USER_SQL = """
+SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+       CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS value_cents
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) = 2
+"""
+
+
 def custdist_order_counts(sf_dir: str):
     """Order-count distribution (TPC-H Q13 shape): how many customers placed
     exactly k orders, INCLUDING k=0 (the left-outer zero preservation of
@@ -9092,6 +9163,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_value_histogram": EVENTS_VALUE_HISTOGRAM_SQL,
     "orders_yearly_growth": ORDERS_YEARLY_GROWTH_SQL,
     "docs_partition_skew_audit": DOCS_PARTITION_SKEW_AUDIT_SQL,
+    "events_second_latest_per_user": EVENTS_SECOND_LATEST_PER_USER_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
     "top_customers": TOP_CUSTOMERS_SQL,
@@ -9333,6 +9405,7 @@ def registry() -> dict:
         "events_value_histogram": events_value_histogram,
         "orders_yearly_growth": orders_yearly_growth,
         "docs_partition_skew_audit": docs_partition_skew_audit,
+        "events_second_latest_per_user": events_second_latest_per_user,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
         "quality_flags_c4": quality_flags_c4,
