@@ -11,6 +11,7 @@ Usage:
   python -m invoice_ocr_reconciler_ray run-files --input /tmp/bucketed --out /tmp/ckpt
   python -m invoice_ocr_reconciler_ray stats --out /tmp/ckpt
   python -m invoice_ocr_reconciler_ray patch --input /tmp/out --overlay links.json --key url --out /tmp/patched
+  python -m invoice_ocr_reconciler_ray report --input /tmp/out
 """
 
 from __future__ import annotations
@@ -70,6 +71,14 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--key", required=True, help="key column name")
     pp.add_argument("--out", required=True)
 
+    pt = sub.add_parser(
+        "report",
+        help="text run-summary (counts per match_status) from extract/run "
+        "output (≙ reference summary/PDF report endpoints)",
+    )
+    pt.add_argument("--input", required=True, help="verdict parquet dir")
+    pt.add_argument("--status-col", default="match_status")
+
     args = p.parse_args(argv)
 
     if args.cmd == "stats":  # no Ray needed
@@ -95,6 +104,22 @@ def main(argv: list[str] | None = None) -> int:
 
             totals = run_checkpointed_files(args.input, args.out)
             print(json.dumps(totals, sort_keys=True))
+        elif args.cmd == "report":
+            import pyarrow as pa
+            import ray.data as rd
+            from ray.data.aggregate import Count
+
+            from invoice_ocr_reconciler_ray.stages.report import summary_report_lines
+
+            agg = (
+                rd.read_parquet(args.input, columns=[args.status_col])
+                .groupby(args.status_col)
+                .aggregate(Count(alias_name="n"))
+            )
+            tiny = pa.Table.from_pylist(agg.take_all())
+            out = summary_report_lines(tiny, status_col=args.status_col, n_col="n")
+            for line in out["line"].to_pylist():
+                print(line)
         elif args.cmd == "patch":
             import pyarrow as pa
             import ray.data as rd

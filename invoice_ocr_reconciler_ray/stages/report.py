@@ -32,7 +32,7 @@ def summary_report_lines(
     *,
     status_col: str,
     n_col: str,
-    cents_col: str,
+    cents_col: str | None = None,
     title: str = "RUN SUMMARY",
 ) -> pa.Table:
     """Render a per-status aggregate table as numbered text report lines —
@@ -46,12 +46,17 @@ def summary_report_lines(
     t = tbl.sort_by([(status_col, "ascending")])
     statuses = t[status_col].to_pylist()
     ns = t[n_col].to_pylist()
-    cents = t[cents_col].to_pylist()
     lines = [title]
-    for s, n, c in zip(statuses, ns, cents):
-        lines.append(f"status={s} n={n} total=${c // 100}.{c % 100:02d}")
-    tot_n, tot_c = sum(ns), sum(cents)
-    lines.append(f"TOTAL n={tot_n} total=${tot_c // 100}.{tot_c % 100:02d}")
+    if cents_col is None:
+        for s, n in zip(statuses, ns):
+            lines.append(f"status={s} n={n}")
+        lines.append(f"TOTAL n={sum(ns)}")
+    else:
+        cents = t[cents_col].to_pylist()
+        for s, n, c in zip(statuses, ns, cents):
+            lines.append(f"status={s} n={n} total=${c // 100}.{c % 100:02d}")
+        tot_n, tot_c = sum(ns), sum(cents)
+        lines.append(f"TOTAL n={tot_n} total=${tot_c // 100}.{tot_c % 100:02d}")
     return pa.table(
         {
             "line_no": pa.array(range(len(lines)), pa.int64()),
