@@ -4149,6 +4149,28 @@ GROUP BY e.event_id
 """
 
 
+def web_training_export_demo(sf_dir: str):
+    """The NORTH-STAR end-to-end composition: synthetic web pages → the
+    real flagship extraction engine (magic-bytes routing, boilerplate
+    strip, XY-cut, dedup, reconcile) → quality gate → fixed-window chunking
+    → reproducible global shuffle → sharded parquet + resume manifest
+    (pipelines/training_export.py:export_web_training_set).  Returns the
+    per-shard chunk counts read back from the written output (rows-only —
+    gate/reassembly/resume contracts are pytest-proven)."""
+    import os
+
+    from ..functions.hashing import stable_hash64
+    from .training_export import export_web_training_set
+
+    st = os.stat(f"{sf_dir.rstrip('/')}/documents.parquet")
+    fp = f"{sf_dir}|webexport|v1|{st.st_size}|{st.st_mtime_ns}"
+    out = f"/tmp/iocr_webexport_{stable_hash64(fp):016x}"
+    export_web_training_set(_flagship_materialized(sf_dir), out, fingerprint=fp)
+    shards = rd.read_parquet(os.path.join(out, "data"))
+    counts = shards.groupby("shard").count()
+    return counts.rename_columns({"count()": "n_chunks"})
+
+
 def training_export_demo(sf_dir: str):
     """The composed end-to-end training-set export
     (pipelines/training_export.py): curate → decontaminate → chunk →
@@ -9548,6 +9570,7 @@ def registry() -> dict:
         # least-informative row first (the neardup family below has r01/r02
         # precedent rows)
         "training_export_demo": training_export_demo,
+        "web_training_export_demo": web_training_export_demo,
         # simhash/embedding planted recall is genuinely probabilistic (bit
         # votes / hyperplane sign flips) — they stay rows-only with analytic
         # pytest coverage instead of a partial oracle

@@ -171,6 +171,144 @@ def export_training_set(
     return stats
 
 
+def export_web_training_set(
+    verdicts,
+    out_dir: str,
+    *,
+    fingerprint: str,
+    chunk_w: int = 200,
+    n_shards: int = 8,
+    min_confidence: int = 50,
+) -> dict:
+    """The NORTH-STAR composition end-to-end: web pages → the real
+    extraction engine → quality gate → fixed-window chunking → reproducible
+    global shuffle → sharded parquet with a resume manifest.
+
+    ``verdicts`` is the flagship's output Dataset (pages already extracted,
+    deduped and reconciled); the gate keeps rows that are not duplicates,
+    decoded cleanly (no row-level error), met the confidence floor and
+    produced text.  Chunk ids are ``url#k`` strings (urls are unique among
+    kept rows — dedup is first-wins per url), ranked by
+    ``stages/rank.global_rank`` (md5 order, O(256) driver state), sharded
+    round-robin on the exact global position.  Idempotent per
+    ``fingerprint``: a completed export is never recomputed."""
+    from ..stages.rank import global_rank
+
+    part_id = f"webexport-{stable_hash64(fingerprint):016x}"
+    manifest = RunManifest(out_dir)
+    for e in manifest.entries():
+        if e.get("part_id") == part_id and e.get("status") == "done":
+            return {
+                k: e[k] for k in ("rows_kept", "rows_out", "n_shards", "order_hash")
+            }
+
+    cols = verdicts.select_columns(
+        ["url", "lang", "extracted_text", "confidence", "is_duplicate", "error"]
+    )
+
+    def gate_and_chunk(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(
+                pc.invert(t["is_duplicate"].combine_chunks()),
+                pc.is_null(t["error"].combine_chunks()),
+            ),
+            pc.greater_equal(t["confidence"].combine_chunks(), min_confidence),
+        )
+        t = t.filter(keep)
+        txt = pc.cast(t["extracted_text"].combine_chunks(), pa.string())
+        lens = pc.utf8_length(txt)
+        nonempty = pc.greater(lens, 0)
+        t = t.filter(nonempty)
+        txt = txt.filter(nonempty)
+        lens = pc.utf8_length(txt)
+        urls = t["url"].combine_chunks()
+        langs = t["lang"].combine_chunks()
+        max_len = pc.max(lens).as_py() or 0
+        parts = []
+        k = 0
+        while k * chunk_w < max_len:
+            m = pc.greater(lens, k * chunk_w)
+            u = urls.filter(m)
+            parts.append(
+                pa.table(
+                    {
+                        "chunk_uid": pc.binary_join_element_wise(
+                            u, pa.array([f"#{k}"] * len(u), pa.string()), ""
+                        ),
+                        "url": u,
+                        "chunk_idx": pa.array([k] * len(u), pa.int64()),
+                        "lang": langs.filter(m),
+                        "chunk_text": pc.utf8_slice_codeunits(
+                            txt, k * chunk_w, (k + 1) * chunk_w
+                        ).filter(m),
+                        "kept_row": pa.array([k == 0] * len(u), pa.bool_()),
+                    }
+                )
+            )
+            k += 1
+        if not parts:
+            return pa.table(
+                {
+                    "chunk_uid": pa.array([], pa.string()),
+                    "url": pa.array([], pa.string()),
+                    "chunk_idx": pa.array([], pa.int64()),
+                    "lang": pa.array([], pa.string()),
+                    "chunk_text": pa.array([], pa.string()),
+                    "kept_row": pa.array([], pa.bool_()),
+                }
+            )
+        return pa.concat_tables(parts)
+
+    chunks = cols.map_batches(gate_and_chunk, batch_format="pyarrow").materialize()
+    rows_kept = int(
+        chunks.map_batches(
+            lambda t: {"n": [pc.sum(pc.cast(t["kept_row"], pa.int64())).as_py() or 0]},
+        ).sum("n")
+    )
+    npart = max(2, min(64, chunks.count() // 75_000))
+    ranks = global_rank(chunks.select_columns(["chunk_uid"]), id_col="chunk_uid")
+    with_pos = chunks.drop_columns(["kept_row"]).join(
+        ranks, join_type="inner", num_partitions=npart, on=("chunk_uid",)
+    )
+
+    def shard_col(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "shard",
+            pc.cast(
+                pc.subtract(
+                    t["pos"], pc.multiply(pc.divide(t["pos"], n_shards), n_shards)
+                ),
+                pa.int64(),
+            ),
+        )
+
+    data_dir = os.path.join(out_dir, "data")
+    with_pos.map_batches(shard_col, batch_format="pyarrow").write_parquet(
+        data_dir, partition_cols=["shard"]
+    )
+
+    def order_partial(t: pa.Table):
+        acc = 0
+        for p, u in zip(t["pos"].to_pylist(), t["chunk_uid"].to_pylist()):
+            acc ^= stable_hash64(f"{p}:{u}", salt="order")
+        return {"acc": [acc & ((1 << 63) - 1)], "n": [t.num_rows]}
+
+    written = rd.read_parquet(data_dir, columns=["pos", "chunk_uid"])
+    acc, rows_out = 0, 0
+    for row in written.map_batches(order_partial, batch_format="pyarrow").iter_rows():
+        acc ^= int(row["acc"])
+        rows_out += int(row["n"])
+
+    stats = {
+        "rows_kept": rows_kept,
+        "rows_out": rows_out,
+        "n_shards": n_shards,
+        "order_hash": f"{acc:016x}",
+    }
+    manifest.record({"part_id": part_id, "status": "done", "seq": 0, **stats})
+    return stats
+
+
 def _contaminated(txt: pa.Array, needles: tuple[str, ...]) -> pa.Array:
     hit = None
     for nd in needles:
