@@ -724,6 +724,101 @@ FROM e
 """
 
 
+def flagship_giant_oracle(sf_dir: str):
+    """Giant-page oracle (the skew fixture, byte-exact): every qualifying
+    doc becomes a multi-KB page whose body is the word list repeated 8x as
+    ONE paragraph; DuckDB rebuilds the repeated text with repeat(), so
+    big-row handling through the whole engine is hash-checked."""
+    from ..sources.pages import oracle_giant_pages_batch
+    from ..stages.extract import extract_pages
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
+    ext = extract_pages(ds.map_batches(oracle_giant_pages_batch, batch_format="pyarrow"))
+
+    def proj(t: pa.Table) -> pa.Table:
+        txt = pc.cast(t["extracted_text"], pa.string())
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "extracted_text": txt,
+                "extracted_len": pc.cast(pc.utf8_length(txt), pa.int64()),
+                "n_spans": pc.cast(pc.list_value_length(t["spans"]), pa.int64()),
+            }
+        )
+
+    return ext.map_batches(proj, batch_format="pyarrow")
+
+
+FLAGSHIP_GIANT_ORACLE_SQL = """
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents WHERE trim(text) <> ''),
+f AS (SELECT doc_id, w FROM d WHERE len(w) >= 16),
+e AS (
+  SELECT doc_id,
+         array_to_string(w[1:5], ' ') || chr(10) ||
+         rtrim(repeat(array_to_string(w, ' ') || ' ', 8)) AS extracted_text
+  FROM f)
+SELECT doc_id, extracted_text,
+       CAST(length(extracted_text) AS BIGINT) AS extracted_len,
+       CAST(2 AS BIGINT) AS n_spans
+FROM e
+"""
+
+
+def flagship_poison_oracle(sf_dir: str):
+    """Row-level error-isolation oracle: one pipeline over a table where
+    every third row is corrupted bytes (strict decode raises) mixed with
+    clean pages — errors MUST become row-level error values, never task
+    failures, and the corruption rule (doc_id % 3) is SQL-expressible, so
+    the isolation contract itself is hash-checked per row (≙ reference
+    server.js:334-339)."""
+    from ..sources.pages import oracle_poison_pages_batch
+    from ..stages.extract import extract_pages
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
+    ext = extract_pages(
+        ds.map_batches(oracle_poison_pages_batch, batch_format="pyarrow")
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        txt = pc.cast(t["extracted_text"], pa.string())
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "ok": pc.is_null(t["error"]),
+                "extracted_len": pc.cast(pc.utf8_length(txt), pa.int64()),
+                "confidence": pc.cast(t["confidence"], pa.int64()),
+            }
+        )
+
+    return ext.map_batches(proj, batch_format="pyarrow")
+
+
+FLAGSHIP_POISON_ORACLE_SQL = """
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents WHERE trim(text) <> ''),
+f AS (SELECT doc_id, w, len(w) AS nw FROM d WHERE len(w) >= 16),
+e AS (
+  SELECT doc_id,
+         array_to_string(w[1:5], ' ') || chr(10) ||
+         CASE WHEN nw >= 43
+              THEN array_to_string(w[6:35], ' ') || chr(10) ||
+                   array_to_string(w[36:nw], ' ')
+              ELSE array_to_string(w[6:nw], ' ') END AS full_text
+  FROM f)
+SELECT doc_id,
+       doc_id % 3 <> 0 AS ok,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 0
+                 ELSE length(full_text) END AS BIGINT) AS extracted_len,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 0
+                 WHEN length(full_text) >= 100 THEN 100
+                 ELSE 75 END AS BIGINT) AS confidence
+FROM e
+"""
+
+
 def doc_fingerprints(sf_dir: str):
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return fingerprint_stage(ds).select_columns(["doc_id", "fp_md5"])
@@ -9168,6 +9263,8 @@ ORACLE_SQL: dict[str, str] = {
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
     "flagship_mixed_oracle": FLAGSHIP_MIXED_ORACLE_SQL,
     "flagship_charset_oracle": FLAGSHIP_CHARSET_ORACLE_SQL,
+    "flagship_giant_oracle": FLAGSHIP_GIANT_ORACLE_SQL,
+    "flagship_poison_oracle": FLAGSHIP_POISON_ORACLE_SQL,
     "pricing_summary": PRICING_SUMMARY_SQL,
     "monthly_orders": MONTHLY_ORDERS_SQL,
     "monthly_events": MONTHLY_EVENTS_SQL,
@@ -9364,6 +9461,8 @@ def registry() -> dict:
         "flagship_pdf_oracle": flagship_pdf_oracle,
         "flagship_mixed_oracle": flagship_mixed_oracle,
         "flagship_charset_oracle": flagship_charset_oracle,
+        "flagship_giant_oracle": flagship_giant_oracle,
+        "flagship_poison_oracle": flagship_poison_oracle,
         "pricing_summary": pricing_summary,
         "monthly_orders": monthly_orders,
         "monthly_events": monthly_events,

@@ -464,6 +464,84 @@ def oracle_latin1_pages_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+ORACLE_GIANT_REPEAT = 8  # giant-page body = words repeated 8x, one paragraph
+
+
+def oracle_giant_pages_batch(batch: pa.Table) -> pa.Table:
+    """Giant-page oracle: EVERY qualifying doc becomes a multi-KB page whose
+    single body paragraph is the word list repeated 8× — the skew-fixture
+    shape (sources/pages.py giant rows), here with a SQL-reconstructible
+    ground truth so big-row handling is byte-exact through decode, tokenize,
+    classify and span building."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    langs = batch.column("lang").to_pylist()
+    out_id: list[int] = []
+    out: dict[str, list] = {k: [] for k in ("url", "warc_ts", "html", "text", "lang")}
+    for d, t, lg in zip(doc_ids, texts, langs):
+        words = (t or "").split()
+        if len(words) < ORACLE_MIN_WORDS:
+            continue
+        title = " ".join(words[:ORACLE_TITLE_WORDS])
+        body = " ".join(words * ORACLE_GIANT_REPEAT)
+        blocks = [title, body]
+        out_id.append(int(d))
+        out["url"].append(url_for(int(d)))
+        out["warc_ts"].append(warc_ts_us(int(d)))
+        out["html"].append(build_html(int(d), blocks, lg or "en"))
+        out["text"].append(ground_truth(blocks))
+        out["lang"].append(lg or "en")
+    return pa.Table.from_arrays(
+        [
+            pa.array(out_id, pa.int64()),
+            pa.array(out["url"], pa.string()),
+            pa.array(out["warc_ts"], pa.timestamp("us")),
+            pa.array(out["html"], pa.large_binary()),
+            pa.array(out["text"], pa.string()),
+            pa.array(out["lang"], pa.string()),
+        ],
+        names=["doc_id", "url", "warc_ts", "html", "text", "lang"],
+    )
+
+
+def oracle_poison_pages_batch(batch: pa.Table) -> pa.Table:
+    """Error-isolation oracle: ``doc_id % 3 == 0`` rows are CORRUPTED
+    (declared utf-8, invalid bytes appended — the strict decode must raise
+    and the engine must convert that to a row-level error, never a task
+    failure); the rest are clean oracle-layout HTML.  The corruption rule is
+    SQL-expressible, so per-row error isolation itself is oracle-checked."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    langs = batch.column("lang").to_pylist()
+    out_id: list[int] = []
+    out: dict[str, list] = {k: [] for k in ("url", "warc_ts", "html", "text", "lang")}
+    for d, t, lg in zip(doc_ids, texts, langs):
+        words = (t or "").split()
+        blocks = oracle_blocks(words)
+        if blocks is None:
+            continue
+        raw = build_html(int(d), blocks, lg or "en", allow_latin=False)
+        if int(d) % 3 == 0:
+            raw = raw[: max(200, len(raw) // 2)] + b"\xff\xfe\xff"
+        out_id.append(int(d))
+        out["url"].append(url_for(int(d)))
+        out["warc_ts"].append(warc_ts_us(int(d)))
+        out["html"].append(raw)
+        out["text"].append(ground_truth(blocks))
+        out["lang"].append(lg or "en")
+    return pa.Table.from_arrays(
+        [
+            pa.array(out_id, pa.int64()),
+            pa.array(out["url"], pa.string()),
+            pa.array(out["warc_ts"], pa.timestamp("us")),
+            pa.array(out["html"], pa.large_binary()),
+            pa.array(out["text"], pa.string()),
+            pa.array(out["lang"], pa.string()),
+        ],
+        names=["doc_id", "url", "warc_ts", "html", "text", "lang"],
+    )
+
+
 def oracle_mixed_pages_batch(batch: pa.Table) -> pa.Table:
     """Mixed-routing oracle pages: ``doc_id % 5 == 0`` rows get the PDF
     layout, the rest the HTML layout — a SQL-expressible predicate, so the
