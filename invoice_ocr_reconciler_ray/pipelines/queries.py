@@ -3012,6 +3012,57 @@ FROM orders GROUP BY 1
 """
 
 
+def events_interarrival_median(sf_dir: str):
+    """Per-user inter-arrival median — the window-then-quantile composition
+    (lag() deltas feeding quantile_disc): co-partition by user, per-group
+    kernel sorts once, diffs, and picks the 1-based-rank-ceil(n/2) element
+    exactly; single-event users drop (no gaps), matching the SQL NULL-gap
+    filter."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def kernel(g: pa.Table) -> pa.Table:
+        ts = np.sort(
+            g["ts"]
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        if len(ts) < 2:
+            return pa.table(
+                {
+                    "user_id": g["user_id"].slice(0, 0),
+                    "n_gaps": pa.array([], pa.int64()),
+                    "median_gap_us": pa.array([], pa.int64()),
+                }
+            )
+        gaps = np.sort(np.diff(ts))
+        m = gaps[int(np.ceil(0.5 * len(gaps))) - 1]
+        return pa.table(
+            {
+                "user_id": g["user_id"].slice(0, 1),
+                "n_gaps": pa.array([len(gaps)], pa.int64()),
+                "median_gap_us": pa.array([int(m)], pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(kernel, batch_format="pyarrow")
+
+
+EVENTS_INTERARRIVAL_MEDIAN_SQL = """
+WITH g AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                    ORDER BY ts)) AS BIGINT)
+           AS gap_us
+  FROM events)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(quantile_disc(gap_us, 0.5) AS BIGINT) AS median_gap_us
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY 1
+"""
+
+
 # ------------------------------------------- outer join / pivot / group top-k
 
 def customer_order_counts(sf_dir: str):
@@ -9235,6 +9286,149 @@ QUALIFY row_number() OVER (PARTITION BY user_id
 """
 
 
+def referential_integrity_audit(sf_dir: str):
+    """Cross-table foreign-key audit (the data-contract check a 100 TB lake
+    runs nightly): for each child→parent relationship, total child rows and
+    orphan rows (child key absent from the parent).  Scale shape: child side
+    reduces to per-key counts via block-local combiners + one keyed groupby
+    (the shuffle carries distinct keys, not rows); a metadata-broadcastable
+    parent reduces to its distinct key set (block-local pc.unique partials,
+    budget-guarded broadcast) probed with is_in; an oversized parent takes a
+    left_outer key-to-key shuffle join instead (Ray's hash-shuffle join
+    chokes on partitions that receive zero blocks — only possible for tiny
+    inputs, which the broadcast branch owns)."""
+    from ..stages.broadcast import dim_is_broadcastable, guard_broadcast_bytes, table_nbytes
+    rels = [
+        ("lineitem.l_orderkey->orders.o_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders.o_custkey->customer.c_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer.c_nationkey->nation.n_nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier.s_nationkey->nation.n_nationkey", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation.n_regionkey->region.r_regionkey", "nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    names, totals, orphans = [], [], []
+    for name, child, ck, parent, pk in rels:
+        child_counts = (
+            rd.read_parquet(_t(sf_dir, child), columns=[ck])
+            .map_batches(
+                lambda t, ck=ck: t.group_by(ck)
+                .aggregate([(ck, "count")])
+                .rename_columns([ck, "n"]),
+                batch_format="pyarrow",
+            )
+            .groupby(ck)
+            .aggregate(Sum("n", alias_name="n"))
+        )
+        parent_distinct = rd.read_parquet(_t(sf_dir, parent), columns=[pk]).map_batches(
+            lambda t, pk=pk: t.group_by(pk).aggregate([]),
+            batch_format="pyarrow",
+        )
+        if dim_is_broadcastable(_t(sf_dir, parent), [pk]):
+            # driver merge of block-distinct partials, guarded broadcast
+            keys = pc.unique(
+                pa.concat_tables(
+                    list(parent_distinct.iter_batches(batch_format="pyarrow"))
+                )[pk].combine_chunks()
+            )
+            guard_broadcast_bytes(
+                table_nbytes(keys),
+                label=f"referential audit parent keys ({parent})",
+                alternative="the shuffle-join branch of this same audit",
+            )
+            kref = ray.put(keys)
+            flagged = child_counts.map_batches(
+                lambda t, ck=ck: pa.table(
+                    {
+                        "total": pa.array([pc.sum(t["n"]).as_py() or 0], pa.int64()),
+                        "orphan": pa.array(
+                            [
+                                pc.sum(
+                                    pc.if_else(
+                                        pc.is_in(t[ck], value_set=ray.get(kref)),
+                                        0,
+                                        t["n"],
+                                    )
+                                ).as_py()
+                                or 0
+                            ],
+                            pa.int64(),
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        else:
+            parent_keys = parent_distinct.groupby(pk).aggregate(
+                Count(alias_name="_p")
+            )
+            left = child_counts.join(
+                parent_keys,
+                join_type="left_outer",
+                num_partitions=8,
+                on=(ck,),
+                right_on=(pk,),
+            )
+            flagged = left.map_batches(
+                lambda t: pa.table(
+                    {
+                        "total": pa.array([pc.sum(t["n"]).as_py() or 0], pa.int64()),
+                        "orphan": pa.array(
+                            [
+                                pc.sum(
+                                    pc.if_else(pc.is_null(t["_p"]), t["n"], 0)
+                                ).as_py()
+                                or 0
+                            ],
+                            pa.int64(),
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        tot = orp = 0
+        for row in flagged.iter_rows():
+            tot += int(row["total"])
+            orp += int(row["orphan"])
+        names.append(name)
+        totals.append(tot)
+        orphans.append(orp)
+    return pa.table(
+        {
+            "relationship": pa.array(names, pa.string()),
+            "n_rows": pa.array(totals, pa.int64()),
+            "n_orphans": pa.array(orphans, pa.int64()),
+        }
+    )
+
+
+REFERENTIAL_INTEGRITY_AUDIT_SQL = """
+SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS relationship,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphans
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'orders.o_custkey->customer.c_custkey',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'customer.c_nationkey->nation.n_nationkey',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+UNION ALL
+SELECT 'supplier.s_nationkey->nation.n_nationkey',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+UNION ALL
+SELECT 'nation.n_regionkey->region.r_regionkey',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+"""
+
+
 def custdist_order_counts(sf_dir: str):
     """Order-count distribution (TPC-H Q13 shape): how many customers placed
     exactly k orders, INCLUDING k=0 (the left-outer zero preservation of
@@ -9283,6 +9477,8 @@ ORACLE_SQL: dict[str, str] = {
     "orders_yearly_growth": ORDERS_YEARLY_GROWTH_SQL,
     "docs_partition_skew_audit": DOCS_PARTITION_SKEW_AUDIT_SQL,
     "events_second_latest_per_user": EVENTS_SECOND_LATEST_PER_USER_SQL,
+    "referential_integrity_audit": REFERENTIAL_INTEGRITY_AUDIT_SQL,
+    "events_interarrival_median": EVENTS_INTERARRIVAL_MEDIAN_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
     "top_customers": TOP_CUSTOMERS_SQL,
@@ -9527,6 +9723,8 @@ def registry() -> dict:
         "orders_yearly_growth": orders_yearly_growth,
         "docs_partition_skew_audit": docs_partition_skew_audit,
         "events_second_latest_per_user": events_second_latest_per_user,
+        "referential_integrity_audit": referential_integrity_audit,
+        "events_interarrival_median": events_interarrival_median,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
         "quality_flags_c4": quality_flags_c4,
