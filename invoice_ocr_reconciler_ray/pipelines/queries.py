@@ -3012,6 +3012,102 @@ FROM orders GROUP BY 1
 """
 
 
+def _skyline_2d(price: "np.ndarray", day: "np.ndarray") -> "np.ndarray":
+    """Boolean keep-mask for the maximize-both 2-D skyline: a point survives
+    iff no OTHER point is >= on both axes and > on at least one.  O(n log n):
+    sort by (price desc, day desc); a point is dominated iff some
+    strictly-higher-price point has day >= its day, OR an equal-price point
+    has day > its day (equal-price groups share the same running max from
+    prior groups, computed per group)."""
+    n = len(price)
+    keep = np.ones(n, dtype=bool)
+    order = np.lexsort((-day, -price))
+    p, d = price[order], day[order]
+    best_day_before = -np.inf  # max day among strictly-higher-price points
+    i = 0
+    while i < n:
+        j = i
+        while j < n and p[j] == p[i]:
+            j += 1
+        grp_d = d[i:j]
+        grp_max = grp_d.max()
+        # dominated by a higher-price point with day >= mine,
+        # or by an equal-price point with day > mine
+        dominated = (grp_d <= best_day_before) | (grp_d < grp_max)
+        keep[order[i:j]] = ~dominated
+        best_day_before = max(best_day_before, grp_max)
+        i = j
+    return keep
+
+
+def orders_skyline(sf_dir: str):
+    """2-D SKYLINE / Pareto front (maximize price AND recency over finished
+    orders) — the dominance-query family.  The distributed shape exploits
+    skyline algebra: skyline(A ∪ B) ⊆ skyline(A) ∪ skyline(B), so a
+    block-local skyline prune is LOSSLESS; survivors (tiny — the front of a
+    random 2-D set is ~O(log n)) merge on the driver with the same kernel.
+    Per-block kernel is O(n log n) lexsort, no Python loop over rows beyond
+    the equal-price group walk."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_totalprice", "o_orderdate", "o_orderstatus"],
+        filter=pc.field("o_orderstatus") == "F",
+    )
+
+    def prep_and_prune(t: pa.Table) -> pa.Table:
+        price = _cents(t["o_totalprice"]).combine_chunks().to_numpy()
+        day = (
+            pc.cast(pc.cast(t["o_orderdate"], pa.date32()), pa.int32())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        tb = pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "price_cents": pa.array(price, pa.int64()),
+                "epoch_day": pa.array(day, pa.int64()),
+            }
+        )
+        if tb.num_rows == 0:
+            return tb
+        return tb.filter(pa.array(_skyline_2d(price, day)))
+
+    survivors = pa.concat_tables(
+        list(
+            ds.map_batches(prep_and_prune, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"
+            )
+        )
+    )
+    if survivors.num_rows == 0:
+        return survivors
+    keep = _skyline_2d(
+        survivors["price_cents"].combine_chunks().to_numpy(),
+        survivors["epoch_day"].combine_chunks().to_numpy(),
+    )
+    return survivors.filter(pa.array(keep)).sort_by(
+        [("price_cents", "descending"), ("o_orderkey", "ascending")]
+    )
+
+
+ORDERS_SKYLINE_SQL = """
+WITH f AS (
+  SELECT o_orderkey,
+         CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS price_cents,
+         CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+              AS BIGINT) AS epoch_day
+  FROM orders WHERE o_orderstatus = 'F')
+SELECT o_orderkey, price_cents, epoch_day
+FROM f o1
+WHERE NOT EXISTS (
+  SELECT 1 FROM f o2
+  WHERE o2.price_cents >= o1.price_cents AND o2.epoch_day >= o1.epoch_day
+    AND (o2.price_cents > o1.price_cents OR o2.epoch_day > o1.epoch_day))
+ORDER BY price_cents DESC, o_orderkey
+"""
+
+
 def events_interarrival_median(sf_dir: str):
     """Per-user inter-arrival median — the window-then-quantile composition
     (lag() deltas feeding quantile_disc): co-partition by user, per-group
@@ -9479,6 +9575,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_second_latest_per_user": EVENTS_SECOND_LATEST_PER_USER_SQL,
     "referential_integrity_audit": REFERENTIAL_INTEGRITY_AUDIT_SQL,
     "events_interarrival_median": EVENTS_INTERARRIVAL_MEDIAN_SQL,
+    "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
     "top_customers": TOP_CUSTOMERS_SQL,
@@ -9725,6 +9822,7 @@ def registry() -> dict:
         "events_second_latest_per_user": events_second_latest_per_user,
         "referential_integrity_audit": referential_integrity_audit,
         "events_interarrival_median": events_interarrival_median,
+        "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
         "quality_flags_c4": quality_flags_c4,
