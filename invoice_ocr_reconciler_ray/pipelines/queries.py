@@ -3108,6 +3108,96 @@ ORDER BY price_cents DESC, o_orderkey
 """
 
 
+def orders_decile_report(sf_dir: str):
+    """Decile table (rank-then-aggregate reporting): exact global ntile(10)
+    over order price (stages/rank.py value-range buckets — no global sort),
+    then per-tile min/max/sum/count in exact cents via one tiny groupby."""
+    from ..stages.rank import global_value_rank
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"o_orderkey": t["o_orderkey"], "price_cents": _cents(t["o_totalprice"])}
+        ),
+        batch_format="pyarrow",
+    )
+    tiled = global_value_rank(
+        ds, value_col="price_cents", id_col="o_orderkey", ntile_k=10
+    )
+
+    def part(t: pa.Table) -> pa.Table:
+        tb = pa.table(
+            {
+                "tile": t["tile"],
+                "cents": t["price_cents"],
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        g = tb.group_by("tile").aggregate(
+            [("cents", "min"), ("cents", "max"), ("cents", "sum"), ("one", "sum")]
+        )
+        return g.rename_columns(["tile", "lo", "hi", "s", "n"])
+
+    return (
+        tiled.map_batches(part, batch_format="pyarrow")
+        .groupby("tile")
+        .aggregate(
+            Min("lo", alias_name="min_cents"),
+            Max("hi", alias_name="max_cents"),
+            Sum("s", alias_name="sum_cents"),
+            Sum("n", alias_name="n_orders"),
+        )
+        .sort(["tile"])
+    )
+
+
+ORDERS_DECILE_REPORT_SQL = """
+WITH p AS (
+  SELECT o_orderkey,
+         CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS price_cents
+  FROM orders),
+t AS (
+  SELECT price_cents,
+         CAST(ntile(10) OVER (ORDER BY price_cents, o_orderkey) AS BIGINT)
+           AS tile
+  FROM p)
+SELECT tile,
+       CAST(MIN(price_cents) AS BIGINT) AS min_cents,
+       CAST(MAX(price_cents) AS BIGINT) AS max_cents,
+       CAST(SUM(price_cents) AS BIGINT) AS sum_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM t GROUP BY 1 ORDER BY 1
+"""
+
+
+def docs_phrase_search(sf_dir: str):
+    """Word-boundary PHRASE search over the corpus (F6 substring search
+    extended to full-text semantics): docs containing the exact two-word
+    phrase, found by one vectorized match on the space-padded normalized
+    text — no tokenization pass, no index; the postings-list path
+    (``term_postings``) is the repeated-query alternative."""
+    phrase = "the fast"
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def hit(t: pa.Table) -> pa.Table:
+        txt = pc.binary_join_element_wise(
+            " ", pc.cast(t["text"], pa.string()), " ", ""
+        )
+        m = pc.match_substring(txt, f" {phrase} ")
+        out = pa.table({"doc_id": t["doc_id"], "m": m})
+        return out.filter(out["m"]).select(["doc_id"])
+
+    return ds.map_batches(hit, batch_format="pyarrow").sort(["doc_id"])
+
+
+DOCS_PHRASE_SEARCH_SQL = """
+SELECT doc_id FROM documents
+WHERE ' ' || text || ' ' LIKE '% the fast %'
+ORDER BY doc_id
+"""
+
+
 def events_interarrival_median(sf_dir: str):
     """Per-user inter-arrival median — the window-then-quantile composition
     (lag() deltas feeding quantile_disc): co-partition by user, per-group
@@ -9575,6 +9665,8 @@ ORACLE_SQL: dict[str, str] = {
     "events_second_latest_per_user": EVENTS_SECOND_LATEST_PER_USER_SQL,
     "referential_integrity_audit": REFERENTIAL_INTEGRITY_AUDIT_SQL,
     "events_interarrival_median": EVENTS_INTERARRIVAL_MEDIAN_SQL,
+    "docs_phrase_search": DOCS_PHRASE_SEARCH_SQL,
+    "orders_decile_report": ORDERS_DECILE_REPORT_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -9822,6 +9914,8 @@ def registry() -> dict:
         "events_second_latest_per_user": events_second_latest_per_user,
         "referential_integrity_audit": referential_integrity_audit,
         "events_interarrival_median": events_interarrival_median,
+        "docs_phrase_search": docs_phrase_search,
+        "orders_decile_report": orders_decile_report,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
