@@ -3198,6 +3198,456 @@ ORDER BY doc_id
 """
 
 
+def nation_pair_trade_volume(sf_dir: str):
+    """TPC-H Q7-shape nation-PAIR trade flow: revenue between every
+    (supplier nation, customer nation) pair per ship-year, cross-border
+    only.  Ray plan: supplier→nation collapses to one broadcast array pair
+    (``index_in`` probe); customer nation reaches the fact through the two
+    hash joins the plan genuinely needs (orders⨝customer on custkey, then
+    lineitem⨝that on orderkey — both ``Dataset.join`` at the measured-
+    optimal 8 partitions); the pair inequality is a vectorized post-join
+    mask and the final (25·24·years)-row aggregate is tiny."""
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(
+        _t(sf_dir, "nation"), columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nat_name = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    sup = pq.read_table(_t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+    lookup_ref = ray.put(
+        {
+            "keys": pc.cast(sup["s_suppkey"], pa.int64()).combine_chunks(),
+            "nats": pc.cast(sup["s_nationkey"], pa.int64()).combine_chunks(),
+        }
+    )
+
+    cust = rd.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"c_custkey": t["c_custkey"], "c_nat": pc.cast(t["c_nationkey"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    oc = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"]).join(
+        cust,
+        join_type="inner",
+        num_partitions=8,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def lprep(t: pa.Table) -> pa.Table:
+        lk = ray.get(lookup_ref)
+        idx = pc.index_in(t["l_suppkey"], value_set=lk["keys"])
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "s_nat": pc.take(lk["nats"], idx),
+                "l_year": pc.cast(pc.year(t["l_shipdate"]), pa.int64()),
+                "rev_c": _cents(rev),
+            }
+        )
+
+    joined = li.map_batches(lprep, batch_format="pyarrow").join(
+        oc,
+        join_type="inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def cross_border(t: pa.Table) -> pa.Table:
+        out = t.filter(pc.not_equal(t["s_nat"], t["c_nat"]))
+        return out.select(["s_nat", "c_nat", "l_year", "rev_c"])
+
+    agg = (
+        joined.map_batches(cross_border, batch_format="pyarrow")
+        .groupby(["s_nat", "c_nat", "l_year"])
+        .aggregate(Sum("rev_c", alias_name="rev_cents"), Count(alias_name="n_items"))
+        .to_pandas()
+    )
+    agg["supp_nation"] = agg["s_nat"].map(lambda k: nat_name[int(k)])
+    agg["cust_nation"] = agg["c_nat"].map(lambda k: nat_name[int(k)])
+    agg = agg.sort_values(["supp_nation", "cust_nation", "l_year"], kind="mergesort")
+    return pa.table(
+        {
+            "supp_nation": pa.array(agg["supp_nation"].tolist(), pa.string()),
+            "cust_nation": pa.array(agg["cust_nation"].tolist(), pa.string()),
+            "l_year": pa.array(agg["l_year"].to_numpy().astype(np.int64)),
+            "rev_cents": pa.array(agg["rev_cents"].to_numpy().astype(np.int64)),
+            "n_items": pa.array(agg["n_items"].to_numpy().astype(np.int64)),
+        }
+    )
+
+
+NATION_PAIR_TRADE_VOLUME_SQL = """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS rev_cents,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+WHERE ns.n_nationkey <> nc.n_nationkey
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+def market_share_by_year(sf_dir: str):
+    """TPC-H Q8-shape market share: within orders of ASIA-region customers,
+    the yearly revenue share supplied by one target nation.  Numerator and
+    denominator stay exact integer cents end-to-end; the published share is
+    ONE IEEE double division on each side (the fixed-expression policy that
+    keeps ratio oracles hashable).  Customer is pre-FILTERED to region
+    nations before its hash join (semi-join pushdown); the target-supplier
+    flag rides the broadcast probe so no third join is needed."""
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(_t(sf_dir, "nation")).to_pandas()
+    reg = pq.read_table(_t(sf_dir, "region")).to_pandas()
+    asia = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    asia = asia[asia["r_name"] == "ASIA"]
+    asia_set = pa.array(sorted(int(k) for k in asia["n_nationkey"]), pa.int64())
+    target_key = int(nat[nat["n_name"] == "NATION_2"]["n_nationkey"].iloc[0])
+
+    sup = pq.read_table(_t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+    lookup_ref = ray.put(
+        {
+            "keys": pc.cast(sup["s_suppkey"], pa.int64()).combine_chunks(),
+            "is_t": pc.cast(
+                pc.equal(pc.cast(sup["s_nationkey"], pa.int64()), target_key), pa.int64()
+            ).combine_chunks(),
+        }
+    )
+
+    cust = rd.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.is_in(pc.cast(t["c_nationkey"], pa.int64()), value_set=asia_set)
+        ).select(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+    oc = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_custkey": t["o_custkey"],
+                "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).join(
+        cust,
+        join_type="inner",
+        num_partitions=8,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def lprep(t: pa.Table) -> pa.Table:
+        lk = ray.get(lookup_ref)
+        idx = pc.index_in(t["l_suppkey"], value_set=lk["keys"])
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "is_t": pc.take(lk["is_t"], idx),
+                "rev_c": _cents(rev),
+            }
+        )
+
+    joined = li.map_batches(lprep, batch_format="pyarrow").join(
+        oc,
+        join_type="inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def part(t: pa.Table) -> pa.Table:
+        num = pc.multiply(t["is_t"], t["rev_c"])
+        return pa.table({"o_year": t["o_year"], "num_c": num, "den_c": t["rev_c"]})
+
+    agg = (
+        joined.map_batches(part, batch_format="pyarrow")
+        .groupby("o_year")
+        .aggregate(Sum("num_c", alias_name="num_cents"), Sum("den_c", alias_name="den_cents"))
+        .sort(["o_year"])
+        .to_pandas()
+    )
+    num = agg["num_cents"].to_numpy().astype(np.int64)
+    den = agg["den_cents"].to_numpy().astype(np.int64)
+    return pa.table(
+        {
+            "o_year": pa.array(agg["o_year"].to_numpy().astype(np.int64)),
+            "num_cents": pa.array(num),
+            "den_cents": pa.array(den),
+            "mkt_share": pa.array(num.astype(np.float64) / den.astype(np.float64)),
+        }
+    )
+
+
+MARKET_SHARE_BY_YEAR_SQL = """
+WITH f AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT) AS rev_c,
+         CASE WHEN ns.n_name = 'NATION_2' THEN 1 ELSE 0 END AS is_t
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer c ON o_custkey = c_custkey
+  JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+  JOIN region r  ON nc.n_regionkey = r.r_regionkey
+  JOIN supplier s ON l_suppkey = s_suppkey
+  JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+  WHERE r.r_name = 'ASIA')
+SELECT o_year,
+       CAST(SUM(is_t * rev_c) AS BIGINT) AS num_cents,
+       CAST(SUM(rev_c) AS BIGINT) AS den_cents,
+       CAST(CAST(SUM(is_t * rev_c) AS BIGINT) AS DOUBLE)
+         / CAST(CAST(SUM(rev_c) AS BIGINT) AS DOUBLE) AS mkt_share
+FROM f GROUP BY 1 ORDER BY 1
+"""
+
+
+def top_revenue_suppliers(sf_dir: str):
+    """TPC-H Q15-shape argmax-vs-max: supplier(s) whose total revenue equals
+    the GLOBAL maximum (ALL ties returned — the filter-by-global-scalar
+    pattern, not a top-1 sort-limit which would drop ties).  Block-local
+    per-supplier partials → one small groupby, materialized NARROW so the
+    max pass and the equality filter re-read it without re-scanning the
+    fact; winner names arrive by a point-filtered dimension read."""
+    import pyarrow.parquet as pq
+
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_suppkey", "l_extendedprice", "l_discount"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        tb = pa.table({"l_suppkey": t["l_suppkey"], "c": _cents(rev)})
+        g = tb.group_by("l_suppkey").aggregate([("c", "sum")])
+        return g.rename_columns(["l_suppkey", "c"])
+
+    revs = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("c", alias_name="total_rev_cents"))
+        .materialize()
+    )
+    mx = int(revs.max("total_rev_cents"))
+    win = revs.map_batches(
+        lambda t: t.filter(pc.equal(t["total_rev_cents"], mx)),
+        batch_format="pyarrow",
+    ).to_pandas()
+
+    sup = pq.read_table(_t(sf_dir, "supplier"), columns=["s_suppkey", "s_name"])
+    keys = pa.array(win["l_suppkey"].to_numpy().astype(np.int64))
+    sup = sup.filter(pc.is_in(pc.cast(sup["s_suppkey"], pa.int64()), value_set=keys))
+    out = (
+        sup.to_pandas()
+        .merge(win, left_on="s_suppkey", right_on="l_suppkey")
+        .sort_values("s_suppkey", kind="mergesort")
+    )
+    return pa.table(
+        {
+            "s_suppkey": pa.array(out["s_suppkey"].to_numpy().astype(np.int64)),
+            "s_name": pa.array(out["s_name"].tolist(), pa.string()),
+            "total_rev_cents": pa.array(out["total_rev_cents"].to_numpy().astype(np.int64)),
+        }
+    )
+
+
+TOP_REVENUE_SUPPLIERS_SQL = """
+WITH r AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_rev_cents
+  FROM lineitem GROUP BY 1)
+SELECT s_suppkey, s_name, total_rev_cents
+FROM supplier JOIN r ON s_suppkey = l_suppkey
+WHERE total_rev_cents = (SELECT MAX(total_rev_cents) FROM r)
+ORDER BY s_suppkey
+"""
+
+
+def small_quantity_revenue(sf_dir: str):
+    """TPC-H Q17-shape correlated per-key mean gate: lineitems with
+    l_quantity strictly below 0.2× their own PART's mean quantity, reduced
+    to (count, Σprice).  The per-part mean never exists as a float — the
+    gate is the integer cross-multiplication ``5·q·n < Σq`` (quantities in
+    exact hundredths), so Ray and DuckDB agree bit-for-bit at the boundary.
+    Per-part stats come from block partials + one keyed groupby; the gate
+    applies after a partkey-co-partitioned ``Dataset.join`` (the per-KEY
+    domain scales with |part|, so no broadcast — unlike the small
+    brand-domain sibling ``parts_above_brand_avg``)."""
+    li_stats = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_partkey", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tb = pa.table(
+            {
+                "pk": t["l_partkey"],
+                "qc": _cents(t["l_quantity"]),
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        g = tb.group_by("pk").aggregate([("qc", "sum"), ("one", "sum")])
+        return g.rename_columns(["pk", "s", "n"])
+
+    pstats = (
+        li_stats.map_batches(partial, batch_format="pyarrow")
+        .groupby("pk")
+        .aggregate(Sum("s", alias_name="sum_qc"), Sum("n", alias_name="n_li"))
+    )
+
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_partkey", "l_quantity", "l_extendedprice"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "qc": _cents(t["l_quantity"]),
+                "price_c": _cents(t["l_extendedprice"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    joined = li.join(
+        pstats,
+        join_type="inner",
+        num_partitions=8,
+        on=("l_partkey",),
+        right_on=("pk",),
+    )
+
+    def gate(t: pa.Table) -> pa.Table:
+        lhs = pc.multiply(pc.multiply(t["qc"], pa.scalar(5, pa.int64())), t["n_li"])
+        out = t.filter(pc.less(lhs, t["sum_qc"]))
+        return pa.table(
+            {
+                "one": pa.array(np.ones(out.num_rows, np.int64)),
+                "price_c": out["price_c"],
+            }
+        )
+
+    agg = joined.map_batches(gate, batch_format="pyarrow").aggregate(
+        Sum("one", alias_name="n_small"), Sum("price_c", alias_name="sum_price_cents")
+    )
+    return pa.table(
+        {
+            "n_small": pa.array([int(agg["n_small"] or 0)]),
+            "sum_price_cents": pa.array([int(agg["sum_price_cents"] or 0)]),
+        }
+    )
+
+
+SMALL_QUANTITY_REVENUE_SQL = """
+WITH q AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qc,
+         COUNT(*) AS n_li
+  FROM lineitem GROUP BY 1)
+SELECT COUNT(*) AS n_small,
+       CAST(COALESCE(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)), 0) AS BIGINT)
+         AS sum_price_cents
+FROM lineitem JOIN q USING (l_partkey)
+WHERE 5 * CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT) * n_li < sum_qc
+"""
+
+
+def docs_top_bigram_fraction(sf_dir: str):
+    """Gopher-style top-2-gram repetition signal: per document, the share of
+    bigram occurrences taken by that document's MOST FREQUENT bigram
+    (µ-scaled integer ppm so the oracle comparison is exact).  A document is
+    one row, so the whole signal — tokenize, within-doc adjacency pairing,
+    per-(doc,bigram) count, per-doc max/total — is BLOCK-LOCAL with zero
+    shuffle; the adjacency pairing is two array slices + one boundary mask
+    (no per-row loop).  Complements ``docs_token_diversity`` (unigram
+    repetition) as the Gopher repetition-filter pair."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        lst = pc.split_pattern_regex(
+            pc.utf8_lower(t["text"].combine_chunks()), pattern=r"[^a-z0-9]+"
+        )
+        terms = lst.flatten()
+        ids = t["doc_id"].combine_chunks().take(lst.value_parent_indices())
+        tb = pa.table({"doc_id": ids, "term": terms}).filter(pc.not_equal(terms, ""))
+        ids_np = tb["doc_id"].to_numpy()
+        terms_c = tb["term"].combine_chunks()
+        n = len(terms_c)
+        if n < 2:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_bigrams": pa.array([], pa.int64()),
+                    "top_count": pa.array([], pa.int64()),
+                    "top_ppm": pa.array([], pa.int64()),
+                }
+            )
+        # adjacent (i, i+1) pairs that stay inside one document
+        mask = pa.array(ids_np[:-1] == ids_np[1:])
+        big = pc.binary_join_element_wise(
+            terms_c.slice(0, n - 1), terms_c.slice(1), " "
+        )
+        pairs = pa.table(
+            {"doc_id": pa.array(ids_np[:-1]), "bg": big}
+        ).filter(mask)
+        c = pairs.group_by(["doc_id", "bg"]).aggregate([("bg", "count")])
+        c = c.rename_columns(["doc_id", "bg", "n"])
+        g = c.group_by("doc_id").aggregate([("n", "sum"), ("n", "max")])
+        g = g.rename_columns(["doc_id", "n_bigrams", "top_count"])
+        nb = pc.cast(g["n_bigrams"], pa.int64())
+        top = pc.cast(g["top_count"], pa.int64())
+        ppm = pc.divide(pc.multiply(top, pa.scalar(1_000_000, pa.int64())), nb)
+        return pa.table(
+            {"doc_id": g["doc_id"], "n_bigrams": nb, "top_count": top, "top_ppm": ppm}
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow").sort(["doc_id"])
+
+
+DOCS_TOP_BIGRAM_FRACTION_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents),
+t AS (SELECT doc_id, unnest(l) AS term, unnest(range(1, len(l)+1)) AS pos
+      FROM d),
+b AS (SELECT doc_id, term,
+             lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      FROM t),
+c AS (SELECT doc_id, term || ' ' || nxt AS bg, COUNT(*) AS n
+      FROM b WHERE nxt IS NOT NULL GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(SUM(n) AS BIGINT) AS n_bigrams,
+       CAST(MAX(n) AS BIGINT) AS top_count,
+       CAST(MAX(n) * 1000000 // SUM(n) AS BIGINT) AS top_ppm
+FROM c GROUP BY 1 ORDER BY doc_id
+"""
+
+
 def events_interarrival_median(sf_dir: str):
     """Per-user inter-arrival median — the window-then-quantile composition
     (lag() deltas feeding quantile_disc): co-partition by user, per-group
@@ -9667,6 +10117,11 @@ ORACLE_SQL: dict[str, str] = {
     "events_interarrival_median": EVENTS_INTERARRIVAL_MEDIAN_SQL,
     "docs_phrase_search": DOCS_PHRASE_SEARCH_SQL,
     "orders_decile_report": ORDERS_DECILE_REPORT_SQL,
+    "nation_pair_trade_volume": NATION_PAIR_TRADE_VOLUME_SQL,
+    "market_share_by_year": MARKET_SHARE_BY_YEAR_SQL,
+    "top_revenue_suppliers": TOP_REVENUE_SUPPLIERS_SQL,
+    "small_quantity_revenue": SMALL_QUANTITY_REVENUE_SQL,
+    "docs_top_bigram_fraction": DOCS_TOP_BIGRAM_FRACTION_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -9916,6 +10371,11 @@ def registry() -> dict:
         "events_interarrival_median": events_interarrival_median,
         "docs_phrase_search": docs_phrase_search,
         "orders_decile_report": orders_decile_report,
+        "nation_pair_trade_volume": nation_pair_trade_volume,
+        "market_share_by_year": market_share_by_year,
+        "top_revenue_suppliers": top_revenue_suppliers,
+        "small_quantity_revenue": small_quantity_revenue,
+        "docs_top_bigram_fraction": docs_top_bigram_fraction,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
