@@ -3648,6 +3648,448 @@ FROM c GROUP BY 1 ORDER BY doc_id
 """
 
 
+def lineitem_ks_returnflag(sf_dir: str):
+    """Exact two-sample Kolmogorov–Smirnov distance between the
+    extendedprice distributions of returnflag R vs N — the distribution-
+    drift test a data-quality monitor runs between corpus slices.  The
+    statistic is computed WITHOUT floats until the very last step:
+    D = max|c_R(x)·n_N − c_N(x)·n_R| / (n_R·n_N) where the max runs over the
+    pooled sorted support; numerator and both counts are exact int64, so the
+    published ``ks_d`` is ONE IEEE division on both sides.  Ray plan:
+    per-block (price_cents → R-count, N-count) partials, one keyed groupby
+    at O(|distinct prices|) rows, and a driver cumsum over that small
+    per-value table (bounded by the price-grid cardinality, not row count;
+    the two-phase prefix scan in ``stages/scan.py`` is the path if the value
+    domain itself ever exceeds driver memory)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_extendedprice", "l_returnflag"]
+    )
+    flags = pa.array(["R", "N"], pa.string())
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["l_returnflag"], value_set=flags))
+        tb = pa.table(
+            {
+                "p": _cents(t["l_extendedprice"]),
+                "r": pc.cast(pc.equal(t["l_returnflag"], "R"), pa.int64()),
+                "nn": pc.cast(pc.equal(t["l_returnflag"], "N"), pa.int64()),
+            }
+        )
+        g = tb.group_by("p").aggregate([("r", "sum"), ("nn", "sum")])
+        return g.rename_columns(["p", "r", "nn"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("p")
+        .aggregate(Sum("r", alias_name="r"), Sum("nn", alias_name="nn"))
+        .to_pandas()
+    )
+    agg = agg.sort_values("p", kind="mergesort")
+    cr = agg["r"].to_numpy().astype(np.int64).cumsum()
+    cn = agg["nn"].to_numpy().astype(np.int64).cumsum()
+    n_r, n_n = int(cr[-1]), int(cn[-1])
+    d_num = int(np.abs(cr * n_n - cn * n_r).max())
+    return pa.table(
+        {
+            "n_r": pa.array([n_r]),
+            "n_n": pa.array([n_n]),
+            "d_num": pa.array([d_num]),
+            "ks_d": pa.array([d_num / (n_r * n_n)], pa.float64()),
+        }
+    )
+
+
+LINEITEM_KS_RETURNFLAG_SQL = """
+WITH v AS (
+  SELECT CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT) AS p,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS r,
+         CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END AS nn
+  FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+c AS (SELECT p, CAST(SUM(r) AS BIGINT) AS r, CAST(SUM(nn) AS BIGINT) AS nn
+      FROM v GROUP BY 1),
+s AS (SELECT CAST(SUM(r) OVER (ORDER BY p) AS BIGINT) AS cr,
+             CAST(SUM(nn) OVER (ORDER BY p) AS BIGINT) AS cn
+      FROM c),
+t AS (SELECT CAST(SUM(r) AS BIGINT) AS n_r, CAST(SUM(nn) AS BIGINT) AS n_n
+      FROM v)
+SELECT n_r, n_n,
+       CAST(MAX(ABS(cr*n_n - cn*n_r)) AS BIGINT) AS d_num,
+       CAST(MAX(ABS(cr*n_n - cn*n_r)) AS DOUBLE) / CAST(n_r*n_n AS DOUBLE) AS ks_d
+FROM s, t GROUP BY n_r, n_n
+"""
+
+
+def part_copurchase_pairs(sf_dir: str):
+    """Market-basket co-occurrence: the 20 part pairs most often appearing
+    in the SAME order (count desc, then pair for a total tie order — the
+    limit boundary is deterministic).  The fact×fact self-join is the real
+    shape here: distinct (order, part) pairs first (block-local Arrow
+    DISTINCT partials collapse duplicates before the shuffle), then an
+    8-partition ``Dataset.join`` on orderkey — pair blow-up is bounded by
+    per-order basket size (~7 items), never |lineitem|².  The p1<p2 mask
+    runs post-join vectorized; the pair groupby output is O(observed pairs),
+    then one small sort+limit."""
+    li = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"])
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        return (
+            pa.table({"ok": t["l_orderkey"], "pk": t["l_partkey"]})
+            .group_by(["ok", "pk"])
+            .aggregate([])
+        )
+
+    d = (
+        li.map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby(["ok", "pk"])
+        .aggregate(Count(alias_name="_c"))
+    )
+    a = d.map_batches(
+        lambda t: t.select(["ok", "pk"]).rename_columns(["ok", "p1"]),
+        batch_format="pyarrow",
+    )
+    b = d.map_batches(
+        lambda t: t.select(["ok", "pk"]).rename_columns(["ok2", "p2"]),
+        batch_format="pyarrow",
+    )
+    j = a.join(b, join_type="inner", num_partitions=8, on=("ok",), right_on=("ok2",))
+
+    def upper_pairs(t: pa.Table) -> pa.Table:
+        out = t.filter(pc.less(t["p1"], t["p2"]))
+        return out.select(["p1", "p2"])
+
+    return (
+        j.map_batches(upper_pairs, batch_format="pyarrow")
+        .groupby(["p1", "p2"])
+        .aggregate(Count(alias_name="n_orders"))
+        .sort(["n_orders", "p1", "p2"], descending=[True, False, False])
+        .limit(20)
+    )
+
+
+PART_COPURCHASE_PAIRS_SQL = """
+WITH d AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+SELECT a.pk AS p1, b.pk AS p2, COUNT(*) AS n_orders
+FROM d a JOIN d b ON a.ok = b.ok AND a.pk < b.pk
+GROUP BY 1, 2
+ORDER BY n_orders DESC, p1, p2
+LIMIT 20
+"""
+
+
+def disjunctive_predicate_revenue(sf_dir: str):
+    """TPC-H Q19-shape disjunctive multi-predicate join: revenue from
+    lineitems whose PART satisfies any of three (brand, size-range,
+    qty-range) conjunctions — the pattern where predicate pushdown can't
+    help because the filter needs columns from BOTH sides.  The part dim
+    ships once as aligned (key, brand-class, size) arrays behind the
+    parquet-metadata broadcast guard; each batch probes via ``index_in`` and
+    evaluates the whole disjunction as vectorized Arrow boolean algebra —
+    rows with no part match carry null through the comparisons and drop,
+    matching the oracle's inner join.  Oversized dims reroute to the
+    8-partition shuffle join with the same post-join mask."""
+    from ..stages.broadcast import dim_is_broadcastable
+
+    part_path = _t(sf_dir, "part")
+    dim_cols = ["p_partkey", "p_brand", "p_size"]
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def clause_mask(brand, size, qty):
+        def c(bname, smax, qlo, qhi):
+            return pc.and_(
+                pc.and_(pc.equal(brand, bname), pc.less_equal(size, smax)),
+                pc.and_(pc.greater_equal(qty, float(qlo)), pc.less_equal(qty, float(qhi))),
+            )
+
+        return pc.or_(pc.or_(c("Brand#1", 15, 1, 11), c("Brand#2", 25, 5, 20)),
+                      c("Brand#3", 35, 10, 30))
+
+    if dim_is_broadcastable(part_path, dim_cols):
+        import pyarrow.parquet as pq
+
+        pt = pq.read_table(part_path, columns=dim_cols)
+        dim_ref = ray.put(
+            {
+                "keys": pc.cast(pt["p_partkey"], pa.int64()).combine_chunks(),
+                "brand": pt["p_brand"].combine_chunks(),
+                "size": pc.cast(pt["p_size"], pa.int64()).combine_chunks(),
+            }
+        )
+
+        def gate(t: pa.Table) -> pa.Table:
+            dim = ray.get(dim_ref)
+            idx = pc.index_in(t["l_partkey"], value_set=dim["keys"])
+            mask = clause_mask(
+                pc.take(dim["brand"], idx), pc.take(dim["size"], idx), t["l_quantity"]
+            )
+            out = t.filter(pc.fill_null(mask, False))
+            rev = pc.multiply(out["l_extendedprice"], pc.subtract(1.0, out["l_discount"]))
+            return pa.table(
+                {
+                    "one": pa.array(np.ones(out.num_rows, np.int64)),
+                    "rev_c": _cents(rev),
+                }
+            )
+
+        gated = li.map_batches(gate, batch_format="pyarrow")
+    else:
+        dim = rd.read_parquet(part_path, columns=dim_cols)
+        j = li.join(
+            dim, join_type="inner", num_partitions=8,
+            on=("l_partkey",), right_on=("p_partkey",),
+        )
+
+        def gate_joined(t: pa.Table) -> pa.Table:
+            mask = clause_mask(
+                t["p_brand"], pc.cast(t["p_size"], pa.int64()), t["l_quantity"]
+            )
+            out = t.filter(pc.fill_null(mask, False))
+            rev = pc.multiply(out["l_extendedprice"], pc.subtract(1.0, out["l_discount"]))
+            return pa.table(
+                {
+                    "one": pa.array(np.ones(out.num_rows, np.int64)),
+                    "rev_c": _cents(rev),
+                }
+            )
+
+        gated = j.map_batches(gate_joined, batch_format="pyarrow")
+
+    agg = gated.aggregate(Sum("one", alias_name="n_items"), Sum("rev_c", alias_name="rev_cents"))
+    return pa.table(
+        {
+            "n_items": pa.array([int(agg["n_items"] or 0)]),
+            "rev_cents": pa.array([int(agg["rev_cents"] or 0)]),
+        }
+    )
+
+
+DISJUNCTIVE_PREDICATE_REVENUE_SQL = """
+SELECT COUNT(*) AS n_items,
+       CAST(COALESCE(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5)
+                              AS BIGINT)), 0) AS BIGINT) AS rev_cents
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size <= 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size <= 25 AND l_quantity BETWEEN 5 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size <= 35 AND l_quantity BETWEEN 10 AND 30)
+"""
+
+
+def widget_revenue_by_nation_year(sf_dir: str):
+    """TPC-H Q9-shape product-line profit drilldown: revenue by SUPPLIER
+    nation × ship-year, restricted to parts whose name matches a pattern
+    (''widget'' line).  Two dims collapse to broadcasts — the widget partkey
+    SET (filtered on the driver with one vectorized ``match_substring``) and
+    the supplier→nationkey probe arrays; the fact streams once with zero
+    shuffle before the tiny (nations × years) groupby.  Names attach on the
+    driver from the 25-row nation dim."""
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name"]).to_pandas()
+    nat_name = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+
+    pt = pq.read_table(_t(sf_dir, "part"), columns=["p_partkey", "p_name"])
+    widget = pt.filter(pc.match_substring(pt["p_name"], "widget"))
+    widget_ref = ray.put(pc.cast(widget["p_partkey"], pa.int64()).combine_chunks())
+
+    sup = pq.read_table(_t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+    sup_ref = ray.put(
+        {
+            "keys": pc.cast(sup["s_suppkey"], pa.int64()).combine_chunks(),
+            "nats": pc.cast(sup["s_nationkey"], pa.int64()).combine_chunks(),
+        }
+    )
+
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["l_partkey"], value_set=ray.get(widget_ref)))
+        lk = ray.get(sup_ref)
+        idx = pc.index_in(t["l_suppkey"], value_set=lk["keys"])
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        tb = pa.table(
+            {
+                "s_nat": pc.take(lk["nats"], idx),
+                "l_year": pc.cast(pc.year(t["l_shipdate"]), pa.int64()),
+                "rev_c": _cents(rev),
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        g = tb.group_by(["s_nat", "l_year"]).aggregate([("rev_c", "sum"), ("one", "sum")])
+        return g.rename_columns(["s_nat", "l_year", "rev_c", "one"])
+
+    agg = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby(["s_nat", "l_year"])
+        .aggregate(Sum("rev_c", alias_name="rev_cents"), Sum("one", alias_name="n_items"))
+        .to_pandas()
+    )
+    agg["nation"] = agg["s_nat"].map(lambda k: nat_name[int(k)])
+    agg = agg.sort_values(["nation", "l_year"], kind="mergesort")
+    return pa.table(
+        {
+            "nation": pa.array(agg["nation"].tolist(), pa.string()),
+            "l_year": pa.array(agg["l_year"].to_numpy().astype(np.int64)),
+            "rev_cents": pa.array(agg["rev_cents"].to_numpy().astype(np.int64)),
+            "n_items": pa.array(agg["n_items"].to_numpy().astype(np.int64)),
+        }
+    )
+
+
+WIDGET_REVENUE_BY_NATION_YEAR_SQL = """
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT))
+         AS BIGINT) AS rev_cents,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def customer_retention_by_month(sf_dir: str):
+    """Month-over-month retention: for each calendar month, how many
+    distinct customers ordered in BOTH that month and the previous one —
+    the cohort-retention primitive.  Distinct (customer, month) pairs come
+    from block-local Arrow DISTINCT partials + one keyed groupby; adjacency
+    is then an equi-join of the pair set against itself SHIFTED by one month
+    (join keys (ck, m) = (ck, m+1)) — no per-customer month-list
+    materialization, no window sort; the month index is year·12+month so
+    December→January adjacency needs no calendar case."""
+    o = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_orderdate"])
+
+    def monthly(t: pa.Table) -> pa.Table:
+        m = pc.add(
+            pc.multiply(pc.cast(pc.year(t["o_orderdate"]), pa.int64()), 12),
+            pc.subtract(pc.cast(pc.month(t["o_orderdate"]), pa.int64()), 1),
+        )
+        return (
+            pa.table({"ck": pc.cast(t["o_custkey"], pa.int64()), "m": m})
+            .group_by(["ck", "m"])
+            .aggregate([])
+        )
+
+    d = (
+        o.map_batches(monthly, batch_format="pyarrow")
+        .groupby(["ck", "m"])
+        .aggregate(Count(alias_name="_c"))
+    )
+    a = d.map_batches(lambda t: t.select(["ck", "m"]), batch_format="pyarrow")
+    b = d.map_batches(
+        lambda t: pa.table({"ck2": t["ck"], "m_next": pc.add(t["m"], 1)}),
+        batch_format="pyarrow",
+    )
+    j = a.join(
+        b, join_type="inner", num_partitions=8,
+        on=("ck", "m"), right_on=("ck2", "m_next"),
+    )
+    return (
+        j.groupby("m")
+        .aggregate(Count(alias_name="retained"))
+        .map_batches(
+            lambda t: pa.table({"month_idx": t["m"], "retained": t["retained"]}),
+            batch_format="pyarrow",
+        )
+        .sort(["month_idx"])
+    )
+
+
+CUSTOMER_RETENTION_BY_MONTH_SQL = """
+WITH d AS (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS ck,
+         CAST(EXTRACT(year FROM o_orderdate)*12
+              + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS m
+  FROM orders)
+SELECT a.m AS month_idx, COUNT(*) AS retained
+FROM d a JOIN d b ON a.ck = b.ck AND a.m = b.m + 1
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def docs_dup_trigram_fraction(sf_dir: str):
+    """Gopher duplicate-n-gram repetition signal (n=3): per document, the
+    fraction of trigram OCCURRENCES that are repeats of an earlier identical
+    trigram — reported as exact integer ppm of (total − distinct)/total.
+    Completes the repetition-filter trio with ``docs_token_diversity``
+    (unigrams) and ``docs_top_bigram_fraction`` (top-bigram share).  A
+    document is one row, so the whole computation is BLOCK-LOCAL zero-
+    shuffle: trigrams via three aligned array slices joined element-wise,
+    doc boundaries as one vectorized mask, per-(doc,trigram) counts through
+    Arrow ``group_by``."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_trigrams": pa.array([], pa.int64()),
+                "n_distinct": pa.array([], pa.int64()),
+                "dup_ppm": pa.array([], pa.int64()),
+            }
+        )
+        lst = pc.split_pattern_regex(
+            pc.utf8_lower(t["text"].combine_chunks()), pattern=r"[^a-z0-9]+"
+        )
+        terms = lst.flatten()
+        ids = t["doc_id"].combine_chunks().take(lst.value_parent_indices())
+        tb = pa.table({"doc_id": ids, "term": terms}).filter(pc.not_equal(terms, ""))
+        ids_np = tb["doc_id"].to_numpy()
+        terms_c = tb["term"].combine_chunks()
+        n = len(terms_c)
+        if n < 3:
+            return empty
+        mask = pa.array((ids_np[:-2] == ids_np[1:-1]) & (ids_np[1:-1] == ids_np[2:]))
+        tg = pc.binary_join_element_wise(
+            terms_c.slice(0, n - 2), terms_c.slice(1, n - 2), terms_c.slice(2), " "
+        )
+        trips = pa.table({"doc_id": pa.array(ids_np[:-2]), "tg": tg}).filter(mask)
+        if trips.num_rows == 0:
+            return empty
+        c = trips.group_by(["doc_id", "tg"]).aggregate([("tg", "count")])
+        c = c.rename_columns(["doc_id", "tg", "n"])
+        g = c.group_by("doc_id").aggregate([("n", "sum"), ("n", "count")])
+        g = g.rename_columns(["doc_id", "n_trigrams", "n_distinct"])
+        tot = pc.cast(g["n_trigrams"], pa.int64())
+        dis = pc.cast(g["n_distinct"], pa.int64())
+        ppm = pc.divide(
+            pc.multiply(pc.subtract(tot, dis), pa.scalar(1_000_000, pa.int64())), tot
+        )
+        return pa.table(
+            {"doc_id": g["doc_id"], "n_trigrams": tot, "n_distinct": dis, "dup_ppm": ppm}
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow").sort(["doc_id"])
+
+
+DOCS_DUP_TRIGRAM_FRACTION_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents),
+t AS (SELECT doc_id, unnest(l) AS term, unnest(range(1, len(l)+1)) AS pos
+      FROM d),
+g AS (SELECT doc_id,
+             term || ' ' || lead(term) OVER w || ' ' || lead(term, 2) OVER w AS tg,
+             lead(term, 2) OVER w AS ok
+      FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+c AS (SELECT doc_id, tg, COUNT(*) AS n FROM g WHERE ok IS NOT NULL GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(SUM(n) AS BIGINT) AS n_trigrams,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST((SUM(n) - COUNT(*)) * 1000000 // SUM(n) AS BIGINT) AS dup_ppm
+FROM c GROUP BY 1 ORDER BY doc_id
+"""
+
+
 def events_interarrival_median(sf_dir: str):
     """Per-user inter-arrival median — the window-then-quantile composition
     (lag() deltas feeding quantile_disc): co-partition by user, per-group
@@ -10122,6 +10564,12 @@ ORACLE_SQL: dict[str, str] = {
     "top_revenue_suppliers": TOP_REVENUE_SUPPLIERS_SQL,
     "small_quantity_revenue": SMALL_QUANTITY_REVENUE_SQL,
     "docs_top_bigram_fraction": DOCS_TOP_BIGRAM_FRACTION_SQL,
+    "lineitem_ks_returnflag": LINEITEM_KS_RETURNFLAG_SQL,
+    "part_copurchase_pairs": PART_COPURCHASE_PAIRS_SQL,
+    "disjunctive_predicate_revenue": DISJUNCTIVE_PREDICATE_REVENUE_SQL,
+    "widget_revenue_by_nation_year": WIDGET_REVENUE_BY_NATION_YEAR_SQL,
+    "customer_retention_by_month": CUSTOMER_RETENTION_BY_MONTH_SQL,
+    "docs_dup_trigram_fraction": DOCS_DUP_TRIGRAM_FRACTION_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -10376,6 +10824,12 @@ def registry() -> dict:
         "top_revenue_suppliers": top_revenue_suppliers,
         "small_quantity_revenue": small_quantity_revenue,
         "docs_top_bigram_fraction": docs_top_bigram_fraction,
+        "lineitem_ks_returnflag": lineitem_ks_returnflag,
+        "part_copurchase_pairs": part_copurchase_pairs,
+        "disjunctive_predicate_revenue": disjunctive_predicate_revenue,
+        "widget_revenue_by_nation_year": widget_revenue_by_nation_year,
+        "customer_retention_by_month": customer_retention_by_month,
+        "docs_dup_trigram_fraction": docs_dup_trigram_fraction,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
