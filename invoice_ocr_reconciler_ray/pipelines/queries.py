@@ -4090,6 +4090,320 @@ FROM c GROUP BY 1 ORDER BY doc_id
 """
 
 
+def lineitem_mannwhitney_returnflag(sf_dir: str):
+    """Exact Mann–Whitney rank-sum statistic between the extendedprice
+    distributions of returnflag R vs N — the nonparametric sibling of
+    ``lineitem_ks_returnflag``, sharing its per-value partial layout.  Tied
+    values take midranks; because a tie group occupying 1-based ranks
+    [C+1, C+c] has midrank (2C+c+1)/2, the DOUBLED statistic
+    u2 = 2·U = Σ_v r_v·(2C_v + c_v + 1) − n_R·(n_R+1) is an exact integer —
+    no float ever enters.  Driver pass is over the per-value table (bounded
+    by price-grid cardinality)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_extendedprice", "l_returnflag"]
+    )
+    flags = pa.array(["R", "N"], pa.string())
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["l_returnflag"], value_set=flags))
+        tb = pa.table(
+            {
+                "p": _cents(t["l_extendedprice"]),
+                "r": pc.cast(pc.equal(t["l_returnflag"], "R"), pa.int64()),
+                "nn": pc.cast(pc.equal(t["l_returnflag"], "N"), pa.int64()),
+            }
+        )
+        g = tb.group_by("p").aggregate([("r", "sum"), ("nn", "sum")])
+        return g.rename_columns(["p", "r", "nn"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("p")
+        .aggregate(Sum("r", alias_name="r"), Sum("nn", alias_name="nn"))
+        .to_pandas()
+    )
+    agg = agg.sort_values("p", kind="mergesort")
+    r = agg["r"].to_numpy().astype(np.int64)
+    c_v = r + agg["nn"].to_numpy().astype(np.int64)
+    cum = c_v.cumsum()
+    c_before = cum - c_v
+    n_r = int(r.sum())
+    n_n = int(cum[-1]) - n_r
+    u2 = int((r * (2 * c_before + c_v + 1)).sum()) - n_r * (n_r + 1)
+    return pa.table(
+        {"n_r": pa.array([n_r]), "n_n": pa.array([n_n]), "u2": pa.array([u2])}
+    )
+
+
+LINEITEM_MANNWHITNEY_RETURNFLAG_SQL = """
+WITH v AS (
+  SELECT CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT) AS p,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS r,
+         CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END AS nn
+  FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+c AS (SELECT p, CAST(SUM(r) AS BIGINT) AS r, CAST(SUM(r+nn) AS BIGINT) AS c_v
+      FROM v GROUP BY 1),
+s AS (SELECT r, c_v,
+             CAST(SUM(c_v) OVER (ORDER BY p) AS BIGINT) - c_v AS c_before
+      FROM c),
+t AS (SELECT CAST(SUM(r) AS BIGINT) AS n_r, CAST(SUM(nn) AS BIGINT) AS n_n
+      FROM v)
+SELECT n_r, n_n,
+       CAST(SUM(r*(2*c_before + c_v + 1)) - n_r*(n_r+1) AS BIGINT) AS u2
+FROM s, t GROUP BY n_r, n_n
+"""
+
+
+def returned_item_top_customers(sf_dir: str):
+    """TPC-H Q10-shape returned-item ranking: the 20 customers who lost the
+    most revenue to RETURNED lineitems in one quarter, enriched with name
+    and nation.  Ray plan: lineitem R-filter + block-local per-orderkey
+    partials (shrinks the join input without a global orderkey groupby),
+    8-partition join against the date-windowed orders projection, one small
+    custkey groupby, then sort+limit; names attach via POINT-FILTERED dim
+    reads for just the 20 winners."""
+    import pyarrow.parquet as pq
+    import datetime as _dt
+
+    lo, hi = _dt.datetime(1997, 1, 1), _dt.datetime(1997, 4, 1)
+
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+
+    def rpartial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        tb = pa.table({"l_orderkey": t["l_orderkey"], "rev_c": _cents(rev)})
+        g = tb.group_by("l_orderkey").aggregate([("rev_c", "sum")])
+        return g.rename_columns(["l_orderkey", "rev_c"])
+
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                pc.less(t["o_orderdate"], pa.scalar(hi)),
+            )
+        ).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+
+    top = (
+        li.map_batches(rpartial, batch_format="pyarrow")
+        .join(
+            orders,
+            join_type="inner",
+            num_partitions=8,
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
+        .groupby("o_custkey")
+        .aggregate(Sum("rev_c", alias_name="rev_cents"))
+        .sort(["rev_cents", "o_custkey"], descending=[True, False])
+        .limit(20)
+        .to_pandas()
+    )
+
+    nat = pq.read_table(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name"]).to_pandas()
+    nat_name = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    keys = pa.array(top["o_custkey"].to_numpy().astype(np.int64))
+    cust = pq.read_table(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_name", "c_nationkey"]
+    )
+    cust = cust.filter(pc.is_in(pc.cast(cust["c_custkey"], pa.int64()), value_set=keys))
+    out = top.merge(cust.to_pandas(), left_on="o_custkey", right_on="c_custkey")
+    out["nation"] = out["c_nationkey"].map(lambda k: nat_name[int(k)])
+    out = out.sort_values(["rev_cents", "o_custkey"], ascending=[False, True], kind="mergesort")
+    return pa.table(
+        {
+            "c_custkey": pa.array(out["o_custkey"].to_numpy().astype(np.int64)),
+            "c_name": pa.array(out["c_name"].tolist(), pa.string()),
+            "nation": pa.array(out["nation"].tolist(), pa.string()),
+            "rev_cents": pa.array(out["rev_cents"].to_numpy().astype(np.int64)),
+        }
+    )
+
+
+RETURNED_ITEM_TOP_CUSTOMERS_SQL = """
+WITH r AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT))
+           AS BIGINT) AS rev_cents
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-04-01'
+  GROUP BY 1)
+SELECT c_custkey, c_name, n_name AS nation, rev_cents
+FROM r JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY rev_cents DESC, c_custkey
+LIMIT 20
+"""
+
+
+def orders_price_mad_by_priority(sf_dir: str):
+    """Median absolute deviation per priority — the robust-dispersion
+    companion to ``orders_median_by_priority``.  Both medians are the
+    LOWER-median convention (1-based rank ⌈n/2⌉, = DuckDB quantile_disc
+    0.5).  ONE distributed pass builds the per-(priority, price-cents)
+    count table; both the median AND the deviation median then come from
+    that same small table on the driver (deviations of a counted value are
+    |v − med| with the same count — no second scan).  Driver bound is
+    O(groups × distinct values); the histogram-refine selection in
+    ``stages/quantiles`` is the path past that."""
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderpriority", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tb = pa.table(
+            {
+                "pr": t["o_orderpriority"],
+                "v": _cents(t["o_totalprice"]),
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        g = tb.group_by(["pr", "v"]).aggregate([("one", "sum")])
+        return g.rename_columns(["pr", "v", "n"])
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["pr", "v"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+
+    def _lower_median(vals: np.ndarray, cnts: np.ndarray) -> int:
+        order = np.argsort(vals, kind="mergesort")
+        vals, cnts = vals[order], cnts[order]
+        cum = cnts.cumsum()
+        rank = (cum[-1] + 1) // 2  # 1-based ceil(n/2)
+        return int(vals[np.searchsorted(cum, rank)])
+
+    rows = []
+    for pr, grp in counts.groupby("pr", sort=True):
+        vals = grp["v"].to_numpy().astype(np.int64)
+        cnts = grp["n"].to_numpy().astype(np.int64)
+        med = _lower_median(vals, cnts)
+        mad = _lower_median(np.abs(vals - med), cnts)
+        rows.append((pr, med, mad))
+    return pa.table(
+        {
+            "o_orderpriority": pa.array([r[0] for r in rows], pa.string()),
+            "median_cents": pa.array([r[1] for r in rows], pa.int64()),
+            "mad_cents": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+ORDERS_PRICE_MAD_BY_PRIORITY_SQL = """
+WITH m AS (
+  SELECT o_orderpriority AS pr,
+         CAST(quantile_disc(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT), 0.5)
+           AS BIGINT) AS med
+  FROM orders GROUP BY 1)
+SELECT pr AS o_orderpriority, med AS median_cents,
+       CAST(quantile_disc(ABS(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) - med),
+                          0.5) AS BIGINT) AS mad_cents
+FROM orders JOIN m ON o_orderpriority = pr
+GROUP BY 1, 2 ORDER BY 1
+"""
+
+
+def orders_daily_revenue_drops(sf_dir: str):
+    """Change-point flag over the daily revenue series: days whose revenue
+    fell below 70 % of the PREVIOUS observed day — the drop gate is the
+    integer cross-multiply ``rev·10 < prev·7`` so the threshold never exists
+    as a float.  The fact collapses to an O(days) series via block partials
+    + one keyed groupby; the lag itself is a driver shift over that tiny
+    series (the two-phase prefix scan in ``stages/scan.py`` is the path if
+    the key domain were ever fact-scale)."""
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tb = pa.table({"d": t["o_orderdate"], "c": _cents(t["o_totalprice"])})
+        g = tb.group_by("d").aggregate([("c", "sum")])
+        return g.rename_columns(["d", "c"])
+
+    daily = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("d")
+        .aggregate(Sum("c", alias_name="rev_cents"))
+        .to_pandas()
+        .sort_values("d", kind="mergesort")
+    )
+    rev = daily["rev_cents"].to_numpy().astype(np.int64)
+    prev = np.roll(rev, 1)
+    mask = np.zeros(len(rev), bool)
+    mask[1:] = rev[1:] * 10 < prev[1:] * 7
+    out = daily[mask]
+    return pa.table(
+        {
+            "o_orderdate": pa.array(
+                out["d"].to_numpy().astype("datetime64[us]"), pa.timestamp("us")
+            ),
+            "rev_cents": pa.array(out["rev_cents"].to_numpy().astype(np.int64)),
+            "prev_cents": pa.array(prev[mask].astype(np.int64)),
+        }
+    )
+
+
+ORDERS_DAILY_REVENUE_DROPS_SQL = """
+WITH d AS (
+  SELECT o_orderdate,
+         CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM orders GROUP BY 1),
+s AS (SELECT o_orderdate, rev_cents,
+             lag(rev_cents) OVER (ORDER BY o_orderdate) AS prev_cents
+      FROM d)
+SELECT o_orderdate, rev_cents, CAST(prev_cents AS BIGINT) AS prev_cents
+FROM s WHERE prev_cents IS NOT NULL AND rev_cents * 10 < prev_cents * 7
+ORDER BY o_orderdate
+"""
+
+
+def orders_weekly_revenue(sf_dir: str):
+    """ISO-week calendar aggregation: revenue per (ISO year, ISO week) —
+    the calendar bucketing where naive year/week math goes wrong at year
+    boundaries (Jan 1 can belong to week 52/53 of the PREVIOUS ISO year).
+    Arrow's ``iso_year``/``iso_week`` and DuckDB's ``isoyear``/``week`` both
+    implement ISO 8601, verified in parity.  Standard partial-aggregate
+    shape: block-local (week-key, Σcents) then one tiny groupby."""
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        wk = pc.add(
+            pc.multiply(pc.cast(pc.iso_year(t["o_orderdate"]), pa.int64()), 100),
+            pc.cast(pc.iso_week(t["o_orderdate"]), pa.int64()),
+        )
+        tb = pa.table(
+            {
+                "iso_yw": wk,
+                "c": _cents(t["o_totalprice"]),
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        g = tb.group_by("iso_yw").aggregate([("c", "sum"), ("one", "sum")])
+        return g.rename_columns(["iso_yw", "c", "one"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("iso_yw")
+        .aggregate(Sum("c", alias_name="rev_cents"), Sum("one", alias_name="n_orders"))
+        .sort(["iso_yw"])
+    )
+
+
+ORDERS_WEEKLY_REVENUE_SQL = """
+SELECT CAST(EXTRACT(isoyear FROM o_orderdate)*100
+            + EXTRACT(week FROM o_orderdate) AS BIGINT) AS iso_yw,
+       CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
 def events_interarrival_median(sf_dir: str):
     """Per-user inter-arrival median — the window-then-quantile composition
     (lag() deltas feeding quantile_disc): co-partition by user, per-group
@@ -10570,6 +10884,11 @@ ORACLE_SQL: dict[str, str] = {
     "widget_revenue_by_nation_year": WIDGET_REVENUE_BY_NATION_YEAR_SQL,
     "customer_retention_by_month": CUSTOMER_RETENTION_BY_MONTH_SQL,
     "docs_dup_trigram_fraction": DOCS_DUP_TRIGRAM_FRACTION_SQL,
+    "lineitem_mannwhitney_returnflag": LINEITEM_MANNWHITNEY_RETURNFLAG_SQL,
+    "returned_item_top_customers": RETURNED_ITEM_TOP_CUSTOMERS_SQL,
+    "orders_price_mad_by_priority": ORDERS_PRICE_MAD_BY_PRIORITY_SQL,
+    "orders_daily_revenue_drops": ORDERS_DAILY_REVENUE_DROPS_SQL,
+    "orders_weekly_revenue": ORDERS_WEEKLY_REVENUE_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -10830,6 +11149,11 @@ def registry() -> dict:
         "widget_revenue_by_nation_year": widget_revenue_by_nation_year,
         "customer_retention_by_month": customer_retention_by_month,
         "docs_dup_trigram_fraction": docs_dup_trigram_fraction,
+        "lineitem_mannwhitney_returnflag": lineitem_mannwhitney_returnflag,
+        "returned_item_top_customers": returned_item_top_customers,
+        "orders_price_mad_by_priority": orders_price_mad_by_priority,
+        "orders_daily_revenue_drops": orders_daily_revenue_drops,
+        "orders_weekly_revenue": orders_weekly_revenue,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
