@@ -4404,6 +4404,412 @@ FROM orders GROUP BY 1 ORDER BY 1
 """
 
 
+def docs_lang_source_lift(sf_dir: str):
+    """Data-mixing audit: for every (source, lang) cell, the LIFT of that
+    language within the source over its global share — the table a corpus
+    curator reads to spot a crawl slice leaning into one language.  Lift is
+    published as exact integer ppm via cross-multiplication
+    ``(n_sl · N · 10⁶) // (n_s · n_l)`` — no intermediate share ever exists
+    as a float.  ONE distributed pass builds the (source, lang) counts; the
+    three marginals all derive from that tiny table on the driver."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["source", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tb = pa.table(
+            {
+                "source": t["source"],
+                "lang": t["lang"],
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        g = tb.group_by(["source", "lang"]).aggregate([("one", "sum")])
+        return g.rename_columns(["source", "lang", "n_sl"])
+
+    cell = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .aggregate(Sum("n_sl", alias_name="n_sl"))
+        .to_pandas()
+    )
+    n_s = cell.groupby("source")["n_sl"].transform("sum").to_numpy().astype(np.int64)
+    n_l = cell.groupby("lang")["n_sl"].transform("sum").to_numpy().astype(np.int64)
+    n_sl = cell["n_sl"].to_numpy().astype(np.int64)
+    total = int(n_sl.sum())
+    lift = (n_sl * total * 1_000_000) // (n_s * n_l)
+    cell = cell.assign(n_source=n_s, n_lang=n_l, lift_ppm=lift).sort_values(
+        ["source", "lang"], kind="mergesort"
+    )
+    return pa.table(
+        {
+            "source": pa.array(cell["source"].tolist(), pa.string()),
+            "lang": pa.array(cell["lang"].tolist(), pa.string()),
+            "n_sl": pa.array(cell["n_sl"].to_numpy().astype(np.int64)),
+            "n_source": pa.array(cell["n_source"].to_numpy().astype(np.int64)),
+            "n_lang": pa.array(cell["n_lang"].to_numpy().astype(np.int64)),
+            "lift_ppm": pa.array(cell["lift_ppm"].to_numpy().astype(np.int64)),
+        }
+    )
+
+
+DOCS_LANG_SOURCE_LIFT_SQL = """
+WITH c AS (SELECT source, lang, COUNT(*) AS n_sl FROM documents GROUP BY 1, 2),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM documents)
+SELECT source, lang, CAST(n_sl AS BIGINT) AS n_sl,
+       CAST(SUM(n_sl) OVER (PARTITION BY source) AS BIGINT) AS n_source,
+       CAST(SUM(n_sl) OVER (PARTITION BY lang) AS BIGINT) AS n_lang,
+       CAST(n_sl * total * 1000000
+            // (SUM(n_sl) OVER (PARTITION BY source)
+                * SUM(n_sl) OVER (PARTITION BY lang)) AS BIGINT) AS lift_ppm
+FROM c, t ORDER BY source, lang
+"""
+
+
+def orders_lineitem_balance_audit(sf_dir: str):
+    """Cross-table reconciliation audit (the reference engine's core move,
+    run table-vs-table): per order, compare o_totalprice against the sum of
+    its lineitems' extendedprice — report how many orders have lines, match
+    exactly in cents, or drift beyond 1 %.  The drift gate is the integer
+    cross-multiply ``|diff|·100 > total`` so the tolerance never exists as a
+    float.  Ray plan: per-orderkey block partials on lineitem, 8-partition
+    join against the orders projection, then a three-counter fold."""
+    li = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice"])
+
+    def lpartial(t: pa.Table) -> pa.Table:
+        tb = pa.table({"l_orderkey": t["l_orderkey"], "c": _cents(t["l_extendedprice"])})
+        g = tb.group_by("l_orderkey").aggregate([("c", "sum")])
+        return g.rename_columns(["l_orderkey", "c"])
+
+    lsum = (
+        li.map_batches(lpartial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("c", alias_name="line_cents"))
+    )
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"]).map_batches(
+        lambda t: pa.table({"o_orderkey": t["o_orderkey"], "total_cents": _cents(t["o_totalprice"])}),
+        batch_format="pyarrow",
+    )
+    j = orders.join(
+        lsum, join_type="inner", num_partitions=8,
+        on=("o_orderkey",), right_on=("l_orderkey",),
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        diff = pc.subtract(t["line_cents"], t["total_cents"])
+        absd = pc.abs(diff)
+        exact = pc.cast(pc.equal(diff, 0), pa.int64())
+        drift = pc.cast(
+            pc.greater(pc.multiply(absd, pa.scalar(100, pa.int64())), t["total_cents"]),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+                "exact": exact,
+                "drift": drift,
+                "abs_diff": absd,
+            }
+        )
+
+    agg = j.map_batches(fold, batch_format="pyarrow").aggregate(
+        Sum("one", alias_name="n_with_lines"),
+        Sum("exact", alias_name="n_exact"),
+        Sum("drift", alias_name="n_drift_gt_1pct"),
+        Sum("abs_diff", alias_name="sum_abs_diff_cents"),
+    )
+    return pa.table(
+        {
+            "n_with_lines": pa.array([int(agg["n_with_lines"] or 0)]),
+            "n_exact": pa.array([int(agg["n_exact"] or 0)]),
+            "n_drift_gt_1pct": pa.array([int(agg["n_drift_gt_1pct"] or 0)]),
+            "sum_abs_diff_cents": pa.array([int(agg["sum_abs_diff_cents"] or 0)]),
+        }
+    )
+
+
+ORDERS_LINEITEM_BALANCE_AUDIT_SQL = """
+WITH l AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS line_cents
+  FROM lineitem GROUP BY 1),
+j AS (
+  SELECT CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS total_cents, line_cents
+  FROM orders JOIN l ON o_orderkey = l_orderkey)
+SELECT COUNT(*) AS n_with_lines,
+       CAST(SUM(CASE WHEN line_cents = total_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN ABS(line_cents - total_cents) * 100 > total_cents
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_drift_gt_1pct,
+       CAST(SUM(ABS(line_cents - total_cents)) AS BIGINT) AS sum_abs_diff_cents
+FROM j
+"""
+
+
+def brand_supplier_counts(sf_dir: str):
+    """TPC-H Q16-shape grouped COUNT DISTINCT with an exclusion set: per
+    (brand, size), how many DISTINCT suppliers ship that combination —
+    excluding a complaint list of suppliers (name suffix match), using
+    lineitem as the part↔supplier link.  Part attributes ride a guarded
+    broadcast probe; the excluded-supplier keyset is a second tiny
+    broadcast; distinct (brand, size, supplier) triples come from
+    block-local Arrow DISTINCT partials, one keyed groupby, then the
+    per-(brand,size) count is a second groupby over already-unique rows."""
+    import pyarrow.parquet as pq
+
+    pt = pq.read_table(_t(sf_dir, "part"), columns=["p_partkey", "p_brand", "p_size"])
+    dim_ref = ray.put(
+        {
+            "keys": pc.cast(pt["p_partkey"], pa.int64()).combine_chunks(),
+            "brand": pt["p_brand"].combine_chunks(),
+            "size": pc.cast(pt["p_size"], pa.int64()).combine_chunks(),
+        }
+    )
+    sup = pq.read_table(_t(sf_dir, "supplier"), columns=["s_suppkey", "s_name"])
+    excluded = sup.filter(pc.match_substring(sup["s_name"], "7"))
+    excl_ref = ray.put(pc.cast(excluded["s_suppkey"], pa.int64()).combine_chunks())
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_partkey", "l_suppkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        dim = ray.get(dim_ref)
+        t = t.filter(
+            pc.invert(pc.is_in(t["l_suppkey"], value_set=ray.get(excl_ref)))
+        )
+        idx = pc.index_in(t["l_partkey"], value_set=dim["keys"])
+        brand = pc.take(dim["brand"], idx)
+        tb = pa.table(
+            {
+                "p_brand": brand,
+                "p_size": pc.take(dim["size"], idx),
+                "sk": pc.cast(t["l_suppkey"], pa.int64()),
+            }
+        ).filter(pc.is_valid(brand))
+        return tb.group_by(["p_brand", "p_size", "sk"]).aggregate([])
+
+    triples = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby(["p_brand", "p_size", "sk"])
+        .aggregate(Count(alias_name="_c"))
+    )
+    return (
+        triples.map_batches(
+            lambda t: pa.table(
+                {
+                    "p_brand": t["p_brand"],
+                    "p_size": t["p_size"],
+                    "one": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["p_brand", "p_size"])
+        .aggregate(Sum("one", alias_name="supplier_cnt"))
+        .sort(["p_brand", "p_size"])
+    )
+
+
+BRAND_SUPPLIER_COUNTS_SQL = """
+SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7%')
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def orders_priority_share_by_year(sf_dir: str):
+    """Ratio-to-report window: each (year, priority) cell's share of its
+    YEAR's total revenue, as exact integer ppm ``rev·10⁶ // year_total`` —
+    the SUM() OVER (PARTITION BY year) shape.  One distributed pass builds
+    the (year, priority) cells; the per-year totals derive from that tiny
+    table on the driver, so the window never touches the fact."""
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderdate", "o_orderpriority", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tb = pa.table(
+            {
+                "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+                "pr": t["o_orderpriority"],
+                "c": _cents(t["o_totalprice"]),
+            }
+        )
+        g = tb.group_by(["o_year", "pr"]).aggregate([("c", "sum")])
+        return g.rename_columns(["o_year", "pr", "c"])
+
+    cell = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_year", "pr"])
+        .aggregate(Sum("c", alias_name="rev_cents"))
+        .to_pandas()
+    )
+    ytot = cell.groupby("o_year")["rev_cents"].transform("sum").to_numpy().astype(np.int64)
+    rev = cell["rev_cents"].to_numpy().astype(np.int64)
+    cell = cell.assign(
+        year_cents=ytot, share_ppm=(rev * 1_000_000) // ytot
+    ).sort_values(["o_year", "pr"], kind="mergesort")
+    return pa.table(
+        {
+            "o_year": pa.array(cell["o_year"].to_numpy().astype(np.int64)),
+            "o_orderpriority": pa.array(cell["pr"].tolist(), pa.string()),
+            "rev_cents": pa.array(cell["rev_cents"].to_numpy().astype(np.int64)),
+            "year_cents": pa.array(cell["year_cents"].to_numpy().astype(np.int64)),
+            "share_ppm": pa.array(cell["share_ppm"].to_numpy().astype(np.int64)),
+        }
+    )
+
+
+ORDERS_PRIORITY_SHARE_BY_YEAR_SQL = """
+WITH c AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         o_orderpriority,
+         CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM orders GROUP BY 1, 2)
+SELECT o_year, o_orderpriority, rev_cents,
+       CAST(SUM(rev_cents) OVER (PARTITION BY o_year) AS BIGINT) AS year_cents,
+       CAST(rev_cents * 1000000
+            // SUM(rev_cents) OVER (PARTITION BY o_year) AS BIGINT) AS share_ppm
+FROM c ORDER BY o_year, o_orderpriority
+"""
+
+
+def orders_price_rank_band(sf_dir: str):
+    """Per-group rank BAND (window offsets 3–5): within each priority, the
+    orders ranked 3rd–5th by price (row_number, ties broken by orderkey —
+    a total order, so the band is deterministic).  The distributed move is
+    the LOSSLESS per-block prune: each block keeps only its own top-5 per
+    priority (the global top-5 is necessarily a subset of the union of
+    block top-5s), so the driver merge sees O(blocks·groups·5) rows, never
+    the fact."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
+
+    def block_top(t: pa.Table) -> pa.Table:
+        tb = pa.table(
+            {
+                "pr": t["o_orderpriority"],
+                "ok": pc.cast(t["o_orderkey"], pa.int64()),
+                "c": _cents(t["o_totalprice"]),
+            }
+        )
+        df = tb.to_pandas()
+        df = df.sort_values(["pr", "c", "ok"], ascending=[True, False, True], kind="mergesort")
+        df = df.groupby("pr", sort=False).head(5)
+        return pa.table(
+            {
+                "pr": pa.array(df["pr"].tolist(), pa.string()),
+                "ok": pa.array(df["ok"].to_numpy().astype(np.int64)),
+                "c": pa.array(df["c"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    cand = ds.map_batches(block_top, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(["pr", "c", "ok"], ascending=[True, False, True], kind="mergesort")
+    cand["rk"] = cand.groupby("pr", sort=False).cumcount() + 1
+    band = cand[(cand["rk"] >= 3) & (cand["rk"] <= 5)]
+    return pa.table(
+        {
+            "o_orderpriority": pa.array(band["pr"].tolist(), pa.string()),
+            "rk": pa.array(band["rk"].to_numpy().astype(np.int64)),
+            "o_orderkey": pa.array(band["ok"].to_numpy().astype(np.int64)),
+            "price_cents": pa.array(band["c"].to_numpy().astype(np.int64)),
+        }
+    )
+
+
+ORDERS_PRICE_RANK_BAND_SQL = """
+WITH r AS (
+  SELECT o_orderpriority, CAST(o_orderkey AS BIGINT) AS o_orderkey,
+         CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS price_cents,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY FLOOR(o_totalprice*100 + 0.5) DESC,
+                                     o_orderkey) AS rk
+  FROM orders)
+SELECT o_orderpriority, CAST(rk AS BIGINT) AS rk, o_orderkey, price_cents
+FROM r WHERE rk BETWEEN 3 AND 5
+ORDER BY o_orderpriority, rk
+"""
+
+
+def embeddings_pca_project(sf_dir: str):
+    """PCA projection of the embedding corpus onto its top-2 principal
+    components — the dimensionality-reduction / visualization step of an
+    embedding-quality audit.  Rows-only (eigendecomposition is not
+    SQL-expressible); exactness comes from the SUFFICIENT STATISTICS: one
+    distributed pass accumulates Σx and Σxxᵀ as ×1000 fixed-point int64
+    (the ``embeddings_gram_matrix`` discipline — bit-identical at any
+    parallelism), the d×d eigenproblem runs once on the driver, and each
+    component's sign is fixed by making its largest-|entry| coordinate
+    positive so the output is deterministic.  The component matrix then
+    broadcasts for a zero-shuffle projection pass."""
+    from ..stages.cluster import _vecs
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "i": pa.array([], pa.int64()),
+                    "j": pa.array([], pa.int64()),
+                    "g": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        fixed = np.floor(_vecs(t, "embedding") * 1000.0 + 0.5).astype(np.int64)
+        d = fixed.shape[1]
+        gram = fixed.T @ fixed
+        sums = fixed.sum(axis=0)
+        iu, ju = np.triu_indices(d)
+        return pa.table(
+            {
+                "i": pa.array(iu.astype(np.int64)),
+                "j": pa.array(ju.astype(np.int64)),
+                "g": pa.array(gram[iu, ju]),
+                "s": pa.array(np.where(iu == ju, sums[iu], 0)),
+                "n": pa.array(np.where((iu == 0) & (ju == 0), t.num_rows, 0).astype(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(stats, batch_format="pyarrow")
+        .groupby(["i", "j"])
+        .aggregate(Sum("g", alias_name="g"), Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    d = int(agg["j"].max()) + 1
+    G = np.zeros((d, d), np.int64)
+    S = np.zeros(d, np.int64)
+    for _, r in agg.iterrows():
+        i, jj = int(r["i"]), int(r["j"])
+        G[i, jj] = G[jj, i] = int(r["g"])
+        if i == jj:
+            S[i] = int(r["s"])
+    n = int(agg.loc[(agg["i"] == 0) & (agg["j"] == 0), "n"].iloc[0])
+    mean = S.astype(np.float64) / n
+    cov = G.astype(np.float64) / n - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)
+    comps = v[:, ::-1][:, :2]  # eigh is ascending; take the top-2
+    for k in range(comps.shape[1]):
+        jmax = int(np.abs(comps[:, k]).argmax())
+        if comps[jmax, k] < 0:
+            comps[:, k] = -comps[:, k]
+    proj_ref = ray.put({"mean": mean, "comps": comps})
+
+    def project(t: pa.Table) -> pa.Table:
+        pr = ray.get(proj_ref)
+        fixed = np.floor(_vecs(t, "embedding") * 1000.0 + 0.5)
+        xy = (fixed - pr["mean"]) @ pr["comps"]
+        return pa.table(
+            {
+                "vec_id": pc.cast(t["vec_id"], pa.int64()),
+                "pc1": pa.array(xy[:, 0], pa.float64()),
+                "pc2": pa.array(xy[:, 1], pa.float64()),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow").sort(["vec_id"])
+
+
 def events_interarrival_median(sf_dir: str):
     """Per-user inter-arrival median — the window-then-quantile composition
     (lag() deltas feeding quantile_disc): co-partition by user, per-group
@@ -10889,6 +11295,11 @@ ORACLE_SQL: dict[str, str] = {
     "orders_price_mad_by_priority": ORDERS_PRICE_MAD_BY_PRIORITY_SQL,
     "orders_daily_revenue_drops": ORDERS_DAILY_REVENUE_DROPS_SQL,
     "orders_weekly_revenue": ORDERS_WEEKLY_REVENUE_SQL,
+    "docs_lang_source_lift": DOCS_LANG_SOURCE_LIFT_SQL,
+    "orders_lineitem_balance_audit": ORDERS_LINEITEM_BALANCE_AUDIT_SQL,
+    "brand_supplier_counts": BRAND_SUPPLIER_COUNTS_SQL,
+    "orders_priority_share_by_year": ORDERS_PRIORITY_SHARE_BY_YEAR_SQL,
+    "orders_price_rank_band": ORDERS_PRICE_RANK_BAND_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -11154,6 +11565,12 @@ def registry() -> dict:
         "orders_price_mad_by_priority": orders_price_mad_by_priority,
         "orders_daily_revenue_drops": orders_daily_revenue_drops,
         "orders_weekly_revenue": orders_weekly_revenue,
+        "docs_lang_source_lift": docs_lang_source_lift,
+        "orders_lineitem_balance_audit": orders_lineitem_balance_audit,
+        "brand_supplier_counts": brand_supplier_counts,
+        "orders_priority_share_by_year": orders_priority_share_by_year,
+        "orders_price_rank_band": orders_price_rank_band,
+        "embeddings_pca_project": embeddings_pca_project,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
