@@ -4810,6 +4810,292 @@ def embeddings_pca_project(sf_dir: str):
     return ds.map_batches(project, batch_format="pyarrow").sort(["vec_id"])
 
 
+def customer_cohort_matrix(sf_dir: str):
+    """Cohort-retention matrix: customers bucketed by FIRST-order month
+    (the cohort), counted at every months-since-cohort offset k where they
+    ordered again — the triangle table behind every retention curve.
+    Distinct (customer, month) pairs and the per-customer min month are two
+    small keyed groupbys over block partials; one 8-partition join brings
+    the cohort month back to the pair set and the final (cohort, k) cell
+    count is tiny."""
+    o = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_orderdate"])
+
+    def monthly(t: pa.Table) -> pa.Table:
+        m = pc.add(
+            pc.multiply(pc.cast(pc.year(t["o_orderdate"]), pa.int64()), 12),
+            pc.subtract(pc.cast(pc.month(t["o_orderdate"]), pa.int64()), 1),
+        )
+        return (
+            pa.table({"ck": pc.cast(t["o_custkey"], pa.int64()), "m": m})
+            .group_by(["ck", "m"])
+            .aggregate([])
+        )
+
+    d = (
+        o.map_batches(monthly, batch_format="pyarrow")
+        .groupby(["ck", "m"])
+        .aggregate(Count(alias_name="_c"))
+        .map_batches(lambda t: t.select(["ck", "m"]), batch_format="pyarrow")
+    )
+    cohort = d.groupby("ck").aggregate(Min("m", alias_name="cm")).map_batches(
+        lambda t: pa.table({"ck2": t["ck"], "cm": t["cm"]}), batch_format="pyarrow"
+    )
+    j = d.join(cohort, join_type="inner", num_partitions=8, on=("ck",), right_on=("ck2",))
+
+    def cell(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort_month": t["cm"],
+                "k": pc.subtract(t["m"], t["cm"]),
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+
+    return (
+        j.map_batches(cell, batch_format="pyarrow")
+        .groupby(["cohort_month", "k"])
+        .aggregate(Sum("one", alias_name="n_customers"))
+        .sort(["cohort_month", "k"])
+    )
+
+
+CUSTOMER_COHORT_MATRIX_SQL = """
+WITH d AS (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS ck,
+         CAST(EXTRACT(year FROM o_orderdate)*12
+              + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS m
+  FROM orders),
+c AS (SELECT ck, MIN(m) AS cm FROM d GROUP BY 1)
+SELECT cm AS cohort_month, CAST(m - cm AS BIGINT) AS k, COUNT(*) AS n_customers
+FROM d JOIN c USING (ck)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def customer_activity_islands(sf_dir: str):
+    """Gaps-and-islands WITHOUT the row_number trick: a customer's island
+    count (maximal runs of consecutive active months) equals
+    #active-months − #adjacent-month-pairs, so the whole computation is two
+    keyed aggregates plus the month-shift self-join already proven in
+    ``customer_retention_by_month`` — no per-customer ordered scan, no
+    window sort anywhere.  Published as the histogram island-count →
+    customers.  Customers with no adjacent pair fall out of the join and
+    take n_adj = 0 through the LEFT OUTER fill."""
+    o = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_orderdate"])
+
+    def monthly(t: pa.Table) -> pa.Table:
+        m = pc.add(
+            pc.multiply(pc.cast(pc.year(t["o_orderdate"]), pa.int64()), 12),
+            pc.subtract(pc.cast(pc.month(t["o_orderdate"]), pa.int64()), 1),
+        )
+        return (
+            pa.table({"ck": pc.cast(t["o_custkey"], pa.int64()), "m": m})
+            .group_by(["ck", "m"])
+            .aggregate([])
+        )
+
+    d = (
+        o.map_batches(monthly, batch_format="pyarrow")
+        .groupby(["ck", "m"])
+        .aggregate(Count(alias_name="_c"))
+        .map_batches(lambda t: t.select(["ck", "m"]), batch_format="pyarrow")
+        .materialize()
+    )
+    per = d.groupby("ck").aggregate(Count(alias_name="n_m"))
+    b = d.map_batches(
+        lambda t: pa.table({"ck2": t["ck"], "m_next": pc.add(t["m"], 1)}),
+        batch_format="pyarrow",
+    )
+    adj = (
+        d.join(b, join_type="inner", num_partitions=8, on=("ck", "m"), right_on=("ck2", "m_next"))
+        .groupby("ck")
+        .aggregate(Count(alias_name="n_adj"))
+        .map_batches(
+            lambda t: pa.table({"ck3": t["ck"], "n_adj": t["n_adj"]}),
+            batch_format="pyarrow",
+        )
+    )
+    j = per.join(adj, join_type="left_outer", num_partitions=8, on=("ck",), right_on=("ck3",))
+
+    def islands(t: pa.Table) -> pa.Table:
+        n_adj = pc.fill_null(t["n_adj"], 0)
+        return pa.table(
+            {
+                "n_islands": pc.subtract(pc.cast(t["n_m"], pa.int64()), pc.cast(n_adj, pa.int64())),
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+
+    return (
+        j.map_batches(islands, batch_format="pyarrow")
+        .groupby("n_islands")
+        .aggregate(Sum("one", alias_name="n_customers"))
+        .sort(["n_islands"])
+    )
+
+
+CUSTOMER_ACTIVITY_ISLANDS_SQL = """
+WITH d AS (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS ck,
+         CAST(EXTRACT(year FROM o_orderdate)*12
+              + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS m
+  FROM orders),
+adj AS (SELECT a.ck, COUNT(*) AS n_adj
+        FROM d a JOIN d b ON a.ck = b.ck AND a.m = b.m + 1 GROUP BY 1),
+per AS (SELECT ck, COUNT(*) AS n_m FROM d GROUP BY 1)
+SELECT CAST(n_m - COALESCE(n_adj, 0) AS BIGINT) AS n_islands,
+       COUNT(*) AS n_customers
+FROM per LEFT JOIN adj USING (ck)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def events_value_lag1_autocorr(sf_dir: str):
+    """Per-user lag-1 autocorrelation of the value series (ordered by ts,
+    event_id tie-break) — the serial-dependence screen of a telemetry
+    audit.  All six sufficient statistics (pair count, ΣX, ΣY, ΣXY, ΣX²,
+    ΣY² over consecutive pairs) are exact int64 on cents; ``r`` is ONE
+    fixed IEEE expression evaluated identically by Ray and DuckDB, and
+    degenerate users (constant head or tail series) are filtered by the
+    INTEGER variance terms, never by a float epsilon.  Co-partition by
+    user, per-group Arrow/numpy kernel — the asof-stage discipline."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "event_id", "value"])
+
+    def kernel(g: pa.Table) -> pa.Table:
+        ts = g["ts"].combine_chunks().to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        x_all = _cents(g["value"]).to_numpy()
+        order = np.lexsort((eid, ts))
+        x = x_all[order]
+        if len(x) < 2:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_pairs": pa.array([], pa.int64()),
+                    "sxy": pa.array([], pa.int64()),
+                    "r": pa.array([], pa.float64()),
+                }
+            )
+        h, t2 = x[:-1], x[1:]
+        npair = len(h)
+        sh, st = int(h.sum()), int(t2.sum())
+        sxy = int((h * t2).sum())
+        shh, stt = int((h * h).sum()), int((t2 * t2).sum())
+        var_h = npair * shh - sh * sh
+        var_t = npair * stt - st * st
+        uid = int(g["user_id"][0].as_py())
+        if var_h <= 0 or var_t <= 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_pairs": pa.array([], pa.int64()),
+                    "sxy": pa.array([], pa.int64()),
+                    "r": pa.array([], pa.float64()),
+                }
+            )
+        import math
+
+        r = float(npair * sxy - sh * st) / math.sqrt(float(var_h) * float(var_t))
+        return pa.table(
+            {
+                "user_id": pa.array([uid], pa.int64()),
+                "n_pairs": pa.array([npair], pa.int64()),
+                "sxy": pa.array([sxy], pa.int64()),
+                "r": pa.array([r], pa.float64()),
+            }
+        )
+
+    return (
+        ds.groupby("user_id")
+        .map_groups(kernel, batch_format="pyarrow")
+        .sort(["user_id"])
+    )
+
+
+EVENTS_VALUE_LAG1_AUTOCORR_SQL = """
+WITH s AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id,
+         CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS x,
+         lead(CAST(FLOOR(value*100 + 0.5) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y
+  FROM events),
+p AS (SELECT user_id, x, y FROM s WHERE y IS NOT NULL),
+a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS np,
+             CAST(SUM(x) AS BIGINT) AS sh, CAST(SUM(y) AS BIGINT) AS st,
+             CAST(SUM(x*y) AS BIGINT) AS sxy,
+             CAST(SUM(x*x) AS BIGINT) AS shh, CAST(SUM(y*y) AS BIGINT) AS stt
+      FROM p GROUP BY 1)
+SELECT user_id, np AS n_pairs, sxy,
+       CAST(np*sxy - sh*st AS DOUBLE)
+         / sqrt(CAST(np*shh - sh*sh AS DOUBLE) * CAST(np*stt - st*st AS DOUBLE)) AS r
+FROM a
+WHERE np*shh - sh*sh > 0 AND np*stt - st*st > 0
+ORDER BY user_id
+"""
+
+
+def events_groups_frame_sum(sf_dir: str):
+    """GROUPS-mode window frame: per user ordered by ts, the running sum of
+    value-cents over the current tie-GROUP and the 2 preceding GROUPS —
+    the frame mode where ROWS is wrong under timestamp ties (every row of a
+    tie group must see the SAME frame total).  Per-group Arrow/numpy
+    kernel: collapse to unique timestamps with per-tie-group sums, a
+    3-window sliding sum over that collapsed series, then broadcast back to
+    rows via the group index."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "event_id", "value"])
+
+    def kernel(g: pa.Table) -> pa.Table:
+        ts = g["ts"].combine_chunks().to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        x = _cents(g["value"]).to_numpy()
+        order = np.lexsort((eid, ts))
+        ts, eid, x = ts[order], eid[order], x[order]
+        # collapse ties: group index per row, per-group sums
+        new = np.r_[True, ts[1:] != ts[:-1]]
+        gidx = np.cumsum(new) - 1
+        gsums = np.zeros(int(gidx[-1]) + 1, np.int64)
+        np.add.at(gsums, gidx, x)
+        pre = np.concatenate([[0], gsums.cumsum()])
+        lo = np.maximum(gidx - 2, 0)
+        frame = pre[gidx + 1] - pre[lo]
+        uid = int(g["user_id"][0].as_py())
+        return pa.table(
+            {
+                "event_id": pa.array(eid),
+                "user_id": pa.array(np.full(len(eid), uid, np.int64)),
+                "g3_sum_cents": pa.array(frame.astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.groupby("user_id")
+        .map_groups(kernel, batch_format="pyarrow")
+        .sort(["event_id"])
+    )
+
+
+EVENTS_GROUPS_FRAME_SUM_SQL = """
+-- GROUPS frame emulated (this DuckDB lacks GROUPS mode): collapse each
+-- (user, ts) tie group to its sum, run a ROWS frame over the collapsed
+-- series — identical semantics — and join the totals back to rows.
+WITH g AS (
+  SELECT user_id, ts,
+         CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS gs
+  FROM events GROUP BY 1, 2),
+w AS (
+  SELECT user_id, ts,
+         CAST(SUM(gs) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS g3
+  FROM g)
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(e.user_id AS BIGINT) AS user_id,
+       g3 AS g3_sum_cents
+FROM events e JOIN w ON e.user_id = w.user_id AND e.ts = w.ts
+ORDER BY event_id
+"""
+
+
 def events_interarrival_median(sf_dir: str):
     """Per-user inter-arrival median — the window-then-quantile composition
     (lag() deltas feeding quantile_disc): co-partition by user, per-group
@@ -11300,6 +11586,10 @@ ORACLE_SQL: dict[str, str] = {
     "brand_supplier_counts": BRAND_SUPPLIER_COUNTS_SQL,
     "orders_priority_share_by_year": ORDERS_PRIORITY_SHARE_BY_YEAR_SQL,
     "orders_price_rank_band": ORDERS_PRICE_RANK_BAND_SQL,
+    "customer_cohort_matrix": CUSTOMER_COHORT_MATRIX_SQL,
+    "customer_activity_islands": CUSTOMER_ACTIVITY_ISLANDS_SQL,
+    "events_value_lag1_autocorr": EVENTS_VALUE_LAG1_AUTOCORR_SQL,
+    "events_groups_frame_sum": EVENTS_GROUPS_FRAME_SUM_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -11571,6 +11861,10 @@ def registry() -> dict:
         "orders_priority_share_by_year": orders_priority_share_by_year,
         "orders_price_rank_band": orders_price_rank_band,
         "embeddings_pca_project": embeddings_pca_project,
+        "customer_cohort_matrix": customer_cohort_matrix,
+        "customer_activity_islands": customer_activity_islands,
+        "events_value_lag1_autocorr": events_value_lag1_autocorr,
+        "events_groups_frame_sum": events_groups_frame_sum,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
