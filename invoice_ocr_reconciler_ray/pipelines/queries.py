@@ -5096,6 +5096,295 @@ ORDER BY event_id
 """
 
 
+def lineitem_priority_case_counts(sf_dir: str):
+    """TPC-H Q12-shape conditional counting across a fact-fact join: per
+    linestatus, how many lineitems belong to HIGH-priority orders
+    (1-URGENT/2-HIGH) vs all others — the CASE-inside-SUM pattern.  Both
+    sides are fact-scale so neither broadcasts: lineitem pre-aggregates to
+    (orderkey, linestatus, n) block partials (shrinking the shuffle input
+    to ≤ one row per order-status pair per block), orders ships only
+    (orderkey, is_high), and the counts fold after the 8-partition join."""
+    li = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_orderkey", "l_linestatus"])
+
+    def lpartial(t: pa.Table) -> pa.Table:
+        tb = pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "ls": t["l_linestatus"],
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        g = tb.group_by(["l_orderkey", "ls"]).aggregate([("one", "sum")])
+        return g.rename_columns(["l_orderkey", "ls", "n"])
+
+    hi = pa.array(["1-URGENT", "2-HIGH"], pa.string())
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "is_high": pc.cast(pc.is_in(t["o_orderpriority"], value_set=hi), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    j = li.map_batches(lpartial, batch_format="pyarrow").join(
+        orders, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_linestatus": t["ls"],
+                "high_count": pc.multiply(t["is_high"], t["n"]),
+                "low_count": pc.multiply(pc.subtract(1, t["is_high"]), t["n"]),
+            }
+        )
+
+    return (
+        j.map_batches(fold, batch_format="pyarrow")
+        .groupby("l_linestatus")
+        .aggregate(Sum("high_count", alias_name="high_count"), Sum("low_count", alias_name="low_count"))
+        .sort(["l_linestatus"])
+    )
+
+
+LINEITEM_PRIORITY_CASE_COUNTS_SQL = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def events_daily_audience_overlap(sf_dir: str):
+    """Day-over-day audience overlap: for every ordered day pair, the
+    common / union user counts and their Jaccard as exact integer ppm
+    ``common\u00b710\u2076 // (n\u2081 + n\u2082 \u2212 common)`` \u2014 the DAU-retention heatmap.
+    JOIN-FREE plan (a user self-join here hits Ray's tiny-key-domain
+    empty-aggregator hazard AND moves O(users\u00b7days) rows twice): the day
+    span packs into ONE int64 bitmask per user via a keyed Sum over
+    distinct (user, day) bits; every ordered pair count is then a
+    vectorized bit test in block-local partials \u2014 work scales with
+    |users|\u00b7|day-pairs| and nothing shuffles but the masks.  Spans past 62
+    days shard the mask into one int64 per 62-day window (guarded)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.cast(pc.cast(t["ts"], pa.date32()), pa.int32()), pa.int64())
+        return (
+            pa.table({"u": pc.cast(t["user_id"], pa.int64()), "d": day})
+            .group_by(["u", "d"])
+            .aggregate([])
+        )
+
+    d = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["u", "d"])
+        .aggregate(Count(alias_name="_c"))
+        .map_batches(lambda t: t.select(["u", "d"]), batch_format="pyarrow")
+        .materialize()
+    )
+    per_day = {
+        int(r["d"]): int(r["n"])
+        for r in d.groupby("d").aggregate(Count(alias_name="n")).to_pandas().to_dict("records")
+    }
+    days = sorted(per_day)
+    d0 = days[0]
+    if days[-1] - d0 > 62:
+        raise ValueError("day span exceeds one int64 bitmask; shard the mask")
+
+    masks = (
+        d.map_batches(
+            lambda t: pa.table(
+                {
+                    "u": t["u"],
+                    "bit": pc.shift_left(pa.scalar(1, pa.int64()), pc.subtract(t["d"], d0)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("u")
+        .aggregate(Sum("bit", alias_name="mask"))
+    )
+
+    pair_list = [(a, b) for i, a in enumerate(days) for b in days[i + 1 :]]
+
+    def count_pairs(t: pa.Table) -> pa.Table:
+        m = t["mask"].to_numpy()
+        d1s, d2s, cnts = [], [], []
+        for a, b in pair_list:
+            both = (1 << (a - d0)) | (1 << (b - d0))
+            d1s.append(a)
+            d2s.append(b)
+            cnts.append(int(((m & both) == both).sum()))
+        return pa.table(
+            {
+                "d1": pa.array(d1s, pa.int64()),
+                "d2": pa.array(d2s, pa.int64()),
+                "n": pa.array(cnts, pa.int64()),
+            }
+        )
+
+    common = (
+        masks.map_batches(count_pairs, batch_format="pyarrow")
+        .groupby(["d1", "d2"])
+        .aggregate(Sum("n", alias_name="n_common"))
+        .to_pandas()
+        .sort_values(["d1", "d2"], kind="mergesort")
+    )
+    common = common[common["n_common"] > 0]
+    d1 = common["d1"].to_numpy().astype(np.int64)
+    d2 = common["d2"].to_numpy().astype(np.int64)
+    nc = common["n_common"].to_numpy().astype(np.int64)
+    n1 = np.array([per_day[int(a)] for a in d1], np.int64)
+    n2 = np.array([per_day[int(a)] for a in d2], np.int64)
+    union = n1 + n2 - nc
+    return pa.table(
+        {
+            "d1": pa.array(d1),
+            "d2": pa.array(d2),
+            "n_common": pa.array(nc),
+            "n_union": pa.array(union),
+            "jaccard_ppm": pa.array((nc * 1_000_000) // union),
+        }
+    )
+
+
+EVENTS_DAILY_AUDIENCE_OVERLAP_SQL = """
+WITH d AS (
+  SELECT DISTINCT CAST(user_id AS BIGINT) AS u,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+  FROM events),
+per AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1),
+c AS (SELECT a.d AS d1, b.d AS d2, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM d a JOIN d b ON a.u = b.u AND a.d < b.d GROUP BY 1, 2)
+SELECT d1, d2, n_common,
+       CAST(p1.n + p2.n - n_common AS BIGINT) AS n_union,
+       CAST(n_common * 1000000 // (p1.n + p2.n - n_common) AS BIGINT) AS jaccard_ppm
+FROM c JOIN per p1 ON c.d1 = p1.d JOIN per p2 ON c.d2 = p2.d
+ORDER BY d1, d2
+"""
+
+
+def docs_token_fertility_by_lang(sf_dir: str):
+    """Tokenizer fertility audit per language: alnum-token count over
+    whitespace-word count as exact integer ppm — the number a tokenizer
+    team watches per language before committing a vocab.  Both counts are
+    ONE vectorized ``count_substring_regex`` call per batch (no list
+    materialization, no per-row loop); per-lang partials fold through a
+    5-row groupby."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        words = pc.count_substring_regex(t["text"], pattern=r"\S+")
+        toks = pc.count_substring_regex(pc.utf8_lower(t["text"]), pattern=r"[a-z0-9]+")
+        tb = pa.table(
+            {
+                "lang": t["lang"],
+                "w": pc.cast(words, pa.int64()),
+                "k": pc.cast(toks, pa.int64()),
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        g = tb.group_by("lang").aggregate([("w", "sum"), ("k", "sum"), ("one", "sum")])
+        return g.rename_columns(["lang", "w", "k", "one"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("w", alias_name="n_words"),
+            Sum("k", alias_name="n_tokens"),
+            Sum("one", alias_name="n_docs"),
+        )
+        .to_pandas()
+        .sort_values("lang", kind="mergesort")
+    )
+    w = agg["n_words"].to_numpy().astype(np.int64)
+    k = agg["n_tokens"].to_numpy().astype(np.int64)
+    return pa.table(
+        {
+            "lang": pa.array(agg["lang"].tolist(), pa.string()),
+            "n_docs": pa.array(agg["n_docs"].to_numpy().astype(np.int64)),
+            "n_words": pa.array(w),
+            "n_tokens": pa.array(k),
+            "fertility_ppm": pa.array((k * 1_000_000) // w),
+        }
+    )
+
+
+DOCS_TOKEN_FERTILITY_BY_LANG_SQL = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS n_words,
+       CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT)
+         AS n_tokens,
+       CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) * 1000000
+            // SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+         AS fertility_ppm
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+def customers_all_orders_above(sf_dir: str):
+    """Universal quantifier via HAVING MIN (relational-division lite):
+    repeat customers (≥ 2 orders) whose EVERY order exceeds $500 — the
+    ∀-condition expressed as an aggregate gate, no anti-join needed.
+    Block-local (custkey → min, count) partials, one keyed groupby, then a
+    vectorized filter; threshold compared in exact cents."""
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    threshold = 50_000  # cents
+
+    def partial(t: pa.Table) -> pa.Table:
+        tb = pa.table(
+            {
+                "ck": pc.cast(t["o_custkey"], pa.int64()),
+                "c": _cents(t["o_totalprice"]),
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        g = tb.group_by("ck").aggregate([("c", "min"), ("one", "sum")])
+        return g.rename_columns(["ck", "mn", "n"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("ck")
+        .aggregate(Min("mn", alias_name="min_cents"), Sum("n", alias_name="n_orders"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "c_custkey": t["ck"],
+                    "n_orders": t["n_orders"],
+                    "min_cents": t["min_cents"],
+                }
+            ).filter(
+                pc.and_(
+                    pc.greater_equal(t["min_cents"], threshold),
+                    pc.greater_equal(t["n_orders"], 2),
+                )
+            ),
+            batch_format="pyarrow",
+        )
+        .sort(["c_custkey"])
+    )
+
+
+CUSTOMERS_ALL_ORDERS_ABOVE_SQL = """
+SELECT CAST(o_custkey AS BIGINT) AS c_custkey,
+       COUNT(*) AS n_orders,
+       CAST(MIN(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS min_cents
+FROM orders
+GROUP BY 1
+HAVING MIN(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) >= 50000 AND COUNT(*) >= 2
+ORDER BY 1
+"""
+
+
 def events_interarrival_median(sf_dir: str):
     """Per-user inter-arrival median — the window-then-quantile composition
     (lag() deltas feeding quantile_disc): co-partition by user, per-group
@@ -11590,6 +11879,10 @@ ORACLE_SQL: dict[str, str] = {
     "customer_activity_islands": CUSTOMER_ACTIVITY_ISLANDS_SQL,
     "events_value_lag1_autocorr": EVENTS_VALUE_LAG1_AUTOCORR_SQL,
     "events_groups_frame_sum": EVENTS_GROUPS_FRAME_SUM_SQL,
+    "lineitem_priority_case_counts": LINEITEM_PRIORITY_CASE_COUNTS_SQL,
+    "events_daily_audience_overlap": EVENTS_DAILY_AUDIENCE_OVERLAP_SQL,
+    "docs_token_fertility_by_lang": DOCS_TOKEN_FERTILITY_BY_LANG_SQL,
+    "customers_all_orders_above": CUSTOMERS_ALL_ORDERS_ABOVE_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -11865,6 +12158,10 @@ def registry() -> dict:
         "customer_activity_islands": customer_activity_islands,
         "events_value_lag1_autocorr": events_value_lag1_autocorr,
         "events_groups_frame_sum": events_groups_frame_sum,
+        "lineitem_priority_case_counts": lineitem_priority_case_counts,
+        "events_daily_audience_overlap": events_daily_audience_overlap,
+        "docs_token_fertility_by_lang": docs_token_fertility_by_lang,
+        "customers_all_orders_above": customers_all_orders_above,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
