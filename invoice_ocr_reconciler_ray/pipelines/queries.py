@@ -5385,6 +5385,139 @@ ORDER BY 1
 """
 
 
+def events_first_touch_value(sf_dir: str):
+    """First-touch attribution per (user, day): the day's FIRST event type
+    (ts order, event_id tie-break) is credited with the whole day's value —
+    the marketing-attribution primitive.  Co-partition by user; the
+    per-group kernel sorts once, derives day boundaries by vectorized
+    comparison, and reduces first-index/sum/count per day with
+    ``np.add.at`` — no per-day Python loop."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "ts", "event_id", "event_type", "value"]
+    )
+
+    def kernel(g: pa.Table) -> pa.Table:
+        ts = g["ts"].combine_chunks().to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        eid = g["event_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        typ = g["event_type"].combine_chunks().to_numpy(zero_copy_only=False)
+        c = _cents(g["value"]).to_numpy()
+        order = np.lexsort((eid, ts.astype(np.int64)))
+        ts, typ, c = ts[order], typ[order], c[order]
+        day = ts.astype("datetime64[D]").astype(np.int64)
+        new = np.r_[True, day[1:] != day[:-1]]
+        gidx = np.cumsum(new) - 1
+        ngroups = int(gidx[-1]) + 1
+        sums = np.zeros(ngroups, np.int64)
+        cnts = np.zeros(ngroups, np.int64)
+        np.add.at(sums, gidx, c)
+        np.add.at(cnts, gidx, 1)
+        first_idx = np.flatnonzero(new)
+        uid = int(g["user_id"][0].as_py())
+        return pa.table(
+            {
+                "user_id": pa.array(np.full(ngroups, uid, np.int64)),
+                "day": pa.array(day[first_idx]),
+                "first_type": pa.array(typ[first_idx].tolist(), pa.string()),
+                "day_total_cents": pa.array(sums),
+                "n_events": pa.array(cnts),
+            }
+        )
+
+    return (
+        ds.groupby("user_id")
+        .map_groups(kernel, batch_format="pyarrow")
+        .sort(["user_id", "day"])
+    )
+
+
+EVENTS_FIRST_TOUCH_VALUE_SQL = """
+WITH e AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+         ts, event_id, event_type,
+         CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS c
+  FROM events),
+f AS (SELECT user_id, day, event_type,
+             row_number() OVER (PARTITION BY user_id, day
+                                ORDER BY ts, event_id) AS rn
+      FROM e),
+s AS (SELECT user_id, day, CAST(SUM(c) AS BIGINT) AS day_total_cents,
+             COUNT(*) AS n_events
+      FROM e GROUP BY 1, 2)
+SELECT s.user_id, s.day, f.event_type AS first_type, day_total_cents, n_events
+FROM s JOIN f ON s.user_id = f.user_id AND s.day = f.day AND f.rn = 1
+ORDER BY s.user_id, s.day
+"""
+
+
+_PROFILE_TABLES: dict[str, list[str]] = {
+    "region": ["r_regionkey", "r_name"],
+    "nation": ["n_nationkey", "n_name", "n_regionkey"],
+    "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    "supplier": ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    "part": ["p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"],
+    "orders": ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"],
+    "lineitem": [
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
+    ],
+    "events": ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    "documents": ["doc_id", "text", "lang", "source", "n_chars"],
+    "embeddings": ["vec_id", "embedding", "label"],
+}
+
+
+def tables_null_profile(sf_dir: str):
+    """Whole-warehouse null profile: one (table, column) row with row and
+    null counts for EVERY column of every table — the first screen of any
+    data-quality audit.  Each table is one streamed pass; per-block null
+    counts come straight from Arrow validity-bitmap metadata
+    (``Array.null_count`` — O(1) per chunk, no value scan), folded through
+    a tiny aggregate.  Tables profile sequentially; at fleet scale each
+    would be its own job over its own partition set."""
+    rows = []
+    for tbl, cols in _PROFILE_TABLES.items():
+        ds = rd.read_parquet(_t(sf_dir, tbl))
+
+        def partial(t: pa.Table, cols=cols) -> pa.Table:
+            return pa.table(
+                {
+                    "col": pa.array(cols, pa.string()),
+                    "n_rows": pa.array(np.full(len(cols), t.num_rows, np.int64)),
+                    "n_nulls": pa.array(
+                        [t[c].null_count for c in cols], pa.int64()
+                    ),
+                }
+            )
+
+        agg = (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("col")
+            .aggregate(Sum("n_rows", alias_name="n_rows"), Sum("n_nulls", alias_name="n_nulls"))
+            .to_pandas()
+        )
+        for _, r in agg.iterrows():
+            rows.append((tbl, r["col"], int(r["n_rows"]), int(r["n_nulls"])))
+    rows.sort()
+    return pa.table(
+        {
+            "tbl": pa.array([r[0] for r in rows], pa.string()),
+            "col": pa.array([r[1] for r in rows], pa.string()),
+            "n_rows": pa.array([r[2] for r in rows], pa.int64()),
+            "n_nulls": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+TABLES_NULL_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"SELECT '{tbl}' AS tbl, '{col}' AS col, COUNT(*) AS n_rows,\n"
+    f"       CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls\n"
+    f"FROM {tbl}"
+    for tbl, cols in _PROFILE_TABLES.items()
+    for col in cols
+) + "\nORDER BY tbl, col"
+
+
 def events_interarrival_median(sf_dir: str):
     """Per-user inter-arrival median — the window-then-quantile composition
     (lag() deltas feeding quantile_disc): co-partition by user, per-group
@@ -11883,6 +12016,8 @@ ORACLE_SQL: dict[str, str] = {
     "events_daily_audience_overlap": EVENTS_DAILY_AUDIENCE_OVERLAP_SQL,
     "docs_token_fertility_by_lang": DOCS_TOKEN_FERTILITY_BY_LANG_SQL,
     "customers_all_orders_above": CUSTOMERS_ALL_ORDERS_ABOVE_SQL,
+    "events_first_touch_value": EVENTS_FIRST_TOUCH_VALUE_SQL,
+    "tables_null_profile": TABLES_NULL_PROFILE_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -12162,6 +12297,8 @@ def registry() -> dict:
         "events_daily_audience_overlap": events_daily_audience_overlap,
         "docs_token_fertility_by_lang": docs_token_fertility_by_lang,
         "customers_all_orders_above": customers_all_orders_above,
+        "events_first_touch_value": events_first_touch_value,
+        "tables_null_profile": tables_null_profile,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
