@@ -5518,6 +5518,166 @@ TABLES_NULL_PROFILE_SQL = "\nUNION ALL\n".join(
 ) + "\nORDER BY tbl, col"
 
 
+def docs_mean_token_rarity(sf_dir: str):
+    """Language-model-free quality proxy: each document's mean corpus-
+    rarity RANK over its token occurrences (rank 1 = most common term by
+    document frequency, ties broken lexically — a total order, so every
+    number here is an exact integer) plus its single rarest term.  Two
+    phases: global DF by term (distinct (doc,term) block partials → a
+    groupby whose key domain is the VOCABULARY, not the corpus), ranks
+    built once on the driver and broadcast as a rank-ordered term array so
+    the per-block rank lookup is one ``index_in``; a document is one row,
+    so all per-doc aggregates stay block-local."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def doc_terms(t: pa.Table):
+        lst = pc.split_pattern_regex(
+            pc.utf8_lower(t["text"].combine_chunks()), pattern=r"[^a-z0-9]+"
+        )
+        terms = lst.flatten()
+        ids = t["doc_id"].combine_chunks().take(lst.value_parent_indices())
+        tb = pa.table({"doc_id": ids, "term": terms})
+        return tb.filter(pc.not_equal(tb["term"], ""))
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        tb = doc_terms(t)
+        distinct = tb.group_by(["doc_id", "term"]).aggregate([])
+        g = pa.table(
+            {
+                "term": distinct["term"],
+                "one": pa.array(np.ones(distinct.num_rows, np.int64)),
+            }
+        ).group_by("term").aggregate([("one", "sum")])
+        return g.rename_columns(["term", "df"])
+
+    df = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()
+        .sort_values(["df", "term"], ascending=[False, True], kind="mergesort")
+    )
+    ordered_terms = pa.array(df["term"].tolist(), pa.string())
+    terms_ref = ray.put(ordered_terms)
+
+    def score(t: pa.Table) -> pa.Table:
+        by_rank = ray.get(terms_ref)
+        tb = doc_terms(t)
+        rank = pc.add(pc.cast(pc.index_in(tb["term"], value_set=by_rank), pa.int64()), 1)
+        stats = (
+            pa.table({"doc_id": tb["doc_id"], "r": rank})
+            .group_by("doc_id")
+            .aggregate([("r", "sum"), ("r", "count"), ("r", "max")])
+            .rename_columns(["doc_id", "rank_sum", "n_tokens", "max_rank"])
+        )
+        rs = pc.cast(stats["rank_sum"], pa.int64())
+        nt = pc.cast(stats["n_tokens"], pa.int64())
+        rarest = pc.take(by_rank, pc.subtract(pc.cast(stats["max_rank"], pa.int64()), 1))
+        return pa.table(
+            {
+                "doc_id": stats["doc_id"],
+                "n_tokens": nt,
+                "rank_sum": rs,
+                "mean_rarity_ppm": pc.divide(
+                    pc.multiply(rs, pa.scalar(1_000_000, pa.int64())), nt
+                ),
+                "rarest_term": rarest,
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow").sort(["doc_id"])
+
+
+DOCS_MEAN_TOKEN_RARITY_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS term
+  FROM documents),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+rk AS (SELECT term, row_number() OVER (ORDER BY df DESC, term) AS r FROM df)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(r) AS BIGINT) AS rank_sum,
+       CAST(SUM(r) * 1000000 // COUNT(*) AS BIGINT) AS mean_rarity_ppm,
+       arg_max(term, r) AS rarest_term
+FROM tok JOIN rk USING (term)
+GROUP BY 1 ORDER BY doc_id
+"""
+
+
+def corpus_curation_report(sf_dir: str):
+    """Composed curation report: the corpus partitioned by (source,
+    duplicate?, passes-length?) in one table — dedup semantics IDENTICAL to
+    ``dedup_flag_documents`` (winner = min doc_id per (lang, n_chars)
+    content key; is_dup ⟺ doc_id ≠ winner).  The winner map comes from
+    (key → min doc_id) block partials merged through a groupby whose
+    cardinality is the distinct-content-key count, broadcast once; gates
+    and the final 3-key count are vectorized block work.  At 10¹²-key scale
+    the same report runs per hash-partition of the content key
+    (pipelines/runner.py discipline)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "lang", "source", "n_chars"]
+    )
+
+    def win_partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"lang": t["lang"], "n_chars": t["n_chars"], "d": t["doc_id"]})
+            .group_by(["lang", "n_chars"])
+            .aggregate([("d", "min")])
+        )
+        return g.rename_columns(["lang", "n_chars", "d"])
+
+    winners = (
+        ds.map_batches(win_partial, batch_format="pyarrow")
+        .groupby(["lang", "n_chars"])
+        .aggregate(Min("d", alias_name="win"))
+        .to_pandas()
+    )
+    wmap = {
+        (r["lang"], int(r["n_chars"])): int(r["win"]) for _, r in winners.iterrows()
+    }
+    wref = ray.put(wmap)
+
+    def report(t: pa.Table) -> pa.Table:
+        wm = ray.get(wref)
+        langs = t["lang"].to_pylist()
+        ncs = t["n_chars"].to_numpy()
+        dids = t["doc_id"].to_numpy()
+        wins = np.fromiter(
+            (wm[(lg, int(nc))] for lg, nc in zip(langs, ncs)), np.int64, len(langs)
+        )
+        tb = pa.table(
+            {
+                "source": t["source"],
+                "is_dup": pa.array(dids != wins),
+                "passes_len": pa.array(ncs >= 200),
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        g = tb.group_by(["source", "is_dup", "passes_len"]).aggregate([("one", "sum")])
+        return g.rename_columns(["source", "is_dup", "passes_len", "n_docs"])
+
+    return (
+        ds.map_batches(report, batch_format="pyarrow")
+        .groupby(["source", "is_dup", "passes_len"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+        .sort(["source", "is_dup", "passes_len"])
+    )
+
+
+CORPUS_CURATION_REPORT_SQL = """
+WITH f AS (
+  SELECT source, n_chars,
+         (row_number() OVER (PARTITION BY lang, n_chars ORDER BY doc_id)) > 1
+           AS is_dup
+  FROM documents)
+SELECT source, is_dup, n_chars >= 200 AS passes_len, COUNT(*) AS n_docs
+FROM f GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
 def events_interarrival_median(sf_dir: str):
     """Per-user inter-arrival median — the window-then-quantile composition
     (lag() deltas feeding quantile_disc): co-partition by user, per-group
@@ -12018,6 +12178,8 @@ ORACLE_SQL: dict[str, str] = {
     "customers_all_orders_above": CUSTOMERS_ALL_ORDERS_ABOVE_SQL,
     "events_first_touch_value": EVENTS_FIRST_TOUCH_VALUE_SQL,
     "tables_null_profile": TABLES_NULL_PROFILE_SQL,
+    "docs_mean_token_rarity": DOCS_MEAN_TOKEN_RARITY_SQL,
+    "corpus_curation_report": CORPUS_CURATION_REPORT_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -12299,6 +12461,8 @@ def registry() -> dict:
         "customers_all_orders_above": customers_all_orders_above,
         "events_first_touch_value": events_first_touch_value,
         "tables_null_profile": tables_null_profile,
+        "docs_mean_token_rarity": docs_mean_token_rarity,
+        "corpus_curation_report": corpus_curation_report,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
