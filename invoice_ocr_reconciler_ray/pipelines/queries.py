@@ -5678,6 +5678,189 @@ ORDER BY 1, 2, 3
 """
 
 
+def events_hourly_top_type(sf_dir: str):
+    """Argmax per time window: each hour's most frequent event type (count
+    desc, type asc — a total tie order).  The fact collapses to (hour,
+    type) cells via block partials + one tiny groupby; the per-hour argmax
+    runs on the driver over that cell table (O(hours·types))."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hour = pc.add(
+            pc.multiply(
+                pc.cast(pc.cast(pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.date32()), pa.int32()), pa.int64()),
+                24,
+            ),
+            pc.cast(pc.hour(t["ts"]), pa.int64()),
+        )
+        tb = pa.table(
+            {
+                "h": hour,
+                "typ": t["event_type"],
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        g = tb.group_by(["h", "typ"]).aggregate([("one", "sum")])
+        return g.rename_columns(["h", "typ", "n"])
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["h", "typ"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["h", "n", "typ"], ascending=[True, False, True], kind="mergesort")
+    )
+    top = cells.groupby("h", sort=True).head(1)
+    return pa.table(
+        {
+            "hour_idx": pa.array(top["h"].to_numpy().astype(np.int64)),
+            "top_type": pa.array(top["typ"].tolist(), pa.string()),
+            "n": pa.array(top["n"].to_numpy().astype(np.int64)),
+        }
+    )
+
+
+EVENTS_HOURLY_TOP_TYPE_SQL = """
+WITH c AS (
+  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) * 24
+           + CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour_idx,
+         event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+r AS (SELECT hour_idx, event_type, n,
+             row_number() OVER (PARTITION BY hour_idx
+                                ORDER BY n DESC, event_type) AS rk
+      FROM c)
+SELECT hour_idx, event_type AS top_type, CAST(n AS BIGINT) AS n
+FROM r WHERE rk = 1 ORDER BY hour_idx
+"""
+
+
+def orders_monthly_yoy(sf_dir: str):
+    """Year-over-year comparison: each month's revenue against the SAME
+    month one year earlier, delta as exact signed integer ppm
+    ``trunc((cur − prev)·10⁶ / prev)`` — truncation toward zero, matching
+    DuckDB's BIGINT ``//`` (which truncates; Python ``//`` floors, so the
+    Ray side divides magnitudes and restores sign).  The fact collapses
+    to an O(months)
+    series; the 12-month shift is a driver-side dict lookup on the ym key
+    (year·100+month), so December/January needs no calendar case."""
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ym = pc.add(
+            pc.multiply(pc.cast(pc.year(t["o_orderdate"]), pa.int64()), 100),
+            pc.cast(pc.month(t["o_orderdate"]), pa.int64()),
+        )
+        tb = pa.table({"ym": ym, "c": _cents(t["o_totalprice"])})
+        g = tb.group_by("ym").aggregate([("c", "sum")])
+        return g.rename_columns(["ym", "c"])
+
+    monthly = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("ym")
+        .aggregate(Sum("c", alias_name="rev_cents"))
+        .to_pandas()
+        .sort_values("ym", kind="mergesort")
+    )
+    rev = dict(zip(monthly["ym"].astype(int), monthly["rev_cents"].astype(int)))
+
+    def _ppm(cur: int, prev: int) -> int:
+        num = (cur - prev) * 1_000_000
+        q = abs(num) // prev  # prev > 0 (sum of positive cents)
+        return q if num >= 0 else -q
+
+    rows = [
+        (ym, r, rev[ym - 100], _ppm(r, rev[ym - 100]))
+        for ym, r in rev.items()
+        if ym - 100 in rev
+    ]
+    rows.sort()
+    return pa.table(
+        {
+            "ym": pa.array([r[0] for r in rows], pa.int64()),
+            "rev_cents": pa.array([r[1] for r in rows], pa.int64()),
+            "prev_year_cents": pa.array([r[2] for r in rows], pa.int64()),
+            "yoy_delta_ppm": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+ORDERS_MONTHLY_YOY_SQL = """
+WITH m AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate)*100
+              + EXTRACT(month FROM o_orderdate) AS BIGINT) AS ym,
+         CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM orders GROUP BY 1)
+SELECT a.ym, a.rev_cents,
+       b.rev_cents AS prev_year_cents,
+       CAST((a.rev_cents - b.rev_cents) * 1000000 // b.rev_cents AS BIGINT)
+         AS yoy_delta_ppm
+FROM m a JOIN m b ON a.ym = b.ym + 100
+ORDER BY a.ym
+"""
+
+
+def events_value_cusum_alarm(sf_dir: str):
+    """CUSUM drift detector per user: the classic sequential statistic
+    S_i = max(0, S_{i−1} + (x_i − target)) computed VECTORIZED via the
+    identity S_i = C_i − min_{j≤i} C_j with C = cumsum(x − target) — an
+    inherently sequential-looking recurrence turned into cumsum +
+    running-min (both one-pass array kernels), exact in integer cents
+    against a fixed target of $250.  Output per user: max CUSUM and the
+    1-based index where it peaks (first peak on ties)."""
+    target = 25_000  # cents
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "event_id", "value"])
+
+    def kernel(g: pa.Table) -> pa.Table:
+        ts = g["ts"].combine_chunks().to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        x = _cents(g["value"]).to_numpy()
+        order = np.lexsort((eid, ts))
+        c = (x[order] - target).cumsum()
+        run_min = np.minimum.accumulate(np.minimum(c, 0))
+        s = c - run_min
+        peak = int(s.max())
+        at = int(s.argmax()) + 1
+        uid = int(g["user_id"][0].as_py())
+        return pa.table(
+            {
+                "user_id": pa.array([uid], pa.int64()),
+                "n_events": pa.array([len(x)], pa.int64()),
+                "max_cusum_cents": pa.array([peak], pa.int64()),
+                "peak_at": pa.array([at], pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(kernel, batch_format="pyarrow").sort(["user_id"])
+
+
+EVENTS_VALUE_CUSUM_ALARM_SQL = """
+WITH s AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id,
+         row_number() OVER w AS i,
+         CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT) - 25000)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+m AS (
+  SELECT user_id, i,
+         c - LEAST(MIN(c) OVER (PARTITION BY user_id ORDER BY i
+                                ROWS UNBOUNDED PRECEDING), 0) AS cusum
+  FROM s),
+r AS (
+  SELECT user_id, i, cusum,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY cusum DESC, i) AS rk,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_events
+  FROM m)
+SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+       CAST(cusum AS BIGINT) AS max_cusum_cents,
+       CAST(i AS BIGINT) AS peak_at
+FROM r WHERE rk = 1 ORDER BY user_id
+"""
+
+
 def events_interarrival_median(sf_dir: str):
     """Per-user inter-arrival median — the window-then-quantile composition
     (lag() deltas feeding quantile_disc): co-partition by user, per-group
@@ -12180,6 +12363,9 @@ ORACLE_SQL: dict[str, str] = {
     "tables_null_profile": TABLES_NULL_PROFILE_SQL,
     "docs_mean_token_rarity": DOCS_MEAN_TOKEN_RARITY_SQL,
     "corpus_curation_report": CORPUS_CURATION_REPORT_SQL,
+    "events_hourly_top_type": EVENTS_HOURLY_TOP_TYPE_SQL,
+    "orders_monthly_yoy": ORDERS_MONTHLY_YOY_SQL,
+    "events_value_cusum_alarm": EVENTS_VALUE_CUSUM_ALARM_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -12463,6 +12649,9 @@ def registry() -> dict:
         "tables_null_profile": tables_null_profile,
         "docs_mean_token_rarity": docs_mean_token_rarity,
         "corpus_curation_report": corpus_curation_report,
+        "events_hourly_top_type": events_hourly_top_type,
+        "orders_monthly_yoy": orders_monthly_yoy,
+        "events_value_cusum_alarm": events_value_cusum_alarm,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
