@@ -5861,6 +5861,338 @@ FROM r WHERE rk = 1 ORDER BY user_id
 """
 
 
+def orders_benford_profile(sf_dir: str):
+    """Benford's-law first-digit profile of order totals.  The first digit
+    is taken from the DECIMAL STRING of integer cents (never a float
+    log10, whose boundary error at exact powers of ten would misbin) —
+    one vectorized cast→slice→cast per block, 9-row partials, tiny
+    groupby, exact ppm shares."""
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = _cents(t["o_totalprice"])
+        d = pc.cast(pc.utf8_slice_codeunits(pc.cast(c, pa.string()), 0, 1), pa.int64())
+        tb = pa.table({"digit": d, "one": pa.array(np.ones(len(d), np.int64))})
+        return tb.group_by("digit").aggregate([("one", "sum")]).rename_columns(["digit", "n"])
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("digit")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("digit", kind="mergesort")
+    )
+    total = int(cells["n"].sum())
+    digits = cells["digit"].to_numpy().astype(np.int64)
+    n = cells["n"].to_numpy().astype(np.int64)
+    return pa.table(
+        {
+            "digit": pa.array(digits),
+            "n": pa.array(n),
+            "share_ppm": pa.array([int(v) * 1_000_000 // total for v in n], pa.int64()),
+        }
+    )
+
+
+ORDERS_BENFORD_PROFILE_SQL = """
+WITH c AS (SELECT CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS c FROM orders),
+d AS (SELECT CAST(SUBSTR(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+             COUNT(*) AS n
+      FROM c GROUP BY 1)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       CAST(n * 1000000 // (SELECT SUM(n) FROM d) AS BIGINT) AS share_ppm
+FROM d ORDER BY digit
+"""
+
+
+def customers_every_year(sf_dir: str):
+    """Relational division: customers with at least one order in EVERY
+    distinct order-year present in the table.  Block-local (cust, year)
+    distinct partials keep the shuffle at distinct-pair cardinality
+    (customers × ≤7 years); the divisor (distinct-year count) and the
+    per-customer year tally finish on the collected pair table —
+    O(customers) driver rows here; at 10¹² customers the finish is a
+    second groupby over the same pair cells."""
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_orderdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tb = pa.table(
+            {
+                "c": t["o_custkey"],
+                "y": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+            }
+        )
+        return tb.group_by(["c", "y"]).aggregate([])
+
+    pairs = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["c", "y"])
+        .aggregate(Count(alias_name="_n"))
+        .to_pandas()
+    )
+    n_years = int(pairs["y"].nunique())
+    per = pairs.groupby("c").size()
+    keep = sorted(int(c) for c, k in per.items() if int(k) == n_years)
+    return pa.table(
+        {
+            "c_custkey": pa.array(keep, pa.int64()),
+            "n_years": pa.array([n_years] * len(keep), pa.int64()),
+        }
+    )
+
+
+CUSTOMERS_EVERY_YEAR_SQL = """
+WITH p AS (SELECT DISTINCT o_custkey AS c,
+                  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y
+           FROM orders),
+t AS (SELECT COUNT(DISTINCT y) AS ny FROM p)
+SELECT CAST(c AS BIGINT) AS c_custkey, CAST(ny AS BIGINT) AS n_years
+FROM p, t GROUP BY 1, ny HAVING COUNT(*) = ny ORDER BY 1
+"""
+
+
+def docs_lang_apportion(sf_dir: str):
+    """Hamilton largest-remainder apportionment: allocate a fixed budget
+    of 10 000 sampling units across languages proportional to doc counts.
+    Pure integer arithmetic — base = n·S // N, leftover units go to the
+    largest remainders (rem desc, lang asc total tie order) — so the
+    allocation is exactly reproducible in SQL.  Counts come from 1-row-
+    per-lang block partials; the apportionment itself is O(langs)."""
+    S = 10_000
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tb = pa.table(
+            {"lang": t["lang"], "one": pa.array(np.ones(t.num_rows, np.int64))}
+        )
+        return tb.group_by("lang").aggregate([("one", "sum")]).rename_columns(["lang", "docs"])
+
+    cnt = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("docs", alias_name="docs"))
+        .to_pandas()
+    )
+    langs = cnt["lang"].tolist()
+    docs = [int(v) for v in cnt["docs"]]
+    total = sum(docs)
+    base = [n * S // total for n in docs]
+    rem = [n * S % total for n in docs]
+    leftover = S - sum(base)
+    order = sorted(range(len(langs)), key=lambda i: (-rem[i], langs[i]))
+    seats = list(base)
+    for i in order[:leftover]:
+        seats[i] += 1
+    rows = sorted(zip(langs, docs, seats))
+    return pa.table(
+        {
+            "lang": pa.array([r[0] for r in rows], pa.string()),
+            "docs": pa.array([r[1] for r in rows], pa.int64()),
+            "seats": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+DOCS_LANG_APPORTION_SQL = """
+WITH c AS (SELECT lang, COUNT(*) AS docs FROM documents GROUP BY 1),
+t AS (SELECT SUM(docs) AS n FROM c),
+b AS (SELECT lang, docs,
+             CAST(docs*10000 // n AS BIGINT) AS base,
+             CAST(docs*10000 % n AS BIGINT) AS rem
+      FROM c, t),
+l AS (SELECT CAST(10000 - SUM(base) AS BIGINT) AS leftover FROM b),
+r AS (SELECT lang, docs, base,
+             row_number() OVER (ORDER BY rem DESC, lang) AS rk
+      FROM b)
+SELECT lang, CAST(docs AS BIGINT) AS docs,
+       CAST(base + CASE WHEN rk <= (SELECT leftover FROM l) THEN 1 ELSE 0 END
+            AS BIGINT) AS seats
+FROM r ORDER BY lang
+"""
+
+
+def nation_revenue_concentration(sf_dir: str):
+    """Prefix-cover (80/20) concentration: per nation, the minimum number
+    of customers whose summed revenue reaches ⌈80 %⌉ of the nation's
+    total, plus that prefix's exact share in ppm.  Per-customer revenue
+    collapses via block partials + one groupby at customer cardinality;
+    the nation key arrives through a hash join (8 partitions — the
+    measured optimum at this scale); the prefix scan is a per-nation
+    Arrow kernel (one lexsort + cumsum + searchsorted, no row loop).
+    Threshold ⌈0.8·T⌉ = (4T+4)//5 — the same integer expression on both
+    engines, so the crossing index can't drift."""
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tb = pa.table({"c": t["o_custkey"], "r": _cents(t["o_totalprice"])})
+        return tb.group_by("c").aggregate([("r", "sum")]).rename_columns(["c", "r"])
+
+    rev = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("c")
+        .aggregate(Sum("r", alias_name="r"))
+    )
+    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    joined = rev.join(
+        cust, join_type="inner", num_partitions=8, on=("c",), right_on=("c_custkey",)
+    )
+
+    def kernel(g: pa.Table) -> pa.Table:
+        r = g["r"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        ck = g["c"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ck, -r))
+        cum = r[order].cumsum()
+        total = int(cum[-1])
+        thr = (4 * total + 4) // 5
+        k = int(np.searchsorted(cum, thr, side="left")) + 1
+        share_ppm = int(cum[k - 1]) * 1_000_000 // total
+        nation = int(g["c_nationkey"][0].as_py())
+        return pa.table(
+            {
+                "c_nationkey": pa.array([nation], pa.int64()),
+                "n_customers": pa.array([len(r)], pa.int64()),
+                "k_for_80pct": pa.array([k], pa.int64()),
+                "top_share_ppm": pa.array([share_ppm], pa.int64()),
+            }
+        )
+
+    return (
+        joined.groupby("c_nationkey")
+        .map_groups(kernel, batch_format="pyarrow")
+        .sort(["c_nationkey"])
+    )
+
+
+NATION_REVENUE_CONCENTRATION_SQL = """
+WITH rev AS (
+  SELECT o_custkey AS c,
+         CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS r
+  FROM orders GROUP BY 1),
+j AS (SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c, r
+      FROM rev JOIN customer ON c = c_custkey),
+w AS (SELECT c_nationkey, r,
+             SUM(r) OVER (PARTITION BY c_nationkey ORDER BY r DESC, c
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(r) OVER (PARTITION BY c_nationkey) AS total,
+             COUNT(*) OVER (PARTITION BY c_nationkey) AS n
+      FROM j)
+SELECT c_nationkey,
+       CAST(MAX(n) AS BIGINT) AS n_customers,
+       CAST(COUNT(*) FILTER (WHERE cum < (4*total + 4) // 5) + 1 AS BIGINT)
+         AS k_for_80pct,
+       CAST(MIN(CASE WHEN cum >= (4*total + 4) // 5 THEN cum END) * 1000000
+            // MAX(total) AS BIGINT) AS top_share_ppm
+FROM w GROUP BY 1 ORDER BY 1
+"""
+
+
+def events_user_type_gini(sf_dir: str):
+    """Per-user event-type diversity as GINI IMPURITY — 1 − Σ(nᵢ/N)² =
+    (N² − Σnᵢ²)/N² — which unlike Shannon entropy is a ratio of exact
+    integers, so it hash-matches SQL without any float-order caveat.
+    (user, type) cells via block partials + one groupby; the impurity is
+    two integer reductions over O(users·types) cells."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tb = pa.table(
+            {
+                "u": t["user_id"],
+                "typ": t["event_type"],
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        return tb.group_by(["u", "typ"]).aggregate([("one", "sum")]).rename_columns(["u", "typ", "n"])
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["u", "typ"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    g = cells.groupby("u")["n"]
+    agg = g.agg([("n_events", "sum"), ("s", lambda v: int((v.astype(np.int64) ** 2).sum()))])
+    agg = agg.sort_index()
+    users = agg.index.to_numpy().astype(np.int64)
+    N = agg["n_events"].to_numpy().astype(np.int64)
+    s = agg["s"].to_numpy().astype(np.int64)
+    gini = [(int(a) * int(a) - int(b)) * 1_000_000 // (int(a) * int(a)) for a, b in zip(N, s)]
+    return pa.table(
+        {
+            "user_id": pa.array(users),
+            "n_events": pa.array(N),
+            "gini_ppm": pa.array(gini, pa.int64()),
+        }
+    )
+
+
+EVENTS_USER_TYPE_GINI_SQL = """
+WITH c AS (SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2),
+g AS (SELECT CAST(user_id AS BIGINT) AS user_id,
+             CAST(SUM(n) AS BIGINT) AS n_events,
+             CAST(SUM(n*n) AS BIGINT) AS s
+      FROM c GROUP BY 1)
+SELECT user_id, n_events,
+       CAST((n_events*n_events - s) * 1000000 // (n_events*n_events) AS BIGINT)
+         AS gini_ppm
+FROM g ORDER BY user_id
+"""
+
+
+def orders_yearly_customer_hhi(sf_dir: str):
+    """Herfindahl–Hirschman concentration of customer revenue shares per
+    order-year, in ppm: HHI = Σrᵢ²·10⁶ // (Σrᵢ)².  Σrᵢ² exceeds int64 at
+    real revenue magnitudes, so the reduction runs in PYTHON BIG INTS on
+    the O(years·customers) cell table (the SQL side mirrors it in
+    HUGEINT) — the distributed part is the (year, cust) revenue groupby;
+    the concentration math is O(cells)."""
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderdate", "o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tb = pa.table(
+            {
+                "y": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+                "c": t["o_custkey"],
+                "r": _cents(t["o_totalprice"]),
+            }
+        )
+        return tb.group_by(["y", "c"]).aggregate([("r", "sum")]).rename_columns(["y", "c", "r"])
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["y", "c"])
+        .aggregate(Sum("r", alias_name="r"))
+        .to_pandas()
+    )
+    out = []
+    for y, grp in cells.groupby("y"):
+        rs = [int(v) for v in grp["r"]]
+        T = sum(rs)
+        out.append((int(y), len(rs), sum(v * v for v in rs) * 1_000_000 // (T * T)))
+    out.sort()
+    return pa.table(
+        {
+            "order_year": pa.array([r[0] for r in out], pa.int64()),
+            "n_customers": pa.array([r[1] for r in out], pa.int64()),
+            "hhi_ppm": pa.array([r[2] for r in out], pa.int64()),
+        }
+    )
+
+
+ORDERS_YEARLY_CUSTOMER_HHI_SQL = """
+WITH rc AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
+         o_custkey AS c,
+         CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS r
+  FROM orders GROUP BY 1, 2)
+SELECT y AS order_year,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(r AS HUGEINT) * r) * 1000000
+            // (CAST(SUM(r) AS HUGEINT) * SUM(r)) AS BIGINT) AS hhi_ppm
+FROM rc GROUP BY 1 ORDER BY 1
+"""
+
+
 def events_interarrival_median(sf_dir: str):
     """Per-user inter-arrival median — the window-then-quantile composition
     (lag() deltas feeding quantile_disc): co-partition by user, per-group
@@ -12366,6 +12698,12 @@ ORACLE_SQL: dict[str, str] = {
     "events_hourly_top_type": EVENTS_HOURLY_TOP_TYPE_SQL,
     "orders_monthly_yoy": ORDERS_MONTHLY_YOY_SQL,
     "events_value_cusum_alarm": EVENTS_VALUE_CUSUM_ALARM_SQL,
+    "orders_benford_profile": ORDERS_BENFORD_PROFILE_SQL,
+    "customers_every_year": CUSTOMERS_EVERY_YEAR_SQL,
+    "docs_lang_apportion": DOCS_LANG_APPORTION_SQL,
+    "nation_revenue_concentration": NATION_REVENUE_CONCENTRATION_SQL,
+    "events_user_type_gini": EVENTS_USER_TYPE_GINI_SQL,
+    "orders_yearly_customer_hhi": ORDERS_YEARLY_CUSTOMER_HHI_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -12652,6 +12990,12 @@ def registry() -> dict:
         "events_hourly_top_type": events_hourly_top_type,
         "orders_monthly_yoy": orders_monthly_yoy,
         "events_value_cusum_alarm": events_value_cusum_alarm,
+        "orders_benford_profile": orders_benford_profile,
+        "customers_every_year": customers_every_year,
+        "docs_lang_apportion": docs_lang_apportion,
+        "nation_revenue_concentration": nation_revenue_concentration,
+        "events_user_type_gini": events_user_type_gini,
+        "orders_yearly_customer_hhi": orders_yearly_customer_hhi,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
