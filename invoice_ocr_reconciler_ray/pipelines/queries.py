@@ -12633,6 +12633,398 @@ FROM c GROUP BY 1 ORDER BY 1
 """
 
 
+def docs_winnowing_fingerprints(sf_dir: str):
+    """MOSS winnowing fingerprints (Schleimer/Wilkerson/Aiken SIGMOD'03) —
+    the local document-fingerprinting scheme whose guarantee (every match of
+    length ≥ w+k−1 shares a fingerprint) underlies plagiarism/near-dup
+    detection at corpus scale.  k=3 token k-grams hashed over DENSE-RANK
+    token ids (sorted global vocabulary — both engines derive it, so the
+    hash is engine-neutral: h = ((t₁·B + t₂) mod M · B + t₃) mod M); window
+    w=4; each full window selects its MINIMUM hash, rightmost position on
+    ties — one pack integer h·2³¹ + (2³¹−1−pos) makes a single window MIN
+    implement both rules.  Vocabulary rides block-partial distincts + one
+    driver sort + ``ray.put`` (O(vocab)); hashing, packing and the sliding
+    min are pure numpy; docs shorter than k+w−1 tokens select nothing (the
+    documented full-window contract)."""
+    B, M = 1_000_003, 2_147_483_647
+    W = 4
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def distinct_part(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(t["text"]), pattern=r"[^a-z0-9]+"
+        ).combine_chunks()
+        u = pc.list_flatten(toks).unique()
+        return pa.table({"term": u.filter(pc.not_equal(u, ""))})
+
+    vals: set[str] = set()
+    for b in ds.map_batches(distinct_part, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        vals.update(b["term"].to_pylist())
+    vocab_ref = ray.put(pa.array(sorted(vals), pa.string()))
+
+    _empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "pos": pa.array([], pa.int64()),
+            "fp_hash": pa.array([], pa.int64()),
+        }
+    )
+
+    def fingerprints(t: pa.Table) -> pa.Table:
+        v = ray.get(vocab_ref)
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(t["text"]), pattern=r"[^a-z0-9]+"
+        ).combine_chunks()
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        fcol = flat.filter(keep)
+        p = parents.filter(keep).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(p) < 3:
+            return _empty
+        # 1-based dense rank of each token in the sorted vocabulary
+        tid = pc.add(pc.index_in(fcol, value_set=v), 1).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # 1-based token position inside each doc (docs are block-contiguous)
+        starts = np.flatnonzero(np.r_[True, p[1:] != p[:-1]])
+        pos = (
+            np.arange(len(p), dtype=np.int64)
+            - np.repeat(starts, np.diff(np.r_[starts, len(p)]))
+            + 1
+        )
+        same3 = (p[:-2] == p[1:-1]) & (p[1:-1] == p[2:])
+        h = ((tid[:-2] * B + tid[1:-1]) % M * B + tid[2:]) % M
+        kdoc, kpos, kh = p[:-2][same3], pos[:-2][same3], h[same3]
+        if len(kh) < W:
+            return _empty
+        pack = kh * 2_147_483_648 + (2_147_483_647 - kpos)
+        wmin = np.lib.stride_tricks.sliding_window_view(pack, W).min(axis=1)
+        full = kdoc[: len(wmin)] == kdoc[W - 1 :]
+        if not full.any():
+            return _empty
+        sel = np.unique(
+            np.stack([doc_ids[kdoc[: len(wmin)][full]], wmin[full]], axis=1), axis=0
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(sel[:, 0], pa.int64()),
+                "pos": pa.array(2_147_483_647 - sel[:, 1] % 2_147_483_648, pa.int64()),
+                "fp_hash": pa.array(sel[:, 1] // 2_147_483_648, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fingerprints, batch_format="pyarrow")
+
+
+DOCS_WINNOWING_FINGERPRINTS_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents),
+t AS (SELECT doc_id, unnest(l) AS term, unnest(range(1, len(l)+1)) AS pos
+      FROM d),
+v AS (SELECT term, CAST(row_number() OVER (ORDER BY term) AS BIGINT) AS tid
+      FROM (SELECT DISTINCT term FROM t)),
+s AS (SELECT doc_id, pos, tid FROM t JOIN v USING (term)),
+k AS (SELECT doc_id, pos,
+             (((tid * 1000003 + lead(tid, 1) OVER win) % 2147483647) * 1000003
+              + lead(tid, 2) OVER win) % 2147483647 AS h
+      FROM s WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+p AS (SELECT doc_id, pos, h * 2147483648 + (2147483647 - pos) AS pack
+      FROM k WHERE h IS NOT NULL),
+w AS (SELECT doc_id,
+             MIN(pack) OVER win AS wmin,
+             COUNT(*) OVER win AS wn
+      FROM p WINDOW win AS (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)),
+sel AS (SELECT DISTINCT doc_id, wmin FROM w WHERE wn = 4)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(2147483647 - (wmin % 2147483648) AS BIGINT) AS pos,
+       CAST(wmin // 2147483648 AS BIGINT) AS fp_hash
+FROM sel ORDER BY doc_id, pos
+"""
+
+
+def orders_zorder_cluster(sf_dir: str):
+    """Z-order (Morton-curve) multidimensional clustering key — the layout
+    primitive behind Delta/Iceberg Z-ORDER: interleave the low 16 bits of
+    o_custkey (even bit lanes) with the low 16 bits of the order's epoch-day
+    (odd lanes) so range predicates on EITHER dimension prune contiguous
+    key ranges.  The interleave is 16 numpy bit ops per block; block-local
+    top-20 partials prune before a tiny global sort — no full-data
+    shuffle."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def zkey(t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = (
+            t["o_orderdate"]
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        c, d = ck & 0xFFFF, day & 0xFFFF
+        z = np.zeros(len(c), np.int64)
+        for i in range(16):
+            z |= ((c >> i) & 1) << (2 * i)
+            z |= ((d >> i) & 1) << (2 * i + 1)
+        tb = pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_custkey": t["o_custkey"],
+                "epoch_day": pa.array(day, pa.int64()),
+                "zval": pa.array(z, pa.int64()),
+            }
+        )
+        # block-local prune: only a block's own top-20 can reach the global top-20
+        idx = pc.sort_indices(
+            tb, sort_keys=[("zval", "descending"), ("o_orderkey", "ascending")]
+        )
+        return tb.take(idx[:20])
+
+    return (
+        ds.map_batches(zkey, batch_format="pyarrow")
+        .sort(["zval", "o_orderkey"], descending=[True, False])
+        .limit(20)
+    )
+
+
+_Z_TERMS = " + ".join(
+    f"(((c >> {i}) & 1) << {2 * i}) + (((d >> {i}) & 1) << {2 * i + 1})"
+    for i in range(16)
+)
+ORDERS_ZORDER_CLUSTER_SQL = f"""
+WITH e AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+              AS BIGINT) AS epoch_day
+  FROM orders),
+b AS (SELECT o_orderkey, o_custkey, epoch_day,
+             o_custkey & 65535 AS c, epoch_day & 65535 AS d
+      FROM e)
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o_custkey AS BIGINT) AS o_custkey,
+       epoch_day,
+       CAST({_Z_TERMS} AS BIGINT) AS zval
+FROM b ORDER BY zval DESC, o_orderkey LIMIT 20
+"""
+
+
+def nation_revenue_gini(sf_dir: str):
+    """Per-nation GINI COEFFICIENT of customer revenue — the classic
+    inequality index via the sorted-rank identity G = (2·Σi·x₍ᵢ₎ − (n+1)·Σx)
+    / (n·Σx), ascending sort (tie order is irrelevant: equal x contribute
+    the same Σi·x over any permutation of their consecutive ranks).  Σi·x
+    exceeds int64 at real scale, so the per-nation reduction runs in PYTHON
+    BIG INTS over the O(customers) cell table (SQL mirrors in HUGEINT); the
+    distributed part is the per-customer revenue groupby + the 8-partition
+    hash join that attaches the nation key."""
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tb = pa.table({"c": t["o_custkey"], "r": _cents(t["o_totalprice"])})
+        return tb.group_by("c").aggregate([("r", "sum")]).rename_columns(["c", "r"])
+
+    rev = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("c")
+        .aggregate(Sum("r", alias_name="r"))
+    )
+    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    cells = rev.join(
+        cust, join_type="inner", num_partitions=8, on=("c",), right_on=("c_custkey",)
+    ).to_pandas()
+    out = []
+    for nk, grp in cells.groupby("c_nationkey"):
+        xs = np.sort(grp["r"].to_numpy().astype(np.int64))
+        n = len(xs)
+        tot = sum(int(v) for v in xs)
+        six = sum(i * int(v) for i, v in enumerate(xs, start=1))
+        out.append((int(nk), n, (2 * six - (n + 1) * tot) * 1_000_000 // (n * tot)))
+    out.sort()
+    return pa.table(
+        {
+            "c_nationkey": pa.array([r[0] for r in out], pa.int64()),
+            "n_customers": pa.array([r[1] for r in out], pa.int64()),
+            "gini_ppm": pa.array([r[2] for r in out], pa.int64()),
+        }
+    )
+
+
+NATION_REVENUE_GINI_SQL = """
+WITH rev AS (
+  SELECT o_custkey AS c,
+         CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS r
+  FROM orders GROUP BY 1),
+j AS (SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, r
+      FROM rev JOIN customer ON c = c_custkey),
+w AS (SELECT c_nationkey, r,
+             row_number() OVER (PARTITION BY c_nationkey ORDER BY r) AS i,
+             COUNT(*) OVER (PARTITION BY c_nationkey) AS n,
+             SUM(r) OVER (PARTITION BY c_nationkey) AS tot
+      FROM j)
+SELECT c_nationkey,
+       CAST(MAX(n) AS BIGINT) AS n_customers,
+       CAST((2*SUM(CAST(i AS HUGEINT)*r) - (MAX(n)+1)*CAST(MAX(tot) AS HUGEINT))
+            * 1000000 // (CAST(MAX(n) AS HUGEINT) * MAX(tot)) AS BIGINT)
+         AS gini_ppm
+FROM w GROUP BY 1 ORDER BY 1
+"""
+
+
+def events_user_median_interp(sf_dir: str):
+    """Per-user INTERPOLATED median (quantile_cont semantics) of event value,
+    reported in HALF-CENTS so the even-count midpoint (x₍ₙ/₂₎+x₍ₙ/₂₊₁₎)/2
+    stays an exact integer — no float quantile ever touches the compare.
+    Co-partition by user; the kernel is one numpy sort + two picks.
+    Completes the quantile family's disc-vs-cont axis
+    (orders_price_quantiles / events_interarrival_median are discrete)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "value"])
+
+    def med(g: pa.Table) -> pa.Table:
+        c = np.sort(_cents(g["value"]).to_numpy(zero_copy_only=False))
+        n = len(c)
+        if n % 2 == 1:
+            m2 = 2 * int(c[(n - 1) // 2])
+        else:
+            m2 = int(c[n // 2 - 1]) + int(c[n // 2])
+        return pa.table(
+            {
+                "user_id": pa.array([int(g["user_id"][0].as_py())], pa.int64()),
+                "n_events": pa.array([n], pa.int64()),
+                "median_halfcents": pa.array([m2], pa.int64()),
+            }
+        )
+
+    return (
+        ds.groupby("user_id").map_groups(med, batch_format="pyarrow").sort(["user_id"])
+    )
+
+
+EVENTS_USER_MEDIAN_INTERP_SQL = """
+WITH v AS (SELECT user_id, CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS c FROM events),
+w AS (SELECT user_id, c,
+             row_number() OVER (PARTITION BY user_id ORDER BY c) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM v)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(MAX(n) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN rn IN ((n+1)//2, (n+2)//2) THEN c END)
+            * (CASE WHEN MAX(n) % 2 = 1 THEN 2 ELSE 1 END) AS BIGINT)
+         AS median_halfcents
+FROM w GROUP BY user_id ORDER BY user_id
+"""
+
+
+def events_rolling_max5(sf_dir: str):
+    """Trailing-window MAX (ROWS 4 PRECEDING) per user — the order-statistic
+    sibling of events_rolling_sum5: a sliding max is NOT a cumsum difference,
+    so the kernel is a strided window-view reduction (the vectorized stand-in
+    for the monotonic-deque algorithm) with a running-max prefix for the
+    first w−1 rows."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def roll(g: pa.Table) -> pa.Table:
+        s = g.take(
+            pc.sort_indices(
+                g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+            )
+        )
+        cents = _cents(s["value"]).to_numpy(zero_copy_only=False)
+        n = len(cents)
+        out = np.maximum.accumulate(cents[: min(n, 4)])
+        if n > 4:
+            tail = np.lib.stride_tricks.sliding_window_view(cents, 5).max(axis=1)
+            out = np.concatenate([out, tail])
+        return pa.table(
+            {
+                "event_id": s["event_id"],
+                "user_id": s["user_id"],
+                "win5_max_cents": pa.array(out, pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(roll, batch_format="pyarrow")
+
+
+EVENTS_ROLLING_MAX5_SQL = """
+SELECT event_id, user_id,
+       CAST(MAX(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS win5_max_cents
+FROM events
+"""
+
+
+def events_type_fano(sf_dir: str):
+    """Burstiness per event type as the FANO FACTOR of hourly arrival counts
+    (var/mean of counts over the type's OBSERVED hours — the documented
+    contract; a Poisson stream gives ≈1).  Two-level aggregation: block-
+    partial (type, hour) counts shuffle at cell cardinality, then the
+    var/mean ratio (n·Σx² − (Σx)²)·10⁶ // (n·Σx) reduces the tiny cell table
+    in Python big ints (SQL mirrors in HUGEINT)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        tb = pa.table(
+            {
+                "typ": t["event_type"],
+                "hour": pa.array(ts // 3_600_000_000, pa.int64()),
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        return tb.group_by(["typ", "hour"]).aggregate([("one", "sum")]).rename_columns(
+            ["typ", "hour", "n"]
+        )
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["typ", "hour"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out = []
+    for typ, grp in cells.groupby("typ"):
+        xs = [int(v) for v in grp["n"]]
+        n, s, q = len(xs), sum(xs), sum(v * v for v in xs)
+        out.append((str(typ), n, (n * q - s * s) * 1_000_000 // (n * s)))
+    out.sort()
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in out], pa.string()),
+            "n_hours": pa.array([r[1] for r in out], pa.int64()),
+            "fano_ppm": pa.array([r[2] for r in out], pa.int64()),
+        }
+    )
+
+
+EVENTS_TYPE_FANO_SQL = """
+WITH c AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST((COUNT(*) * SUM(CAST(n AS HUGEINT)*n) - CAST(SUM(n) AS HUGEINT)*SUM(n))
+            * 1000000 // (CAST(COUNT(*) AS HUGEINT) * SUM(n)) AS BIGINT)
+         AS fano_ppm
+FROM c GROUP BY 1 ORDER BY 1
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -12704,6 +13096,12 @@ ORACLE_SQL: dict[str, str] = {
     "nation_revenue_concentration": NATION_REVENUE_CONCENTRATION_SQL,
     "events_user_type_gini": EVENTS_USER_TYPE_GINI_SQL,
     "orders_yearly_customer_hhi": ORDERS_YEARLY_CUSTOMER_HHI_SQL,
+    "docs_winnowing_fingerprints": DOCS_WINNOWING_FINGERPRINTS_SQL,
+    "orders_zorder_cluster": ORDERS_ZORDER_CLUSTER_SQL,
+    "nation_revenue_gini": NATION_REVENUE_GINI_SQL,
+    "events_user_median_interp": EVENTS_USER_MEDIAN_INTERP_SQL,
+    "events_rolling_max5": EVENTS_ROLLING_MAX5_SQL,
+    "events_type_fano": EVENTS_TYPE_FANO_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -12996,6 +13394,12 @@ def registry() -> dict:
         "nation_revenue_concentration": nation_revenue_concentration,
         "events_user_type_gini": events_user_type_gini,
         "orders_yearly_customer_hhi": orders_yearly_customer_hhi,
+        "docs_winnowing_fingerprints": docs_winnowing_fingerprints,
+        "orders_zorder_cluster": orders_zorder_cluster,
+        "nation_revenue_gini": nation_revenue_gini,
+        "events_user_median_interp": events_user_median_interp,
+        "events_rolling_max5": events_rolling_max5,
+        "events_type_fano": events_type_fano,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
