@@ -13025,6 +13025,305 @@ FROM c GROUP BY 1 ORDER BY 1
 """
 
 
+def events_audience_bitmap_intersect(sf_dir: str):
+    """Bitmap-index audience overlap — common-user counts for every event-
+    type pair computed the way OLAP bitmap indexes do it: the user-id space
+    is sharded into 4096-id ranges; inside a range each type's audience is a
+    64-word packed bitmap and every pair intersects via AND + byte-table
+    POPCOUNT (the ssjoin.py:293 pattern).  Distinct (type, user) cells ride
+    block partials + one groupby; the bitmap kernel runs per range group, so
+    pair counts are range-partial sums — no O(users²) join anywhere, and at
+    10⁹ users the ranges shard the bitmap exactly like a roaring index."""
+    RANGE = 4096
+    _POP = np.array([bin(x).count("1") for x in range(256)], dtype=np.int64)
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "user_id"])
+
+    def distinct_part(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"typ": t["event_type"], "u": t["user_id"]}
+        ).group_by(["typ", "u"]).aggregate([])
+
+    cells = (
+        ds.map_batches(distinct_part, batch_format="pyarrow")
+        .groupby(["typ", "u"])
+        .aggregate(Count(alias_name="_n"))
+        .add_column("rng", lambda df: df["u"] // RANGE, batch_format="pandas")
+    )
+
+    _empty = pa.table(
+        {
+            "type_a": pa.array([], pa.string()),
+            "type_b": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def bitmap_kernel(g: pa.Table) -> pa.Table:
+        u = g["u"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        slot = u % RANGE
+        word, bit = slot // 64, (slot % 64).astype(np.uint64)
+        types = sorted(set(g["typ"].to_pylist()))
+        tarr = np.array(g["typ"].to_pylist())
+        bitmaps = {}
+        for ty in types:
+            m = tarr == ty
+            bm = np.zeros(RANGE // 64, np.uint64)
+            np.bitwise_or.at(bm, word[m], np.left_shift(np.uint64(1), bit[m]))
+            bitmaps[ty] = bm
+        rows_a, rows_b, rows_n = [], [], []
+        for i, a in enumerate(types):
+            for b in types[i + 1 :]:
+                n = int(_POP[(bitmaps[a] & bitmaps[b]).view(np.uint8)].sum())
+                if n:
+                    rows_a.append(a)
+                    rows_b.append(b)
+                    rows_n.append(n)
+        if not rows_n:
+            return _empty
+        return pa.table(
+            {
+                "type_a": pa.array(rows_a, pa.string()),
+                "type_b": pa.array(rows_b, pa.string()),
+                "n": pa.array(rows_n, pa.int64()),
+            }
+        )
+
+    return (
+        cells.groupby("rng")
+        .map_groups(bitmap_kernel, batch_format="pyarrow")
+        .groupby(["type_a", "type_b"])
+        .aggregate(Sum("n", alias_name="n_common_users"))
+        .sort(["type_a", "type_b"])
+    )
+
+
+EVENTS_AUDIENCE_BITMAP_INTERSECT_SQL = """
+WITH p AS (SELECT DISTINCT event_type, user_id FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(COUNT(*) AS BIGINT) AS n_common_users
+FROM p a JOIN p b ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def events_user_kendall_trend(sf_dir: str):
+    """Mann–Kendall trend statistic per user — S = Σ_{i<j} sign(vⱼ − vᵢ)
+    over the time-ordered value series (the standard nonparametric monotone-
+    trend test; S ≫ 0 means rising spend).  Exact integers end to end: cents
+    values, a pairwise sign reduction (vectorized outer compare; an
+    O(n log n) merge-sort inversion count is the swap-in for groups beyond
+    ~10⁴ rows).  Co-partition by user + per-group sort."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def mk(g: pa.Table) -> pa.Table:
+        s = g.take(
+            pc.sort_indices(
+                g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+            )
+        )
+        c = _cents(s["value"]).to_numpy(zero_copy_only=False)
+        n = len(c)
+        iu = np.triu_indices(n, 1)
+        stat = int(np.sign(c[iu[1]] - c[iu[0]]).sum()) if n > 1 else 0
+        return pa.table(
+            {
+                "user_id": pa.array([int(s["user_id"][0].as_py())], pa.int64()),
+                "n_events": pa.array([n], pa.int64()),
+                "mk_stat": pa.array([stat], pa.int64()),
+            }
+        )
+
+    return (
+        ds.groupby("user_id").map_groups(mk, batch_format="pyarrow").sort(["user_id"])
+    )
+
+
+EVENTS_USER_KENDALL_TREND_SQL = """
+WITH v AS (SELECT user_id, CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS c,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events),
+n AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events FROM v GROUP BY 1),
+s AS (SELECT a.user_id,
+             CAST(COALESCE(SUM(CASE WHEN b.c > a.c THEN 1
+                                    WHEN b.c < a.c THEN -1 ELSE 0 END), 0) AS BIGINT)
+               AS mk_stat
+      FROM v a JOIN v b ON a.user_id = b.user_id AND b.rn > a.rn
+      GROUP BY 1)
+SELECT CAST(n.user_id AS BIGINT) AS user_id, n.n_events,
+       CAST(COALESCE(s.mk_stat, 0) AS BIGINT) AS mk_stat
+FROM n LEFT JOIN s ON n.user_id = s.user_id ORDER BY 1
+"""
+
+
+def customer_rank_join_topk(sf_dir: str):
+    """Fagin's THRESHOLD ALGORITHM (TA) rank join: top-10 customers by
+    acctbal + order revenue WITHOUT scoring every customer.  The two ranked
+    lists (acctbal cents; revenue cents from block partials + one groupby)
+    are consumed by alternating sorted access with random access into the
+    other list; the scan stops as soon as the TA threshold (sum of the two
+    cursors) can no longer beat the current 10th score — the classic
+    early-termination guarantee for monotone score functions.  Lists are
+    O(customers) aggregates, never order rows."""
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tb = pa.table({"c": t["o_custkey"], "r": _cents(t["o_totalprice"])})
+        return tb.group_by("c").aggregate([("r", "sum")]).rename_columns(["c", "r"])
+
+    rev = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("c")
+        .aggregate(Sum("r", alias_name="r"))
+        .to_pandas()
+    )
+    cust = rd.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_acctbal"]
+    ).to_pandas()
+    acct_c = np.floor(cust["c_acctbal"].to_numpy() * 100 + 0.5).astype(np.int64)
+    acct = dict(zip(cust["c_custkey"].astype(int), (int(v) for v in acct_c)))
+    revd = dict(zip(rev["c"].astype(int), (int(v) for v in rev["r"])))
+    # sorted-access lists, descending (tie: custkey asc for determinism)
+    L_acct = sorted(acct.items(), key=lambda kv: (-kv[1], kv[0]))
+    L_rev = sorted(revd.items(), key=lambda kv: (-kv[1], kv[0]))
+    seen: dict[int, int] = {}
+    top: list[tuple[int, int]] = []  # (score, -custkey) min-heap by score
+    import heapq
+
+    ia = ir = 0
+    last_a, last_r = L_acct[0][1], (L_rev[0][1] if L_rev else 0)
+    while ia < len(L_acct) or ir < len(L_rev):
+        for lst, idx, other, is_acct in (
+            (L_acct, ia, revd, True),
+            (L_rev, ir, acct, False),
+        ):
+            if idx >= len(lst):
+                continue
+            ckey, val = lst[idx]
+            if is_acct:
+                ia, last_a = ia + 1, val
+                score = val + other.get(ckey, 0)
+            else:
+                ir, last_r = ir + 1, val
+                score = other.get(ckey, 0) + val
+            if ckey not in seen:
+                seen[ckey] = score
+                heapq.heappush(top, (score, -ckey))
+                if len(top) > 10:
+                    heapq.heappop(top)
+        # rev exhausted → its cursor floor is 0 (revenue is nonnegative)
+        # strict >: an unseen item could reach exactly thr and still win the
+        # (score DESC, custkey ASC) tie-break, so equality cannot stop the scan
+        thr = last_a + (last_r if ir < len(L_rev) else 0)
+        if len(top) == 10 and top[0][0] > thr:
+            break
+    best = sorted(((s, -nk) for s, nk in top), key=lambda t: (-t[0], t[1]))
+    keys = [k for _, k in best]
+    return pa.table(
+        {
+            "c_custkey": pa.array(keys, pa.int64()),
+            "acctbal_cents": pa.array([acct[k] for k in keys], pa.int64()),
+            "rev_cents": pa.array([revd.get(k, 0) for k in keys], pa.int64()),
+            "score": pa.array([s for s, _ in best], pa.int64()),
+        }
+    )
+
+
+CUSTOMER_RANK_JOIN_TOPK_SQL = """
+WITH r AS (
+  SELECT o_custkey AS c,
+         CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+  FROM orders GROUP BY 1),
+s AS (SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+             CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT) AS acctbal_cents,
+             CAST(COALESCE(rev, 0) AS BIGINT) AS rev_cents
+      FROM customer LEFT JOIN r ON c_custkey = c)
+SELECT c_custkey, acctbal_cents, rev_cents,
+       CAST(acctbal_cents + rev_cents AS BIGINT) AS score
+FROM s ORDER BY score DESC, c_custkey LIMIT 10
+"""
+
+
+def warehouse_fd_audit(sf_dir: str):
+    """Functional-dependency profiling across the warehouse — for each
+    candidate FD X→Y, how many distinct X values exist and how many of them
+    VIOLATE the dependency (map to >1 distinct Y): the schema-discovery
+    audit that complements tables_null_profile (missingness) and
+    docs_validate_constraints (declared rules).  Per FD: block-local
+    DISTINCT (X, Y) partials + one groupby — the shuffle carries the
+    distinct-pair dictionary, never rows; the violation tally is a
+    value_counts over that O(pairs) table (collected here — for key-like
+    FDs at 10¹² rows the finish is a second groupby over the same cells,
+    the customers_every_year pattern)."""
+    fds = [
+        ("customer", "c_nationkey->c_mktsegment", "c_nationkey", "c_mktsegment"),
+        ("documents", "doc_id->lang", "doc_id", "lang"),
+        ("documents", "source->lang", "source", "lang"),
+        ("events", "user_id->event_type", "user_id", "event_type"),
+        ("orders", "o_custkey->o_orderpriority", "o_custkey", "o_orderpriority"),
+        ("orders", "o_orderkey->o_custkey", "o_orderkey", "o_custkey"),
+    ]
+    tables, names, n_lhs, n_viol = [], [], [], []
+    for table, fd_name, lhs, rhs in fds:
+        ds = rd.read_parquet(_t(sf_dir, table), columns=[lhs, rhs])
+
+        def distinct_part(t: pa.Table, _l=lhs, _r=rhs) -> pa.Table:
+            return pa.table({"l": t[_l], "r": t[_r]}).group_by(["l", "r"]).aggregate([])
+
+        pairs = (
+            ds.map_batches(distinct_part, batch_format="pyarrow")
+            .groupby(["l", "r"])
+            .aggregate(Count(alias_name="_n"))
+            .to_pandas()
+        )
+        per = pairs.groupby("l").size()
+        tables.append(table)
+        names.append(fd_name)
+        n_lhs.append(int(len(per)))
+        n_viol.append(int((per > 1).sum()))
+    return pa.table(
+        {
+            "table_name": pa.array(tables, pa.string()),
+            "fd": pa.array(names, pa.string()),
+            "n_lhs": pa.array(n_lhs, pa.int64()),
+            "n_violating": pa.array(n_viol, pa.int64()),
+        }
+    )
+
+
+WAREHOUSE_FD_AUDIT_SQL = """
+SELECT * FROM (
+  SELECT 'customer' AS table_name, 'c_nationkey->c_mktsegment' AS fd,
+         CAST(COUNT(*) AS BIGINT) AS n_lhs,
+         CAST(COUNT(*) FILTER (WHERE k > 1) AS BIGINT) AS n_violating
+  FROM (SELECT c_nationkey, COUNT(DISTINCT c_mktsegment) AS k
+        FROM customer GROUP BY 1)
+  UNION ALL
+  SELECT 'documents', 'doc_id->lang', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) FILTER (WHERE k > 1) AS BIGINT)
+  FROM (SELECT doc_id, COUNT(DISTINCT lang) AS k FROM documents GROUP BY 1)
+  UNION ALL
+  SELECT 'documents', 'source->lang', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) FILTER (WHERE k > 1) AS BIGINT)
+  FROM (SELECT source, COUNT(DISTINCT lang) AS k FROM documents GROUP BY 1)
+  UNION ALL
+  SELECT 'events', 'user_id->event_type', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) FILTER (WHERE k > 1) AS BIGINT)
+  FROM (SELECT user_id, COUNT(DISTINCT event_type) AS k FROM events GROUP BY 1)
+  UNION ALL
+  SELECT 'orders', 'o_custkey->o_orderpriority', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) FILTER (WHERE k > 1) AS BIGINT)
+  FROM (SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS k
+        FROM orders GROUP BY 1)
+  UNION ALL
+  SELECT 'orders', 'o_orderkey->o_custkey', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) FILTER (WHERE k > 1) AS BIGINT)
+  FROM (SELECT o_orderkey, COUNT(DISTINCT o_custkey) AS k FROM orders GROUP BY 1)
+) ORDER BY table_name, fd
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -13102,6 +13401,10 @@ ORACLE_SQL: dict[str, str] = {
     "events_user_median_interp": EVENTS_USER_MEDIAN_INTERP_SQL,
     "events_rolling_max5": EVENTS_ROLLING_MAX5_SQL,
     "events_type_fano": EVENTS_TYPE_FANO_SQL,
+    "events_audience_bitmap_intersect": EVENTS_AUDIENCE_BITMAP_INTERSECT_SQL,
+    "events_user_kendall_trend": EVENTS_USER_KENDALL_TREND_SQL,
+    "customer_rank_join_topk": CUSTOMER_RANK_JOIN_TOPK_SQL,
+    "warehouse_fd_audit": WAREHOUSE_FD_AUDIT_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -13400,6 +13703,10 @@ def registry() -> dict:
         "events_user_median_interp": events_user_median_interp,
         "events_rolling_max5": events_rolling_max5,
         "events_type_fano": events_type_fano,
+        "events_audience_bitmap_intersect": events_audience_bitmap_intersect,
+        "events_user_kendall_trend": events_user_kendall_trend,
+        "customer_rank_join_topk": customer_rank_join_topk,
+        "warehouse_fd_audit": warehouse_fd_audit,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
