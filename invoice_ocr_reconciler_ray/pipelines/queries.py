@@ -13324,6 +13324,265 @@ SELECT * FROM (
 """
 
 
+def events_hourly_lag24_autocorr(sf_dir: str):
+    """Daily-seasonality screen: lag-24 autocorrelation of each type's
+    GAP-FILLED hourly arrival-count series (zeros for silent hours — the
+    honest seasonal estimate; observed-hours-only would splice distant
+    days together).  Two-level shape: block-partial (type, hour) counts
+    shuffle at cell cardinality, the per-type kernel densifies [min,max]
+    hours with one zeros() + scatter and reduces the six sufficient stats
+    in exact int64; ``r`` is ONE fixed IEEE expression on both engines
+    (the lag1_autocorr discipline)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        tb = pa.table(
+            {
+                "typ": t["event_type"],
+                "hour": pa.array(ts // 3_600_000_000, pa.int64()),
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        return tb.group_by(["typ", "hour"]).aggregate([("one", "sum")]).rename_columns(
+            ["typ", "hour", "n"]
+        )
+
+    _empty = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "n_pairs": pa.array([], pa.int64()),
+            "sxy": pa.array([], pa.int64()),
+            "r": pa.array([], pa.float64()),
+        }
+    )
+
+    def kernel(g: pa.Table) -> pa.Table:
+        hours = g["hour"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = g["n"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        lo, hi = int(hours.min()), int(hours.max())
+        dense = np.zeros(hi - lo + 1, np.int64)
+        dense[hours - lo] = counts
+        if len(dense) < 25:
+            return _empty
+        x, y = dense[:-24], dense[24:]
+        npair = len(x)
+        sh, st = int(x.sum()), int(y.sum())
+        sxy = int((x * y).sum())
+        shh, stt = int((x * x).sum()), int((y * y).sum())
+        var_h, var_t = npair * shh - sh * sh, npair * stt - st * st
+        if var_h <= 0 or var_t <= 0:
+            return _empty
+        import math
+
+        r = float(npair * sxy - sh * st) / math.sqrt(float(var_h) * float(var_t))
+        return pa.table(
+            {
+                "event_type": pa.array([str(g["typ"][0].as_py())], pa.string()),
+                "n_pairs": pa.array([npair], pa.int64()),
+                "sxy": pa.array([sxy], pa.int64()),
+                "r": pa.array([r], pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["typ", "hour"])
+        .aggregate(Sum("n", alias_name="n"))
+        .groupby("typ")
+        .map_groups(kernel, batch_format="pyarrow")
+        .sort(["event_type"])
+    )
+
+
+EVENTS_HOURLY_LAG24_AUTOCORR_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+b AS (SELECT event_type, MIN(hour) AS mn, MAX(hour) AS mx FROM c GROUP BY 1),
+g AS (SELECT event_type, unnest(range(mn, mx + 1)) AS hour FROM b),
+f AS (SELECT g.event_type, g.hour, COALESCE(c.n, 0) AS n
+      FROM g LEFT JOIN c USING (event_type, hour)),
+p AS (SELECT event_type, n AS x,
+             lead(n, 24) OVER (PARTITION BY event_type ORDER BY hour) AS y
+      FROM f),
+q AS (SELECT event_type, x, y FROM p WHERE y IS NOT NULL),
+a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS np,
+             CAST(SUM(x) AS BIGINT) AS sh, CAST(SUM(y) AS BIGINT) AS st,
+             CAST(SUM(x*y) AS BIGINT) AS sxy,
+             CAST(SUM(x*x) AS BIGINT) AS shh, CAST(SUM(y*y) AS BIGINT) AS stt
+      FROM q GROUP BY 1)
+SELECT event_type, np AS n_pairs, sxy,
+       CAST(np*sxy - sh*st AS DOUBLE)
+         / sqrt(CAST(np*shh - sh*sh AS DOUBLE) * CAST(np*stt - st*st AS DOUBLE)) AS r
+FROM a WHERE np*shh - sh*sh > 0 AND np*stt - st*st > 0
+ORDER BY event_type
+"""
+
+
+def events_rolling_median5(sf_dir: str):
+    """Trailing-window MEDIAN (ROWS 4 PRECEDING) per user — the sliding
+    ORDER STATISTIC, which unlike sum/max admits no running decomposition:
+    the kernel sorts a strided 5-wide window view and takes column
+    (k−1)//2, DuckDB's quantile_disc lower-median convention (verified:
+    disc(0.5) of k elems = sorted[(k−1)//2]), so even-width prefixes match
+    exactly in integer cents."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def roll(g: pa.Table) -> pa.Table:
+        s = g.take(
+            pc.sort_indices(
+                g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+            )
+        )
+        c = _cents(s["value"]).to_numpy(zero_copy_only=False)
+        n = len(c)
+        head = min(n, 4)
+        out = np.empty(n, np.int64)
+        for i in range(head):  # ≤4 prefix rows per group
+            w = np.sort(c[: i + 1])
+            out[i] = w[i // 2]
+        if n > 4:
+            sw = np.sort(np.lib.stride_tricks.sliding_window_view(c, 5), axis=1)
+            out[4:] = sw[:, 2]
+        return pa.table(
+            {
+                "event_id": s["event_id"],
+                "user_id": s["user_id"],
+                "win5_median_cents": pa.array(out, pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(roll, batch_format="pyarrow")
+
+
+EVENTS_ROLLING_MEDIAN5_SQL = """
+SELECT event_id, user_id,
+       CAST(quantile_disc(CAST(FLOOR(value * 100 + 0.5) AS BIGINT), 0.5)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS win5_median_cents
+FROM events
+"""
+
+
+def orders_price_pctrank_by_priority(sf_dir: str):
+    """GROUP-partitioned rank family — RANK() (ties share the min rank) and
+    percent_rank in ppm, each order ranked WITHIN its priority (the grouped
+    complement of the global orders_price_rank_stats).  Co-partition by
+    priority; inside a group ranks come from one sort + a tie-run
+    searchsorted — and because only ~5 priorities exist the docstring
+    contract is the rank.py value-bucket path for hot groups at real
+    scale."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
+
+    def kernel(g: pa.Table) -> pa.Table:
+        cents = _cents(g["o_totalprice"]).to_numpy(zero_copy_only=False)
+        keys = g["o_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((keys, cents))
+        c_sorted = cents[order]
+        n = len(c_sorted)
+        # min-rank of each row's value: first index where the value appears
+        rank = np.searchsorted(c_sorted, c_sorted, side="left") + 1
+        pct = (rank - 1) * 1_000_000 // max(n - 1, 1)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(keys[order], pa.int64()),
+                "o_orderpriority": pa.array(
+                    [str(g["o_orderpriority"][0].as_py())] * n, pa.string()
+                ),
+                "price_rank": pa.array(rank, pa.int64()),
+                "pctrank_ppm": pa.array(pct, pa.int64()),
+            }
+        )
+
+    return ds.groupby("o_orderpriority").map_groups(kernel, batch_format="pyarrow")
+
+
+ORDERS_PRICE_PCTRANK_BY_PRIORITY_SQL = """
+WITH c AS (SELECT o_orderkey, o_orderpriority,
+                  CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+           FROM orders),
+r AS (SELECT o_orderkey, o_orderpriority,
+             CAST(RANK() OVER (PARTITION BY o_orderpriority ORDER BY cents)
+                  AS BIGINT) AS price_rank,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM c)
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderpriority, price_rank,
+       CAST((price_rank - 1) * 1000000 // GREATEST(n - 1, 1) AS BIGINT)
+         AS pctrank_ppm
+FROM r
+"""
+
+
+def orders_partition_checksums(sf_dir: str):
+    """Anti-entropy partition digests (the Merkle-tree leaf level every
+    replicated store uses to find diverged ranges without shipping rows):
+    64 hash buckets of o_orderkey, each summarized by row count and an
+    ORDER-INDEPENDENT checksum — SUM over rows of (key·2654435761 mod 2³¹)
+    XOR price-cents, mod 2³¹.  The Knuth multiplier spreads sequential
+    keys; commutative SUM makes the digest shuffle-order-proof, so block
+    partials + one 64-row groupby finish it.  Two table copies diverge ⇔
+    some bucket's (count, checksum) differs."""
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = _cents(t["o_totalprice"]).to_numpy(zero_copy_only=False)
+        h = (k * 2654435761) % 2_147_483_648
+        row = np.bitwise_xor(h, cents % 2_147_483_648)
+        tb = pa.table(
+            {
+                "bucket": pa.array(k % 64, pa.int64()),
+                "n_rows": pa.array(np.ones(len(k), np.int64)),
+                "checksum": pa.array(row, pa.int64()),
+            }
+        )
+        g = tb.group_by("bucket").aggregate([("n_rows", "sum"), ("checksum", "sum")])
+        g = g.rename_columns(["bucket", "n_rows", "checksum"])
+        # fold mod 2^31 per block (mod distributes over +) so the running
+        # sum stays bounded at any row count
+        return g.set_column(
+            2, "checksum", pc.bit_wise_and(g["checksum"], 2_147_483_647)
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n_rows", alias_name="n_rows"), Sum("checksum", alias_name="checksum"))
+        .to_pandas()
+        .sort_values("bucket", kind="mergesort")
+    )
+    return pa.table(
+        {
+            "bucket": pa.array(merged["bucket"].to_numpy().astype(np.int64)),
+            "n_rows": pa.array(merged["n_rows"].to_numpy().astype(np.int64)),
+            "checksum": pa.array(
+                (merged["checksum"].to_numpy().astype(np.int64)) % 2_147_483_648,
+                pa.int64(),
+            ),
+        }
+    )
+
+
+ORDERS_PARTITION_CHECKSUMS_SQL = """
+WITH r AS (
+  SELECT o_orderkey % 64 AS bucket,
+         xor((o_orderkey * 2654435761) % 2147483648,
+             CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) % 2147483648) AS row_h
+  FROM orders)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(row_h) % 2147483648 AS BIGINT) AS checksum
+FROM r GROUP BY 1 ORDER BY 1
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -13405,6 +13664,10 @@ ORACLE_SQL: dict[str, str] = {
     "events_user_kendall_trend": EVENTS_USER_KENDALL_TREND_SQL,
     "customer_rank_join_topk": CUSTOMER_RANK_JOIN_TOPK_SQL,
     "warehouse_fd_audit": WAREHOUSE_FD_AUDIT_SQL,
+    "events_hourly_lag24_autocorr": EVENTS_HOURLY_LAG24_AUTOCORR_SQL,
+    "events_rolling_median5": EVENTS_ROLLING_MEDIAN5_SQL,
+    "orders_price_pctrank_by_priority": ORDERS_PRICE_PCTRANK_BY_PRIORITY_SQL,
+    "orders_partition_checksums": ORDERS_PARTITION_CHECKSUMS_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -13707,6 +13970,10 @@ def registry() -> dict:
         "events_user_kendall_trend": events_user_kendall_trend,
         "customer_rank_join_topk": customer_rank_join_topk,
         "warehouse_fd_audit": warehouse_fd_audit,
+        "events_hourly_lag24_autocorr": events_hourly_lag24_autocorr,
+        "events_rolling_median5": events_rolling_median5,
+        "orders_price_pctrank_by_priority": orders_price_pctrank_by_priority,
+        "orders_partition_checksums": orders_partition_checksums,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
