@@ -13583,6 +13583,334 @@ FROM r GROUP BY 1 ORDER BY 1
 """
 
 
+def lineitem_q6_revenue_delta(sf_dir: str):
+    """TPC-H Q6 shape — the pure predicate-pushdown scan: a conjunctive
+    filter (shipdate year, discount band, quantity cap) followed by ONE
+    global SUM of extendedprice·discount in integer cents.  No shuffle at
+    all: block partials reduce to two scalars; at 100 TB this is the
+    bandwidth-bound query whose cost is the parquet scan itself (row-group
+    stats prune the year predicate at the read).  The discount band compares
+    the STORED doubles against the same literals in both engines — identical
+    IEEE comparisons, no epsilon games."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+    lo = np.datetime64("1996-01-01", "us").astype("int64")
+    hi = np.datetime64("1997-01-01", "us").astype("int64")
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["l_shipdate"].cast(pa.int64())
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(ts, lo), pc.less(ts, hi)),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(t["l_discount"], 0.05),
+                    pc.less_equal(t["l_discount"], 0.07),
+                ),
+                pc.less(t["l_quantity"], 24.0),
+            ),
+        )
+        f = t.filter(keep)
+        disc_rev = _cents(pc.multiply(f["l_extendedprice"], f["l_discount"]))
+        return pa.table(
+            {
+                "sum_disc_rev_cents": pa.array(
+                    [pc.sum(disc_rev).as_py() or 0], pa.int64()
+                ),
+                "n_items": pa.array([f.num_rows], pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .aggregate(
+            Sum("sum_disc_rev_cents", alias_name="sum_disc_rev_cents"),
+            Sum("n_items", alias_name="n_items"),
+        )
+    )
+    return pa.table(
+        {
+            "sum_disc_rev_cents": pa.array([out["sum_disc_rev_cents"]], pa.int64()),
+            "n_items": pa.array([out["n_items"]], pa.int64()),
+        }
+    )
+
+
+LINEITEM_Q6_REVENUE_DELTA_SQL = """
+SELECT CAST(SUM(CAST(FLOOR(l_extendedprice*l_discount*100 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_disc_rev_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def events_user_stock_span(sf_dir: str):
+    """Stock-span (nearest-previous-GREATER) per user — the monotonic-stack
+    family: for each event in (ts, event_id) order, ``span`` = how many
+    consecutive immediately-preceding events (itself included) had
+    value-cents ≤ this one.  The kernel is the classic O(n) decreasing
+    stack per group; the oracle is the quadratic self-join definition
+    (span = i − max prior index with greater cents), affordable because
+    per-user groups are small — the Ray side is the one that scales."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def kernel(g: pa.Table) -> pa.Table:
+        s = g.take(
+            pc.sort_indices(
+                g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+            )
+        )
+        c = _cents(s["value"]).to_numpy(zero_copy_only=False)
+        n = len(c)
+        span = np.empty(n, np.int64)
+        stack: list[int] = []  # 0-based indices, strictly decreasing cents
+        for i in range(n):
+            while stack and c[stack[-1]] <= c[i]:
+                stack.pop()
+            span[i] = i + 1 if not stack else i - stack[-1]
+            stack.append(i)
+        return pa.table(
+            {
+                "event_id": s["event_id"],
+                "user_id": s["user_id"],
+                "span": pa.array(span, pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(kernel, batch_format="pyarrow")
+
+
+EVENTS_USER_STOCK_SPAN_SQL = """
+WITH s AS (
+  SELECT event_id, user_id,
+         CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i
+  FROM events),
+p AS (
+  SELECT a.event_id, a.user_id, a.i, MAX(b.i) AS pg
+  FROM s a LEFT JOIN s b
+    ON a.user_id = b.user_id AND b.i < a.i AND b.cents > a.cents
+  GROUP BY 1, 2, 3)
+SELECT event_id, user_id, CAST(i - COALESCE(pg, 0) AS BIGINT) AS span
+FROM p
+"""
+
+
+def orders_mad_outliers(sf_dir: str):
+    """Robust (median/MAD) outlier flags per priority — the z-score's
+    breakdown-resistant sibling: med = lower-median of price cents, MAD =
+    lower-median of |cents − med|, flag = |dev| > 3·MAD, all EXACT integers
+    (quantile_disc's sorted[(n−1)//2] convention on both engines; the 3×
+    gate is an integer compare, so no float ever enters the output).
+    Per-priority groups sort locally; at real scale hot groups take the
+    stages/quantiles histogram-refine exact-selection path instead."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
+
+    def kernel(g: pa.Table) -> pa.Table:
+        c = _cents(g["o_totalprice"]).to_numpy(zero_copy_only=False)
+        med = int(np.sort(c)[(len(c) - 1) // 2])
+        dev = np.abs(c - med)
+        mad = int(np.sort(dev)[(len(dev) - 1) // 2])
+        return pa.table(
+            {
+                "o_orderkey": g["o_orderkey"],
+                "o_orderpriority": g["o_orderpriority"],
+                "abs_dev_cents": pa.array(dev, pa.int64()),
+                "is_mad_outlier": pa.array(dev > 3 * mad),
+            }
+        )
+
+    return ds.groupby("o_orderpriority").map_groups(kernel, batch_format="pyarrow")
+
+
+ORDERS_MAD_OUTLIERS_SQL = """
+WITH c AS (SELECT o_orderkey, o_orderpriority,
+                  CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+           FROM orders),
+m AS (SELECT o_orderpriority, CAST(quantile_disc(cents, 0.5) AS BIGINT) AS med
+      FROM c GROUP BY 1),
+d AS (SELECT c.o_orderkey, c.o_orderpriority, ABS(cents - med) AS adev
+      FROM c JOIN m USING (o_orderpriority)),
+md AS (SELECT o_orderpriority, CAST(quantile_disc(adev, 0.5) AS BIGINT) AS mad
+       FROM d GROUP BY 1)
+SELECT d.o_orderkey, d.o_orderpriority,
+       CAST(adev AS BIGINT) AS abs_dev_cents,
+       adev > 3 * mad AS is_mad_outlier
+FROM d JOIN md USING (o_orderpriority)
+"""
+
+
+_BM25_TERMS = ("customer", "filter", "merge")
+
+
+def docs_bm25_topk(sf_dir: str):
+    """BM25 ranking for a fixed 3-term query — the IR scoring pass a
+    retrieval-augmented corpus pipeline runs at scale.  Two streaming
+    passes: (1) ONE tokenize pass reduces each doc to 5 integers (doc
+    length + per-term tf via list_parent_indices + bincount — no Python
+    row loop); (2) corpus stats (N, Σdl, per-term df) come from a tiny
+    Dataset.aggregate, and the score pass broadcasts those scalars.  The
+    score itself is ONE fixed IEEE expression — rational idf
+    (N−df+0.5)/(df+0.5) (no transcendental log whose libm rounding could
+    differ between engines), k1=1.2, b=0.75, evaluated in the same
+    operation order in numpy and DuckDB, so the float64 column is
+    bit-identical (the stages/regression.py OLS-slope discipline)."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def tf_pass(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), pattern=r"[^a-z0-9]+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        ok = pc.and_(pc.is_valid(flat), pc.not_equal(flat, "")).to_numpy(
+            zero_copy_only=False
+        )
+        n = t.num_rows
+        cols = {
+            "doc_id": t["doc_id"],
+            "dl": pa.array(
+                np.bincount(parent[ok], minlength=n).astype(np.int64), pa.int64()
+            ),
+        }
+        for j, term in enumerate(_BM25_TERMS):
+            hit = pc.equal(flat, term).fill_null(False).to_numpy(zero_copy_only=False)
+            tf = np.bincount(parent[ok & hit], minlength=n).astype(np.int64)
+            cols[f"tf{j}"] = pa.array(tf, pa.int64())
+            cols[f"has{j}"] = pa.array((tf > 0).astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    narrow = ds.map_batches(tf_pass, batch_format="pyarrow").materialize()
+    aggs = [Count(alias_name="n_docs"), Sum("dl", alias_name="total_dl")]
+    for j in range(len(_BM25_TERMS)):
+        aggs.append(Sum(f"has{j}", alias_name=f"df{j}"))
+    st = narrow.aggregate(*aggs)
+    n_docs, total_dl = int(st["n_docs"]), int(st["total_dl"])
+    avgdl = total_dl / n_docs
+    idf = [
+        (n_docs - int(st[f"df{j}"]) + 0.5) / (int(st[f"df{j}"]) + 0.5)
+        for j in range(len(_BM25_TERMS))
+    ]
+
+    def score(t: pa.Table) -> pa.Table:
+        dl = t["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        norm = 1.2 * (0.25 + 0.75 * (dl / avgdl))
+        s = np.zeros(t.num_rows, np.float64)
+        for j in range(len(_BM25_TERMS)):
+            tf = t[f"tf{j}"].to_numpy(zero_copy_only=False).astype(np.float64)
+            s = s + idf[j] * (tf * 2.2) / (tf + norm)
+        return pa.table(
+            {"doc_id": t["doc_id"], "score": pa.array(s, pa.float64())}
+        )
+
+    return (
+        narrow.map_batches(score, batch_format="pyarrow")
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(10)
+    )
+
+
+DOCS_BM25_TOPK_SQL = """
+WITH tk AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents),
+t AS (SELECT doc_id, term FROM tk WHERE term <> ''),
+per AS (
+  SELECT doc_id, COUNT(*) AS dl,
+         SUM(CASE WHEN term = 'customer' THEN 1 ELSE 0 END) AS tf0,
+         SUM(CASE WHEN term = 'filter'   THEN 1 ELSE 0 END) AS tf1,
+         SUM(CASE WHEN term = 'merge'    THEN 1 ELSE 0 END) AS tf2
+  FROM t GROUP BY 1),
+d AS (
+  SELECT doc_id, COALESCE(dl, 0) AS dl, COALESCE(tf0, 0) AS tf0,
+         COALESCE(tf1, 0) AS tf1, COALESCE(tf2, 0) AS tf2
+  FROM documents LEFT JOIN per USING (doc_id)),
+st AS (
+  SELECT COUNT(*) AS n, SUM(dl) AS total,
+         SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+  FROM d)
+SELECT doc_id,
+       -- e-notation literals: DuckDB types 2.2 as DECIMAL (decimal-rounded
+       -- intermediates, off-by-an-ulp vs numpy) but 2.2e0 as DOUBLE
+       (0.0e0
+        + (n - df0 + 0.5e0) / (df0 + 0.5e0)
+            * (tf0 * 2.2e0) / (tf0 + 1.2e0 * (0.25e0 + 0.75e0 * (dl / (CAST(total AS DOUBLE) / n))))
+        + (n - df1 + 0.5e0) / (df1 + 0.5e0)
+            * (tf1 * 2.2e0) / (tf1 + 1.2e0 * (0.25e0 + 0.75e0 * (dl / (CAST(total AS DOUBLE) / n))))
+        + (n - df2 + 0.5e0) / (df2 + 0.5e0)
+            * (tf2 * 2.2e0) / (tf2 + 1.2e0 * (0.25e0 + 0.75e0 * (dl / (CAST(total AS DOUBLE) / n))))
+       ) AS score
+FROM d, st
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+def events_user_lis_len(sf_dir: str):
+    """Longest strictly-increasing subsequence of value-cents per user (in
+    (ts, event_id) order) — the patience-sorting DP family.  The kernel is
+    O(n log n) patience per group (bisect over pile tails); the oracle is
+    the textbook chain-extension RECURSIVE CTE (reachable lengths over the
+    j<i ∧ v_j<v_i DAG, UNION-deduped), affordable because per-user groups
+    are tiny at test scale — the Ray side is the one that scales."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def kernel(g: pa.Table) -> pa.Table:
+        import bisect
+
+        s = g.take(
+            pc.sort_indices(
+                g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+            )
+        )
+        c = _cents(s["value"]).to_numpy(zero_copy_only=False)
+        tails: list[int] = []
+        for v in c:
+            i = bisect.bisect_left(tails, v)
+            if i == len(tails):
+                tails.append(int(v))
+            else:
+                tails[i] = int(v)
+        return pa.table(
+            {
+                "user_id": pa.array([int(s["user_id"][0].as_py())], pa.int64()),
+                "n_events": pa.array([len(c)], pa.int64()),
+                "lis_len": pa.array([len(tails)], pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(kernel, batch_format="pyarrow").sort(
+        ["user_id"]
+    )
+
+
+EVENTS_USER_LIS_LEN_SQL = """
+WITH RECURSIVE s AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i,
+         CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+r AS (
+  SELECT user_id, i, cents, 1 AS l FROM s
+  UNION
+  SELECT s.user_id, s.i, s.cents, r.l + 1
+  FROM r JOIN s ON s.user_id = r.user_id AND s.i > r.i AND s.cents > r.cents
+)
+SELECT user_id, CAST(COUNT(DISTINCT i) AS BIGINT) AS n_events,
+       CAST(MAX(l) AS BIGINT) AS lis_len
+FROM r GROUP BY 1 ORDER BY 1
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -13668,6 +13996,11 @@ ORACLE_SQL: dict[str, str] = {
     "events_rolling_median5": EVENTS_ROLLING_MEDIAN5_SQL,
     "orders_price_pctrank_by_priority": ORDERS_PRICE_PCTRANK_BY_PRIORITY_SQL,
     "orders_partition_checksums": ORDERS_PARTITION_CHECKSUMS_SQL,
+    "lineitem_q6_revenue_delta": LINEITEM_Q6_REVENUE_DELTA_SQL,
+    "events_user_stock_span": EVENTS_USER_STOCK_SPAN_SQL,
+    "orders_mad_outliers": ORDERS_MAD_OUTLIERS_SQL,
+    "docs_bm25_topk": DOCS_BM25_TOPK_SQL,
+    "events_user_lis_len": EVENTS_USER_LIS_LEN_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -13974,6 +14307,11 @@ def registry() -> dict:
         "events_rolling_median5": events_rolling_median5,
         "orders_price_pctrank_by_priority": orders_price_pctrank_by_priority,
         "orders_partition_checksums": orders_partition_checksums,
+        "lineitem_q6_revenue_delta": lineitem_q6_revenue_delta,
+        "events_user_stock_span": events_user_stock_span,
+        "orders_mad_outliers": orders_mad_outliers,
+        "docs_bm25_topk": docs_bm25_topk,
+        "events_user_lis_len": events_user_lis_len,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
