@@ -13911,6 +13911,205 @@ FROM r GROUP BY 1 ORDER BY 1
 """
 
 
+def asia_market_share_by_year(sf_dir: str):
+    """TPC-H Q8 shape — national market share: of all lineitem revenue sold
+    to ASIA-region customers, what ppm came from NATION_7 suppliers, per
+    order year.  Two fact-fact hash joins (orders⋈customer, then
+    lineitem⋈that — both at the measured-optimal 8 partitions) plus two
+    genuinely tiny broadcasts (25-row nation→region map, 100-row
+    supplier→nation map).  The share is an integer cross-multiply ppm —
+    no float division ever reaches the output."""
+    nat = rd.read_parquet(
+        _t(sf_dir, "nation"), columns=["n_nationkey", "n_regionkey"]
+    ).to_pandas()
+    asia_nations = pa.array(
+        nat[nat.n_regionkey == 2].n_nationkey.to_numpy().astype(np.int64), pa.int64()
+    )
+    sup = rd.read_parquet(
+        _t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    focal_sups = pa.array(
+        sup[sup.s_nationkey == 7].s_suppkey.to_numpy().astype(np.int64), pa.int64()
+    )
+    asia_ref, focal_ref = ray.put(asia_nations), ray.put(focal_sups)
+
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    oc = orders.join(
+        cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+    )
+
+    def asia_orders(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["c_nationkey"].cast(pa.int64()), value_set=ray.get(asia_ref))
+        f = t.filter(keep)
+        yr = pc.year(f["o_orderdate"]).cast(pa.int64())
+        return pa.Table.from_arrays([f["o_orderkey"], yr], names=["o_orderkey", "yr"])
+
+    oc = oc.map_batches(asia_orders, batch_format="pyarrow")
+
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        rev = _cents(pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])))
+        focal = pc.is_in(t["l_suppkey"], value_set=ray.get(focal_ref))
+        focal_c = pc.if_else(focal, rev, pa.scalar(0, pa.int64()))
+        return pa.Table.from_arrays(
+            [t["l_orderkey"], rev, focal_c], names=["l_orderkey", "rev_c", "focal_c"]
+        )
+
+    li = li.map_batches(li_prep, batch_format="pyarrow")
+    joined = li.join(
+        oc, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+    agg = (
+        joined.groupby("yr")
+        .aggregate(
+            Sum("focal_c", alias_name="focal_rev_cents"),
+            Sum("rev_c", alias_name="total_rev_cents"),
+        )
+        .to_pandas()
+        .sort_values("yr", kind="mergesort")
+    )
+    focal = agg["focal_rev_cents"].to_numpy().astype(np.int64)
+    total = agg["total_rev_cents"].to_numpy().astype(np.int64)
+    return pa.table(
+        {
+            "yr": pa.array(agg["yr"].to_numpy().astype(np.int64)),
+            "focal_rev_cents": pa.array(focal, pa.int64()),
+            "total_rev_cents": pa.array(total, pa.int64()),
+            "share_ppm": pa.array(focal * 1_000_000 // total, pa.int64()),
+        }
+    )
+
+
+ASIA_MARKET_SHARE_BY_YEAR_SQL = """
+WITH j AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+         CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT) AS cents,
+         CASE WHEN s_nationkey = 7 THEN 1 ELSE 0 END AS focal
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE n_regionkey = 2)
+SELECT yr,
+       CAST(SUM(focal * cents) AS BIGINT) AS focal_rev_cents,
+       CAST(SUM(cents) AS BIGINT) AS total_rev_cents,
+       CAST(SUM(focal * cents) * 1000000 // SUM(cents) AS BIGINT) AS share_ppm
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
+def events_user_decayed_value(sf_dir: str):
+    """Exponential time-decay aggregate with a 7-day half-life, EXACT in
+    integers: each event contributes value-cents >> (age-in-weeks at the
+    corpus's max-ts as-of point) — halving by bit-shift instead of a float
+    pow, so the per-user SUM is order-independent and can never hash-drift
+    across shuffle orders (the recency-weighted engagement score every
+    feature store keeps, in its only deterministic form)."""
+    asof = int(
+        rd.read_parquet(_t(sf_dir, "events"), columns=["ts"])
+        .map_batches(
+            lambda t: pa.table({"ts_us": t["ts"].cast(pa.int64())}),
+            batch_format="pyarrow",
+        )
+        .max("ts_us")
+    )
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "value"])
+
+    def decay(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        k = np.minimum((asof - ts) // 604_800_000_000, 62)
+        cents = _cents(t["value"]).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "dec": pa.array(cents >> k, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(decay, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("dec", alias_name="decayed_sum_cents"), Count(alias_name="n_events"))
+    )
+
+
+EVENTS_USER_DECAYED_VALUE_SQL = """
+WITH m AS (SELECT MAX(epoch_us(ts)) AS ref_us FROM events),
+d AS (
+  SELECT user_id,
+         CAST(FLOOR(value*100 + 0.5) AS BIGINT)
+           >> CAST(LEAST((ref_us - epoch_us(ts)) // 604800000000, 62) AS BIGINT) AS dec
+  FROM events, m)
+SELECT user_id, CAST(SUM(dec) AS BIGINT) AS decayed_sum_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM d GROUP BY 1
+"""
+
+
+def customer_reorder_gap_median(sf_dir: str):
+    """Inter-purchase cadence: per customer, the lower-median of day gaps
+    between consecutive orders (by orderdate, orderkey-tie-broken) — the
+    repeat-behavior statistic behind churn models.  Per-customer groups
+    sort locally, gaps are one numpy diff, the median is the
+    sorted[(m−1)//2] quantile_disc convention; customers with a single
+    order have no gap and are absent by construction."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    _empty = pa.table(
+        {
+            "o_custkey": pa.array([], pa.int64()),
+            "n_orders": pa.array([], pa.int64()),
+            "median_gap_days": pa.array([], pa.int64()),
+        }
+    )
+
+    def kernel(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return _empty
+        s = g.take(
+            pc.sort_indices(
+                g,
+                sort_keys=[("o_orderdate", "ascending"), ("o_orderkey", "ascending")],
+            )
+        )
+        ts = s["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        gaps = np.sort(np.diff(ts) // 86_400_000_000)
+        return pa.table(
+            {
+                "o_custkey": pa.array([int(s["o_custkey"][0].as_py())], pa.int64()),
+                "n_orders": pa.array([g.num_rows], pa.int64()),
+                "median_gap_days": pa.array(
+                    [int(gaps[(len(gaps) - 1) // 2])], pa.int64()
+                ),
+            }
+        )
+
+    return ds.groupby("o_custkey").map_groups(kernel, batch_format="pyarrow")
+
+
+CUSTOMER_REORDER_GAP_MEDIAN_SQL = """
+WITH s AS (
+  SELECT o_custkey, epoch_us(o_orderdate) AS ts,
+         lag(epoch_us(o_orderdate)) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS pts
+  FROM orders),
+g AS (SELECT o_custkey, (ts - pts) // 86400000000 AS gap
+      FROM s WHERE pts IS NOT NULL)
+SELECT o_custkey, CAST(COUNT(*) + 1 AS BIGINT) AS n_orders,
+       CAST(quantile_disc(gap, 0.5) AS BIGINT) AS median_gap_days
+FROM g GROUP BY 1
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -14001,6 +14200,9 @@ ORACLE_SQL: dict[str, str] = {
     "orders_mad_outliers": ORDERS_MAD_OUTLIERS_SQL,
     "docs_bm25_topk": DOCS_BM25_TOPK_SQL,
     "events_user_lis_len": EVENTS_USER_LIS_LEN_SQL,
+    "asia_market_share_by_year": ASIA_MARKET_SHARE_BY_YEAR_SQL,
+    "events_user_decayed_value": EVENTS_USER_DECAYED_VALUE_SQL,
+    "customer_reorder_gap_median": CUSTOMER_REORDER_GAP_MEDIAN_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -14312,6 +14514,9 @@ def registry() -> dict:
         "orders_mad_outliers": orders_mad_outliers,
         "docs_bm25_topk": docs_bm25_topk,
         "events_user_lis_len": events_user_lis_len,
+        "asia_market_share_by_year": asia_market_share_by_year,
+        "events_user_decayed_value": events_user_decayed_value,
+        "customer_reorder_gap_median": customer_reorder_gap_median,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
