@@ -14110,6 +14110,191 @@ FROM g GROUP BY 1
 """
 
 
+def events_user_running_distinct_types(sf_dir: str):
+    """Running COUNT(DISTINCT) — the window SQL can't express directly: for
+    each event, how many distinct event types its user has seen up to and
+    including it.  Kernel: per-user sort, first-occurrence flags via one
+    vectorized pandas-free trick (np.unique return_index), cumsum.  The
+    oracle decomposes it the standard way (first-occurrence flag =
+    ROW_NUMBER()==1 per (user, type), then a running SUM) — the identity
+    that makes the op shuffle-light at scale: co-partition by user, never
+    materialize per-window sets."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    def kernel(g: pa.Table) -> pa.Table:
+        s = g.take(
+            pc.sort_indices(
+                g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+            )
+        )
+        types = s["event_type"].combine_chunks()
+        codes = types.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        n = len(codes)
+        first = np.zeros(n, np.int64)
+        _, first_ix = np.unique(codes, return_index=True)
+        first[first_ix] = 1
+        return pa.table(
+            {
+                "event_id": s["event_id"],
+                "user_id": s["user_id"],
+                "distinct_types_so_far": pa.array(np.cumsum(first), pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(kernel, batch_format="pyarrow")
+
+
+EVENTS_USER_RUNNING_DISTINCT_TYPES_SQL = """
+WITH f AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN ROW_NUMBER() OVER (
+                PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS is_first
+  FROM events)
+SELECT event_id, user_id,
+       CAST(SUM(is_first) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS distinct_types_so_far
+FROM f
+"""
+
+
+def events_user_max_subarray(sf_dir: str):
+    """Kadane's maximum-subarray per user, on value-cents CENTERED at the
+    user's lower-median (so runs of above-median activity form the signal —
+    with raw all-positive values the answer is trivially the whole series).
+    The kernel is the prefix-sum identity: max subarray = max_j(prefix_j −
+    min_{i<j} prefix_i) — one cumsum + one np.minimum.accumulate, fully
+    vectorized, and the SAME identity is what the oracle's running-MIN
+    window computes, so both engines do integer arithmetic end to end."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def kernel(g: pa.Table) -> pa.Table:
+        s = g.take(
+            pc.sort_indices(
+                g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+            )
+        )
+        c = _cents(s["value"]).to_numpy(zero_copy_only=False)
+        med = int(np.sort(c)[(len(c) - 1) // 2])
+        dev = c - med
+        pre = np.cumsum(dev)
+        # min prefix STRICTLY BEFORE j (empty prefix = 0)
+        minpre = np.minimum.accumulate(np.concatenate(([0], pre[:-1])))
+        best = int(np.max(pre - minpre))
+        return pa.table(
+            {
+                "user_id": pa.array([int(s["user_id"][0].as_py())], pa.int64()),
+                "n_events": pa.array([len(c)], pa.int64()),
+                "median_cents": pa.array([med], pa.int64()),
+                "max_run_cents": pa.array([best], pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(kernel, batch_format="pyarrow").sort(
+        ["user_id"]
+    )
+
+
+EVENTS_USER_MAX_SUBARRAY_SQL = """
+WITH c AS (
+  SELECT user_id, event_id, ts, CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+m AS (SELECT user_id, CAST(quantile_disc(cents, 0.5) AS BIGINT) AS med,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM c GROUP BY 1),
+p AS (
+  SELECT c.user_id, med, n_events, ts, event_id,
+         SUM(cents - med) OVER (
+           PARTITION BY c.user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS pre
+  FROM c JOIN m USING (user_id)),
+q AS (
+  SELECT user_id, med, n_events,
+         pre - LEAST(COALESCE(MIN(pre) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), 0) AS gain
+  FROM p)
+SELECT user_id, n_events, med AS median_cents,
+       CAST(MAX(gain) AS BIGINT) AS max_run_cents
+FROM q GROUP BY 1, 2, 3 ORDER BY 1
+"""
+
+
+def events_ab_proportion_ztest(sf_dir: str):
+    """Two-proportion z-test — the A/B-test primitive: arms are user-id
+    parity, conversion is event_type='purchase'.  The engine reduces each
+    arm to TWO integers (n, conversions) via block partials; z is then ONE
+    fixed IEEE expression over those four integers evaluated identically
+    in numpy and DuckDB (pooled p̂, the textbook denominator), so the
+    float64 statistic is bit-identical — no transcendental, no
+    order-dependent float SUM anywhere."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        arm = pc.cast(
+            pc.equal(pc.bit_wise_and(t["user_id"], 1), 1), pa.int64()
+        )
+        conv = pc.cast(pc.equal(t["event_type"], "purchase"), pa.int64())
+        return pa.table(
+            {
+                "arm": arm,
+                "n": pa.array(np.ones(t.num_rows, np.int64)),
+                "conv": conv,
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("arm")
+        .aggregate(Sum("n", alias_name="n"), Sum("conv", alias_name="conv"))
+        .to_pandas()
+        .sort_values("arm", kind="mergesort")
+    )
+    n0, c0 = int(agg.n.iloc[0]), int(agg.conv.iloc[0])
+    n1, c1 = int(agg.n.iloc[1]), int(agg.conv.iloc[1])
+    import math
+
+    p0, p1 = c0 / n0, c1 / n1
+    pp = (c0 + c1) / (n0 + n1)
+    z = (p0 - p1) / math.sqrt(pp * (1.0 - pp) * (1.0 / n0 + 1.0 / n1))
+    return pa.table(
+        {
+            "n0": pa.array([n0], pa.int64()),
+            "conv0": pa.array([c0], pa.int64()),
+            "n1": pa.array([n1], pa.int64()),
+            "conv1": pa.array([c1], pa.int64()),
+            "z": pa.array([z], pa.float64()),
+        }
+    )
+
+
+EVENTS_AB_PROPORTION_ZTEST_SQL = """
+WITH a AS (
+  SELECT user_id & 1 AS arm, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS conv
+  FROM events GROUP BY 1),
+w AS (
+  SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+         MAX(CASE WHEN arm = 0 THEN conv END) AS conv0,
+         MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+         MAX(CASE WHEN arm = 1 THEN conv END) AS conv1
+  FROM a)
+SELECT n0, conv0, n1, conv1,
+       -- e-notation literals keep every constant DOUBLE (DuckDB types a
+       -- bare 1.0 as DECIMAL); expression order mirrors the numpy side
+       (CAST(conv0 AS DOUBLE) / n0 - CAST(conv1 AS DOUBLE) / n1)
+         / sqrt((CAST(conv0 + conv1 AS DOUBLE) / (n0 + n1))
+                * (1.0e0 - CAST(conv0 + conv1 AS DOUBLE) / (n0 + n1))
+                * (1.0e0 / n0 + 1.0e0 / n1)) AS z
+FROM w
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -14203,6 +14388,9 @@ ORACLE_SQL: dict[str, str] = {
     "asia_market_share_by_year": ASIA_MARKET_SHARE_BY_YEAR_SQL,
     "events_user_decayed_value": EVENTS_USER_DECAYED_VALUE_SQL,
     "customer_reorder_gap_median": CUSTOMER_REORDER_GAP_MEDIAN_SQL,
+    "events_user_running_distinct_types": EVENTS_USER_RUNNING_DISTINCT_TYPES_SQL,
+    "events_user_max_subarray": EVENTS_USER_MAX_SUBARRAY_SQL,
+    "events_ab_proportion_ztest": EVENTS_AB_PROPORTION_ZTEST_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -14517,6 +14705,9 @@ def registry() -> dict:
         "asia_market_share_by_year": asia_market_share_by_year,
         "events_user_decayed_value": events_user_decayed_value,
         "customer_reorder_gap_median": customer_reorder_gap_median,
+        "events_user_running_distinct_types": events_user_running_distinct_types,
+        "events_user_max_subarray": events_user_max_subarray,
+        "events_ab_proportion_ztest": events_ab_proportion_ztest,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
