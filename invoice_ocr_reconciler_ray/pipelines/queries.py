@@ -14295,6 +14295,170 @@ FROM w
 """
 
 
+def customer_k_anonymity_audit(sf_dir: str):
+    """Privacy k-anonymity audit over the quasi-identifier pair
+    (mktsegment, nationkey) — the pre-release governance check a
+    training-data pipeline runs before shipping user-derived tables: group
+    sizes via block partials + one tiny groupby, then ONE summary row —
+    the minimum k, group counts, and how many rows sit in groups below
+    the k=5 bar (those rows re-identify).  All integers."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_mktsegment", "c_nationkey"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        tb = pa.table(
+            {
+                "seg": t["c_mktsegment"],
+                "nat": t["c_nationkey"].cast(pa.int64()),
+                "n": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        return tb.group_by(["seg", "nat"]).aggregate([("n", "sum")]).rename_columns(
+            ["seg", "nat", "n"]
+        )
+
+    g = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["seg", "nat"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    n = g["n"].to_numpy().astype(np.int64)
+    risky = n < 5
+    return pa.table(
+        {
+            "n_groups": pa.array([len(n)], pa.int64()),
+            "k_min": pa.array([int(n.min())], pa.int64()),
+            "n_risky_groups": pa.array([int(risky.sum())], pa.int64()),
+            "n_risky_rows": pa.array([int(n[risky].sum())], pa.int64()),
+            "n_rows": pa.array([int(n.sum())], pa.int64()),
+        }
+    )
+
+
+CUSTOMER_K_ANONYMITY_AUDIT_SQL = """
+WITH g AS (
+  SELECT c_mktsegment, c_nationkey, CAST(COUNT(*) AS BIGINT) AS n
+  FROM customer GROUP BY 1, 2)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(MIN(n) AS BIGINT) AS k_min,
+       CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_groups,
+       CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS n_risky_rows,
+       CAST(SUM(n) AS BIGINT) AS n_rows
+FROM g
+"""
+
+
+def events_dow_seasonality_index(sf_dir: str):
+    """Day-of-week seasonality index: each weekday's mean event value
+    relative to the overall mean, in ppm — computed as the integer
+    cross-multiply sum_dow·n_total·10⁶ // (n_dow·sum_total), so the ratio
+    of two rational means never touches a float.  isodow convention
+    (1=Monday; pyarrow day_of_week+1).  Block partials keep the shuffle at
+    7 rows."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tb = pa.table(
+            {
+                "dow": pc.cast(pc.add(pc.day_of_week(t["ts"]), 1), pa.int64()),
+                "n": pa.array(np.ones(t.num_rows, np.int64)),
+                "cents": _cents(t["value"]),
+            }
+        )
+        return tb.group_by("dow").aggregate(
+            [("n", "sum"), ("cents", "sum")]
+        ).rename_columns(["dow", "n", "cents"])
+
+    g = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("dow")
+        .aggregate(Sum("n", alias_name="n"), Sum("cents", alias_name="cents"))
+        .to_pandas()
+        .sort_values("dow", kind="mergesort")
+    )
+    n = g["n"].to_numpy().astype(np.int64)
+    c = g["cents"].to_numpy().astype(np.int64)
+    n_tot, c_tot = int(n.sum()), int(c.sum())
+    idx = c * n_tot * 1_000_000 // (n * c_tot)
+    return pa.table(
+        {
+            "dow": pa.array(g["dow"].to_numpy().astype(np.int64)),
+            "n": pa.array(n, pa.int64()),
+            "sum_cents": pa.array(c, pa.int64()),
+            "index_ppm": pa.array(idx, pa.int64()),
+        }
+    )
+
+
+EVENTS_DOW_SEASONALITY_INDEX_SQL = """
+WITH g AS (
+  SELECT CAST(isodow(ts) AS BIGINT) AS dow, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+  FROM events GROUP BY 1),
+t AS (SELECT SUM(n) AS n_tot, SUM(sum_cents) AS c_tot FROM g)
+SELECT dow, n, sum_cents,
+       CAST(sum_cents * n_tot * 1000000 // (n * c_tot) AS BIGINT) AS index_ppm
+FROM g, t ORDER BY dow
+"""
+
+
+def embeddings_top3_dims(sf_dir: str):
+    """Per-vector top-3 salient dimensions by |component| — the sparse
+    summary a feature-attribution or product-quantization stage extracts
+    from dense embeddings.  The batch kernel reshapes the FixedSize/var
+    list column to one (rows × dim) float matrix and takes a vectorized
+    argpartition-free full argsort on (−|v|, dim) — no per-row Python.
+    Components export as exact milli-units (FLOOR(f64(x)·1000): float32→
+    float64 is exact, so both engines floor the same double)."""
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        dim = int(offs[1] - offs[0])
+        mat = flat.reshape(-1, dim)
+        # lexicographic (−|v|, dim): stable argsort on |v| descending keeps
+        # the LOWER dim index first on exact-magnitude ties
+        order = np.argsort(-np.abs(mat), axis=1, kind="stable")[:, :3]
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        rows = np.repeat(ids, 3)
+        ranks = np.tile(np.arange(1, 4, dtype=np.int64), n)
+        dims = order.reshape(-1).astype(np.int64)
+        vals = np.floor(mat[np.repeat(np.arange(n), 3), dims] * 1000.0).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(rows, pa.int64()),
+                "dim_rank": pa.array(ranks, pa.int64()),
+                "dim_idx": pa.array(dims, pa.int64()),
+                "val_milli": pa.array(vals, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+EMBEDDINGS_TOP3_DIMS_SQL = """
+WITH e AS (
+  SELECT vec_id, unnest(embedding) AS x,
+         unnest(range(0, len(embedding))) AS dim_idx
+  FROM embeddings),
+r AS (
+  SELECT vec_id, dim_idx, CAST(x AS DOUBLE) AS xd,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id ORDER BY ABS(CAST(x AS DOUBLE)) DESC, dim_idx
+         ) AS dim_rank
+  FROM e)
+SELECT vec_id, CAST(dim_rank AS BIGINT) AS dim_rank,
+       CAST(dim_idx AS BIGINT) AS dim_idx,
+       CAST(FLOOR(xd * 1000) AS BIGINT) AS val_milli
+FROM r WHERE dim_rank <= 3
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -14391,6 +14555,9 @@ ORACLE_SQL: dict[str, str] = {
     "events_user_running_distinct_types": EVENTS_USER_RUNNING_DISTINCT_TYPES_SQL,
     "events_user_max_subarray": EVENTS_USER_MAX_SUBARRAY_SQL,
     "events_ab_proportion_ztest": EVENTS_AB_PROPORTION_ZTEST_SQL,
+    "customer_k_anonymity_audit": CUSTOMER_K_ANONYMITY_AUDIT_SQL,
+    "events_dow_seasonality_index": EVENTS_DOW_SEASONALITY_INDEX_SQL,
+    "embeddings_top3_dims": EMBEDDINGS_TOP3_DIMS_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -14708,6 +14875,9 @@ def registry() -> dict:
         "events_user_running_distinct_types": events_user_running_distinct_types,
         "events_user_max_subarray": events_user_max_subarray,
         "events_ab_proportion_ztest": events_ab_proportion_ztest,
+        "customer_k_anonymity_audit": customer_k_anonymity_audit,
+        "events_dow_seasonality_index": events_dow_seasonality_index,
+        "embeddings_top3_dims": embeddings_top3_dims,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
