@@ -14459,6 +14459,142 @@ FROM r WHERE dim_rank <= 3
 """
 
 
+def docs_zipf_profile(sf_dir: str):
+    """Zipf rank-frequency profile: corpus term counts (block-local
+    combiner → O(vocab) shuffle, the top_terms discipline), ranked by
+    (count desc, term), each rank's fit to the ideal 1/r law reported as
+    the EXACT integer ratio n_r·r·10⁶ // n_1 — the deviation-from-Zipf
+    diagnostic (a healthy natural corpus sits near 10⁶; this synthetic
+    near-uniform vocabulary reads ≫10⁶ at deep ranks, which is the
+    point of the check)."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+
+    def term_counts(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(pc.utf8_lower(t["text"]), pattern=r"[^a-z0-9]+")
+        )
+        toks = pc.drop_null(toks)
+        toks = toks.filter(pc.not_equal(toks, ""))
+        g = (
+            pa.Table.from_arrays([toks], names=["term"])
+            .group_by("term")
+            .aggregate([("term", "count")])
+        )
+        return g.rename_columns(["term", "n"])
+
+    g = (
+        ds.map_batches(term_counts, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["n", "term"], ascending=[False, True], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    n = g["n"].to_numpy().astype(np.int64)
+    rank = np.arange(1, len(n) + 1, dtype=np.int64)
+    return pa.table(
+        {
+            "rank": pa.array(rank, pa.int64()),
+            "term": pa.array(g["term"].tolist(), pa.string()),
+            "n": pa.array(n, pa.int64()),
+            "zipf_ratio_ppm": pa.array(n * rank * 1_000_000 // n[0], pa.int64()),
+        }
+    )
+
+
+DOCS_ZIPF_PROFILE_SQL = """
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents),
+c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM toks
+      WHERE term <> '' GROUP BY 1),
+r AS (SELECT term, n,
+             CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term) AS BIGINT) AS rank
+      FROM c),
+t AS (SELECT MAX(CASE WHEN rank = 1 THEN n END) AS n1 FROM r)
+SELECT rank, term, n,
+       CAST(n * rank * 1000000 // n1 AS BIGINT) AS zipf_ratio_ppm
+FROM r, t ORDER BY rank
+"""
+
+
+def brand_return_rate_wilson(sf_dir: str):
+    """Ranking under uncertainty — per-brand return rate scored by the
+    Wilson 95% LOWER bound (the 'sort by rating' estimator that stops a
+    2-for-2 brand outranking a 490-for-500 one).  Lineitem pre-aggregates
+    to O(|part|) (partkey, n, returned) partials BEFORE the 8-partition
+    join with part — the shuffle never carries line-level rows; brands
+    fold to a tiny table and the bound is ONE fixed IEEE expression over
+    the two integers (sqrt is correctly rounded in both engines;
+    e-notation literals keep DuckDB in DOUBLE)."""
+    li = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_partkey", "l_returnflag"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tb = pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "n": pa.array(np.ones(t.num_rows, np.int64)),
+                "ret": pc.cast(pc.equal(t["l_returnflag"], "R"), pa.int64()),
+            }
+        )
+        return tb.group_by("l_partkey").aggregate(
+            [("n", "sum"), ("ret", "sum")]
+        ).rename_columns(["l_partkey", "n", "ret"])
+
+    per_part = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("n", alias_name="n"), Sum("ret", alias_name="ret"))
+    )
+    part = rd.read_parquet(_t(sf_dir, "part"), columns=["p_partkey", "p_brand"])
+    joined = per_part.join(
+        part, join_type="inner", num_partitions=8, on=("l_partkey",), right_on=("p_partkey",)
+    )
+    g = (
+        joined.groupby("p_brand")
+        .aggregate(Sum("n", alias_name="n"), Sum("ret", alias_name="returned"))
+        .to_pandas()
+        .sort_values("p_brand", kind="mergesort")
+    )
+    n = g["n"].to_numpy().astype(np.int64).astype(np.float64)
+    s = g["returned"].to_numpy().astype(np.int64).astype(np.float64)
+    z2 = 1.96 * 1.96
+    p = s / n
+    lb = (p + z2 / (2.0 * n) - 1.96 * np.sqrt((p * (1.0 - p) + z2 / (4.0 * n)) / n)) / (
+        1.0 + z2 / n
+    )
+    out = pa.table(
+        {
+            "p_brand": pa.array(g["p_brand"].tolist(), pa.string()),
+            "n": pa.array(g["n"].to_numpy().astype(np.int64), pa.int64()),
+            "returned": pa.array(g["returned"].to_numpy().astype(np.int64), pa.int64()),
+            "wilson_lb": pa.array(lb, pa.float64()),
+        }
+    )
+    ix = pc.sort_indices(
+        out, sort_keys=[("wilson_lb", "descending"), ("p_brand", "ascending")]
+    )
+    return out.take(ix)
+
+
+BRAND_RETURN_RATE_WILSON_SQL = """
+WITH g AS (
+  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+           AS returned
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1)
+SELECT p_brand, n, returned,
+       (CAST(returned AS DOUBLE) / n
+          + 1.96e0 * 1.96e0 / (2.0e0 * n)
+          - 1.96e0 * sqrt(((CAST(returned AS DOUBLE) / n)
+                             * (1.0e0 - CAST(returned AS DOUBLE) / n)
+                           + 1.96e0 * 1.96e0 / (4.0e0 * n)) / n))
+         / (1.0e0 + 1.96e0 * 1.96e0 / n) AS wilson_lb
+FROM g ORDER BY wilson_lb DESC, p_brand
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -14558,6 +14694,8 @@ ORACLE_SQL: dict[str, str] = {
     "customer_k_anonymity_audit": CUSTOMER_K_ANONYMITY_AUDIT_SQL,
     "events_dow_seasonality_index": EVENTS_DOW_SEASONALITY_INDEX_SQL,
     "embeddings_top3_dims": EMBEDDINGS_TOP3_DIMS_SQL,
+    "docs_zipf_profile": DOCS_ZIPF_PROFILE_SQL,
+    "brand_return_rate_wilson": BRAND_RETURN_RATE_WILSON_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -14878,6 +15016,8 @@ def registry() -> dict:
         "customer_k_anonymity_audit": customer_k_anonymity_audit,
         "events_dow_seasonality_index": events_dow_seasonality_index,
         "embeddings_top3_dims": embeddings_top3_dims,
+        "docs_zipf_profile": docs_zipf_profile,
+        "brand_return_rate_wilson": brand_return_rate_wilson,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
