@@ -14595,6 +14595,198 @@ FROM g ORDER BY wilson_lb DESC, p_brand
 """
 
 
+def customer_rfm_scores(sf_dir: str):
+    """RFM segmentation — the classic marketing feature triplet: per
+    customer recency (days since last order at the corpus max-date as-of),
+    frequency (order count) and monetary (exact cents), each scored with a
+    SQL-exact global NTILE(5) from ``stages/rank.global_value_rank`` (value-
+    range buckets — no global sort; the first n%k tiles carry the extra
+    rows, DuckDB's convention).  Three chained rank passes over the
+    O(customers) narrow table; the fact table is scanned once."""
+    from ..stages.rank import global_value_rank
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": t["o_custkey"],
+                "ts_us": t["o_orderdate"].cast(pa.int64()),
+                "cents": _cents(t["o_totalprice"]),
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+
+    per_cust = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(
+            Max("ts_us", alias_name="last_us"),
+            Sum("one", alias_name="n_orders"),
+            Sum("cents", alias_name="monetary_cents"),
+        )
+    )
+    gmax = int(per_cust.max("last_us"))
+
+    def recency(t: pa.Table) -> pa.Table:
+        last = t["last_us"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "recency_days": pa.array((gmax - last) // 86_400_000_000, pa.int64()),
+                "n_orders": t["n_orders"],
+                "monetary_cents": t["monetary_cents"],
+            }
+        )
+
+    base = per_cust.map_batches(recency, batch_format="pyarrow").materialize()
+
+    def take_tile(d, name):
+        def f(t: pa.Table, name=name) -> pa.Table:
+            t = t.drop_columns(["_rnk"])
+            return t.rename_columns(
+                [name if c == "tile" else c for c in t.column_names]
+            )
+
+        return d.map_batches(f, batch_format="pyarrow")
+
+    d = take_tile(
+        global_value_rank(
+            base, value_col="recency_days", id_col="c_custkey", out_col="_rnk", ntile_k=5
+        ),
+        "r_tile",
+    )
+    d = take_tile(
+        global_value_rank(
+            d, value_col="n_orders", id_col="c_custkey", out_col="_rnk", ntile_k=5
+        ),
+        "f_tile",
+    )
+    d = take_tile(
+        global_value_rank(
+            d, value_col="monetary_cents", id_col="c_custkey", out_col="_rnk", ntile_k=5
+        ),
+        "m_tile",
+    )
+
+    def code(t: pa.Table) -> pa.Table:
+        r = t["r_tile"].combine_chunks().to_numpy(zero_copy_only=False)
+        f = t["f_tile"].combine_chunks().to_numpy(zero_copy_only=False)
+        m = t["m_tile"].combine_chunks().to_numpy(zero_copy_only=False)
+        return t.append_column("rfm_code", pa.array(r * 100 + f * 10 + m, pa.int64()))
+
+    return d.map_batches(code, batch_format="pyarrow")
+
+
+CUSTOMER_RFM_SCORES_SQL = """
+WITH a AS (
+  SELECT o_custkey AS c_custkey, MAX(epoch_us(o_orderdate)) AS last_us,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
+  FROM orders GROUP BY 1),
+g AS (SELECT MAX(last_us) AS gmax FROM a),
+b AS (SELECT c_custkey, CAST((gmax - last_us) // 86400000000 AS BIGINT)
+               AS recency_days,
+             n_orders, monetary_cents
+      FROM a, g)
+SELECT c_custkey, recency_days, n_orders, monetary_cents,
+       CAST(NTILE(5) OVER (ORDER BY recency_days, c_custkey) AS BIGINT) AS r_tile,
+       CAST(NTILE(5) OVER (ORDER BY n_orders, c_custkey) AS BIGINT) AS f_tile,
+       CAST(NTILE(5) OVER (ORDER BY monetary_cents, c_custkey) AS BIGINT) AS m_tile,
+       CAST(NTILE(5) OVER (ORDER BY recency_days, c_custkey) * 100
+            + NTILE(5) OVER (ORDER BY n_orders, c_custkey) * 10
+            + NTILE(5) OVER (ORDER BY monetary_cents, c_custkey) AS BIGINT)
+         AS rfm_code
+FROM b
+"""
+
+
+def part_bfs_from_seed(sf_dir: str):
+    """BFS shortest-path layers over the co-purchase graph (parts linked by
+    appearing in one order), from seed part 1, depth-capped at 6.  Edges
+    build once through the part_copurchase self-join discipline (distinct
+    (order, part) partials → 8-partition join) and materialize NARROW; each
+    BFS round is one distributed probe of the edge table against the
+    broadcast frontier keyset + a distributed distinct — the driver holds
+    only the O(V) visited map (the stages/graph.py documented bound; at
+    larger V the round becomes a keyed join, same loop).  The oracle is the
+    textbook recursive-CTE reachability with MIN(dist)."""
+    li = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"])
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        return (
+            pa.table({"ok": t["l_orderkey"], "pk": t["l_partkey"]})
+            .group_by(["ok", "pk"])
+            .aggregate([])
+        )
+
+    d = (
+        li.map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby(["ok", "pk"])
+        .aggregate(Count(alias_name="_c"))
+    )
+    a = d.map_batches(
+        lambda t: t.select(["ok", "pk"]).rename_columns(["ok", "p1"]),
+        batch_format="pyarrow",
+    )
+    b = d.map_batches(
+        lambda t: t.select(["ok", "pk"]).rename_columns(["ok2", "p2"]),
+        batch_format="pyarrow",
+    )
+    j = a.join(b, join_type="inner", num_partitions=8, on=("ok",), right_on=("ok2",))
+    edges = j.map_batches(
+        lambda t: t.filter(pc.not_equal(t["p1"], t["p2"])).select(["p1", "p2"]),
+        batch_format="pyarrow",
+    ).materialize()
+
+    seed = 1
+    dist: dict[int, int] = {seed: 0}
+    frontier = [seed]
+    for depth in range(1, 7):
+        fref = ray.put(pa.array(frontier, pa.int64()))
+
+        def probe(t: pa.Table) -> pa.Table:
+            hit = t.filter(pc.is_in(t["p1"], value_set=ray.get(fref)))
+            return (
+                pa.table({"p2": hit["p2"]}).group_by("p2").aggregate([])
+            )
+
+        nbrs = edges.map_batches(probe, batch_format="pyarrow").unique("p2")
+        frontier = [int(p) for p in nbrs if int(p) not in dist]
+        if not frontier:
+            break
+        for p in frontier:
+            dist[p] = depth
+
+    keys = sorted(dist)
+    return pa.table(
+        {
+            "p_partkey": pa.array(keys, pa.int64()),
+            "dist": pa.array([dist[k] for k in keys], pa.int64()),
+        }
+    )
+
+
+PART_BFS_FROM_SEED_SQL = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey <> b.l_partkey),
+bfs AS (
+  SELECT CAST(1 AS BIGINT) AS pk, 0 AS dist
+  UNION
+  SELECT e.p2, bfs.dist + 1
+  FROM bfs JOIN e ON e.p1 = bfs.pk
+  WHERE bfs.dist < 6
+)
+SELECT pk AS p_partkey, CAST(MIN(dist) AS BIGINT) AS dist
+FROM bfs GROUP BY 1 ORDER BY 1
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -14696,6 +14888,8 @@ ORACLE_SQL: dict[str, str] = {
     "embeddings_top3_dims": EMBEDDINGS_TOP3_DIMS_SQL,
     "docs_zipf_profile": DOCS_ZIPF_PROFILE_SQL,
     "brand_return_rate_wilson": BRAND_RETURN_RATE_WILSON_SQL,
+    "customer_rfm_scores": CUSTOMER_RFM_SCORES_SQL,
+    "part_bfs_from_seed": PART_BFS_FROM_SEED_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -15018,6 +15212,8 @@ def registry() -> dict:
         "embeddings_top3_dims": embeddings_top3_dims,
         "docs_zipf_profile": docs_zipf_profile,
         "brand_return_rate_wilson": brand_return_rate_wilson,
+        "customer_rfm_scores": customer_rfm_scores,
+        "part_bfs_from_seed": part_bfs_from_seed,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
