@@ -13919,19 +13919,28 @@ def asia_market_share_by_year(sf_dir: str):
     genuinely tiny broadcasts (25-row nation→region map, 100-row
     supplier→nation map).  The share is an integer cross-multiply ppm —
     no float division ever reaches the output."""
+    from ..stages.broadcast import dim_is_broadcastable
+
     nat = rd.read_parquet(
         _t(sf_dir, "nation"), columns=["n_nationkey", "n_regionkey"]
     ).to_pandas()
     asia_nations = pa.array(
         nat[nat.n_regionkey == 2].n_nationkey.to_numpy().astype(np.int64), pa.int64()
     )
-    sup = rd.read_parquet(
-        _t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]
-    ).to_pandas()
-    focal_sups = pa.array(
-        sup[sup.s_nationkey == 7].s_suppkey.to_numpy().astype(np.int64), pa.int64()
-    )
-    asia_ref, focal_ref = ray.put(asia_nations), ray.put(focal_sups)
+    asia_ref = ray.put(asia_nations)
+    # supplier is FACT-scaled (TPC-H SF·10k): broadcast the focal keyset only
+    # when parquet metadata says it fits the budget; else the focal flag
+    # rides a left_outer shuffle join (never a silently oversized ray.put)
+    sup_path = _t(sf_dir, "supplier")
+    sup_broadcastable = dim_is_broadcastable(sup_path, ["s_suppkey", "s_nationkey"])
+    if sup_broadcastable:
+        sup = rd.read_parquet(
+            sup_path, columns=["s_suppkey", "s_nationkey"]
+        ).to_pandas()
+        focal_sups = pa.array(
+            sup[sup.s_nationkey == 7].s_suppkey.to_numpy().astype(np.int64), pa.int64()
+        )
+        focal_ref = ray.put(focal_sups)
 
     orders = rd.read_parquet(
         _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
@@ -13954,15 +13963,92 @@ def asia_market_share_by_year(sf_dir: str):
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     )
 
-    def li_prep(t: pa.Table) -> pa.Table:
-        rev = _cents(pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])))
-        focal = pc.is_in(t["l_suppkey"], value_set=ray.get(focal_ref))
-        focal_c = pc.if_else(focal, rev, pa.scalar(0, pa.int64()))
-        return pa.Table.from_arrays(
-            [t["l_orderkey"], rev, focal_c], names=["l_orderkey", "rev_c", "focal_c"]
-        )
+    if sup_broadcastable:
 
-    li = li.map_batches(li_prep, batch_format="pyarrow")
+        def li_prep(t: pa.Table) -> pa.Table:
+            rev = _cents(
+                pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+            )
+            focal = pc.is_in(t["l_suppkey"], value_set=ray.get(focal_ref))
+            focal_c = pc.if_else(focal, rev, pa.scalar(0, pa.int64()))
+            return pa.Table.from_arrays(
+                [t["l_orderkey"], rev, focal_c],
+                names=["l_orderkey", "rev_c", "focal_c"],
+            )
+
+        li = li.map_batches(li_prep, batch_format="pyarrow")
+    else:
+        # reroute: focal flag via left_outer shuffle join — but a join needs
+        # a non-trivial right side (Ray's empty-aggregator-partition hazard),
+        # so a provably TINY focal subset broadcasts regardless of the
+        # dim-level budget (32 keys can always ship)
+        def li_rev(t: pa.Table) -> pa.Table:
+            rev = _cents(
+                pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+            )
+            return pa.Table.from_arrays(
+                [t["l_orderkey"], t["l_suppkey"], rev],
+                names=["l_orderkey", "l_suppkey", "rev_c"],
+            )
+
+        def focal_keys(t: pa.Table) -> pa.Table:
+            f = t.filter(pc.equal(t["s_nationkey"].cast(pa.int64()), 7))
+            return pa.table(
+                {
+                    "s_suppkey": f["s_suppkey"],
+                    "_focal": pa.array(np.ones(f.num_rows, np.int64)),
+                }
+            )
+
+        focal_ds = rd.read_parquet(
+            sup_path, columns=["s_suppkey", "s_nationkey"]
+        ).map_batches(focal_keys, batch_format="pyarrow").materialize()
+        if focal_ds.count() < 10_000:
+            focal_ref = ray.put(
+                pa.array(
+                    sorted(int(r["s_suppkey"]) for r in focal_ds.take_all()),
+                    pa.int64(),
+                )
+            )
+
+            def li_prep_small(t: pa.Table) -> pa.Table:
+                rev = _cents(
+                    pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+                )
+                focal = pc.is_in(t["l_suppkey"], value_set=ray.get(focal_ref))
+                focal_c = pc.if_else(focal, rev, pa.scalar(0, pa.int64()))
+                return pa.Table.from_arrays(
+                    [t["l_orderkey"], rev, focal_c],
+                    names=["l_orderkey", "rev_c", "focal_c"],
+                )
+
+            li = li.map_batches(li_prep_small, batch_format="pyarrow")
+        else:
+            li = (
+                li.map_batches(li_rev, batch_format="pyarrow")
+                .join(
+                    focal_ds,
+                    join_type="left_outer",
+                    num_partitions=8,
+                    on=("l_suppkey",),
+                    right_on=("s_suppkey",),
+                )
+                .map_batches(
+                    lambda t: pa.Table.from_arrays(
+                        [
+                            t["l_orderkey"],
+                            t["rev_c"],
+                            pc.if_else(
+                                pc.is_valid(t["_focal"]),
+                                t["rev_c"],
+                                pa.scalar(0, pa.int64()),
+                            ),
+                        ],
+                        names=["l_orderkey", "rev_c", "focal_c"],
+                    ),
+                    batch_format="pyarrow",
+                )
+            )
     joined = li.join(
         oc, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
     )
@@ -14787,6 +14873,618 @@ FROM bfs GROUP BY 1 ORDER BY 1
 """
 
 
+def nation_share_within_region_revenue(sf_dir: str):
+    """Hierarchical percent-of-parent rollup (region → nation): each
+    customer nation's order revenue, its ppm share WITHIN its region, and
+    the region's ppm share of the grand total — the two-level ratio report
+    ROLLUP alone can't emit.  One 8-partition orders⋈customer join;
+    nation/region name maps ride two genuinely tiny broadcasts; both share
+    levels are integer cross-multiplies folded on the O(nations) driver
+    table."""
+    nat = rd.read_parquet(
+        _t(sf_dir, "nation"), columns=["n_nationkey", "n_name", "n_regionkey"]
+    ).to_pandas()
+    reg = rd.read_parquet(_t(sf_dir, "region")).to_pandas()
+    nat = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    lookup = ray.put(
+        {
+            "keys": pa.array(nat.n_nationkey.to_numpy().astype(np.int64), pa.int64()),
+            "nname": pa.array(nat.n_name.tolist(), pa.string()),
+            "rname": pa.array(nat.r_name.tolist(), pa.string()),
+        }
+    )
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    oc = orders.join(
+        cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        lk = ray.get(lookup)
+        ix = pc.index_in(t["c_nationkey"].cast(pa.int64()), value_set=lk["keys"])
+        return pa.table(
+            {
+                "r_name": pc.take(lk["rname"], ix),
+                "n_name": pc.take(lk["nname"], ix),
+                "cents": _cents(t["o_totalprice"]),
+            }
+        )
+
+    g = (
+        oc.map_batches(tag, batch_format="pyarrow")
+        .groupby(["r_name", "n_name"])
+        .aggregate(Sum("cents", alias_name="rev_cents"))
+        .to_pandas()
+        .sort_values(["r_name", "n_name"], kind="mergesort")
+    )
+    rev = g["rev_cents"].to_numpy().astype(np.int64)
+    total = int(rev.sum())
+    reg_tot = g.groupby("r_name")["rev_cents"].transform("sum").to_numpy().astype(np.int64)
+    return pa.table(
+        {
+            "r_name": pa.array(g["r_name"].tolist(), pa.string()),
+            "n_name": pa.array(g["n_name"].tolist(), pa.string()),
+            "rev_cents": pa.array(rev, pa.int64()),
+            "share_in_region_ppm": pa.array(rev * 1_000_000 // reg_tot, pa.int64()),
+            "region_share_ppm": pa.array(
+                reg_tot * 1_000_000 // total, pa.int64()
+            ),
+        }
+    )
+
+
+NATION_SHARE_WITHIN_REGION_REVENUE_SQL = """
+WITH g AS (
+  SELECT r_name, n_name,
+         CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2),
+t AS (SELECT SUM(rev_cents) AS total FROM g),
+r AS (SELECT r_name, SUM(rev_cents) AS reg_tot FROM g GROUP BY 1)
+SELECT g.r_name, g.n_name, g.rev_cents,
+       CAST(g.rev_cents * 1000000 // r.reg_tot AS BIGINT) AS share_in_region_ppm,
+       CAST(r.reg_tot * 1000000 // t.total AS BIGINT) AS region_share_ppm
+FROM g JOIN r ON g.r_name = r.r_name, t
+ORDER BY g.r_name, g.n_name
+"""
+
+
+def orders_open_concurrency(sf_dir: str):
+    """Sweep-line interval concurrency: treating each order as open for 30
+    days, the peak number simultaneously open and the first day it happens.
+    Block partials emit per-day (+starts, −ends) deltas — the fact table
+    never sorts; the O(days) delta series folds on the driver with one
+    cumsum (ends are exclusive, so a day's closings apply before its
+    openings by construction of the ±delta merge)."""
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = t["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False) // 86_400_000_000
+        vals, cnts = np.unique(day, return_counts=True)
+        return pa.table(
+            {
+                "d": pa.array(np.concatenate([vals, vals + 30]), pa.int64()),
+                "delta": pa.array(
+                    np.concatenate([cnts, -cnts]).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("d")
+        .aggregate(Sum("delta", alias_name="delta"))
+        .to_pandas()
+        .sort_values("d", kind="mergesort")
+    )
+    conc = np.cumsum(agg["delta"].to_numpy().astype(np.int64))
+    peak = int(conc.max())
+    first = int(agg["d"].to_numpy()[int(np.argmax(conc))])
+    return pa.table(
+        {
+            "peak_concurrency": pa.array([peak], pa.int64()),
+            "peak_day_epoch": pa.array([first], pa.int64()),
+            "n_days": pa.array([len(conc)], pa.int64()),
+        }
+    )
+
+
+ORDERS_OPEN_CONCURRENCY_SQL = """
+WITH s AS (SELECT epoch_us(o_orderdate) // 86400000000 AS d,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM orders GROUP BY 1),
+del AS (SELECT d, n AS delta FROM s UNION ALL SELECT d + 30, -n FROM s),
+agg AS (SELECT d, SUM(delta) AS delta FROM del GROUP BY 1),
+run AS (SELECT d, SUM(delta) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS conc
+        FROM agg),
+m AS (SELECT MAX(conc) AS peak FROM run)
+SELECT CAST(peak AS BIGINT) AS peak_concurrency,
+       CAST((SELECT MIN(d) FROM run WHERE conc = peak) AS BIGINT)
+         AS peak_day_epoch,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM agg) AS n_days
+FROM m
+"""
+
+
+def orders_runs_test_by_priority(sf_dir: str):
+    """Wald–Wolfowitz runs test per priority: is the above/below-median
+    price sequence (in orderdate, orderkey order) random?  The engine
+    reduces each group to THREE integers (n₁ above, n₂ at-or-below, R
+    runs); z is then ONE fixed IEEE expression using the compact identity
+    σ² = (μ−1)(μ−2)/(N−1) — evaluated in the same operation order in both
+    engines (e-notation literals on the SQL side), so the float statistic
+    is bit-identical.  Groups where either side is empty have no defined
+    test and are filtered by the INTEGER product gate n₁·n₂ > 0."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderpriority", "o_orderdate", "o_totalprice"],
+    )
+    _empty = pa.table(
+        {
+            "o_orderpriority": pa.array([], pa.string()),
+            "n1": pa.array([], pa.int64()),
+            "n2": pa.array([], pa.int64()),
+            "runs": pa.array([], pa.int64()),
+            "z": pa.array([], pa.float64()),
+        }
+    )
+
+    def kernel(g: pa.Table) -> pa.Table:
+        s = g.take(
+            pc.sort_indices(
+                g,
+                sort_keys=[("o_orderdate", "ascending"), ("o_orderkey", "ascending")],
+            )
+        )
+        c = _cents(s["o_totalprice"]).to_numpy(zero_copy_only=False)
+        med = int(np.sort(c)[(len(c) - 1) // 2])
+        above = c > med
+        n1 = int(above.sum())
+        n2 = len(c) - n1
+        if n1 * n2 == 0:
+            return _empty
+        runs = int(1 + np.count_nonzero(above[1:] != above[:-1]))
+        ntot = n1 + n2
+        mu = 2.0 * n1 * n2 / ntot + 1.0
+        import math
+
+        z = (runs - mu) / math.sqrt((mu - 1.0) * (mu - 2.0) / (ntot - 1.0))
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(
+                    [str(s["o_orderpriority"][0].as_py())], pa.string()
+                ),
+                "n1": pa.array([n1], pa.int64()),
+                "n2": pa.array([n2], pa.int64()),
+                "runs": pa.array([runs], pa.int64()),
+                "z": pa.array([z], pa.float64()),
+            }
+        )
+
+    return (
+        ds.groupby("o_orderpriority")
+        .map_groups(kernel, batch_format="pyarrow")
+        .sort(["o_orderpriority"])
+    )
+
+
+ORDERS_RUNS_TEST_BY_PRIORITY_SQL = """
+WITH c AS (
+  SELECT o_orderpriority, o_orderdate, o_orderkey,
+         CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+  FROM orders),
+m AS (SELECT o_orderpriority, CAST(quantile_disc(cents, 0.5) AS BIGINT) AS med
+      FROM c GROUP BY 1),
+s AS (
+  SELECT c.o_orderpriority,
+         CASE WHEN cents > med THEN 1 ELSE 0 END AS ab,
+         lag(CASE WHEN cents > med THEN 1 ELSE 0 END) OVER (
+           PARTITION BY c.o_orderpriority ORDER BY o_orderdate, o_orderkey) AS pab
+  FROM c JOIN m USING (o_orderpriority)),
+a AS (
+  SELECT o_orderpriority,
+         CAST(SUM(ab) AS BIGINT) AS n1,
+         CAST(SUM(1 - ab) AS BIGINT) AS n2,
+         CAST(1 + SUM(CASE WHEN pab IS NOT NULL AND ab <> pab THEN 1 ELSE 0 END)
+              AS BIGINT) AS runs
+  FROM s GROUP BY 1)
+SELECT o_orderpriority, n1, n2, runs,
+       (runs - (2.0e0 * n1 * n2 / (n1 + n2) + 1.0e0))
+         / sqrt(((2.0e0 * n1 * n2 / (n1 + n2) + 1.0e0) - 1.0e0)
+                * ((2.0e0 * n1 * n2 / (n1 + n2) + 1.0e0) - 2.0e0)
+                / ((n1 + n2) - 1.0e0)) AS z
+FROM a WHERE n1 * n2 > 0
+ORDER BY o_orderpriority
+"""
+
+
+def events_bot_flags(sf_dir: str):
+    """Rule-based bot screening — the abuse-filter shape a crawl pipeline
+    runs before counting engagement: per-user (event count, lower-median
+    interarrival, type diversity), flagged against DATA-RELATIVE gates
+    (faster than the population's median cadence / busier than its median
+    volume / ≤2 distinct types).  Per-user groups reduce locally; the two
+    population medians fold on the O(users) narrow table (the documented
+    stages/quantiles path replaces the driver fold at real scale).  All
+    gates are integer comparisons; single-event users carry med_gap = −1
+    sentinel and can never be 'fast'."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    def kernel(g: pa.Table) -> pa.Table:
+        s = g.take(
+            pc.sort_indices(
+                g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+            )
+        )
+        ts = s["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        gaps = np.sort(np.diff(ts))
+        med_gap = int(gaps[(len(gaps) - 1) // 2]) if len(gaps) else -1
+        n_types = len(
+            s["event_type"].combine_chunks().dictionary_encode().dictionary
+        )
+        return pa.table(
+            {
+                "user_id": pa.array([int(s["user_id"][0].as_py())], pa.int64()),
+                "n_events": pa.array([g.num_rows], pa.int64()),
+                "med_gap_us": pa.array([med_gap], pa.int64()),
+                "n_types": pa.array([n_types], pa.int64()),
+            }
+        )
+
+    per_user = (
+        ds.groupby("user_id").map_groups(kernel, batch_format="pyarrow").materialize()
+    )
+    pdf = per_user.to_pandas()
+    gap_vals = np.sort(pdf.med_gap_us.to_numpy()[pdf.med_gap_us.to_numpy() >= 0])
+    gmed_gap = int(gap_vals[(len(gap_vals) - 1) // 2])
+    n_vals = np.sort(pdf.n_events.to_numpy())
+    gmed_n = int(n_vals[(len(n_vals) - 1) // 2])
+
+    def flags(t: pa.Table) -> pa.Table:
+        mg = t["med_gap_us"].combine_chunks().to_numpy(zero_copy_only=False)
+        ne = t["n_events"].combine_chunks().to_numpy(zero_copy_only=False)
+        nt = t["n_types"].combine_chunks().to_numpy(zero_copy_only=False)
+        fast = (mg >= 0) & (mg < gmed_gap)
+        busy = ne > gmed_n
+        narrow = nt <= 2
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "n_events": t["n_events"],
+                "med_gap_us": t["med_gap_us"],
+                "n_types": t["n_types"],
+                "is_fast": pa.array(fast),
+                "is_busy": pa.array(busy),
+                "is_narrow": pa.array(narrow),
+                "bot_score": pa.array(
+                    fast.astype(np.int64) + busy.astype(np.int64) + narrow.astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return per_user.map_batches(flags, batch_format="pyarrow")
+
+
+EVENTS_BOT_FLAGS_SQL = """
+WITH s AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pt
+  FROM events),
+gaps AS (SELECT user_id, t - pt AS gap FROM s WHERE pt IS NOT NULL),
+med AS (SELECT user_id, CAST(quantile_disc(gap, 0.5) AS BIGINT) AS med_gap_us
+        FROM gaps GROUP BY 1),
+pu AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+  FROM events GROUP BY 1),
+j AS (SELECT pu.user_id, n_events, COALESCE(med_gap_us, -1) AS med_gap_us, n_types
+      FROM pu LEFT JOIN med USING (user_id)),
+g AS (SELECT CAST(quantile_disc(CASE WHEN med_gap_us >= 0 THEN med_gap_us END, 0.5)
+                  AS BIGINT) AS gmed_gap,
+             CAST(quantile_disc(n_events, 0.5) AS BIGINT) AS gmed_n
+      FROM j)
+SELECT user_id, n_events, med_gap_us, n_types,
+       med_gap_us >= 0 AND med_gap_us < gmed_gap AS is_fast,
+       n_events > gmed_n AS is_busy,
+       n_types <= 2 AS is_narrow,
+       CAST(CAST(med_gap_us >= 0 AND med_gap_us < gmed_gap AS INT)
+            + CAST(n_events > gmed_n AS INT)
+            + CAST(n_types <= 2 AS INT) AS BIGINT) AS bot_score
+FROM j, g
+"""
+
+
+def events_median_of_user_medians(sf_dir: str):
+    """Two-level order statistic — the robust 'typical user's typical
+    value': lower-median event cents PER USER (group-local sorts), then the
+    lower-median OVER those user medians.  The outer fold sees only
+    O(users) integers; both levels share the sorted[(n−1)//2]
+    quantile_disc convention, so the composition is exactly mirrorable."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "value"])
+
+    def kernel(g: pa.Table) -> pa.Table:
+        c = np.sort(_cents(g["value"]).to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "user_id": pa.array([int(g["user_id"][0].as_py())], pa.int64()),
+                "med": pa.array([int(c[(len(c) - 1) // 2])], pa.int64()),
+            }
+        )
+
+    meds = (
+        ds.groupby("user_id")
+        .map_groups(kernel, batch_format="pyarrow")
+        .to_pandas()["med"]
+        .to_numpy()
+    )
+    meds = np.sort(meds.astype(np.int64))
+    return pa.table(
+        {
+            "n_users": pa.array([len(meds)], pa.int64()),
+            "median_of_medians_cents": pa.array(
+                [int(meds[(len(meds) - 1) // 2])], pa.int64()
+            ),
+        }
+    )
+
+
+EVENTS_MEDIAN_OF_USER_MEDIANS_SQL = """
+WITH m AS (
+  SELECT user_id,
+         CAST(quantile_disc(CAST(FLOOR(value*100 + 0.5) AS BIGINT), 0.5) AS BIGINT)
+           AS med
+  FROM events GROUP BY 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(quantile_disc(med, 0.5) AS BIGINT) AS median_of_medians_cents
+FROM m
+"""
+
+
+def events_hourly_interp_fill(sf_dir: str):
+    """Gap-fill by LINEAR interpolation (the zeros-fill's smarter sibling):
+    each type's hourly value-cents series gets its silent hours filled with
+    the exact integer interpolation (v₁·(t₂−t) + v₂·(t−t₁)) // (t₂−t₁)
+    between the nearest present neighbors.  Cells come from block partials;
+    the per-type kernel is two searchsorted arrays — no Python loop.  The
+    oracle finds the neighbors with the monotone-pack trick (hour·2⁴⁰ +
+    cents is order-isomorphic to hour since cents < 2⁴⁰, so running
+    MAX/MIN windows recover both anchor coordinates at once)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        tb = pa.table(
+            {
+                "typ": t["event_type"],
+                "hour": pa.array(ts // 3_600_000_000, pa.int64()),
+                "cents": _cents(t["value"]),
+            }
+        )
+        return tb.group_by(["typ", "hour"]).aggregate([("cents", "sum")]).rename_columns(
+            ["typ", "hour", "cents"]
+        )
+
+    def kernel(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[("hour", "ascending")])
+        s = g.take(order)
+        ph = s["hour"].combine_chunks().to_numpy(zero_copy_only=False)
+        pv = s["cents"].combine_chunks().to_numpy(zero_copy_only=False)
+        grid = np.arange(ph[0], ph[-1] + 1, dtype=np.int64)
+        left = np.searchsorted(ph, grid, side="right") - 1
+        present = ph[left] == grid
+        right = np.minimum(left + 1, len(ph) - 1)
+        t1, v1 = ph[left], pv[left]
+        t2, v2 = ph[right], pv[right]
+        span = np.maximum(t2 - t1, 1)
+        interp = (v1 * (t2 - grid) + v2 * (grid - t1)) // span
+        cents = np.where(present, pv[np.maximum(left, 0)], interp)
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [str(s["typ"][0].as_py())] * len(grid), pa.string()
+                ),
+                "hour": pa.array(grid, pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+                "interpolated": pa.array(~present),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["typ", "hour"])
+        .aggregate(Sum("cents", alias_name="cents"))
+        .groupby("typ")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+EVENTS_HOURLY_INTERP_FILL_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour,
+         CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2),
+b AS (SELECT event_type, MIN(hour) AS mn, MAX(hour) AS mx FROM c GROUP BY 1),
+g AS (SELECT event_type, CAST(unnest(range(mn, mx + 1)) AS BIGINT) AS hour FROM b),
+f AS (SELECT g.event_type, g.hour, c.cents
+      FROM g LEFT JOIN c USING (event_type, hour)),
+p AS (
+  SELECT event_type, hour, cents,
+         MAX(CASE WHEN cents IS NOT NULL
+                  THEN hour * 1099511627776 + cents END) OVER (
+           PARTITION BY event_type ORDER BY hour
+           ROWS UNBOUNDED PRECEDING) AS lpack,
+         MIN(CASE WHEN cents IS NOT NULL
+                  THEN hour * 1099511627776 + cents END) OVER (
+           PARTITION BY event_type ORDER BY hour
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS rpack
+  FROM f)
+SELECT event_type, hour,
+       CAST(CASE WHEN cents IS NOT NULL THEN cents
+                 ELSE ((lpack % 1099511627776) * (rpack // 1099511627776 - hour)
+                       + (rpack % 1099511627776) * (hour - lpack // 1099511627776))
+                      // (rpack // 1099511627776 - lpack // 1099511627776)
+            END AS BIGINT) AS cents,
+       cents IS NULL AS interpolated
+FROM p
+"""
+
+
+def docs_dup_cluster_size_hist(sf_dir: str):
+    """Dedup diagnostics — the cluster-size histogram every corpus report
+    leads with: group documents by the exact-dup content key (lang,
+    n_chars), then histogram the cluster sizes (size → how many clusters,
+    and how many rows those clusters hold).  Two tiny cascaded groupbys
+    over block partials; the result is O(distinct sizes)."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tb = pa.table(
+            {
+                "lang": t["lang"],
+                "n_chars": t["n_chars"],
+                "n": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        return tb.group_by(["lang", "n_chars"]).aggregate([("n", "sum")]).rename_columns(
+            ["lang", "n_chars", "n"]
+        )
+
+    sizes = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def size_partial(t: pa.Table) -> pa.Table:
+        tb = pa.table(
+            {
+                "cluster_size": t["n"],
+                "n_clusters": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        return tb.group_by("cluster_size").aggregate([("n_clusters", "sum")]).rename_columns(
+            ["cluster_size", "n_clusters"]
+        )
+
+    g = (
+        sizes.map_batches(size_partial, batch_format="pyarrow")
+        .groupby("cluster_size")
+        .aggregate(Sum("n_clusters", alias_name="n_clusters"))
+        .to_pandas()
+        .sort_values("cluster_size", kind="mergesort")
+    )
+    cs = g["cluster_size"].to_numpy().astype(np.int64)
+    nc = g["n_clusters"].to_numpy().astype(np.int64)
+    return pa.table(
+        {
+            "cluster_size": pa.array(cs, pa.int64()),
+            "n_clusters": pa.array(nc, pa.int64()),
+            "n_rows": pa.array(cs * nc, pa.int64()),
+        }
+    )
+
+
+DOCS_DUP_CLUSTER_SIZE_HIST_SQL = """
+WITH c AS (
+  SELECT lang, n_chars, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2)
+SELECT n AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(n * COUNT(*) AS BIGINT) AS n_rows
+FROM c GROUP BY 1 ORDER BY 1
+"""
+
+
+def events_hourly_peaks(sf_dir: str):
+    """Signal-processing peak detection: per type, the count of STRICT
+    local maxima in the zeros-gap-filled hourly count series, plus the
+    first peak's hour — the change-point cousin every monitoring stack
+    ships.  Interior cells only (boundary cells have one neighbor and are
+    excluded by definition); the kernel is two vectorized shifts on the
+    dense grid; the oracle mirrors with lag/lead over the same grid."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        tb = pa.table(
+            {
+                "typ": t["event_type"],
+                "hour": pa.array(ts // 3_600_000_000, pa.int64()),
+                "n": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        return tb.group_by(["typ", "hour"]).aggregate([("n", "sum")]).rename_columns(
+            ["typ", "hour", "n"]
+        )
+
+    def kernel(g: pa.Table) -> pa.Table:
+        hours = g["hour"].combine_chunks().to_numpy(zero_copy_only=False)
+        counts = g["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        lo, hi = int(hours.min()), int(hours.max())
+        dense = np.zeros(hi - lo + 1, np.int64)
+        dense[hours - lo] = counts
+        if len(dense) < 3:
+            return pa.table(
+                {
+                    "event_type": pa.array([str(g["typ"][0].as_py())], pa.string()),
+                    "n_peaks": pa.array([0], pa.int64()),
+                    "first_peak_hour": pa.array([-1], pa.int64()),
+                }
+            )
+        mid, left, right = dense[1:-1], dense[:-2], dense[2:]
+        is_peak = (mid > left) & (mid > right)
+        n_peaks = int(is_peak.sum())
+        first = int(np.flatnonzero(is_peak)[0]) + lo + 1 if n_peaks else -1
+        return pa.table(
+            {
+                "event_type": pa.array([str(g["typ"][0].as_py())], pa.string()),
+                "n_peaks": pa.array([n_peaks], pa.int64()),
+                "first_peak_hour": pa.array([first], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["typ", "hour"])
+        .aggregate(Sum("n", alias_name="n"))
+        .groupby("typ")
+        .map_groups(kernel, batch_format="pyarrow")
+        .sort(["event_type"])
+    )
+
+
+EVENTS_HOURLY_PEAKS_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+b AS (SELECT event_type, MIN(hour) AS mn, MAX(hour) AS mx FROM c GROUP BY 1),
+g AS (SELECT event_type, CAST(unnest(range(mn, mx + 1)) AS BIGINT) AS hour FROM b),
+f AS (SELECT g.event_type, g.hour, COALESCE(c.n, 0) AS n
+      FROM g LEFT JOIN c USING (event_type, hour)),
+w AS (
+  SELECT event_type, hour, n,
+         lag(n) OVER (PARTITION BY event_type ORDER BY hour) AS ln,
+         lead(n) OVER (PARTITION BY event_type ORDER BY hour) AS rn
+  FROM f),
+p AS (SELECT event_type, hour FROM w
+      WHERE ln IS NOT NULL AND rn IS NOT NULL AND n > ln AND n > rn)
+SELECT b.event_type,
+       CAST(COALESCE(q.n_peaks, 0) AS BIGINT) AS n_peaks,
+       CAST(COALESCE(q.first_peak_hour, -1) AS BIGINT) AS first_peak_hour
+FROM b LEFT JOIN (
+  SELECT event_type, COUNT(*) AS n_peaks, MIN(hour) AS first_peak_hour
+  FROM p GROUP BY 1) q USING (event_type)
+ORDER BY b.event_type
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -14890,6 +15588,14 @@ ORACLE_SQL: dict[str, str] = {
     "brand_return_rate_wilson": BRAND_RETURN_RATE_WILSON_SQL,
     "customer_rfm_scores": CUSTOMER_RFM_SCORES_SQL,
     "part_bfs_from_seed": PART_BFS_FROM_SEED_SQL,
+    "nation_share_within_region_revenue": NATION_SHARE_WITHIN_REGION_REVENUE_SQL,
+    "orders_open_concurrency": ORDERS_OPEN_CONCURRENCY_SQL,
+    "orders_runs_test_by_priority": ORDERS_RUNS_TEST_BY_PRIORITY_SQL,
+    "events_bot_flags": EVENTS_BOT_FLAGS_SQL,
+    "events_median_of_user_medians": EVENTS_MEDIAN_OF_USER_MEDIANS_SQL,
+    "events_hourly_interp_fill": EVENTS_HOURLY_INTERP_FILL_SQL,
+    "docs_dup_cluster_size_hist": DOCS_DUP_CLUSTER_SIZE_HIST_SQL,
+    "events_hourly_peaks": EVENTS_HOURLY_PEAKS_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -15214,6 +15920,14 @@ def registry() -> dict:
         "brand_return_rate_wilson": brand_return_rate_wilson,
         "customer_rfm_scores": customer_rfm_scores,
         "part_bfs_from_seed": part_bfs_from_seed,
+        "nation_share_within_region_revenue": nation_share_within_region_revenue,
+        "orders_open_concurrency": orders_open_concurrency,
+        "orders_runs_test_by_priority": orders_runs_test_by_priority,
+        "events_bot_flags": events_bot_flags,
+        "events_median_of_user_medians": events_median_of_user_medians,
+        "events_hourly_interp_fill": events_hourly_interp_fill,
+        "docs_dup_cluster_size_hist": docs_dup_cluster_size_hist,
+        "events_hourly_peaks": events_hourly_peaks,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
