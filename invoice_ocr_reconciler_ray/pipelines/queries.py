@@ -15485,6 +15485,206 @@ ORDER BY b.event_type
 """
 
 
+def events_seasonal_naive_mae(sf_dir: str):
+    """Forecast backtest — the seasonal-naïve baseline every time-series model
+    must beat: predict each hour's arrival count by the count 24 h earlier
+    (gap-filled grid), report per-type MAE over all predictable hours as
+    exact integers (Σ|err|, n, and MAE in milli-events via integer
+    cross-multiply).  Same two-level cell-partial layout as the lag-24
+    autocorrelation."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        tb = pa.table(
+            {
+                "typ": t["event_type"],
+                "hour": pa.array(ts // 3_600_000_000, pa.int64()),
+                "n": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        return tb.group_by(["typ", "hour"]).aggregate([("n", "sum")]).rename_columns(
+            ["typ", "hour", "n"]
+        )
+
+    _empty = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "n_pred": pa.array([], pa.int64()),
+            "sum_abs_err": pa.array([], pa.int64()),
+            "mae_milli": pa.array([], pa.int64()),
+        }
+    )
+
+    def kernel(g: pa.Table) -> pa.Table:
+        hours = g["hour"].combine_chunks().to_numpy(zero_copy_only=False)
+        counts = g["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        lo, hi = int(hours.min()), int(hours.max())
+        dense = np.zeros(hi - lo + 1, np.int64)
+        dense[hours - lo] = counts
+        if len(dense) < 25:
+            return _empty
+        err = np.abs(dense[24:] - dense[:-24])
+        n_pred, sae = len(err), int(err.sum())
+        return pa.table(
+            {
+                "event_type": pa.array([str(g["typ"][0].as_py())], pa.string()),
+                "n_pred": pa.array([n_pred], pa.int64()),
+                "sum_abs_err": pa.array([sae], pa.int64()),
+                "mae_milli": pa.array([sae * 1000 // n_pred], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["typ", "hour"])
+        .aggregate(Sum("n", alias_name="n"))
+        .groupby("typ")
+        .map_groups(kernel, batch_format="pyarrow")
+        .sort(["event_type"])
+    )
+
+
+EVENTS_SEASONAL_NAIVE_MAE_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+b AS (SELECT event_type, MIN(hour) AS mn, MAX(hour) AS mx FROM c GROUP BY 1),
+g AS (SELECT event_type, CAST(unnest(range(mn, mx + 1)) AS BIGINT) AS hour FROM b),
+f AS (SELECT g.event_type, g.hour, COALESCE(c.n, 0) AS n
+      FROM g LEFT JOIN c USING (event_type, hour)),
+p AS (SELECT event_type, n,
+             lag(n, 24) OVER (PARTITION BY event_type ORDER BY hour) AS pred
+      FROM f),
+a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pred,
+             CAST(SUM(ABS(n - pred)) AS BIGINT) AS sum_abs_err
+      FROM p WHERE pred IS NOT NULL GROUP BY 1)
+SELECT event_type, n_pred, sum_abs_err,
+       CAST(sum_abs_err * 1000 // n_pred AS BIGINT) AS mae_milli
+FROM a ORDER BY event_type
+"""
+
+
+def docs_vocab_growth(sf_dir: str):
+    """Heaps'-law vocabulary growth: scanning documents in doc_id order,
+    which documents introduce NEW terms and how big the vocabulary is after
+    each — per-term MIN(doc_id) via block partials (the first-occurrence
+    reduction), then a count-per-introducing-doc groupby whose cumsum folds
+    on the O(vocab)-bounded driver table.  The output has at most |vocab|
+    rows regardless of corpus size."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), pattern=r"[^a-z0-9]+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        ids = pc.take(t["doc_id"], parent)
+        tb = pa.table({"term": flat, "doc_id": ids}).filter(
+            pc.and_(pc.is_valid(flat), pc.not_equal(flat, ""))
+        )
+        return tb.group_by("term").aggregate([("doc_id", "min")]).rename_columns(
+            ["term", "first_doc"]
+        )
+
+    g = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Min("first_doc", alias_name="first_doc"))
+        .to_pandas()
+        .groupby("first_doc")
+        .size()
+        .sort_index()
+    )
+    docs = g.index.to_numpy().astype(np.int64)
+    new_terms = g.to_numpy().astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(docs, pa.int64()),
+            "new_terms": pa.array(new_terms, pa.int64()),
+            "vocab_size": pa.array(np.cumsum(new_terms), pa.int64()),
+        }
+    )
+
+
+DOCS_VOCAB_GROWTH_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents),
+f AS (SELECT term, MIN(doc_id) AS first_doc FROM toks
+      WHERE term <> '' GROUP BY 1),
+c AS (SELECT first_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS new_terms
+      FROM f GROUP BY 1)
+SELECT doc_id, new_terms,
+       CAST(SUM(new_terms) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS vocab_size
+FROM c ORDER BY doc_id
+"""
+
+
+def lineitem_ship_lag_stats(sf_dir: str):
+    """Order-to-ship lead time per priority — the fulfillment SLA report:
+    lag in whole days between the order date and each lineitem's ship date.
+    Lineitem ships only (orderkey, shipdate-epoch-day) into the 8-partition
+    join; per-priority groups reduce to exact integers (n, Σdays,
+    lower-median days — the quantile_disc convention)."""
+    li = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_orderkey", "l_shipdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "ship_day": pa.array(
+                    t["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                    // 86_400_000_000,
+                    pa.int64(),
+                ),
+            }
+        )
+
+    li = li.map_batches(prep, batch_format="pyarrow")
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    )
+    joined = li.join(
+        orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+
+    def kernel(g: pa.Table) -> pa.Table:
+        ship = g["ship_day"].combine_chunks().to_numpy(zero_copy_only=False)
+        od = g["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False) // 86_400_000_000
+        lag = np.sort(ship - od)
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(
+                    [str(g["o_orderpriority"][0].as_py())], pa.string()
+                ),
+                "n": pa.array([len(lag)], pa.int64()),
+                "sum_lag_days": pa.array([int(lag.sum())], pa.int64()),
+                "median_lag_days": pa.array([int(lag[(len(lag) - 1) // 2])], pa.int64()),
+            }
+        )
+
+    return (
+        joined.groupby("o_orderpriority")
+        .map_groups(kernel, batch_format="pyarrow")
+        .sort(["o_orderpriority"])
+    )
+
+
+LINEITEM_SHIP_LAG_STATS_SQL = """
+WITH j AS (
+  SELECT o_orderpriority,
+         epoch_us(l_shipdate) // 86400000000
+           - epoch_us(o_orderdate) // 86400000000 AS lag_days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(lag_days) AS BIGINT) AS sum_lag_days,
+       CAST(quantile_disc(lag_days, 0.5) AS BIGINT) AS median_lag_days
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -15596,6 +15796,9 @@ ORACLE_SQL: dict[str, str] = {
     "events_hourly_interp_fill": EVENTS_HOURLY_INTERP_FILL_SQL,
     "docs_dup_cluster_size_hist": DOCS_DUP_CLUSTER_SIZE_HIST_SQL,
     "events_hourly_peaks": EVENTS_HOURLY_PEAKS_SQL,
+    "events_seasonal_naive_mae": EVENTS_SEASONAL_NAIVE_MAE_SQL,
+    "docs_vocab_growth": DOCS_VOCAB_GROWTH_SQL,
+    "lineitem_ship_lag_stats": LINEITEM_SHIP_LAG_STATS_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -15928,6 +16131,9 @@ def registry() -> dict:
         "events_hourly_interp_fill": events_hourly_interp_fill,
         "docs_dup_cluster_size_hist": docs_dup_cluster_size_hist,
         "events_hourly_peaks": events_hourly_peaks,
+        "events_seasonal_naive_mae": events_seasonal_naive_mae,
+        "docs_vocab_growth": docs_vocab_growth,
+        "lineitem_ship_lag_stats": lineitem_ship_lag_stats,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
