@@ -15685,6 +15685,213 @@ FROM j GROUP BY 1 ORDER BY 1
 """
 
 
+def events_funnel_latency(sf_dir: str):
+    """Funnel LATENCY (the funnel-count op's missing half): per user, the
+    time from first 'click' to the first purchase AT OR AFTER it; the
+    report is the conversion count plus the lower-median latency — per-user
+    groups reduce to one candidate latency each, the global median folds
+    over O(users) integers (stages/quantiles at real scale)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "ts", "event_type"]
+    )
+    _empty = pa.table(
+        {"lat": pa.array([], pa.int64()), "clicked": pa.array([], pa.int64())}
+    )
+
+    def kernel(g: pa.Table) -> pa.Table:
+        types = g["event_type"].combine_chunks()
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        clicks = ts[pc.equal(types, "click").to_numpy(zero_copy_only=False)]
+        if not len(clicks):
+            return _empty
+        t0 = int(clicks.min())
+        purch = ts[pc.equal(types, "purchase").to_numpy(zero_copy_only=False)]
+        purch = purch[purch >= t0]
+        if not len(purch):
+            return pa.table(
+                {"lat": pa.array([-1], pa.int64()), "clicked": pa.array([1], pa.int64())}
+            )
+        return pa.table(
+            {
+                "lat": pa.array([int(purch.min()) - t0], pa.int64()),
+                "clicked": pa.array([1], pa.int64()),
+            }
+        )
+
+    per_user = ds.groupby("user_id").map_groups(kernel, batch_format="pyarrow").to_pandas()
+    lats = np.sort(per_user.lat.to_numpy()[per_user.lat.to_numpy() >= 0])
+    return pa.table(
+        {
+            "n_clicked": pa.array([int(per_user.clicked.sum())], pa.int64()),
+            "n_converted": pa.array([len(lats)], pa.int64()),
+            "median_latency_us": pa.array(
+                [int(lats[(len(lats) - 1) // 2]) if len(lats) else -1], pa.int64()
+            ),
+        }
+    )
+
+
+EVENTS_FUNNEL_LATENCY_SQL = """
+WITH c AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t0 FROM events
+  WHERE event_type = 'click' GROUP BY 1),
+p AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS tp
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.t0
+  GROUP BY 1),
+l AS (SELECT c.user_id, tp - t0 AS lat FROM c JOIN p USING (user_id))
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_clicked,
+       CAST(COUNT(*) AS BIGINT) AS n_converted,
+       CAST(COALESCE(quantile_disc(lat, 0.5), -1) AS BIGINT) AS median_latency_us
+FROM l
+"""
+
+
+def events_dau_wau_mau(sf_dir: str):
+    """Product stickiness — the DAU/MAU engagement ratio: distinct active
+    (user, day) pairs via block-local DISTINCT partials, per-day counts, and
+    the overall distinct-user count; stickiness = Σdau·10⁶ // (n_days·mau),
+    an exact integer ppm (the mean-DAU/MAU ratio with the division done
+    once, cross-multiplied)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return (
+            pa.table(
+                {
+                    "user_id": t["user_id"],
+                    "day": pa.array(ts // 86_400_000_000, pa.int64()),
+                }
+            )
+            .group_by(["user_id", "day"])
+            .aggregate([])
+        )
+
+    pd_pairs = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .aggregate(Count(alias_name="_c"))
+    )
+    day_counts = (
+        pd_pairs.map_batches(
+            lambda t: pa.table(
+                {"day": t["day"], "n": pa.array(np.ones(t.num_rows, np.int64))}
+            )
+            .group_by("day")
+            .aggregate([("n", "sum")])
+            .rename_columns(["day", "n"]),
+            batch_format="pyarrow",
+        )
+        .groupby("day")
+        .aggregate(Sum("n", alias_name="dau"))
+        .to_pandas()
+    )
+    mau = len(pd_pairs.unique("user_id"))
+    n_days = len(day_counts)
+    sum_dau = int(day_counts["dau"].sum())
+    return pa.table(
+        {
+            "n_days": pa.array([n_days], pa.int64()),
+            "sum_dau": pa.array([sum_dau], pa.int64()),
+            "mau": pa.array([mau], pa.int64()),
+            "stickiness_ppm": pa.array(
+                [sum_dau * 1_000_000 // (n_days * mau)], pa.int64()
+            ),
+        }
+    )
+
+
+EVENTS_DAU_WAU_MAU_SQL = """
+WITH p AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+d AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM p GROUP BY 1),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days, CAST(SUM(dau) AS BIGINT)
+               AS sum_dau FROM d),
+m AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau FROM events)
+SELECT n_days, sum_dau, mau,
+       CAST(sum_dau * 1000000 // (n_days * mau) AS BIGINT) AS stickiness_ppm
+FROM s, m
+"""
+
+
+def events_repeated_value_pairs(sf_dir: str):
+    """Fraud screening — repeated identical charges: pairs of events by the
+    SAME user with IDENTICAL value-cents, each pair reported with its time
+    gap.  Co-partition by (user, cents) — the group key IS the match
+    predicate, so the all-pairs blow-up is bounded by duplicate-amount
+    group size (groups of 1, the overwhelming majority, emit nothing);
+    inside a group the (ts, event_id) sort orders each pair once."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "cents": _cents(t["value"]),
+                "ts_us": t["ts"].cast(pa.int64()),
+                "event_id": t["event_id"],
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "cents": pa.array([], pa.int64()),
+            "e1": pa.array([], pa.int64()),
+            "e2": pa.array([], pa.int64()),
+            "gap_us": pa.array([], pa.int64()),
+        }
+    )
+
+    def kernel(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n < 2:
+            return _empty
+        s = g.take(
+            pc.sort_indices(
+                g, sort_keys=[("ts_us", "ascending"), ("event_id", "ascending")]
+            )
+        )
+        ts = s["ts_us"].combine_chunks().to_numpy(zero_copy_only=False)
+        key = s["event_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        i, j = np.triu_indices(n, k=1)
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    np.full(len(i), int(s["user_id"][0].as_py())), pa.int64()
+                ),
+                "cents": pa.array(
+                    np.full(len(i), int(s["cents"][0].as_py())), pa.int64()
+                ),
+                "e1": pa.array(key[i], pa.int64()),
+                "e2": pa.array(key[j], pa.int64()),
+                "gap_us": pa.array(ts[j] - ts[i], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(prep, batch_format="pyarrow").groupby(
+        ["user_id", "cents"]
+    ).map_groups(kernel, batch_format="pyarrow")
+
+
+EVENTS_REPEATED_VALUE_PAIRS_SQL = """
+WITH c AS (
+  SELECT user_id, CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents,
+         epoch_us(ts) AS tu, event_id
+  FROM events)
+SELECT a.user_id, a.cents,
+       CAST(a.event_id AS BIGINT) AS e1, CAST(b.event_id AS BIGINT) AS e2,
+       CAST(b.tu - a.tu AS BIGINT) AS gap_us
+FROM c a JOIN c b
+  ON a.user_id = b.user_id AND a.cents = b.cents
+ AND (b.tu > a.tu OR (b.tu = a.tu AND b.event_id > a.event_id))
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -15799,6 +16006,9 @@ ORACLE_SQL: dict[str, str] = {
     "events_seasonal_naive_mae": EVENTS_SEASONAL_NAIVE_MAE_SQL,
     "docs_vocab_growth": DOCS_VOCAB_GROWTH_SQL,
     "lineitem_ship_lag_stats": LINEITEM_SHIP_LAG_STATS_SQL,
+    "events_funnel_latency": EVENTS_FUNNEL_LATENCY_SQL,
+    "events_dau_wau_mau": EVENTS_DAU_WAU_MAU_SQL,
+    "events_repeated_value_pairs": EVENTS_REPEATED_VALUE_PAIRS_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -16134,6 +16344,9 @@ def registry() -> dict:
         "events_seasonal_naive_mae": events_seasonal_naive_mae,
         "docs_vocab_growth": docs_vocab_growth,
         "lineitem_ship_lag_stats": lineitem_ship_lag_stats,
+        "events_funnel_latency": events_funnel_latency,
+        "events_dau_wau_mau": events_dau_wau_mau,
+        "events_repeated_value_pairs": events_repeated_value_pairs,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
