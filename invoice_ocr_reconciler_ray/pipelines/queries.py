@@ -15892,6 +15892,191 @@ FROM c a JOIN c b
 """
 
 
+def docs_quality_kappa(sf_dir: str):
+    """Inter-rater agreement — Cohen's κ between two rule classifiers
+    (A: chars above the corpus lower-median; B: tokens above theirs): the
+    label-quality diagnostic an annotation pipeline runs before trusting
+    auto-labels.  One tokenize pass reduces each doc to two integers; the
+    2×2 contingency cells come from block partials; κ is ONE fixed IEEE
+    expression over the four cell counts (identical operation order in
+    numpy and DuckDB — e-notation literals)."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["n_chars", "text"])
+
+    def feats(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), pattern=r"[^a-z0-9]+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        ok = pc.and_(pc.is_valid(flat), pc.not_equal(flat, "")).to_numpy(
+            zero_copy_only=False
+        )
+        ntok = np.bincount(parent[ok], minlength=t.num_rows).astype(np.int64)
+        return pa.table(
+            {
+                "n_chars": t["n_chars"].cast(pa.int64()),
+                "n_tokens": pa.array(ntok, pa.int64()),
+            }
+        )
+
+    narrow = ds.map_batches(feats, batch_format="pyarrow").materialize()
+    pdf = narrow.to_pandas()
+    ch = np.sort(pdf.n_chars.to_numpy())
+    tk = np.sort(pdf.n_tokens.to_numpy())
+    med_ch = int(ch[(len(ch) - 1) // 2])
+    med_tk = int(tk[(len(tk) - 1) // 2])
+
+    def cells(t: pa.Table) -> pa.Table:
+        a_gate = t["n_chars"].to_numpy(zero_copy_only=False) > med_ch
+        b_gate = t["n_tokens"].to_numpy(zero_copy_only=False) > med_tk
+        return pa.table(
+            {
+                "n11": pa.array([int((a_gate & b_gate).sum())], pa.int64()),
+                "n10": pa.array([int((a_gate & ~b_gate).sum())], pa.int64()),
+                "n01": pa.array([int((~a_gate & b_gate).sum())], pa.int64()),
+                "n00": pa.array([int((~a_gate & ~b_gate).sum())], pa.int64()),
+            }
+        )
+
+    s = narrow.map_batches(cells, batch_format="pyarrow").aggregate(
+        Sum("n11", alias_name="n11"),
+        Sum("n10", alias_name="n10"),
+        Sum("n01", alias_name="n01"),
+        Sum("n00", alias_name="n00"),
+    )
+    a, b, c, d = int(s["n11"]), int(s["n10"]), int(s["n01"]), int(s["n00"])
+    n = a + b + c + d
+    po = (a + d) / n
+    pe = ((a + b) * (a + c) + (c + d) * (b + d)) / (n * n)
+    kappa = (po - pe) / (1.0 - pe)
+    return pa.table(
+        {
+            "n11": pa.array([a], pa.int64()),
+            "n10": pa.array([b], pa.int64()),
+            "n01": pa.array([c], pa.int64()),
+            "n00": pa.array([d], pa.int64()),
+            "kappa": pa.array([kappa], pa.float64()),
+        }
+    )
+
+
+DOCS_QUALITY_KAPPA_SQL = """
+WITH tk AS (
+  SELECT doc_id, n_chars,
+         unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents),
+per AS (
+  SELECT doc_id, CAST(SUM(CASE WHEN term <> '' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_tokens
+  FROM tk GROUP BY 1),
+d AS (SELECT documents.n_chars, COALESCE(per.n_tokens, 0) AS n_tokens
+      FROM documents LEFT JOIN per USING (doc_id)),
+m AS (SELECT CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS med_ch,
+             CAST(quantile_disc(n_tokens, 0.5) AS BIGINT) AS med_tk
+      FROM d),
+cells AS (
+  SELECT
+    CAST(SUM(CASE WHEN n_chars > med_ch AND n_tokens > med_tk THEN 1 ELSE 0 END)
+         AS BIGINT) AS n11,
+    CAST(SUM(CASE WHEN n_chars > med_ch AND n_tokens <= med_tk THEN 1 ELSE 0 END)
+         AS BIGINT) AS n10,
+    CAST(SUM(CASE WHEN n_chars <= med_ch AND n_tokens > med_tk THEN 1 ELSE 0 END)
+         AS BIGINT) AS n01,
+    CAST(SUM(CASE WHEN n_chars <= med_ch AND n_tokens <= med_tk THEN 1 ELSE 0 END)
+         AS BIGINT) AS n00
+  FROM d, m)
+SELECT n11, n10, n01, n00,
+       (CAST(n11 + n00 AS DOUBLE) / (n11 + n10 + n01 + n00)
+        - CAST((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS DOUBLE)
+            / ((n11 + n10 + n01 + n00) * (n11 + n10 + n01 + n00)))
+       / (1.0e0
+          - CAST((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS DOUBLE)
+              / ((n11 + n10 + n01 + n00) * (n11 + n10 + n01 + n00))) AS kappa
+FROM cells
+"""
+
+
+def docs_kwic_customer(sf_dir: str):
+    """Keyword-in-context (concordance) extraction for the term 'customer':
+    every occurrence with its 1-based token position and one term of left/
+    right context — the qualitative-inspection surface a corpus curator
+    samples from.  Fully vectorized: one flatten carries (doc, pos) via
+    list_parent_indices + offset subtraction; context is a flat-index ±1
+    gather masked at list boundaries (the '' sentinel, matching the
+    oracle's COALESCE over doc-partitioned lag/lead)."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def kwic(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), pattern=r"[^a-z0-9]+")
+        col = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = col.flatten()
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        parent = pc.list_parent_indices(col).to_numpy(zero_copy_only=False)
+        # split can emit '' tokens (leading/trailing separators): positions
+        # must count NON-empty tokens only, exactly like the unnest+filter
+        # oracle — so compact the token stream first
+        keep = pc.and_(pc.is_valid(flat), pc.not_equal(flat, "")).to_numpy(
+            zero_copy_only=False
+        )
+        words = flat.filter(pa.array(keep))
+        par = parent[keep]
+        # 1-based position within each doc's compacted stream
+        starts = np.flatnonzero(np.r_[True, par[1:] != par[:-1]])
+        seg_id = np.cumsum(np.r_[0, (par[1:] != par[:-1]).astype(np.int64)])
+        pos = np.arange(len(par), dtype=np.int64) - starts[seg_id] + 1
+        hit = pc.equal(words, "customer").to_numpy(zero_copy_only=False)
+        ix = np.flatnonzero(hit)
+        if not len(ix):
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                    "prev_term": pa.array([], pa.string()),
+                    "next_term": pa.array([], pa.string()),
+                }
+            )
+        wnp = words.to_pylist()
+        prev_ok = (ix > 0) & (par[np.maximum(ix - 1, 0)] == par[ix])
+        next_ok = (ix < len(par) - 1) & (
+            par[np.minimum(ix + 1, len(par) - 1)] == par[ix]
+        )
+        prev = [wnp[i - 1] if ok else "" for i, ok in zip(ix, prev_ok)]
+        nxt = [wnp[i + 1] if ok else "" for i, ok in zip(ix, next_ok)]
+        doc_ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[par[ix]], pa.int64()),
+                "pos": pa.array(pos[ix], pa.int64()),
+                "prev_term": pa.array(prev, pa.string()),
+                "next_term": pa.array(nxt, pa.string()),
+            }
+        )
+
+    return ds.map_batches(kwic, batch_format="pyarrow")
+
+
+DOCS_KWIC_CUSTOMER_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents),
+f AS (
+  -- lockstep unnest carries the IN-LIST position (ROW_NUMBER without an
+  -- ORDER BY over unnest output is order-fragile)
+  SELECT doc_id, unnest(l) AS term,
+         CAST(unnest(range(1, len(l) + 1)) AS BIGINT) AS pos
+  FROM d),
+w AS (
+  SELECT doc_id, term, pos,
+         COALESCE(lag(term) OVER (PARTITION BY doc_id ORDER BY pos), '')
+           AS prev_term,
+         COALESCE(lead(term) OVER (PARTITION BY doc_id ORDER BY pos), '')
+           AS next_term
+  FROM f)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos, prev_term, next_term
+FROM w WHERE term = 'customer'
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -16009,6 +16194,8 @@ ORACLE_SQL: dict[str, str] = {
     "events_funnel_latency": EVENTS_FUNNEL_LATENCY_SQL,
     "events_dau_wau_mau": EVENTS_DAU_WAU_MAU_SQL,
     "events_repeated_value_pairs": EVENTS_REPEATED_VALUE_PAIRS_SQL,
+    "docs_quality_kappa": DOCS_QUALITY_KAPPA_SQL,
+    "docs_kwic_customer": DOCS_KWIC_CUSTOMER_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -16347,6 +16534,8 @@ def registry() -> dict:
         "events_funnel_latency": events_funnel_latency,
         "events_dau_wau_mau": events_dau_wau_mau,
         "events_repeated_value_pairs": events_repeated_value_pairs,
+        "docs_quality_kappa": docs_quality_kappa,
+        "docs_kwic_customer": docs_kwic_customer,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
