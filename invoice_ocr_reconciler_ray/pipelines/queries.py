@@ -16077,6 +16077,108 @@ FROM w WHERE term = 'customer'
 """
 
 
+def docs_boilerplate_trigrams(sf_dir: str):
+    """Boilerplate screening — trigrams whose DOCUMENT frequency crosses
+    20 % of the corpus (the repeated-template signal behind header/footer
+    stripping).  Per-block: three aligned token slices form trigrams, an
+    Arrow group_by collapses them to DISTINCT (doc, trigram) pairs — each
+    doc lives in exactly one block row, so block-local distinct IS global
+    distinct; the trigram groupby then ships O(distinct trigrams), and the
+    ppm gate is an integer cross-multiply."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    n_docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"]).count()
+
+    def pairs(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), pattern=r"[^a-z0-9]+")
+        col = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = col.flatten()
+        parent = pc.list_parent_indices(col).to_numpy(zero_copy_only=False)
+        keep = pc.and_(pc.is_valid(flat), pc.not_equal(flat, "")).to_numpy(
+            zero_copy_only=False
+        )
+        words = flat.filter(pa.array(keep))
+        par = parent[keep]
+        if len(par) < 3:
+            return pa.table(
+                {"trigram": pa.array([], pa.string()), "doc_id": pa.array([], pa.int64())}
+            )
+        same = (par[:-2] == par[1:-1]) & (par[1:-1] == par[2:])
+        w = words.to_pylist()
+        tri = [
+            f"{w[i]} {w[i+1]} {w[i+2]}" for i in np.flatnonzero(same)
+        ]
+        doc_ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        docs = doc_ids[par[:-2][same]]
+        return (
+            pa.table(
+                {
+                    "trigram": pa.array(tri, pa.string()),
+                    "doc_id": pa.array(docs, pa.int64()),
+                }
+            )
+            .group_by(["trigram", "doc_id"])
+            .aggregate([])
+        )
+
+    g = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .map_batches(
+            lambda t: pa.table(
+                {"trigram": t["trigram"], "n": pa.array(np.ones(t.num_rows, np.int64))}
+            )
+            .group_by("trigram")
+            .aggregate([("n", "sum")])
+            .rename_columns(["trigram", "df"]),
+            batch_format="pyarrow",
+        )
+        .groupby("trigram")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+
+    def gate(t: pa.Table) -> pa.Table:
+        df = t["df"].combine_chunks().to_numpy(zero_copy_only=False)
+        ppm = df * 1_000_000 // n_docs
+        out = pa.table(
+            {
+                "trigram": t["trigram"],
+                "df": pa.array(df, pa.int64()),
+                "df_ppm": pa.array(ppm, pa.int64()),
+            }
+        )
+        return out.filter(pa.array(ppm >= 10_000))
+
+    return g.map_batches(gate, batch_format="pyarrow").sort(
+        ["df", "trigram"], descending=[True, False]
+    )
+
+
+DOCS_BOILERPLATE_TRIGRAMS_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents),
+f AS (
+  SELECT doc_id, unnest(l) AS term,
+         CAST(unnest(range(1, len(l) + 1)) AS BIGINT) AS pos
+  FROM d),
+w AS (
+  SELECT doc_id,
+         term || ' ' || lead(term, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+              || ' ' || lead(term, 2) OVER (PARTITION BY doc_id ORDER BY pos)
+           AS trigram,
+         lead(term, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+  FROM f),
+p AS (SELECT DISTINCT doc_id, trigram FROM w WHERE t2 IS NOT NULL),
+c AS (SELECT trigram, CAST(COUNT(*) AS BIGINT) AS df FROM p GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT trigram, df,
+       CAST(df * 1000000 // n_docs AS BIGINT) AS df_ppm
+FROM c, n WHERE df * 1000000 // n_docs >= 10000
+ORDER BY df DESC, trigram
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -16196,6 +16298,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_repeated_value_pairs": EVENTS_REPEATED_VALUE_PAIRS_SQL,
     "docs_quality_kappa": DOCS_QUALITY_KAPPA_SQL,
     "docs_kwic_customer": DOCS_KWIC_CUSTOMER_SQL,
+    "docs_boilerplate_trigrams": DOCS_BOILERPLATE_TRIGRAMS_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -16536,6 +16639,7 @@ def registry() -> dict:
         "events_repeated_value_pairs": events_repeated_value_pairs,
         "docs_quality_kappa": docs_quality_kappa,
         "docs_kwic_customer": docs_kwic_customer,
+        "docs_boilerplate_trigrams": docs_boilerplate_trigrams,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
