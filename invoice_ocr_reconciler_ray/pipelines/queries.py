@@ -16179,6 +16179,84 @@ ORDER BY df DESC, trigram
 """
 
 
+def lineitem_abc_classification(sf_dir: str):
+    """Inventory ABC analysis — parts classified by cumulative revenue
+    share (A ≤ 80 %, B ≤ 95 %, C rest) over the revenue-descending order.
+    The global cumulative sum composes two existing scan primitives with NO
+    driver-side sort: ``rank.global_value_rank`` on (−revenue, partkey)
+    densifies the total order, then ``scan.running_sum`` over that dense
+    rank computes the prefix revenue distributed (two-phase bucket scan).
+    Class gates are integer cross-multiplies (cum·10 ≤ 8·total etc.)."""
+    from ..stages.rank import global_value_rank
+    from ..stages.scan import running_sum
+
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_partkey", "l_extendedprice", "l_discount"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        rev = _cents(pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])))
+        tb = pa.table({"l_partkey": t["l_partkey"], "rev": rev})
+        return tb.group_by("l_partkey").aggregate([("rev", "sum")]).rename_columns(
+            ["l_partkey", "rev"]
+        )
+
+    per_part = (
+        li.map_batches(prep, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("rev", alias_name="rev_cents"))
+        .map_batches(
+            lambda t: t.append_column(
+                "neg_rev",
+                pc.negate_checked(t["rev_cents"]),
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    total = int(per_part.sum("rev_cents"))
+    ranked = global_value_rank(
+        per_part, value_col="neg_rev", id_col="l_partkey", out_col="rnk"
+    )
+    scanned = running_sum(ranked, order_col="rnk", value_col="rev_cents", out_col="cum_cents")
+
+    def classify(t: pa.Table) -> pa.Table:
+        cum = t["cum_cents"].combine_chunks().to_numpy(zero_copy_only=False)
+        cls = np.where(
+            cum * 10 <= 8 * total, "A", np.where(cum * 100 <= 95 * total, "B", "C")
+        )
+        return pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "rev_cents": t["rev_cents"],
+                "cum_cents": t["cum_cents"],
+                "abc_class": pa.array(cls.tolist(), pa.string()),
+            }
+        )
+
+    return scanned.map_batches(classify, batch_format="pyarrow")
+
+
+LINEITEM_ABC_CLASSIFICATION_SQL = """
+WITH r AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev_cents
+  FROM lineitem GROUP BY 1),
+c AS (
+  SELECT l_partkey, rev_cents,
+         SUM(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(rev_cents) OVER () AS total
+  FROM r)
+SELECT l_partkey, rev_cents, CAST(cum AS BIGINT) AS cum_cents,
+       CASE WHEN cum * 10 <= 8 * total THEN 'A'
+            WHEN cum * 100 <= 95 * total THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM c
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -16299,6 +16377,7 @@ ORACLE_SQL: dict[str, str] = {
     "docs_quality_kappa": DOCS_QUALITY_KAPPA_SQL,
     "docs_kwic_customer": DOCS_KWIC_CUSTOMER_SQL,
     "docs_boilerplate_trigrams": DOCS_BOILERPLATE_TRIGRAMS_SQL,
+    "lineitem_abc_classification": LINEITEM_ABC_CLASSIFICATION_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -16640,6 +16719,7 @@ def registry() -> dict:
         "docs_quality_kappa": docs_quality_kappa,
         "docs_kwic_customer": docs_kwic_customer,
         "docs_boilerplate_trigrams": docs_boilerplate_trigrams,
+        "lineitem_abc_classification": lineitem_abc_classification,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
