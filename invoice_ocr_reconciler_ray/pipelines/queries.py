@@ -16257,6 +16257,150 @@ FROM c
 """
 
 
+def orders_monthly_zchart(sf_dir: str):
+    """Z-chart report — the classic three-line management view: monthly
+    revenue, year-to-date cumulative, and the 12-row trailing moving annual
+    total (ROWS-based over the observed month series, so both engines agree
+    regardless of calendar gaps).  The fact table reduces to O(months)
+    cells via block partials; all three lines fold on the driver in exact
+    cents."""
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        yr = pc.year(t["o_orderdate"]).cast(pa.int64())
+        mo = pc.month(t["o_orderdate"]).cast(pa.int64())
+        ym = pc.add(pc.multiply(yr, 100), mo)
+        return (
+            pa.table({"ym": ym, "cents": _cents(t["o_totalprice"])})
+            .group_by("ym")
+            .aggregate([("cents", "sum")])
+            .rename_columns(["ym", "cents"])
+        )
+
+    g = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("ym")
+        .aggregate(Sum("cents", alias_name="rev_cents"))
+        .to_pandas()
+        .sort_values("ym", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    ym = g["ym"].to_numpy().astype(np.int64)
+    rev = g["rev_cents"].to_numpy().astype(np.int64)
+    yr = ym // 100
+    ytd = np.empty(len(rev), np.int64)
+    run = 0
+    last_yr = -1
+    for i in range(len(rev)):  # O(months) driver fold
+        if yr[i] != last_yr:
+            run, last_yr = 0, yr[i]
+        run += rev[i]
+        ytd[i] = run
+    cs = np.concatenate([[0], np.cumsum(rev)])
+    mat = cs[1:] - cs[np.maximum(np.arange(len(rev)) - 11, 0)]
+    return pa.table(
+        {
+            "ym": pa.array(ym, pa.int64()),
+            "rev_cents": pa.array(rev, pa.int64()),
+            "ytd_cents": pa.array(ytd, pa.int64()),
+            "mat_cents": pa.array(mat, pa.int64()),
+        }
+    )
+
+
+ORDERS_MONTHLY_ZCHART_SQL = """
+WITH m AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) * 100
+              + EXTRACT(month FROM o_orderdate) AS BIGINT) AS ym,
+         CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders GROUP BY 1)
+SELECT ym, rev_cents,
+       CAST(SUM(rev_cents) OVER (PARTITION BY ym // 100 ORDER BY ym
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS ytd_cents,
+       CAST(SUM(rev_cents) OVER (ORDER BY ym
+                                 ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS mat_cents
+FROM m ORDER BY ym
+"""
+
+
+def events_type_drift_halves(sf_dir: str):
+    """Distribution drift — total-variation distance between the event-type
+    mix of the FIRST and SECOND halves of the time range (the train/serve
+    skew check).  The midpoint is (min+max)//2 of the timestamp domain;
+    per-(half, type) cells come from block partials; TV in ppm is the exact
+    integer Σ|c₁·N₂ − c₂·N₁|·10⁶ // (2·N₁·N₂) — the ratio-difference sum
+    cross-multiplied so no float mix proportions ever exist."""
+    mm_ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts"]).map_batches(
+        lambda t: pa.table({"ts_us": t["ts"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    lo = int(mm_ds.min("ts_us"))
+    hi = int(mm_ds.max("ts_us"))
+    mid = (lo + hi) // 2
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        tb = pa.table(
+            {
+                "typ": t["event_type"],
+                "half": pa.array((ts > mid).astype(np.int64), pa.int64()),
+                "n": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        return tb.group_by(["typ", "half"]).aggregate([("n", "sum")]).rename_columns(
+            ["typ", "half", "n"]
+        )
+
+    g = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["typ", "half"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    piv = g.pivot_table(index="typ", columns="half", values="n", fill_value=0)
+    c1 = piv.get(0, 0)
+    c2 = piv.get(1, 0)
+    import pandas as pd
+
+    c1 = (c1 if hasattr(c1, "to_numpy") else pd.Series(0, index=piv.index)).to_numpy().astype(np.int64)
+    c2 = (c2 if hasattr(c2, "to_numpy") else pd.Series(0, index=piv.index)).to_numpy().astype(np.int64)
+    n1, n2 = int(c1.sum()), int(c2.sum())
+    tv_ppm = int(np.abs(c1 * n2 - c2 * n1).sum() * 1_000_000 // (2 * n1 * n2))
+    return pa.table(
+        {
+            "n_first": pa.array([n1], pa.int64()),
+            "n_second": pa.array([n2], pa.int64()),
+            "n_types": pa.array([len(piv)], pa.int64()),
+            "tv_ppm": pa.array([tv_ppm], pa.int64()),
+        }
+    )
+
+
+EVENTS_TYPE_DRIFT_HALVES_SQL = """
+WITH b AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid FROM events),
+c AS (
+  SELECT event_type,
+         CASE WHEN epoch_us(ts) > mid THEN 1 ELSE 0 END AS half,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events, b GROUP BY 1, 2),
+p AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN half = 0 THEN n ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN half = 1 THEN n ELSE 0 END) AS BIGINT) AS c2
+  FROM c GROUP BY 1),
+t AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM p)
+SELECT CAST(n1 AS BIGINT) AS n_first, CAST(n2 AS BIGINT) AS n_second,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_types,
+       CAST(SUM(ABS(c1 * n2 - c2 * n1)) * 1000000 // (2 * n1 * n2) AS BIGINT)
+         AS tv_ppm
+FROM p, t GROUP BY n1, n2
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -16378,6 +16522,8 @@ ORACLE_SQL: dict[str, str] = {
     "docs_kwic_customer": DOCS_KWIC_CUSTOMER_SQL,
     "docs_boilerplate_trigrams": DOCS_BOILERPLATE_TRIGRAMS_SQL,
     "lineitem_abc_classification": LINEITEM_ABC_CLASSIFICATION_SQL,
+    "orders_monthly_zchart": ORDERS_MONTHLY_ZCHART_SQL,
+    "events_type_drift_halves": EVENTS_TYPE_DRIFT_HALVES_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -16720,6 +16866,8 @@ def registry() -> dict:
         "docs_kwic_customer": docs_kwic_customer,
         "docs_boilerplate_trigrams": docs_boilerplate_trigrams,
         "lineitem_abc_classification": lineitem_abc_classification,
+        "orders_monthly_zchart": orders_monthly_zchart,
+        "events_type_drift_halves": events_type_drift_halves,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
