@@ -16401,6 +16401,136 @@ FROM p, t GROUP BY n1, n2
 """
 
 
+def events_user_churn_halves(sf_dir: str):
+    """Churn accounting between the two halves of the time range: retained
+    (active both), churned (first only), new (second only) user counts.
+    Per-user half-presence flags via one keyed Sum of indicators — the
+    distinct-set differences without materializing any user set; integer
+    end to end."""
+    mm_ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts"]).map_batches(
+        lambda t: pa.table({"ts_us": t["ts"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    lo, hi = int(mm_ds.min("ts_us")), int(mm_ds.max("ts_us"))
+    mid = (lo + hi) // 2
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def flags(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "h1": pa.array((ts <= mid).astype(np.int64), pa.int64()),
+                "h2": pa.array((ts > mid).astype(np.int64), pa.int64()),
+            }
+        )
+
+    per_user = (
+        ds.map_batches(flags, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("h1", alias_name="h1"), Sum("h2", alias_name="h2"))
+    )
+
+    def cells(t: pa.Table) -> pa.Table:
+        h1 = t["h1"].combine_chunks().to_numpy(zero_copy_only=False) > 0
+        h2 = t["h2"].combine_chunks().to_numpy(zero_copy_only=False) > 0
+        return pa.table(
+            {
+                "retained": pa.array([int((h1 & h2).sum())], pa.int64()),
+                "churned": pa.array([int((h1 & ~h2).sum())], pa.int64()),
+                "new_users": pa.array([int((~h1 & h2).sum())], pa.int64()),
+            }
+        )
+
+    s = per_user.map_batches(cells, batch_format="pyarrow").aggregate(
+        Sum("retained", alias_name="retained"),
+        Sum("churned", alias_name="churned"),
+        Sum("new_users", alias_name="new_users"),
+    )
+    return pa.table(
+        {
+            "retained": pa.array([int(s["retained"])], pa.int64()),
+            "churned": pa.array([int(s["churned"])], pa.int64()),
+            "new_users": pa.array([int(s["new_users"])], pa.int64()),
+        }
+    )
+
+
+EVENTS_USER_CHURN_HALVES_SQL = """
+WITH b AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid FROM events),
+u AS (
+  SELECT user_id,
+         MAX(CASE WHEN epoch_us(ts) <= mid THEN 1 ELSE 0 END) AS h1,
+         MAX(CASE WHEN epoch_us(ts) > mid THEN 1 ELSE 0 END) AS h2
+  FROM events, b GROUP BY 1)
+SELECT CAST(SUM(CASE WHEN h1 = 1 AND h2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS retained,
+       CAST(SUM(CASE WHEN h1 = 1 AND h2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS churned,
+       CAST(SUM(CASE WHEN h1 = 0 AND h2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS new_users
+FROM u
+"""
+
+
+def embeddings_centroid_distances(sf_dir: str):
+    """Pairwise label-centroid separation — the cluster-quality matrix: for
+    every label pair, the exact squared distance between µ-unit fixed-point
+    centroids, computed as the RATIONAL Σ((sa·nb − sb·na)² // (na²·nb²))
+    with arbitrary-precision Python ints on the O(labels·dim) driver table
+    (the oracle uses HUGEINT for the same 10²⁴-scale numerators).  The
+    distributed part is the embeddings_label_centroids partial-sum kernel;
+    no float centroid ever exists."""
+    cells = embeddings_label_centroids(sf_dir).to_pandas()
+    labels = sorted(cells.label.unique())
+    by_label: dict[int, tuple[list[int], int]] = {}
+    for lab in labels:
+        sub = cells[cells.label == lab].sort_values("dim")
+        by_label[int(lab)] = (
+            [int(v) for v in sub.sum_uv.tolist()],
+            int(sub.n.iloc[0]),
+        )
+    la, lb, d2 = [], [], []
+    for i, a in enumerate(labels):
+        sa, na = by_label[int(a)]
+        for b in labels[i + 1 :]:
+            sb, nb = by_label[int(b)]
+            acc = 0
+            for va, vb in zip(sa, sb):
+                num = va * nb - vb * na
+                acc += (num * num) // (na * na * nb * nb)
+            la.append(int(a))
+            lb.append(int(b))
+            d2.append(acc)
+    return pa.table(
+        {
+            "label_a": pa.array(la, pa.int64()),
+            "label_b": pa.array(lb, pa.int64()),
+            "d2_mu2": pa.array(d2, pa.int64()),
+        }
+    )
+
+
+EMBEDDINGS_CENTROID_DISTANCES_SQL = """
+WITH e AS (
+  SELECT label, unnest(embedding) AS x,
+         unnest(range(0, len(embedding))) AS dim
+  FROM embeddings),
+c AS (
+  SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+         CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+              AS BIGINT) AS sum_uv,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM e GROUP BY 1, 2)
+SELECT a.label AS label_a, b.label AS label_b,
+       CAST(SUM((CAST(a.sum_uv AS HUGEINT) * b.n - CAST(b.sum_uv AS HUGEINT) * a.n)
+                * (CAST(a.sum_uv AS HUGEINT) * b.n - CAST(b.sum_uv AS HUGEINT) * a.n)
+                // (CAST(a.n AS HUGEINT) * a.n * b.n * b.n)) AS BIGINT) AS d2_mu2
+FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -16524,6 +16654,8 @@ ORACLE_SQL: dict[str, str] = {
     "lineitem_abc_classification": LINEITEM_ABC_CLASSIFICATION_SQL,
     "orders_monthly_zchart": ORDERS_MONTHLY_ZCHART_SQL,
     "events_type_drift_halves": EVENTS_TYPE_DRIFT_HALVES_SQL,
+    "events_user_churn_halves": EVENTS_USER_CHURN_HALVES_SQL,
+    "embeddings_centroid_distances": EMBEDDINGS_CENTROID_DISTANCES_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -16868,6 +17000,8 @@ def registry() -> dict:
         "lineitem_abc_classification": lineitem_abc_classification,
         "orders_monthly_zchart": orders_monthly_zchart,
         "events_type_drift_halves": events_type_drift_halves,
+        "events_user_churn_halves": events_user_churn_halves,
+        "embeddings_centroid_distances": embeddings_centroid_distances,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
