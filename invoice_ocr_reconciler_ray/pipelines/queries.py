@@ -16531,6 +16531,150 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def docs_charclass_profile(sf_dir: str):
+    """Corpus character-class census — the encoding-health screen (a corpus
+    suddenly heavy in 'other' bytes signals mojibake upstream): letters,
+    digits, plain spaces and everything-else counted across all documents.
+    Single-char regex classes make count_substring_regex a per-char counter;
+    block partials reduce to four scalars."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        letters = int(pc.sum(pc.count_substring_regex(txt, "[A-Za-z]")).as_py() or 0)
+        digits = int(pc.sum(pc.count_substring_regex(txt, "[0-9]")).as_py() or 0)
+        spaces = int(pc.sum(pc.count_substring_regex(txt, "[ ]")).as_py() or 0)
+        total = int(pc.sum(pc.utf8_length(txt)).as_py() or 0)
+        return pa.table(
+            {
+                "letters": pa.array([letters], pa.int64()),
+                "digits": pa.array([digits], pa.int64()),
+                "spaces": pa.array([spaces], pa.int64()),
+                "other": pa.array([total - letters - digits - spaces], pa.int64()),
+            }
+        )
+
+    s = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("letters", alias_name="letters"),
+        Sum("digits", alias_name="digits"),
+        Sum("spaces", alias_name="spaces"),
+        Sum("other", alias_name="other"),
+    )
+    return pa.table(
+        {
+            "letters": pa.array([int(s["letters"])], pa.int64()),
+            "digits": pa.array([int(s["digits"])], pa.int64()),
+            "spaces": pa.array([int(s["spaces"])], pa.int64()),
+            "other": pa.array([int(s["other"])], pa.int64()),
+        }
+    )
+
+
+DOCS_CHARCLASS_PROFILE_SQL = """
+SELECT
+  CAST(SUM(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))) AS BIGINT)
+    AS letters,
+  CAST(SUM(length(regexp_replace(text, '[^0-9]', '', 'g'))) AS BIGINT)
+    AS digits,
+  CAST(SUM(length(text) - length(replace(text, ' ', ''))) AS BIGINT) AS spaces,
+  CAST(SUM(length(text)
+           - length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+           - length(regexp_replace(text, '[^0-9]', '', 'g'))
+           - (length(text) - length(replace(text, ' ', '')))) AS BIGINT) AS other
+FROM documents
+"""
+
+
+def docs_bigram_lift(sf_dir: str):
+    """Collocation mining — bigram LIFT (observed adjacency over the
+    independence expectation): c_ab·N_u²·10⁶ // (c_a·c_b·N_b), exact via
+    arbitrary-precision ints on the O(vocab²)-bounded driver fold (HUGEINT
+    on the SQL side — the 10¹⁷-scale numerator is why).  Bigram and unigram
+    counts are two block-partial groupbys; support floor 20, top-20 by
+    (lift desc, bigram)."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), pattern=r"[^a-z0-9]+")
+        col = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = col.flatten()
+        parent = pc.list_parent_indices(col).to_numpy(zero_copy_only=False)
+        keep = pc.and_(pc.is_valid(flat), pc.not_equal(flat, "")).to_numpy(
+            zero_copy_only=False
+        )
+        words = flat.filter(pa.array(keep))
+        par = parent[keep]
+        w = words.to_pylist()
+        uni = pa.table({"g": words, "kind": pa.array([0] * len(w), pa.int64())})
+        same = par[:-1] == par[1:] if len(par) > 1 else np.array([], bool)
+        bi = [f"{w[i]} {w[i+1]}" for i in np.flatnonzero(same)]
+        big = pa.table(
+            {"g": pa.array(bi, pa.string()), "kind": pa.array([1] * len(bi), pa.int64())}
+        )
+        both = pa.concat_tables([uni, big])
+        return (
+            both.group_by(["g", "kind"])
+            .aggregate([("g", "count")])
+            .rename_columns(["g", "kind", "n"])
+        )
+
+    g = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["g", "kind"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    uni = dict(zip(g[g.kind == 0].g, g[g.kind == 0].n.astype(int)))
+    bi = g[g.kind == 1]
+    n_u = sum(uni.values())
+    n_b = int(bi.n.sum())
+    rows = []
+    for gram, c_ab in zip(bi.g, bi.n.astype(int)):
+        if c_ab < 20:
+            continue
+        a, b = gram.split(" ", 1)
+        lift = c_ab * n_u * n_u * 1_000_000 // (uni[a] * uni[b] * n_b)
+        rows.append((gram, c_ab, lift))
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    rows = rows[:20]
+    return pa.table(
+        {
+            "bigram": pa.array([r[0] for r in rows], pa.string()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "lift_ppm": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+DOCS_BIGRAM_LIFT_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents),
+f AS (
+  SELECT doc_id, unnest(l) AS term,
+         CAST(unnest(range(1, len(l) + 1)) AS BIGINT) AS pos
+  FROM d),
+u AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM f GROUP BY 1),
+nu AS (SELECT SUM(c) AS n_u FROM u),
+w AS (
+  SELECT doc_id, term AS a,
+         lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+  FROM f),
+bg AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab FROM w
+       WHERE b IS NOT NULL GROUP BY 1, 2),
+nb AS (SELECT SUM(c_ab) AS n_b FROM bg)
+SELECT bg.a || ' ' || bg.b AS bigram, c_ab AS n,
+       CAST(CAST(c_ab AS HUGEINT) * n_u * n_u * 1000000
+            // (CAST(ua.c AS HUGEINT) * ub.c * n_b) AS BIGINT) AS lift_ppm
+FROM bg JOIN u ua ON bg.a = ua.term
+        JOIN u ub ON bg.b = ub.term, nu, nb
+WHERE c_ab >= 20
+ORDER BY lift_ppm DESC, bigram LIMIT 20
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -16656,6 +16800,8 @@ ORACLE_SQL: dict[str, str] = {
     "events_type_drift_halves": EVENTS_TYPE_DRIFT_HALVES_SQL,
     "events_user_churn_halves": EVENTS_USER_CHURN_HALVES_SQL,
     "embeddings_centroid_distances": EMBEDDINGS_CENTROID_DISTANCES_SQL,
+    "docs_charclass_profile": DOCS_CHARCLASS_PROFILE_SQL,
+    "docs_bigram_lift": DOCS_BIGRAM_LIFT_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -17002,6 +17148,8 @@ def registry() -> dict:
         "events_type_drift_halves": events_type_drift_halves,
         "events_user_churn_halves": events_user_churn_halves,
         "embeddings_centroid_distances": embeddings_centroid_distances,
+        "docs_charclass_profile": docs_charclass_profile,
+        "docs_bigram_lift": docs_bigram_lift,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
