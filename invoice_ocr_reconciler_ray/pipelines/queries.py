@@ -16675,6 +16675,155 @@ ORDER BY lift_ppm DESC, bigram LIMIT 20
 """
 
 
+def events_pattern_ccp(sf_dir: str):
+    """Complex-event pattern matching (MATCH_RECOGNIZE-lite): count, per
+    user, the CONSECUTIVE click→click→purchase triples in (ts, event_id)
+    order — the sequence-motif primitive behind conversion-path analytics.
+    The kernel is two shifted boolean masks on the per-user sorted type
+    codes (no row loop); users with zero matches are absent by
+    construction, mirroring the oracle's HAVING."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    _empty = pa.table(
+        {"user_id": pa.array([], pa.int64()), "n_matches": pa.array([], pa.int64())}
+    )
+
+    def kernel(g: pa.Table) -> pa.Table:
+        if g.num_rows < 3:
+            return _empty
+        s = g.take(
+            pc.sort_indices(
+                g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+            )
+        )
+        is_c = pc.equal(s["event_type"], "click").to_numpy(zero_copy_only=False)
+        is_p = pc.equal(s["event_type"], "purchase").to_numpy(zero_copy_only=False)
+        hits = int((is_c[:-2] & is_c[1:-1] & is_p[2:]).sum())
+        if not hits:
+            return _empty
+        return pa.table(
+            {
+                "user_id": pa.array([int(s["user_id"][0].as_py())], pa.int64()),
+                "n_matches": pa.array([hits], pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(kernel, batch_format="pyarrow").sort(
+        ["user_id"]
+    )
+
+
+EVENTS_PATTERN_CCP_SQL = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS t1,
+         lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS t2
+  FROM events)
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'click' AND t1 = 'click'
+                      AND t2 = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_matches
+FROM s GROUP BY 1
+HAVING SUM(CASE WHEN event_type = 'click' AND t1 = 'click'
+                 AND t2 = 'purchase' THEN 1 ELSE 0 END) > 0
+ORDER BY 1
+"""
+
+
+def orders_sla_attainment(sf_dir: str):
+    """Fulfillment SLA attainment by order month: an order is on-time when
+    its FIRST shipment leaves within 30 days.  Lineitem pre-aggregates to
+    per-order MIN ship-day BEFORE the 8-partition join (the shuffle carries
+    one row per order, not per line); month cells and the ppm attainment
+    rate are exact integers."""
+    li = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_orderkey", "l_shipdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return (
+            pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "ship_day": pa.array(
+                        t["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                        // 86_400_000_000,
+                        pa.int64(),
+                    ),
+                }
+            )
+            .group_by("l_orderkey")
+            .aggregate([("ship_day", "min")])
+            .rename_columns(["l_orderkey", "first_ship_day"])
+        )
+
+    per_order = (
+        li.map_batches(prep, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Min("first_ship_day", alias_name="first_ship_day"))
+    )
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_orderdate"])
+    joined = per_order.join(
+        orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+
+    def cells(t: pa.Table) -> pa.Table:
+        od_us = t["o_orderdate"].cast(pa.int64())
+        od = od_us.to_numpy(zero_copy_only=False) // 86_400_000_000
+        fs = t["first_ship_day"].combine_chunks().to_numpy(zero_copy_only=False)
+        yr = pc.year(t["o_orderdate"]).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        mo = pc.month(t["o_orderdate"]).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return (
+            pa.table(
+                {
+                    "ym": pa.array(yr * 100 + mo, pa.int64()),
+                    "n": pa.array(np.ones(len(od), np.int64)),
+                    "on_time": pa.array((fs - od <= 30).astype(np.int64), pa.int64()),
+                }
+            )
+            .group_by("ym")
+            .aggregate([("n", "sum"), ("on_time", "sum")])
+            .rename_columns(["ym", "n", "on_time"])
+        )
+
+    g = (
+        joined.map_batches(cells, batch_format="pyarrow")
+        .groupby("ym")
+        .aggregate(Sum("n", alias_name="n_orders"), Sum("on_time", alias_name="n_on_time"))
+        .to_pandas()
+        .sort_values("ym", kind="mergesort")
+    )
+    n = g["n_orders"].to_numpy().astype(np.int64)
+    ot = g["n_on_time"].to_numpy().astype(np.int64)
+    return pa.table(
+        {
+            "ym": pa.array(g["ym"].to_numpy().astype(np.int64)),
+            "n_orders": pa.array(n, pa.int64()),
+            "n_on_time": pa.array(ot, pa.int64()),
+            "attainment_ppm": pa.array(ot * 1_000_000 // n, pa.int64()),
+        }
+    )
+
+
+ORDERS_SLA_ATTAINMENT_SQL = """
+WITH fo AS (
+  SELECT l_orderkey,
+         MIN(epoch_us(l_shipdate) // 86400000000) AS first_ship_day
+  FROM lineitem GROUP BY 1),
+j AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) * 100
+              + EXTRACT(month FROM o_orderdate) AS BIGINT) AS ym,
+         CASE WHEN first_ship_day - epoch_us(o_orderdate) // 86400000000 <= 30
+              THEN 1 ELSE 0 END AS on_time
+  FROM fo JOIN orders ON l_orderkey = o_orderkey)
+SELECT ym, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(on_time) AS BIGINT) AS n_on_time,
+       CAST(SUM(on_time) * 1000000 // COUNT(*) AS BIGINT) AS attainment_ppm
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -16802,6 +16951,8 @@ ORACLE_SQL: dict[str, str] = {
     "embeddings_centroid_distances": EMBEDDINGS_CENTROID_DISTANCES_SQL,
     "docs_charclass_profile": DOCS_CHARCLASS_PROFILE_SQL,
     "docs_bigram_lift": DOCS_BIGRAM_LIFT_SQL,
+    "events_pattern_ccp": EVENTS_PATTERN_CCP_SQL,
+    "orders_sla_attainment": ORDERS_SLA_ATTAINMENT_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -17150,6 +17301,8 @@ def registry() -> dict:
         "embeddings_centroid_distances": embeddings_centroid_distances,
         "docs_charclass_profile": docs_charclass_profile,
         "docs_bigram_lift": docs_bigram_lift,
+        "events_pattern_ccp": events_pattern_ccp,
+        "orders_sla_attainment": orders_sla_attainment,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
