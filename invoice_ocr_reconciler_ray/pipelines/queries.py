@@ -16824,6 +16824,126 @@ FROM j GROUP BY 1 ORDER BY 1
 """
 
 
+def supplier_scorecard(sf_dir: str):
+    """Composed supplier scorecard — the multi-metric entity report: per
+    supplier, lineitem count, exact revenue cents, return-rate ppm, and the
+    dense revenue rank (ties share a rank).  One fact pass builds all three
+    partial metrics; the rank folds on the O(suppliers) driver table
+    (suppliers are dim-scaled here; rank.global_value_rank is the documented
+    path when they aren't)."""
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_suppkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = _cents(pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])))
+        tb = pa.table(
+            {
+                "s_suppkey": t["l_suppkey"],
+                "n": pa.array(np.ones(t.num_rows, np.int64)),
+                "rev": rev,
+                "ret": pc.cast(pc.equal(t["l_returnflag"], "R"), pa.int64()),
+            }
+        )
+        return tb.group_by("s_suppkey").aggregate(
+            [("n", "sum"), ("rev", "sum"), ("ret", "sum")]
+        ).rename_columns(["s_suppkey", "n", "rev", "ret"])
+
+    g = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(
+            Sum("n", alias_name="n_items"),
+            Sum("rev", alias_name="rev_cents"),
+            Sum("ret", alias_name="n_returned"),
+        )
+        .to_pandas()
+        .sort_values("s_suppkey", kind="mergesort")
+    )
+    n = g["n_items"].to_numpy().astype(np.int64)
+    rev = g["rev_cents"].to_numpy().astype(np.int64)
+    ret = g["n_returned"].to_numpy().astype(np.int64)
+    # dense rank by revenue desc: rank = 1 + number of DISTINCT revenues above
+    uniq = np.unique(rev)[::-1]
+    dense = np.searchsorted(-uniq, -rev) + 1
+    return pa.table(
+        {
+            "s_suppkey": pa.array(g["s_suppkey"].to_numpy().astype(np.int64)),
+            "n_items": pa.array(n, pa.int64()),
+            "rev_cents": pa.array(rev, pa.int64()),
+            "return_ppm": pa.array(ret * 1_000_000 // n, pa.int64()),
+            "rev_dense_rank": pa.array(dense, pa.int64()),
+        }
+    )
+
+
+SUPPLIER_SCORECARD_SQL = """
+WITH g AS (
+  SELECT l_suppkey AS s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+         CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev_cents,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_returned
+  FROM lineitem GROUP BY 1)
+SELECT s_suppkey, n_items, rev_cents,
+       CAST(n_returned * 1000000 // n_items AS BIGINT) AS return_ppm,
+       CAST(DENSE_RANK() OVER (ORDER BY rev_cents DESC) AS BIGINT)
+         AS rev_dense_rank
+FROM g ORDER BY s_suppkey
+"""
+
+
+def events_type_value_quartiles(sf_dir: str):
+    """Per-type value quartiles (p25/p50/p75) — the distribution card every
+    metrics dashboard shows.  Groups sort locally; the index convention is
+    DuckDB's quantile_disc = sorted[ceil(q·n) − 1] (verified empirically
+    across n=3..10 and all three quarters; q·n is exact in binary for
+    quarter fractions, so the ceil never wobbles)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "value"])
+
+    def kernel(g: pa.Table) -> pa.Table:
+        c = np.sort(_cents(g["value"]).to_numpy(zero_copy_only=False))
+        n = len(c)
+
+        def disc(q: float) -> int:
+            # DuckDB quantile_disc: element at ceil(q*n) - 1 (1-based rank)
+            import math
+
+            ix = max(int(math.ceil(q * n)) - 1, 0)
+            return int(c[ix])
+
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [str(g["event_type"][0].as_py())], pa.string()
+                ),
+                "n": pa.array([n], pa.int64()),
+                "p25_cents": pa.array([disc(0.25)], pa.int64()),
+                "p50_cents": pa.array([disc(0.5)], pa.int64()),
+                "p75_cents": pa.array([disc(0.75)], pa.int64()),
+            }
+        )
+
+    return (
+        ds.groupby("event_type")
+        .map_groups(kernel, batch_format="pyarrow")
+        .sort(["event_type"])
+    )
+
+
+EVENTS_TYPE_VALUE_QUARTILES_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents
+  FROM events)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(quantile_disc(cents, 0.25) AS BIGINT) AS p25_cents,
+       CAST(quantile_disc(cents, 0.50) AS BIGINT) AS p50_cents,
+       CAST(quantile_disc(cents, 0.75) AS BIGINT) AS p75_cents
+FROM c GROUP BY 1 ORDER BY 1
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -16953,6 +17073,8 @@ ORACLE_SQL: dict[str, str] = {
     "docs_bigram_lift": DOCS_BIGRAM_LIFT_SQL,
     "events_pattern_ccp": EVENTS_PATTERN_CCP_SQL,
     "orders_sla_attainment": ORDERS_SLA_ATTAINMENT_SQL,
+    "supplier_scorecard": SUPPLIER_SCORECARD_SQL,
+    "events_type_value_quartiles": EVENTS_TYPE_VALUE_QUARTILES_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -17303,6 +17425,8 @@ def registry() -> dict:
         "docs_bigram_lift": docs_bigram_lift,
         "events_pattern_ccp": events_pattern_ccp,
         "orders_sla_attainment": orders_sla_attainment,
+        "supplier_scorecard": supplier_scorecard,
+        "events_type_value_quartiles": events_type_value_quartiles,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
