@@ -16944,6 +16944,87 @@ FROM c GROUP BY 1 ORDER BY 1
 """
 
 
+def orders_single_day_ship_share(sf_dir: str):
+    """All-equal aggregate gate (the MIN=MAX idiom): share of orders whose
+    EVERY lineitem shipped on one calendar day, by order year.  Lineitem
+    reduces to per-order (min, max) ship-day partials — two keyed extrema,
+    no per-order lists; the gate is an integer equality and the share an
+    exact ppm."""
+    li = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_orderkey", "l_shipdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pa.array(
+            t["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 86_400_000_000,
+            pa.int64(),
+        )
+        tb = pa.table({"l_orderkey": t["l_orderkey"], "d1": day, "d2": day})
+        return tb.group_by("l_orderkey").aggregate(
+            [("d1", "min"), ("d2", "max")]
+        ).rename_columns(["l_orderkey", "dmin", "dmax"])
+
+    per_order = (
+        li.map_batches(prep, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Min("dmin", alias_name="dmin"), Max("dmax", alias_name="dmax"))
+    )
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_orderdate"])
+    joined = per_order.join(
+        orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+
+    def cells(t: pa.Table) -> pa.Table:
+        yr = pc.year(t["o_orderdate"]).cast(pa.int64())
+        single = pc.cast(pc.equal(t["dmin"], t["dmax"]), pa.int64())
+        return (
+            pa.table(
+                {
+                    "yr": yr,
+                    "n": pa.array(np.ones(t.num_rows, np.int64)),
+                    "single": single,
+                }
+            )
+            .group_by("yr")
+            .aggregate([("n", "sum"), ("single", "sum")])
+            .rename_columns(["yr", "n", "single"])
+        )
+
+    g = (
+        joined.map_batches(cells, batch_format="pyarrow")
+        .groupby("yr")
+        .aggregate(Sum("n", alias_name="n_orders"), Sum("single", alias_name="n_single"))
+        .to_pandas()
+        .sort_values("yr", kind="mergesort")
+    )
+    n = g["n_orders"].to_numpy().astype(np.int64)
+    sd = g["n_single"].to_numpy().astype(np.int64)
+    return pa.table(
+        {
+            "yr": pa.array(g["yr"].to_numpy().astype(np.int64)),
+            "n_orders": pa.array(n, pa.int64()),
+            "n_single_day": pa.array(sd, pa.int64()),
+            "share_ppm": pa.array(sd * 1_000_000 // n, pa.int64()),
+        }
+    )
+
+
+ORDERS_SINGLE_DAY_SHIP_SHARE_SQL = """
+WITH po AS (
+  SELECT l_orderkey,
+         MIN(epoch_us(l_shipdate) // 86400000000) AS dmin,
+         MAX(epoch_us(l_shipdate) // 86400000000) AS dmax
+  FROM lineitem GROUP BY 1),
+j AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+         CASE WHEN dmin = dmax THEN 1 ELSE 0 END AS single
+  FROM po JOIN orders ON l_orderkey = o_orderkey)
+SELECT yr, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(single) AS BIGINT) AS n_single_day,
+       CAST(SUM(single) * 1000000 // COUNT(*) AS BIGINT) AS share_ppm
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -17075,6 +17156,7 @@ ORACLE_SQL: dict[str, str] = {
     "orders_sla_attainment": ORDERS_SLA_ATTAINMENT_SQL,
     "supplier_scorecard": SUPPLIER_SCORECARD_SQL,
     "events_type_value_quartiles": EVENTS_TYPE_VALUE_QUARTILES_SQL,
+    "orders_single_day_ship_share": ORDERS_SINGLE_DAY_SHIP_SHARE_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -17427,6 +17509,7 @@ def registry() -> dict:
         "orders_sla_attainment": orders_sla_attainment,
         "supplier_scorecard": supplier_scorecard,
         "events_type_value_quartiles": events_type_value_quartiles,
+        "orders_single_day_ship_share": orders_single_day_ship_share,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
