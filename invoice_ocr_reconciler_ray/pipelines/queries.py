@@ -17025,6 +17025,162 @@ FROM j GROUP BY 1 ORDER BY 1
 """
 
 
+def events_top_sessions(sf_dir: str):
+    """Composition showcase — sessionize (30-min gap) → per-session value
+    sum → global top-10 by value: the 'best sessions' report every product
+    team asks for, built from the same per-user sorted kernel as
+    events_sessionize with a value cumsum-by-boundary reduceat.  Tie order
+    (value desc, user, session) makes the limit boundary deterministic."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "value"])
+    gap_us = 30 * 60 * 1_000_000
+
+    def kernel(g: pa.Table) -> pa.Table:
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.argsort(ts, kind="stable")
+        ts = ts[order]
+        cents = _cents(g["value"]).to_numpy(zero_copy_only=False)[order]
+        brk = np.r_[True, np.diff(ts) > gap_us]
+        starts = np.nonzero(brk)[0]
+        sums = np.add.reduceat(cents, starts)
+        ends = np.r_[starts[1:], len(ts)]
+        n = len(starts)
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    np.full(n, int(g["user_id"][0].as_py())), pa.int64()
+                ),
+                "session_idx": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+                "n_events": pa.array(ends - starts, pa.int64()),
+                "session_cents": pa.array(sums.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.groupby("user_id")
+        .map_groups(kernel, batch_format="pyarrow")
+        .sort(["session_cents", "user_id", "session_idx"], descending=[True, False, False])
+        .limit(10)
+    )
+
+
+EVENTS_TOP_SESSIONS_SQL = """
+WITH x AS (
+  SELECT user_id, ts, CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events),
+y AS (
+  SELECT user_id, cents,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sess
+  FROM x)
+SELECT user_id, CAST(sess AS BIGINT) AS session_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS session_cents
+FROM y GROUP BY 1, 2
+ORDER BY session_cents DESC, user_id, session_idx LIMIT 10
+"""
+
+
+def lineitem_simpson_check(sf_dir: str):
+    """Simpson's-paradox audit: does the bulk-vs-small return-rate gap
+    (quantity > 25 as the predictor, returnflag = 'R' as the outcome) flip
+    sign between the aggregate and any linestatus stratum?  Each stratum
+    reduces to FOUR integers; the rate comparison is the integer
+    cross-multiply sign(ret_b·n_s − ret_s·n_b), so no rate ever exists as
+    a float; the reversal flag compares each stratum's sign to 'ALL'."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_linestatus", "l_quantity", "l_returnflag"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        bulk = pc.cast(pc.greater(t["l_quantity"], 25.0), pa.int64())
+        ret = pc.cast(pc.equal(t["l_returnflag"], "R"), pa.int64())
+        tb = pa.table(
+            {
+                "stratum": t["l_linestatus"],
+                "n_bulk": bulk,
+                "ret_bulk": pc.multiply(bulk, ret),
+                "n_small": pc.subtract(1, bulk),
+                "ret_small": pc.multiply(pc.subtract(1, bulk), ret),
+            }
+        )
+        return tb.group_by("stratum").aggregate(
+            [("n_bulk", "sum"), ("ret_bulk", "sum"), ("n_small", "sum"), ("ret_small", "sum")]
+        ).rename_columns(["stratum", "n_bulk", "ret_bulk", "n_small", "ret_small"])
+
+    g = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("stratum")
+        .aggregate(
+            Sum("n_bulk", alias_name="n_bulk"),
+            Sum("ret_bulk", alias_name="ret_bulk"),
+            Sum("n_small", alias_name="n_small"),
+            Sum("ret_small", alias_name="ret_small"),
+        )
+        .to_pandas()
+        .sort_values("stratum", kind="mergesort")
+    )
+    nb = g["n_bulk"].to_numpy().astype(np.int64)
+    rb = g["ret_bulk"].to_numpy().astype(np.int64)
+    ns = g["n_small"].to_numpy().astype(np.int64)
+    rs = g["ret_small"].to_numpy().astype(np.int64)
+    all_sign = int(np.sign(int(rb.sum()) * int(ns.sum()) - int(rs.sum()) * int(nb.sum())))
+    strata = ["ALL"] + g["stratum"].tolist()
+    nb_o = np.concatenate([[nb.sum()], nb])
+    rb_o = np.concatenate([[rb.sum()], rb])
+    ns_o = np.concatenate([[ns.sum()], ns])
+    rs_o = np.concatenate([[rs.sum()], rs])
+    signs = np.sign(rb_o * ns_o - rs_o * nb_o).astype(np.int64)
+    return pa.table(
+        {
+            "stratum": pa.array(strata, pa.string()),
+            "n_bulk": pa.array(nb_o.astype(np.int64), pa.int64()),
+            "ret_bulk": pa.array(rb_o.astype(np.int64), pa.int64()),
+            "n_small": pa.array(ns_o.astype(np.int64), pa.int64()),
+            "ret_small": pa.array(rs_o.astype(np.int64), pa.int64()),
+            "gap_sign": pa.array(signs, pa.int64()),
+            "simpson_reversal": pa.array(
+                [bool(s != all_sign and s != 0 and all_sign != 0) for s in signs]
+            ),
+        }
+    )
+
+
+LINEITEM_SIMPSON_CHECK_SQL = """
+WITH c AS (
+  SELECT l_linestatus AS stratum,
+         CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS bulk,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+  FROM lineitem),
+s AS (
+  SELECT stratum,
+         CAST(SUM(bulk) AS BIGINT) AS n_bulk,
+         CAST(SUM(bulk * ret) AS BIGINT) AS ret_bulk,
+         CAST(SUM(1 - bulk) AS BIGINT) AS n_small,
+         CAST(SUM((1 - bulk) * ret) AS BIGINT) AS ret_small
+  FROM c GROUP BY 1),
+a AS (
+  SELECT 'ALL' AS stratum, SUM(n_bulk) AS n_bulk, SUM(ret_bulk) AS ret_bulk,
+         SUM(n_small) AS n_small, SUM(ret_small) AS ret_small
+  FROM s),
+u AS (SELECT * FROM a UNION ALL SELECT * FROM s),
+g AS (
+  SELECT stratum, n_bulk, ret_bulk, n_small, ret_small,
+         CAST(sign(ret_bulk * n_small - ret_small * n_bulk) AS BIGINT)
+           AS gap_sign
+  FROM u),
+asn AS (SELECT gap_sign AS all_sign FROM g WHERE stratum = 'ALL')
+SELECT stratum, CAST(n_bulk AS BIGINT) AS n_bulk,
+       CAST(ret_bulk AS BIGINT) AS ret_bulk,
+       CAST(n_small AS BIGINT) AS n_small,
+       CAST(ret_small AS BIGINT) AS ret_small, gap_sign,
+       gap_sign <> all_sign AND gap_sign <> 0 AND all_sign <> 0
+         AS simpson_reversal
+FROM g, asn ORDER BY stratum
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -17157,6 +17313,8 @@ ORACLE_SQL: dict[str, str] = {
     "supplier_scorecard": SUPPLIER_SCORECARD_SQL,
     "events_type_value_quartiles": EVENTS_TYPE_VALUE_QUARTILES_SQL,
     "orders_single_day_ship_share": ORDERS_SINGLE_DAY_SHIP_SHARE_SQL,
+    "events_top_sessions": EVENTS_TOP_SESSIONS_SQL,
+    "lineitem_simpson_check": LINEITEM_SIMPSON_CHECK_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -17510,6 +17668,8 @@ def registry() -> dict:
         "supplier_scorecard": supplier_scorecard,
         "events_type_value_quartiles": events_type_value_quartiles,
         "orders_single_day_ship_share": orders_single_day_ship_share,
+        "events_top_sessions": events_top_sessions,
+        "lineitem_simpson_check": lineitem_simpson_check,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
