@@ -17181,6 +17181,105 @@ FROM g, asn ORDER BY stratum
 """
 
 
+def events_user_max_drawdown(sf_dir: str):
+    """Peak-to-trough drawdown per user — the risk statistic: max over time
+    of (running max of value − current value), on the (ts, event_id)-ordered
+    cents series.  One np.maximum.accumulate per group; the oracle is the
+    same identity as a running-MAX window minus the row.  Exact integers."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def kernel(g: pa.Table) -> pa.Table:
+        s = g.take(
+            pc.sort_indices(
+                g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+            )
+        )
+        c = _cents(s["value"]).to_numpy(zero_copy_only=False)
+        dd = int((np.maximum.accumulate(c) - c).max())
+        return pa.table(
+            {
+                "user_id": pa.array([int(s["user_id"][0].as_py())], pa.int64()),
+                "n_events": pa.array([len(c)], pa.int64()),
+                "max_drawdown_cents": pa.array([dd], pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(kernel, batch_format="pyarrow").sort(
+        ["user_id"]
+    )
+
+
+EVENTS_USER_MAX_DRAWDOWN_SQL = """
+WITH c AS (
+  SELECT user_id, event_id, ts,
+         CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+r AS (
+  SELECT user_id,
+         MAX(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) - cents AS dd
+  FROM c)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(dd) AS BIGINT) AS max_drawdown_cents
+FROM r GROUP BY 1 ORDER BY 1
+"""
+
+
+def orders_interquartile_mean(sf_dir: str):
+    """Robust central tendency — the interquartile (25–75 trimmed) mean per
+    priority, reported as exact integers (count and sum of the mid values,
+    mean in floor cents): keep values v with p25 ≤ v ≤ p75 under the
+    quantile_disc sorted[ceil(q·n)−1] convention, so both engines trim the
+    IDENTICAL multiset."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderpriority", "o_totalprice"]
+    )
+
+    def kernel(g: pa.Table) -> pa.Table:
+        import math
+
+        c = np.sort(_cents(g["o_totalprice"]).to_numpy(zero_copy_only=False))
+        n = len(c)
+        p25 = int(c[max(int(math.ceil(0.25 * n)) - 1, 0)])
+        p75 = int(c[max(int(math.ceil(0.75 * n)) - 1, 0)])
+        mid = c[(c >= p25) & (c <= p75)]
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(
+                    [str(g["o_orderpriority"][0].as_py())], pa.string()
+                ),
+                "n_mid": pa.array([len(mid)], pa.int64()),
+                "sum_mid_cents": pa.array([int(mid.sum())], pa.int64()),
+                "iq_mean_cents": pa.array([int(mid.sum()) // len(mid)], pa.int64()),
+            }
+        )
+
+    return (
+        ds.groupby("o_orderpriority")
+        .map_groups(kernel, batch_format="pyarrow")
+        .sort(["o_orderpriority"])
+    )
+
+
+ORDERS_INTERQUARTILE_MEAN_SQL = """
+WITH c AS (
+  SELECT o_orderpriority, CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+  FROM orders),
+q AS (SELECT o_orderpriority,
+             CAST(quantile_disc(cents, 0.25) AS BIGINT) AS p25,
+             CAST(quantile_disc(cents, 0.75) AS BIGINT) AS p75
+      FROM c GROUP BY 1)
+SELECT c.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_mid,
+       CAST(SUM(cents) AS BIGINT) AS sum_mid_cents,
+       CAST(SUM(cents) // COUNT(*) AS BIGINT) AS iq_mean_cents
+FROM c JOIN q USING (o_orderpriority)
+WHERE cents >= p25 AND cents <= p75
+GROUP BY 1 ORDER BY 1
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -17315,6 +17414,8 @@ ORACLE_SQL: dict[str, str] = {
     "orders_single_day_ship_share": ORDERS_SINGLE_DAY_SHIP_SHARE_SQL,
     "events_top_sessions": EVENTS_TOP_SESSIONS_SQL,
     "lineitem_simpson_check": LINEITEM_SIMPSON_CHECK_SQL,
+    "events_user_max_drawdown": EVENTS_USER_MAX_DRAWDOWN_SQL,
+    "orders_interquartile_mean": ORDERS_INTERQUARTILE_MEAN_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -17670,6 +17771,8 @@ def registry() -> dict:
         "orders_single_day_ship_share": orders_single_day_ship_share,
         "events_top_sessions": events_top_sessions,
         "lineitem_simpson_check": lineitem_simpson_check,
+        "events_user_max_drawdown": events_user_max_drawdown,
+        "orders_interquartile_mean": orders_interquartile_mean,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
