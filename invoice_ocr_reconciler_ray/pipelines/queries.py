@@ -17280,6 +17280,161 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def lineitem_discount_monotonicity(sf_dir: str):
+    """Pricing-curve audit: mean quantity per discount level (0–10 %) and
+    whether each level BREAKS the expected deeper-discount → more-quantity
+    monotonicity vs the previous level — the comparison is the integer
+    cross-multiply sum₍d₎·n₍d₋₁₎ > sum₍d₋₁₎·n₍d₎, so adjacent-mean ordering
+    never touches a float.  O(11) cells from block partials."""
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_discount", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lvl = pc.cast(
+            pc.floor(pc.add(pc.multiply(t["l_discount"], 100.0), 0.5)), pa.int64()
+        )
+        q = pc.cast(pc.floor(pc.add(t["l_quantity"], 0.5)), pa.int64())
+        tb = pa.table(
+            {"disc_pct": lvl, "n": pa.array(np.ones(t.num_rows, np.int64)), "q": q}
+        )
+        return tb.group_by("disc_pct").aggregate(
+            [("n", "sum"), ("q", "sum")]
+        ).rename_columns(["disc_pct", "n", "q"])
+
+    g = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("disc_pct")
+        .aggregate(Sum("n", alias_name="n"), Sum("q", alias_name="sum_qty"))
+        .to_pandas()
+        .sort_values("disc_pct", kind="mergesort")
+    )
+    n = g["n"].to_numpy().astype(np.int64)
+    sq = g["sum_qty"].to_numpy().astype(np.int64)
+    dec = np.zeros(len(n), bool)
+    dec[1:] = sq[1:] * n[:-1] < sq[:-1] * n[1:]
+    return pa.table(
+        {
+            "disc_pct": pa.array(g["disc_pct"].to_numpy().astype(np.int64)),
+            "n": pa.array(n, pa.int64()),
+            "sum_qty": pa.array(sq, pa.int64()),
+            "mean_qty_milli": pa.array(sq * 1000 // n, pa.int64()),
+            "decreasing_vs_prev": pa.array(dec),
+        }
+    )
+
+
+LINEITEM_DISCOUNT_MONOTONICITY_SQL = """
+WITH c AS (
+  SELECT CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT) AS disc_pct,
+         CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS q
+  FROM lineitem),
+g AS (SELECT disc_pct, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(q) AS BIGINT) AS sum_qty
+      FROM c GROUP BY 1),
+w AS (
+  SELECT disc_pct, n, sum_qty,
+         lag(n) OVER (ORDER BY disc_pct) AS pn,
+         lag(sum_qty) OVER (ORDER BY disc_pct) AS ps
+  FROM g)
+SELECT disc_pct, n, sum_qty,
+       CAST(sum_qty * 1000 // n AS BIGINT) AS mean_qty_milli,
+       COALESCE(sum_qty * pn < ps * n, FALSE) AS decreasing_vs_prev
+FROM w ORDER BY disc_pct
+"""
+
+
+def events_type_cross_correlation(sf_dir: str):
+    """Cross-type Pearson correlation matrix of hourly arrival series over
+    the GLOBAL hour grid (zeros where a type is silent — the common-clock
+    alignment cross-correlation requires): the co-movement screen behind
+    metric-causality hunting.  Cells reduce to O(types·hours) block
+    partials; all pair sums are exact int64 and r is ONE fixed IEEE
+    expression per pair (the lag-24 autocorrelation discipline)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        tb = pa.table(
+            {
+                "typ": t["event_type"],
+                "hour": pa.array(ts // 3_600_000_000, pa.int64()),
+                "n": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        return tb.group_by(["typ", "hour"]).aggregate([("n", "sum")]).rename_columns(
+            ["typ", "hour", "n"]
+        )
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["typ", "hour"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    lo, hi = int(cells.hour.min()), int(cells.hour.max())
+    H = hi - lo + 1
+    types = sorted(cells.typ.unique())
+    series = {}
+    for tname in types:
+        sub = cells[cells.typ == tname]
+        dense = np.zeros(H, np.int64)
+        dense[sub.hour.to_numpy() - lo] = sub.n.to_numpy()
+        series[tname] = dense
+    import math
+
+    ta, tb_, rs = [], [], []
+    for i, a in enumerate(types):
+        x = series[a]
+        sx, sxx = int(x.sum()), int((x * x).sum())
+        for b in types[i + 1 :]:
+            y = series[b]
+            sy, syy = int(y.sum()), int((y * y).sum())
+            sxy = int((x * y).sum())
+            vx, vy = H * sxx - sx * sx, H * syy - sy * sy
+            if vx <= 0 or vy <= 0:
+                continue
+            r = float(H * sxy - sx * sy) / math.sqrt(float(vx) * float(vy))
+            ta.append(a)
+            tb_.append(b)
+            rs.append(r)
+    return pa.table(
+        {
+            "type_a": pa.array(ta, pa.string()),
+            "type_b": pa.array(tb_, pa.string()),
+            "n_hours": pa.array([H] * len(rs), pa.int64()),
+            "r": pa.array(rs, pa.float64()),
+        }
+    )
+
+
+EVENTS_TYPE_CROSS_CORRELATION_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+b AS (SELECT MIN(hour) AS mn, MAX(hour) AS mx FROM c),
+ty AS (SELECT DISTINCT event_type FROM c),
+g AS (SELECT event_type, CAST(unnest(range(mn, mx + 1)) AS BIGINT) AS hour
+      FROM ty, b),
+f AS (SELECT g.event_type, g.hour, COALESCE(c.n, 0) AS n
+      FROM g LEFT JOIN c USING (event_type, hour)),
+p AS (
+  SELECT a.event_type AS type_a, x.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS h,
+         CAST(SUM(a.n) AS BIGINT) AS sx, CAST(SUM(x.n) AS BIGINT) AS sy,
+         CAST(SUM(a.n * x.n) AS BIGINT) AS sxy,
+         CAST(SUM(a.n * a.n) AS BIGINT) AS sxx,
+         CAST(SUM(x.n * x.n) AS BIGINT) AS syy
+  FROM f a JOIN f x ON a.hour = x.hour AND a.event_type < x.event_type
+  GROUP BY 1, 2)
+SELECT type_a, type_b, h AS n_hours,
+       CAST(h*sxy - sx*sy AS DOUBLE)
+         / sqrt(CAST(h*sxx - sx*sx AS DOUBLE) * CAST(h*syy - sy*sy AS DOUBLE))
+         AS r
+FROM p WHERE h*sxx - sx*sx > 0 AND h*syy - sy*sy > 0
+ORDER BY type_a, type_b
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -17416,6 +17571,8 @@ ORACLE_SQL: dict[str, str] = {
     "lineitem_simpson_check": LINEITEM_SIMPSON_CHECK_SQL,
     "events_user_max_drawdown": EVENTS_USER_MAX_DRAWDOWN_SQL,
     "orders_interquartile_mean": ORDERS_INTERQUARTILE_MEAN_SQL,
+    "lineitem_discount_monotonicity": LINEITEM_DISCOUNT_MONOTONICITY_SQL,
+    "events_type_cross_correlation": EVENTS_TYPE_CROSS_CORRELATION_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -17773,6 +17930,8 @@ def registry() -> dict:
         "lineitem_simpson_check": lineitem_simpson_check,
         "events_user_max_drawdown": events_user_max_drawdown,
         "orders_interquartile_mean": orders_interquartile_mean,
+        "lineitem_discount_monotonicity": lineitem_discount_monotonicity,
+        "events_type_cross_correlation": events_type_cross_correlation,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
