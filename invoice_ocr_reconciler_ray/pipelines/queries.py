@@ -17435,6 +17435,250 @@ ORDER BY type_a, type_b
 """
 
 
+def events_transition_latency(sf_dir: str):
+    """Transition TIMING (the transition-count matrix's missing half): for
+    every adjacent type pair in each user's (ts, event_id) stream, the gap;
+    reported per (from, to) as count and lower-median microseconds.  Pairs
+    explode in per-user kernels (two shifted takes), then co-partition by
+    the pair for the median — the shuffle carries (pair, gap) only."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    _empty = pa.table(
+        {
+            "from_type": pa.array([], pa.string()),
+            "to_type": pa.array([], pa.string()),
+            "gap_us": pa.array([], pa.int64()),
+        }
+    )
+
+    def explode(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return _empty
+        s = g.take(
+            pc.sort_indices(
+                g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+            )
+        )
+        ts = s["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        types = s["event_type"].combine_chunks()
+        n = len(ts)
+        return pa.table(
+            {
+                "from_type": types.slice(0, n - 1),
+                "to_type": types.slice(1, n - 1),
+                "gap_us": pa.array(np.diff(ts), pa.int64()),
+            }
+        )
+
+    pairs = ds.groupby("user_id").map_groups(explode, batch_format="pyarrow")
+
+    def med(g: pa.Table) -> pa.Table:
+        gaps = np.sort(g["gap_us"].combine_chunks().to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "from_type": pa.array([str(g["from_type"][0].as_py())], pa.string()),
+                "to_type": pa.array([str(g["to_type"][0].as_py())], pa.string()),
+                "n": pa.array([len(gaps)], pa.int64()),
+                "median_gap_us": pa.array(
+                    [int(gaps[(len(gaps) - 1) // 2])], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        pairs.groupby(["from_type", "to_type"])
+        .map_groups(med, batch_format="pyarrow")
+        .sort(["from_type", "to_type"])
+    )
+
+
+EVENTS_TRANSITION_LATENCY_SQL = """
+WITH s AS (
+  SELECT user_id, event_type AS from_type, epoch_us(ts) AS t,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS to_type,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS nt
+  FROM events)
+SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(quantile_disc(nt - t, 0.5) AS BIGINT) AS median_gap_us
+FROM s WHERE to_type IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def events_new_vs_returning_dau(sf_dir: str):
+    """New-vs-returning daily actives — the growth-accounting curve: per
+    day, how many active users saw their FIRST-ever activity that day vs
+    returned.  Distinct (user, day) pairs and per-user first days are two
+    keyed reductions; the day cells fold exactly in integers."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return (
+            pa.table(
+                {
+                    "user_id": t["user_id"],
+                    "day": pa.array(ts // 86_400_000_000, pa.int64()),
+                }
+            )
+            .group_by(["user_id", "day"])
+            .aggregate([])
+        )
+
+    pd_pairs = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .aggregate(Count(alias_name="_c"))
+        .materialize()
+    )
+    firsts = (
+        pd_pairs.groupby("user_id")
+        .aggregate(Min("day", alias_name="first_day"))
+        .to_pandas()
+    )
+    first_map = dict(zip(firsts.user_id.astype(int), firsts.first_day.astype(int)))
+    fref = ray.put(first_map)
+
+    def cells(t: pa.Table) -> pa.Table:
+        fm = ray.get(fref)
+        uid = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        day = t["day"].combine_chunks().to_numpy(zero_copy_only=False)
+        fd = np.array([fm[int(u)] for u in uid], np.int64)
+        is_new = (day == fd).astype(np.int64)
+        return (
+            pa.table(
+                {
+                    "day": pa.array(day, pa.int64()),
+                    "new_users": pa.array(is_new, pa.int64()),
+                    "returning": pa.array(1 - is_new, pa.int64()),
+                }
+            )
+            .group_by("day")
+            .aggregate([("new_users", "sum"), ("returning", "sum")])
+            .rename_columns(["day", "new_users", "returning"])
+        )
+
+    g = (
+        pd_pairs.map_batches(cells, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(
+            Sum("new_users", alias_name="new_users"),
+            Sum("returning", alias_name="returning"),
+        )
+        .to_pandas()
+        .sort_values("day", kind="mergesort")
+    )
+    return pa.table(
+        {
+            "day": pa.array(g["day"].to_numpy().astype(np.int64)),
+            "new_users": pa.array(g["new_users"].to_numpy().astype(np.int64)),
+            "returning": pa.array(g["returning"].to_numpy().astype(np.int64)),
+        }
+    )
+
+
+EVENTS_NEW_VS_RETURNING_DAU_SQL = """
+WITH p AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+f AS (SELECT user_id, MIN(day) AS first_day FROM p GROUP BY 1)
+SELECT CAST(day AS BIGINT) AS day,
+       CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+         AS new_users,
+       CAST(SUM(CASE WHEN day <> first_day THEN 1 ELSE 0 END) AS BIGINT)
+         AS returning
+FROM p JOIN f USING (user_id)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def docs_source_tf_cosine(sf_dir: str):
+    """Corpus-slice similarity — cosine between the term-frequency vectors
+    of every source pair (the mixture-collapse check before blending data
+    sources): per-(source, term) counts via block partials; the dot/norm
+    sums are exact int64 over the O(vocab)-bounded vectors, and cosine =
+    sxy / sqrt(sxx·syy) is ONE fixed IEEE expression per pair."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), pattern=r"[^a-z0-9]+")
+        col = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = col.flatten()
+        parent = pc.list_parent_indices(col)
+        src = pc.take(t["source"], parent)
+        tb = pa.table({"source": src, "term": flat}).filter(
+            pc.and_(pc.is_valid(flat), pc.not_equal(flat, ""))
+        )
+        return tb.group_by(["source", "term"]).aggregate([("term", "count")]).rename_columns(
+            ["source", "term", "n"]
+        )
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "term"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    sources = sorted(cells.source.unique())
+    terms = sorted(cells.term.unique())
+    tix = {t: i for i, t in enumerate(terms)}
+    vecs = {}
+    for s in sources:
+        v = np.zeros(len(terms), np.int64)
+        sub = cells[cells.source == s]
+        v[[tix[t] for t in sub.term]] = sub.n.to_numpy()
+        vecs[s] = v
+    import math
+
+    sa, sb, cos = [], [], []
+    for i, a in enumerate(sources):
+        x = vecs[a]
+        sxx = int((x * x).sum())
+        for b in sources[i + 1 :]:
+            y = vecs[b]
+            syy = int((y * y).sum())
+            sxy = int((x * y).sum())
+            # sxy == 0 ⟺ no shared term — the oracle's inner join drops
+            # such pairs, so the engine does too
+            if sxx == 0 or syy == 0 or sxy == 0:
+                continue
+            sa.append(a)
+            sb.append(b)
+            cos.append(float(sxy) / math.sqrt(float(sxx) * float(syy)))
+    return pa.table(
+        {
+            "source_a": pa.array(sa, pa.string()),
+            "source_b": pa.array(sb, pa.string()),
+            "cosine": pa.array(cos, pa.float64()),
+        }
+    )
+
+
+DOCS_SOURCE_TF_COSINE_SQL = """
+WITH tk AS (
+  SELECT source,
+         unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents),
+c AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tk WHERE term <> '' GROUP BY 1, 2),
+p AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(SUM(a.n * b.n) AS BIGINT) AS sxy
+  FROM c a JOIN c b ON a.term = b.term AND a.source < b.source
+  GROUP BY 1, 2),
+nrm AS (SELECT source, CAST(SUM(n * n) AS BIGINT) AS ss FROM c GROUP BY 1)
+SELECT source_a, source_b,
+       CAST(sxy AS DOUBLE) / sqrt(CAST(na.ss AS DOUBLE) * CAST(nb.ss AS DOUBLE))
+         AS cosine
+FROM p JOIN nrm na ON p.source_a = na.source
+       JOIN nrm nb ON p.source_b = nb.source
+WHERE na.ss > 0 AND nb.ss > 0
+ORDER BY source_a, source_b
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -17573,6 +17817,9 @@ ORACLE_SQL: dict[str, str] = {
     "orders_interquartile_mean": ORDERS_INTERQUARTILE_MEAN_SQL,
     "lineitem_discount_monotonicity": LINEITEM_DISCOUNT_MONOTONICITY_SQL,
     "events_type_cross_correlation": EVENTS_TYPE_CROSS_CORRELATION_SQL,
+    "events_transition_latency": EVENTS_TRANSITION_LATENCY_SQL,
+    "events_new_vs_returning_dau": EVENTS_NEW_VS_RETURNING_DAU_SQL,
+    "docs_source_tf_cosine": DOCS_SOURCE_TF_COSINE_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -17932,6 +18179,9 @@ def registry() -> dict:
         "orders_interquartile_mean": orders_interquartile_mean,
         "lineitem_discount_monotonicity": lineitem_discount_monotonicity,
         "events_type_cross_correlation": events_type_cross_correlation,
+        "events_transition_latency": events_transition_latency,
+        "events_new_vs_returning_dau": events_new_vs_returning_dau,
+        "docs_source_tf_cosine": docs_source_tf_cosine,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
