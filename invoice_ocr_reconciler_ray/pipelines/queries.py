@@ -17679,6 +17679,208 @@ ORDER BY source_a, source_b
 """
 
 
+def customer_ltv_matrix(sf_dir: str):
+    """Cohort LTV triangle — the revenue companion of the retention matrix:
+    customers cohorted by FIRST-order year; each cohort's revenue at
+    order-age offset k (years since first order), plus the running
+    cumulative within the cohort.  Per-customer first year via a keyed Min,
+    one 8-partition join back to orders, O(cohorts·offsets) cells, exact
+    cents; the cumulative folds on the tiny driver table."""
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "ck": t["o_custkey"],
+                "yr": pc.year(t["o_orderdate"]).cast(pa.int64()),
+                "cents": _cents(t["o_totalprice"]),
+            }
+        )
+
+    o = orders.map_batches(prep, batch_format="pyarrow").materialize()
+    firsts = o.groupby("ck").aggregate(Min("yr", alias_name="cohort_yr"))
+    joined = o.join(
+        firsts, join_type="inner", num_partitions=8, on=("ck",), right_on=("ck",)
+    )
+
+    def cells(t: pa.Table) -> pa.Table:
+        yr = t["yr"].combine_chunks().to_numpy(zero_copy_only=False)
+        cy = t["cohort_yr"].combine_chunks().to_numpy(zero_copy_only=False)
+        return (
+            pa.table(
+                {
+                    "cohort_yr": pa.array(cy, pa.int64()),
+                    "k": pa.array(yr - cy, pa.int64()),
+                    "cents": t["cents"],
+                }
+            )
+            .group_by(["cohort_yr", "k"])
+            .aggregate([("cents", "sum")])
+            .rename_columns(["cohort_yr", "k", "cents"])
+        )
+
+    g = (
+        joined.map_batches(cells, batch_format="pyarrow")
+        .groupby(["cohort_yr", "k"])
+        .aggregate(Sum("cents", alias_name="rev_cents"))
+        .to_pandas()
+        .sort_values(["cohort_yr", "k"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    rev = g["rev_cents"].to_numpy().astype(np.int64)
+    cum = np.empty(len(rev), np.int64)
+    run, last = 0, None
+    for i in range(len(rev)):  # O(cohorts·offsets) driver fold
+        c = int(g["cohort_yr"].iloc[i])
+        if c != last:
+            run, last = 0, c
+        run += rev[i]
+        cum[i] = run
+    return pa.table(
+        {
+            "cohort_yr": pa.array(g["cohort_yr"].to_numpy().astype(np.int64)),
+            "k": pa.array(g["k"].to_numpy().astype(np.int64)),
+            "rev_cents": pa.array(rev, pa.int64()),
+            "cum_rev_cents": pa.array(cum, pa.int64()),
+        }
+    )
+
+
+CUSTOMER_LTV_MATRIX_SQL = """
+WITH o AS (
+  SELECT o_custkey AS ck, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+         CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+  FROM orders),
+f AS (SELECT ck, MIN(yr) AS cohort_yr FROM o GROUP BY 1),
+c AS (
+  SELECT cohort_yr, yr - cohort_yr AS k,
+         CAST(SUM(cents) AS BIGINT) AS rev_cents
+  FROM o JOIN f USING (ck) GROUP BY 1, 2)
+SELECT cohort_yr, CAST(k AS BIGINT) AS k, rev_cents,
+       CAST(SUM(rev_cents) OVER (PARTITION BY cohort_yr ORDER BY k
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_rev_cents
+FROM c ORDER BY cohort_yr, k
+"""
+
+
+def events_multigrain_counts(sf_dir: str):
+    """Multi-granularity rollup — day, ISO-week and month counts UNIONed
+    into one grain-tagged table (the time-hierarchy pre-aggregation a
+    dashboard layer reads instead of re-scanning facts).  Three block-
+    partial groupbys over ONE pass each; bucket encodings are integers
+    (epoch-day / isoyear·100+week / year·100+month)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"]
+        us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // 86_400_000_000
+        iso = (
+            pc.iso_year(ts).cast(pa.int64()).to_numpy(zero_copy_only=False) * 100
+            + pc.iso_week(ts).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        ym = (
+            pc.year(ts).cast(pa.int64()).to_numpy(zero_copy_only=False) * 100
+            + pc.month(ts).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        n = t.num_rows
+        tb = pa.table(
+            {
+                "grain": pa.array(
+                    ["day"] * n + ["week"] * n + ["month"] * n, pa.string()
+                ),
+                "bucket": pa.array(np.concatenate([day, iso, ym]), pa.int64()),
+                "n": pa.array(np.ones(3 * n, np.int64)),
+            }
+        )
+        return tb.group_by(["grain", "bucket"]).aggregate([("n", "sum")]).rename_columns(
+            ["grain", "bucket", "n"]
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["grain", "bucket"])
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["grain", "bucket"])
+    )
+
+
+EVENTS_MULTIGRAIN_COUNTS_SQL = """
+SELECT 'day' AS grain, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 2
+UNION ALL
+SELECT 'week', CAST(isoyear(ts) * 100 + week(ts) AS BIGINT), CAST(COUNT(*) AS BIGINT)
+FROM events GROUP BY 2
+UNION ALL
+SELECT 'month', CAST(EXTRACT(year FROM ts) * 100 + EXTRACT(month FROM ts) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT)
+FROM events GROUP BY 2
+ORDER BY grain, bucket
+"""
+
+
+def docs_source_lang_purity(sf_dir: str):
+    """Slice purity — per source, the dominant language and its ppm share
+    (the mixture-collapse guard before treating a source as monolingual):
+    (source, lang) cells via block partials; the per-source argmax (count
+    desc, lang asc tie order) and integer share fold on the tiny driver
+    table."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["source", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tb = pa.table(
+            {
+                "source": t["source"],
+                "lang": t["lang"],
+                "n": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        return tb.group_by(["source", "lang"]).aggregate([("n", "sum")]).rename_columns(
+            ["source", "lang", "n"]
+        )
+
+    g = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["source", "n", "lang"], ascending=[True, False, True], kind="mergesort")
+    )
+    rows = []
+    for src, sub in g.groupby("source", sort=True):
+        total = int(sub.n.sum())
+        top = sub.iloc[0]
+        rows.append((src, total, str(top.lang), int(top.n) * 1_000_000 // total))
+    return pa.table(
+        {
+            "source": pa.array([r[0] for r in rows], pa.string()),
+            "n_docs": pa.array([r[1] for r in rows], pa.int64()),
+            "top_lang": pa.array([r[2] for r in rows], pa.string()),
+            "purity_ppm": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+DOCS_SOURCE_LANG_PURITY_SQL = """
+WITH c AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2),
+t AS (SELECT source, SUM(n) AS n_docs FROM c GROUP BY 1),
+r AS (
+  SELECT source, lang, n,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, lang) AS rk
+  FROM c)
+SELECT r.source, CAST(t.n_docs AS BIGINT) AS n_docs, r.lang AS top_lang,
+       CAST(r.n * 1000000 // t.n_docs AS BIGINT) AS purity_ppm
+FROM r JOIN t USING (source) WHERE rk = 1
+ORDER BY r.source
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -17820,6 +18022,9 @@ ORACLE_SQL: dict[str, str] = {
     "events_transition_latency": EVENTS_TRANSITION_LATENCY_SQL,
     "events_new_vs_returning_dau": EVENTS_NEW_VS_RETURNING_DAU_SQL,
     "docs_source_tf_cosine": DOCS_SOURCE_TF_COSINE_SQL,
+    "customer_ltv_matrix": CUSTOMER_LTV_MATRIX_SQL,
+    "events_multigrain_counts": EVENTS_MULTIGRAIN_COUNTS_SQL,
+    "docs_source_lang_purity": DOCS_SOURCE_LANG_PURITY_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -18182,6 +18387,9 @@ def registry() -> dict:
         "events_transition_latency": events_transition_latency,
         "events_new_vs_returning_dau": events_new_vs_returning_dau,
         "docs_source_tf_cosine": docs_source_tf_cosine,
+        "customer_ltv_matrix": customer_ltv_matrix,
+        "events_multigrain_counts": events_multigrain_counts,
+        "docs_source_lang_purity": docs_source_lang_purity,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
