@@ -17881,6 +17881,141 @@ ORDER BY r.source
 """
 
 
+def docs_top_term_per_doc(sf_dir: str):
+    """Per-document dominant term — the row-level argmax (count desc, term
+    asc) with its ppm share of the doc's tokens: the keyword-label a naive
+    tagger assigns.  All inside ONE block pass: per-(doc, term) Arrow
+    group_by, then a lexsort argmax per doc — documents never straddle
+    blocks, so block-local argmax IS global; zero shuffle."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), pattern=r"[^a-z0-9]+")
+        col = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = col.flatten()
+        parent = pc.list_parent_indices(col)
+        ids = pc.take(t["doc_id"], parent)
+        tb = pa.table({"doc_id": ids, "term": flat}).filter(
+            pc.and_(pc.is_valid(flat), pc.not_equal(flat, ""))
+        )
+        g = tb.group_by(["doc_id", "term"]).aggregate([("term", "count")]).rename_columns(
+            ["doc_id", "term", "n"]
+        )
+        did = g["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        terms = g["term"].combine_chunks()
+        codes = terms.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        # rank within doc: sort (doc, -n, term) and take first per doc —
+        # term tie order needs the STRING order, so sort by encoded term's
+        # lexical rank: build it from the dictionary
+        dic = terms.dictionary_encode().dictionary.to_pylist()
+        lex = np.argsort(np.argsort(np.array(dic, dtype=object)))
+        order = np.lexsort((lex[codes], -n, did))
+        sdid = did[order]
+        first = np.r_[True, sdid[1:] != sdid[:-1]]
+        sel = order[first]
+        totals = np.bincount(did[np.arange(len(did))], weights=n).astype(np.int64)
+        top_n = n[sel]
+        docs = did[sel]
+        return pa.table(
+            {
+                "doc_id": pa.array(docs, pa.int64()),
+                "top_term": terms.take(pa.array(sel)),
+                "n": pa.array(top_n, pa.int64()),
+                "share_ppm": pa.array(
+                    top_n * 1_000_000 // totals[docs], pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+DOCS_TOP_TERM_PER_DOC_SQL = """
+WITH tk AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents),
+c AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tk WHERE term <> '' GROUP BY 1, 2),
+t AS (SELECT doc_id, SUM(n) AS total FROM c GROUP BY 1),
+r AS (SELECT doc_id, term, n,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, term) AS rk
+      FROM c)
+SELECT r.doc_id, r.term AS top_term, r.n,
+       CAST(r.n * 1000000 // t.total AS BIGINT) AS share_ppm
+FROM r JOIN t USING (doc_id) WHERE rk = 1
+"""
+
+
+def events_value_histogram_by_type(sf_dir: str):
+    """Faceted histogram — 10 equal-width bins with GLOBAL [min, max] edges
+    shared across all types (facets are only comparable when the bins are):
+    edge math is the integer (v − lo)·10 // span clamped to bin 9, cells
+    are block partials, and the zero-filled (type × bin) grid comes from a
+    driver cross of the two tiny domains."""
+    mm_ds = rd.read_parquet(_t(sf_dir, "events"), columns=["value"]).map_batches(
+        lambda t: pa.table({"cents": _cents(t["value"])}), batch_format="pyarrow"
+    )
+    lo, hi = int(mm_ds.min("cents")), int(mm_ds.max("cents"))
+    span = max(hi - lo + 1, 1)
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = _cents(t["value"]).to_numpy(zero_copy_only=False)
+        b = np.minimum((c - lo) * 10 // span, 9)
+        tb = pa.table(
+            {
+                "event_type": t["event_type"],
+                "bin": pa.array(b, pa.int64()),
+                "n": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        return tb.group_by(["event_type", "bin"]).aggregate([("n", "sum")]).rename_columns(
+            ["event_type", "bin", "n"]
+        )
+
+    g = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "bin"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    types = sorted(g.event_type.unique())
+    have = {(r.event_type, int(r.bin)): int(r.n) for r in g.itertuples()}
+    et, bn, nn = [], [], []
+    for tname in types:
+        for b in range(10):
+            et.append(tname)
+            bn.append(b)
+            nn.append(have.get((tname, b), 0))
+    return pa.table(
+        {
+            "event_type": pa.array(et, pa.string()),
+            "bin": pa.array(bn, pa.int64()),
+            "n": pa.array(nn, pa.int64()),
+        }
+    )
+
+
+EVENTS_VALUE_HISTOGRAM_BY_TYPE_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+b AS (SELECT MIN(cents) AS lo,
+             GREATEST(MAX(cents) - MIN(cents) + 1, 1) AS span FROM c),
+h AS (
+  SELECT event_type, LEAST((cents - lo) * 10 // span, 9) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM c, b GROUP BY 1, 2),
+ty AS (SELECT DISTINCT event_type FROM c),
+grid AS (SELECT event_type, CAST(unnest(range(0, 10)) AS BIGINT) AS bin FROM ty)
+SELECT grid.event_type, grid.bin, CAST(COALESCE(h.n, 0) AS BIGINT) AS n
+FROM grid LEFT JOIN h USING (event_type, bin)
+ORDER BY grid.event_type, grid.bin
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -18025,6 +18160,8 @@ ORACLE_SQL: dict[str, str] = {
     "customer_ltv_matrix": CUSTOMER_LTV_MATRIX_SQL,
     "events_multigrain_counts": EVENTS_MULTIGRAIN_COUNTS_SQL,
     "docs_source_lang_purity": DOCS_SOURCE_LANG_PURITY_SQL,
+    "docs_top_term_per_doc": DOCS_TOP_TERM_PER_DOC_SQL,
+    "events_value_histogram_by_type": EVENTS_VALUE_HISTOGRAM_BY_TYPE_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -18390,6 +18527,8 @@ def registry() -> dict:
         "customer_ltv_matrix": customer_ltv_matrix,
         "events_multigrain_counts": events_multigrain_counts,
         "docs_source_lang_purity": docs_source_lang_purity,
+        "docs_top_term_per_doc": docs_top_term_per_doc,
+        "events_value_histogram_by_type": events_value_histogram_by_type,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
