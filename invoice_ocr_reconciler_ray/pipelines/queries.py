@@ -18016,6 +18016,118 @@ ORDER BY grid.event_type, grid.bin
 """
 
 
+def orders_top_prices_with_ties(sf_dir: str):
+    """FETCH FIRST … WITH TIES semantics — the top-5 DISTINCT price levels
+    keep every order at those levels (RANK() ≤ 5, not row_number): per-block
+    top-5-distinct-value partials are a LOSSLESS prune (global top-5 values
+    ⊆ union of block top-5s), the 5 winning levels broadcast back, and the
+    membership filter streams.  Unlike LIMIT, the result size is
+    data-dependent — that's the point of WITH TIES."""
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
+
+    def block_top(t: pa.Table) -> pa.Table:
+        c = np.unique(_cents(t["o_totalprice"]).to_numpy(zero_copy_only=False))
+        return pa.table({"cents": pa.array(c[-5:][::-1].copy(), pa.int64())})
+
+    tops = (
+        ds.map_batches(block_top, batch_format="pyarrow")
+        .groupby("cents")
+        .aggregate(Count(alias_name="_c"))
+        .to_pandas()
+    )
+    top5 = np.sort(tops["cents"].to_numpy().astype(np.int64))[-5:]
+    tref = ray.put(pa.array(top5, pa.int64()))
+
+    def keep(t: pa.Table) -> pa.Table:
+        c = _cents(t["o_totalprice"])
+        f = t.filter(pc.is_in(c, value_set=ray.get(tref)))
+        cf = _cents(f["o_totalprice"]).to_numpy(zero_copy_only=False)
+        lv = np.sort(np.asarray(ray.get(tref)))[::-1]
+        rank = np.searchsorted(-lv, -cf) + 1
+        return pa.table(
+            {
+                "o_orderkey": f["o_orderkey"],
+                "price_cents": pa.array(cf, pa.int64()),
+                "price_rank": pa.array(rank, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+ORDERS_TOP_PRICES_WITH_TIES_SQL = """
+WITH c AS (
+  SELECT o_orderkey, CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS price_cents
+  FROM orders),
+r AS (SELECT o_orderkey, price_cents,
+             CAST(DENSE_RANK() OVER (ORDER BY price_cents DESC) AS BIGINT)
+               AS price_rank
+      FROM c)
+SELECT o_orderkey, price_cents, price_rank
+FROM r WHERE price_rank <= 5
+"""
+
+
+def events_peak_4h_window(sf_dir: str):
+    """Circular sliding window — the wrap-around best 4-hour-of-day band
+    (23:00–03:00 is a real window; a linear frame can't see it): hour-of-day
+    counts reduce to 24 cells, the 24 wrapped 4-sums fold on the driver,
+    ties resolve to the smallest start hour.  The oracle mirrors the wrap
+    with a modulo join."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hod = (us // 3_600_000_000) % 24
+        return pa.table(
+            {
+                "hod": pa.array(hod, pa.int64()),
+                "n": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        ).group_by("hod").aggregate([("n", "sum")]).rename_columns(["hod", "n"])
+
+    g = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("hod")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    counts = np.zeros(24, np.int64)
+    counts[g["hod"].to_numpy().astype(int)] = g["n"].to_numpy().astype(np.int64)
+    wrapped = np.concatenate([counts, counts[:3]])
+    sums = np.array(
+        [int(wrapped[s : s + 4].sum()) for s in range(24)], np.int64
+    )
+    best = int(np.argmax(sums))
+    return pa.table(
+        {
+            "start_hod": pa.array([best], pa.int64()),
+            "window_n": pa.array([int(sums[best])], pa.int64()),
+            "total_n": pa.array([int(counts.sum())], pa.int64()),
+        }
+    )
+
+
+EVENTS_PEAK_4H_WINDOW_SQL = """
+WITH h AS (
+  SELECT CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hod,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1),
+grid AS (SELECT CAST(unnest(range(0, 24)) AS BIGINT) AS hod),
+f AS (SELECT grid.hod, COALESCE(h.n, 0) AS n FROM grid LEFT JOIN h USING (hod)),
+w AS (
+  SELECT s.hod AS start_hod, SUM(f.n) AS window_n
+  FROM grid s JOIN f ON f.hod IN ((s.hod) % 24, (s.hod + 1) % 24,
+                                  (s.hod + 2) % 24, (s.hod + 3) % 24)
+  GROUP BY 1)
+SELECT CAST((SELECT start_hod FROM w ORDER BY window_n DESC, start_hod LIMIT 1)
+            AS BIGINT) AS start_hod,
+       CAST((SELECT window_n FROM w ORDER BY window_n DESC, start_hod LIMIT 1)
+            AS BIGINT) AS window_n,
+       (SELECT CAST(SUM(n) AS BIGINT) FROM f) AS total_n
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -18162,6 +18274,8 @@ ORACLE_SQL: dict[str, str] = {
     "docs_source_lang_purity": DOCS_SOURCE_LANG_PURITY_SQL,
     "docs_top_term_per_doc": DOCS_TOP_TERM_PER_DOC_SQL,
     "events_value_histogram_by_type": EVENTS_VALUE_HISTOGRAM_BY_TYPE_SQL,
+    "orders_top_prices_with_ties": ORDERS_TOP_PRICES_WITH_TIES_SQL,
+    "events_peak_4h_window": EVENTS_PEAK_4H_WINDOW_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -18529,6 +18643,8 @@ def registry() -> dict:
         "docs_source_lang_purity": docs_source_lang_purity,
         "docs_top_term_per_doc": docs_top_term_per_doc,
         "events_value_histogram_by_type": events_value_histogram_by_type,
+        "orders_top_prices_with_ties": orders_top_prices_with_ties,
+        "events_peak_4h_window": events_peak_4h_window,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
