@@ -18128,6 +18128,170 @@ SELECT CAST((SELECT start_hod FROM w ORDER BY window_n DESC, start_hod LIMIT 1)
 """
 
 
+def customer_winback_by_year(sf_dir: str):
+    """Win-back detection — reactivations after ≥2 years of silence: per
+    order year, how many orders arrived ≥730 days after the same customer's
+    previous order.  Per-customer sorted diffs in the group kernel; the
+    year cells fold exactly."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    _empty = pa.table({"yr": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
+
+    def kernel(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return _empty
+        s = g.take(
+            pc.sort_indices(
+                g,
+                sort_keys=[("o_orderdate", "ascending"), ("o_orderkey", "ascending")],
+            )
+        )
+        ts = s["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = ts // 86_400_000_000
+        gap = np.diff(day)
+        hit = np.flatnonzero(gap >= 730) + 1
+        if not len(hit):
+            return _empty
+        yr = pc.year(s["o_orderdate"]).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        vals, cnts = np.unique(yr[hit], return_counts=True)
+        return pa.table(
+            {
+                "yr": pa.array(vals, pa.int64()),
+                "n": pa.array(cnts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.groupby("o_custkey")
+        .map_groups(kernel, batch_format="pyarrow")
+        .groupby("yr")
+        .aggregate(Sum("n", alias_name="n_winbacks"))
+        .sort(["yr"])
+    )
+
+
+CUSTOMER_WINBACK_BY_YEAR_SQL = """
+WITH s AS (
+  SELECT o_custkey, o_orderdate,
+         epoch_us(o_orderdate) // 86400000000 AS dy,
+         lag(epoch_us(o_orderdate) // 86400000000) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS pdy
+  FROM orders)
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+       CAST(COUNT(*) AS BIGINT) AS n_winbacks
+FROM s WHERE pdy IS NOT NULL AND dy - pdy >= 730
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def orders_supplier_fanout_hist(sf_dir: str):
+    """Order coordination cost — the distinct-suppliers-per-order histogram
+    (how many orders need k suppliers): block-local DISTINCT (order,
+    supplier) partials → per-order distinct count → O(distinct fanouts)
+    histogram.  Two cascaded tiny groupbys after the distinct reduction."""
+    li = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_orderkey", "l_suppkey"])
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        return (
+            pa.table({"ok": t["l_orderkey"], "sk": t["l_suppkey"]})
+            .group_by(["ok", "sk"])
+            .aggregate([])
+        )
+
+    per_order = (
+        li.map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby(["ok", "sk"])
+        .aggregate(Count(alias_name="_c"))
+        .map_batches(
+            lambda t: pa.table(
+                {"ok": t["ok"], "n": pa.array(np.ones(t.num_rows, np.int64))}
+            )
+            .group_by("ok")
+            .aggregate([("n", "sum")])
+            .rename_columns(["ok", "n"]),
+            batch_format="pyarrow",
+        )
+        .groupby("ok")
+        .aggregate(Sum("n", alias_name="n_suppliers"))
+    )
+
+    return (
+        per_order.map_batches(
+            lambda t: pa.table(
+                {
+                    "n_suppliers": t["n_suppliers"],
+                    "c": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            )
+            .group_by("n_suppliers")
+            .aggregate([("c", "sum")])
+            .rename_columns(["n_suppliers", "c"]),
+            batch_format="pyarrow",
+        )
+        .groupby("n_suppliers")
+        .aggregate(Sum("c", alias_name="n_orders"))
+        .sort(["n_suppliers"])
+    )
+
+
+ORDERS_SUPPLIER_FANOUT_HIST_SQL = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+p AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_suppliers
+      FROM d GROUP BY 1)
+SELECT n_suppliers, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM p GROUP BY 1 ORDER BY 1
+"""
+
+
+def events_round_value_bias(sf_dir: str):
+    """Numeric forensics (the Benford profile's modular sibling): how often
+    values land on round cents — whole dollars, half dollars, dimes — vs
+    the uniform-modulus expectation; fabricated numbers over-index on round
+    figures.  Four scalar partials, shares in exact ppm."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = _cents(t["value"]).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n": pa.array([len(c)], pa.int64()),
+                "whole": pa.array([int((c % 100 == 0).sum())], pa.int64()),
+                "half": pa.array([int((c % 50 == 0).sum())], pa.int64()),
+                "dime": pa.array([int((c % 10 == 0).sum())], pa.int64()),
+            }
+        )
+
+    s = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"),
+        Sum("whole", alias_name="whole"),
+        Sum("half", alias_name="half"),
+        Sum("dime", alias_name="dime"),
+    )
+    n, wh, hf, dm = int(s["n"]), int(s["whole"]), int(s["half"]), int(s["dime"])
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "whole_dollar_ppm": pa.array([wh * 1_000_000 // n], pa.int64()),
+            "half_dollar_ppm": pa.array([hf * 1_000_000 // n], pa.int64()),
+            "dime_ppm": pa.array([dm * 1_000_000 // n], pa.int64()),
+        }
+    )
+
+
+EVENTS_ROUND_VALUE_BIAS_SQL = """
+WITH c AS (SELECT CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents FROM events)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN cents % 100 = 0 THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS whole_dollar_ppm,
+       CAST(SUM(CASE WHEN cents % 50 = 0 THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS half_dollar_ppm,
+       CAST(SUM(CASE WHEN cents % 10 = 0 THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS dime_ppm
+FROM c
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -18276,6 +18440,9 @@ ORACLE_SQL: dict[str, str] = {
     "events_value_histogram_by_type": EVENTS_VALUE_HISTOGRAM_BY_TYPE_SQL,
     "orders_top_prices_with_ties": ORDERS_TOP_PRICES_WITH_TIES_SQL,
     "events_peak_4h_window": EVENTS_PEAK_4H_WINDOW_SQL,
+    "customer_winback_by_year": CUSTOMER_WINBACK_BY_YEAR_SQL,
+    "orders_supplier_fanout_hist": ORDERS_SUPPLIER_FANOUT_HIST_SQL,
+    "events_round_value_bias": EVENTS_ROUND_VALUE_BIAS_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -18645,6 +18812,9 @@ def registry() -> dict:
         "events_value_histogram_by_type": events_value_histogram_by_type,
         "orders_top_prices_with_ties": orders_top_prices_with_ties,
         "events_peak_4h_window": events_peak_4h_window,
+        "customer_winback_by_year": customer_winback_by_year,
+        "orders_supplier_fanout_hist": orders_supplier_fanout_hist,
+        "events_round_value_bias": events_round_value_bias,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
