@@ -18292,6 +18292,103 @@ FROM c
 """
 
 
+def corpus_health_report(sf_dir: str):
+    """One-row warehouse health capstone — the cross-table morning report:
+    corpus size and language spread, exact-dup burden (rows beyond each
+    (lang, n_chars) cluster's first), total token volume, event/user
+    activity, and order/lineitem revenue — each number a block-partial
+    reduction over its own table, composed into a single row.  The shape a
+    scheduler runs first every day; all integers."""
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["lang", "n_chars", "text"])
+
+    def doc_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), pattern=r"[^a-z0-9]+")
+        flat = pc.list_flatten(toks)
+        n_tok = int(
+            pc.sum(
+                pc.cast(
+                    pc.and_(pc.is_valid(flat), pc.not_equal(flat, "")), pa.int64()
+                )
+            ).as_py()
+            or 0
+        )
+        key = pa.table({"lang": t["lang"], "n_chars": t["n_chars"]})
+        g = key.group_by(["lang", "n_chars"]).aggregate([("lang", "count")])
+        return pa.table(
+            {
+                "lang": g["lang"],
+                "n_chars": g["n_chars"],
+                "n": g["lang_count"],
+                "tok": pa.array([n_tok] + [0] * (g.num_rows - 1), pa.int64())
+                if g.num_rows
+                else pa.array([], pa.int64()),
+            }
+        )
+
+    dg = (
+        docs.map_batches(doc_partial, batch_format="pyarrow")
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("n", alias_name="n"), Sum("tok", alias_name="tok"))
+        .to_pandas()
+    )
+    n_docs = int(dg.n.sum())
+    n_langs = int(dg.lang.nunique())
+    dup_rows = int((dg.n - 1).clip(lower=0).sum())
+    total_tokens = int(dg.tok.sum())
+
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id"])
+    n_events = ev.count()
+    n_users = len(ev.unique("user_id"))
+
+    n_orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey"]).count()
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_extendedprice", "l_discount"]
+    )
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        rev = _cents(pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])))
+        return pa.table(
+            {"rev": pa.array([int(pc.sum(rev).as_py() or 0)], pa.int64())}
+        )
+
+    rev_cents = int(
+        li.map_batches(rev_partial, batch_format="pyarrow").sum("rev")
+    )
+    return pa.table(
+        {
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "n_langs": pa.array([n_langs], pa.int64()),
+            "exact_dup_rows": pa.array([dup_rows], pa.int64()),
+            "total_tokens": pa.array([total_tokens], pa.int64()),
+            "n_events": pa.array([n_events], pa.int64()),
+            "n_users": pa.array([n_users], pa.int64()),
+            "n_orders": pa.array([n_orders], pa.int64()),
+            "lineitem_rev_cents": pa.array([rev_cents], pa.int64()),
+        }
+    )
+
+
+CORPUS_HEALTH_REPORT_SQL = """
+WITH dk AS (
+  SELECT lang, n_chars, COUNT(*) AS n FROM documents GROUP BY 1, 2),
+toks AS (
+  SELECT COUNT(*) AS total_tokens
+  FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+        FROM documents)
+  WHERE term <> '')
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+       (SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) FROM documents) AS n_langs,
+       (SELECT CAST(SUM(n - 1) AS BIGINT) FROM dk) AS exact_dup_rows,
+       (SELECT CAST(total_tokens AS BIGINT) FROM toks) AS total_tokens,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS n_events,
+       (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events) AS n_users,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_orders,
+       (SELECT CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5)
+                             AS BIGINT)) AS BIGINT) FROM lineitem)
+         AS lineitem_rev_cents
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -18443,6 +18540,7 @@ ORACLE_SQL: dict[str, str] = {
     "customer_winback_by_year": CUSTOMER_WINBACK_BY_YEAR_SQL,
     "orders_supplier_fanout_hist": ORDERS_SUPPLIER_FANOUT_HIST_SQL,
     "events_round_value_bias": EVENTS_ROUND_VALUE_BIAS_SQL,
+    "corpus_health_report": CORPUS_HEALTH_REPORT_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -18815,6 +18913,7 @@ def registry() -> dict:
         "customer_winback_by_year": customer_winback_by_year,
         "orders_supplier_fanout_hist": orders_supplier_fanout_hist,
         "events_round_value_bias": events_round_value_bias,
+        "corpus_health_report": corpus_health_report,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
