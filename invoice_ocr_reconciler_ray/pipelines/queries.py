@@ -18389,6 +18389,125 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
 """
 
 
+def events_session_duration_quartiles(sf_dir: str):
+    """Session-duration distribution — sessionize (30-min gap) composed
+    with the exact quartile card: every session's span (last−first event,
+    zero for singletons) pooled globally, p25/50/75 under the
+    sorted[ceil(q·n)−1] quantile_disc convention.  Spans fold over the
+    O(sessions) narrow table."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    gap_us = 30 * 60 * 1_000_000
+
+    def kernel(g: pa.Table) -> pa.Table:
+        ts = np.sort(g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False))
+        brk = np.r_[True, np.diff(ts) > gap_us]
+        starts = np.nonzero(brk)[0]
+        ends = np.r_[starts[1:], len(ts)]
+        return pa.table(
+            {"span_us": pa.array(ts[ends - 1] - ts[starts], pa.int64())}
+        )
+
+    spans = np.sort(
+        ds.groupby("user_id")
+        .map_groups(kernel, batch_format="pyarrow")
+        .to_pandas()["span_us"]
+        .to_numpy()
+        .astype(np.int64)
+    )
+    import math
+
+    n = len(spans)
+
+    def disc(q: float) -> int:
+        return int(spans[max(int(math.ceil(q * n)) - 1, 0)])
+
+    return pa.table(
+        {
+            "n_sessions": pa.array([n], pa.int64()),
+            "p25_us": pa.array([disc(0.25)], pa.int64()),
+            "p50_us": pa.array([disc(0.5)], pa.int64()),
+            "p75_us": pa.array([disc(0.75)], pa.int64()),
+        }
+    )
+
+
+EVENTS_SESSION_DURATION_QUARTILES_SQL = """
+WITH x AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events),
+y AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sess
+  FROM x),
+s AS (
+  SELECT epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS span_us
+  FROM y GROUP BY user_id, sess)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(quantile_disc(span_us, 0.25) AS BIGINT) AS p25_us,
+       CAST(quantile_disc(span_us, 0.50) AS BIGINT) AS p50_us,
+       CAST(quantile_disc(span_us, 0.75) AS BIGINT) AS p75_us
+FROM s
+"""
+
+
+def segment_price_cqv(sf_dir: str):
+    """Coefficient of quartile variation per market segment — the robust
+    relative-dispersion metric (Q₃−Q₁)·10⁶ // (Q₃+Q₁) over order prices,
+    segment resolved through one 8-partition orders⋈customer join.
+    Quartiles use the sorted[ceil(q·n)−1] convention; the CQV is an
+    integer cross-ratio."""
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    joined = orders.join(
+        cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+    )
+
+    def kernel(g: pa.Table) -> pa.Table:
+        import math
+
+        c = np.sort(_cents(g["o_totalprice"]).to_numpy(zero_copy_only=False))
+        n = len(c)
+        q1 = int(c[max(int(math.ceil(0.25 * n)) - 1, 0)])
+        q3 = int(c[max(int(math.ceil(0.75 * n)) - 1, 0)])
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(
+                    [str(g["c_mktsegment"][0].as_py())], pa.string()
+                ),
+                "n": pa.array([n], pa.int64()),
+                "q1_cents": pa.array([q1], pa.int64()),
+                "q3_cents": pa.array([q3], pa.int64()),
+                "cqv_ppm": pa.array([(q3 - q1) * 1_000_000 // (q3 + q1)], pa.int64()),
+            }
+        )
+
+    return (
+        joined.groupby("c_mktsegment")
+        .map_groups(kernel, batch_format="pyarrow")
+        .sort(["c_mktsegment"])
+    )
+
+
+SEGMENT_PRICE_CQV_SQL = """
+WITH j AS (
+  SELECT c_mktsegment,
+         CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey),
+q AS (
+  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(quantile_disc(cents, 0.25) AS BIGINT) AS q1_cents,
+         CAST(quantile_disc(cents, 0.75) AS BIGINT) AS q3_cents
+  FROM j GROUP BY 1)
+SELECT c_mktsegment, n, q1_cents, q3_cents,
+       CAST((q3_cents - q1_cents) * 1000000 // (q3_cents + q1_cents) AS BIGINT)
+         AS cqv_ppm
+FROM q ORDER BY 1
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -18541,6 +18660,8 @@ ORACLE_SQL: dict[str, str] = {
     "orders_supplier_fanout_hist": ORDERS_SUPPLIER_FANOUT_HIST_SQL,
     "events_round_value_bias": EVENTS_ROUND_VALUE_BIAS_SQL,
     "corpus_health_report": CORPUS_HEALTH_REPORT_SQL,
+    "events_session_duration_quartiles": EVENTS_SESSION_DURATION_QUARTILES_SQL,
+    "segment_price_cqv": SEGMENT_PRICE_CQV_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -18914,6 +19035,8 @@ def registry() -> dict:
         "orders_supplier_fanout_hist": orders_supplier_fanout_hist,
         "events_round_value_bias": events_round_value_bias,
         "corpus_health_report": corpus_health_report,
+        "events_session_duration_quartiles": events_session_duration_quartiles,
+        "segment_price_cqv": segment_price_cqv,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
