@@ -18508,6 +18508,128 @@ FROM q ORDER BY 1
 """
 
 
+def orders_keyspace_density(sf_dir: str):
+    """Key-space integrity audit — are order keys densely allocated or full
+    of holes (dropped writes / purges / sharded allocators)?  min, max,
+    distinct count and the missing-key count (span − distinct), plus
+    density ppm — four scalars from block partials; distinct == count is
+    itself asserted (keys are unique here, and the audit would EXPOSE a
+    violation as a negative missing count)."""
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "mn": pa.array([int(k.min())], pa.int64()),
+                "mx": pa.array([int(k.max())], pa.int64()),
+                "n": pa.array([len(np.unique(k))], pa.int64()),
+            }
+        )
+
+    # block-local unique is NOT global distinct in general, but orderkeys
+    # are globally unique (the audit's premise) — cross-checked by the
+    # oracle's true COUNT(DISTINCT); a dup key would mismatch loudly here
+    s = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        Min("mn", alias_name="mn"), Max("mx", alias_name="mx"), Sum("n", alias_name="n")
+    )
+    mn, mx, n = int(s["mn"]), int(s["mx"]), int(s["n"])
+    span = mx - mn + 1
+    return pa.table(
+        {
+            "min_key": pa.array([mn], pa.int64()),
+            "max_key": pa.array([mx], pa.int64()),
+            "n_distinct": pa.array([n], pa.int64()),
+            "missing_keys": pa.array([span - n], pa.int64()),
+            "density_ppm": pa.array([n * 1_000_000 // span], pa.int64()),
+        }
+    )
+
+
+ORDERS_KEYSPACE_DENSITY_SQL = """
+SELECT CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+       CAST(MAX(o_orderkey) - MIN(o_orderkey) + 1 - COUNT(DISTINCT o_orderkey)
+            AS BIGINT) AS missing_keys,
+       CAST(COUNT(DISTINCT o_orderkey) * 1000000
+            // (MAX(o_orderkey) - MIN(o_orderkey) + 1) AS BIGINT) AS density_ppm
+FROM orders
+"""
+
+
+def supplier_share_movers(sf_dir: str):
+    """Share-of-market movers — each supplier's revenue share (ppm) in the
+    FIRST and LAST order years and the signed delta, top-10 by |delta| (tie
+    order |delta| desc, supplier asc): the competitive-dynamics report.
+    (supplier, year) cells from one fact pass; the two year slices and the
+    ranking fold on the O(suppliers) driver table — integers throughout."""
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = _cents(pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])))
+        yr = pc.year(t["l_shipdate"]).cast(pa.int64())
+        return (
+            pa.table({"sk": t["l_suppkey"], "yr": yr, "rev": rev})
+            .group_by(["sk", "yr"])
+            .aggregate([("rev", "sum")])
+            .rename_columns(["sk", "yr", "rev"])
+        )
+
+    g = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby(["sk", "yr"])
+        .aggregate(Sum("rev", alias_name="rev"))
+        .to_pandas()
+    )
+    y0, y1 = int(g.yr.min()), int(g.yr.max())
+    first = g[g.yr == y0].set_index("sk").rev
+    last = g[g.yr == y1].set_index("sk").rev
+    t0, t1 = int(first.sum()), int(last.sum())
+    sks = sorted(set(first.index) | set(last.index))
+    rows = []
+    for sk in sks:
+        s0 = int(first.get(sk, 0)) * 1_000_000 // t0
+        s1 = int(last.get(sk, 0)) * 1_000_000 // t1
+        rows.append((int(sk), s0, s1, s1 - s0))
+    rows.sort(key=lambda r: (-abs(r[3]), r[0]))
+    rows = rows[:10]
+    return pa.table(
+        {
+            "s_suppkey": pa.array([r[0] for r in rows], pa.int64()),
+            "first_share_ppm": pa.array([r[1] for r in rows], pa.int64()),
+            "last_share_ppm": pa.array([r[2] for r in rows], pa.int64()),
+            "delta_ppm": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+SUPPLIER_SHARE_MOVERS_SQL = """
+WITH c AS (
+  SELECT l_suppkey AS sk, CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS yr,
+         CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev
+  FROM lineitem GROUP BY 1, 2),
+b AS (SELECT MIN(yr) AS y0, MAX(yr) AS y1 FROM c),
+f AS (SELECT sk, rev FROM c, b WHERE yr = y0),
+l AS (SELECT sk, rev FROM c, b WHERE yr = y1),
+tf AS (SELECT SUM(rev) AS t0 FROM f),
+tl AS (SELECT SUM(rev) AS t1 FROM l),
+u AS (SELECT sk FROM f UNION SELECT sk FROM l),
+s AS (
+  SELECT u.sk,
+         CAST(COALESCE(f.rev, 0) * 1000000 // t0 AS BIGINT) AS first_share_ppm,
+         CAST(COALESCE(l.rev, 0) * 1000000 // t1 AS BIGINT) AS last_share_ppm
+  FROM u LEFT JOIN f ON u.sk = f.sk LEFT JOIN l ON u.sk = l.sk, tf, tl)
+SELECT CAST(sk AS BIGINT) AS s_suppkey, first_share_ppm, last_share_ppm,
+       CAST(last_share_ppm - first_share_ppm AS BIGINT) AS delta_ppm
+FROM s
+ORDER BY ABS(last_share_ppm - first_share_ppm) DESC, sk LIMIT 10
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -18662,6 +18784,8 @@ ORACLE_SQL: dict[str, str] = {
     "corpus_health_report": CORPUS_HEALTH_REPORT_SQL,
     "events_session_duration_quartiles": EVENTS_SESSION_DURATION_QUARTILES_SQL,
     "segment_price_cqv": SEGMENT_PRICE_CQV_SQL,
+    "orders_keyspace_density": ORDERS_KEYSPACE_DENSITY_SQL,
+    "supplier_share_movers": SUPPLIER_SHARE_MOVERS_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -19037,6 +19161,8 @@ def registry() -> dict:
         "corpus_health_report": corpus_health_report,
         "events_session_duration_quartiles": events_session_duration_quartiles,
         "segment_price_cqv": segment_price_cqv,
+        "orders_keyspace_density": orders_keyspace_density,
+        "supplier_share_movers": supplier_share_movers,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
