@@ -18630,6 +18630,169 @@ ORDER BY ABS(last_share_ppm - first_share_ppm) DESC, sk LIMIT 10
 """
 
 
+def events_user_gap_regularity(sf_dir: str):
+    """Cadence regularity per user — the squared-CV dispersion index of
+    interarrival gaps, EXACT in integers: disp_ppm = n·Σg²·10⁶ // (Σg)²
+    (=10⁶ for a perfectly regular clock, ≈2·10⁶ for Poisson arrivals,
+    larger = burstier).  Gaps in whole seconds keep Σg² inside int64;
+    the oracle casts through HUGEINT for the same headroom.  Users with
+    fewer than 2 gaps have no defined index and are absent."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    _empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "n_gaps": pa.array([], pa.int64()),
+            "disp_ppm": pa.array([], pa.int64()),
+        }
+    )
+
+    def kernel(g: pa.Table) -> pa.Table:
+        ts = np.sort(g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False))
+        gaps = np.diff(ts) // 1_000_000
+        if len(gaps) < 2:
+            return _empty
+        sg = int(gaps.sum())
+        if sg == 0:
+            return _empty
+        sg2 = int((gaps * gaps).sum())
+        disp = len(gaps) * sg2 * 1_000_000 // (sg * sg)
+        return pa.table(
+            {
+                "user_id": pa.array([int(g["user_id"][0].as_py())], pa.int64()),
+                "n_gaps": pa.array([len(gaps)], pa.int64()),
+                "disp_ppm": pa.array([disp], pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(kernel, batch_format="pyarrow").sort(
+        ["user_id"]
+    )
+
+
+EVENTS_USER_GAP_REGULARITY_SQL = """
+WITH s AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS pt
+  FROM events),
+g AS (SELECT user_id, (t - pt) // 1000000 AS gap FROM s WHERE pt IS NOT NULL),
+a AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         CAST(SUM(gap) AS BIGINT) AS sg,
+         CAST(SUM(gap * gap) AS BIGINT) AS sg2
+  FROM g GROUP BY 1)
+SELECT user_id, n_gaps,
+       CAST(CAST(n_gaps AS HUGEINT) * sg2 * 1000000
+            // (CAST(sg AS HUGEINT) * sg) AS BIGINT) AS disp_ppm
+FROM a WHERE n_gaps >= 2 AND sg > 0
+ORDER BY user_id
+"""
+
+
+def docs_stutter_rate(sf_dir: str):
+    """Token-stutter artifact rate — the 'the the' detector: fraction of
+    adjacent token pairs that are EQUAL, in ppm, plus the most common
+    stuttered token (count desc, token asc).  Adjacent equality is two
+    aligned slices per block; the per-token stutter counts ship through
+    one tiny groupby."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), pattern=r"[^a-z0-9]+")
+        col = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = col.flatten()
+        parent = pc.list_parent_indices(col).to_numpy(zero_copy_only=False)
+        keep = pc.and_(pc.is_valid(flat), pc.not_equal(flat, "")).to_numpy(
+            zero_copy_only=False
+        )
+        words = flat.filter(pa.array(keep))
+        par = parent[keep]
+        if len(par) < 2:
+            return pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    "n_pairs": pa.array([], pa.int64()),
+                    "n_stutter": pa.array([], pa.int64()),
+                }
+            )
+        n_tok = len(par)
+        same_doc = par[:-1] == par[1:]
+        left = words.slice(0, n_tok - 1)
+        eq = (
+            pc.equal(left, words.slice(1, n_tok - 1)).to_numpy(zero_copy_only=False)
+            & same_doc
+        )
+        n_pairs = int(same_doc.sum())
+        terms = left.filter(pa.array(eq)).to_pylist()
+        tb = pa.table(
+            {
+                "term": pa.array(terms + ["\x00total"], pa.string()),
+                "n_pairs": pa.array([0] * len(terms) + [n_pairs], pa.int64()),
+                "n_stutter": pa.array([1] * len(terms) + [0], pa.int64()),
+            }
+        )
+        return tb.group_by("term").aggregate(
+            [("n_pairs", "sum"), ("n_stutter", "sum")]
+        ).rename_columns(["term", "n_pairs", "n_stutter"])
+
+    g = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n_pairs", alias_name="n_pairs"), Sum("n_stutter", alias_name="n_stutter"))
+        .to_pandas()
+    )
+    total_pairs = int(g.n_pairs.sum())
+    st = g[g.term != "\x00total"].copy()
+    n_stutter = int(st.n_stutter.sum())
+    if len(st) and n_stutter:
+        st = st.sort_values(["n_stutter", "term"], ascending=[False, True], kind="mergesort")
+        top_term, top_n = str(st.term.iloc[0]), int(st.n_stutter.iloc[0])
+    else:
+        top_term, top_n = "", 0
+    return pa.table(
+        {
+            "n_pairs": pa.array([total_pairs], pa.int64()),
+            "n_stutter": pa.array([n_stutter], pa.int64()),
+            "stutter_ppm": pa.array(
+                [n_stutter * 1_000_000 // max(total_pairs, 1)], pa.int64()
+            ),
+            "top_stutter_term": pa.array([top_term], pa.string()),
+            "top_stutter_n": pa.array([top_n], pa.int64()),
+        }
+    )
+
+
+DOCS_STUTTER_RATE_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents),
+f AS (
+  SELECT doc_id, unnest(l) AS term,
+         CAST(unnest(range(1, len(l) + 1)) AS BIGINT) AS pos
+  FROM d),
+w AS (
+  SELECT term,
+         lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM f),
+p AS (SELECT term, nxt FROM w WHERE nxt IS NOT NULL),
+st AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM p
+       WHERE term = nxt GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN term = nxt THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_stutter
+        FROM p)
+SELECT n_pairs, n_stutter,
+       CAST(n_stutter * 1000000 // GREATEST(n_pairs, 1) AS BIGINT)
+         AS stutter_ppm,
+       COALESCE((SELECT term FROM st ORDER BY n DESC, term LIMIT 1), '')
+         AS top_stutter_term,
+       COALESCE((SELECT n FROM st ORDER BY n DESC, term LIMIT 1), 0)
+         AS top_stutter_n
+FROM tot
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -18786,6 +18949,8 @@ ORACLE_SQL: dict[str, str] = {
     "segment_price_cqv": SEGMENT_PRICE_CQV_SQL,
     "orders_keyspace_density": ORDERS_KEYSPACE_DENSITY_SQL,
     "supplier_share_movers": SUPPLIER_SHARE_MOVERS_SQL,
+    "events_user_gap_regularity": EVENTS_USER_GAP_REGULARITY_SQL,
+    "docs_stutter_rate": DOCS_STUTTER_RATE_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -19163,6 +19328,8 @@ def registry() -> dict:
         "segment_price_cqv": segment_price_cqv,
         "orders_keyspace_density": orders_keyspace_density,
         "supplier_share_movers": supplier_share_movers,
+        "events_user_gap_regularity": events_user_gap_regularity,
+        "docs_stutter_rate": docs_stutter_rate,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
