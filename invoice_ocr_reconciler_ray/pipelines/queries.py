@@ -18793,6 +18793,79 @@ FROM tot
 """
 
 
+def register_aging_report(sf_dir: str):
+    """Accounts-receivable AGING — the invoice-domain report the reference's
+    users actually print (≙ the register's due dates, server.js register
+    ingest): unpaid register rows bucketed by days past due at the fixed
+    as-of 2024-07-01 (current / 1–30 / 31–60 / 61–90 / 90+), counts and
+    exact expected-amount cents per bucket.  Composes the S2 CSV-ingest
+    pipeline (register_csv_normalize) with a vectorized date-diff bucket
+    map; the oracle reconstructs the same rows straight from customer."""
+    reg = register_csv_normalize(sf_dir)
+    as_of = int(np.datetime64("2024-07-01", "D").astype(np.int64))
+    labels = ["0-current", "1-30", "31-60", "61-90", "90+"]
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        due = np.array(t["due_date"].to_pylist(), "datetime64[D]").astype(np.int64)
+        age = as_of - due
+        ix = np.select(
+            [age <= 0, age <= 30, age <= 60, age <= 90],
+            [0, 1, 2, 3],
+            default=4,
+        )
+        cents = _cents(t["expected_amount"])
+        return (
+            pa.table(
+                {
+                    "bucket_ix": pa.array(ix.astype(np.int64), pa.int64()),
+                    "n": pa.array(np.ones(t.num_rows, np.int64)),
+                    "cents": cents,
+                }
+            )
+            .group_by("bucket_ix")
+            .aggregate([("n", "sum"), ("cents", "sum")])
+            .rename_columns(["bucket_ix", "n", "cents"])
+        )
+
+    g = (
+        reg.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket_ix")
+        .aggregate(Sum("n", alias_name="n"), Sum("cents", alias_name="amount_cents"))
+        .to_pandas()
+        .sort_values("bucket_ix", kind="mergesort")
+    )
+    return pa.table(
+        {
+            "bucket": pa.array(
+                [labels[int(i)] for i in g["bucket_ix"]], pa.string()
+            ),
+            "n": pa.array(g["n"].to_numpy().astype(np.int64), pa.int64()),
+            "amount_cents": pa.array(
+                g["amount_cents"].to_numpy().astype(np.int64), pa.int64()
+            ),
+        }
+    )
+
+
+REGISTER_AGING_REPORT_SQL = """
+WITH reg AS (
+  SELECT abs(c_acctbal) AS expected_amount,
+         CAST(printf('2024-%02d-15', 1 + c_custkey % 12) AS DATE) AS due
+  FROM customer),
+b AS (
+  SELECT CASE WHEN DATE '2024-07-01' - due <= 0 THEN '0-current'
+              WHEN DATE '2024-07-01' - due <= 30 THEN '1-30'
+              WHEN DATE '2024-07-01' - due <= 60 THEN '31-60'
+              WHEN DATE '2024-07-01' - due <= 90 THEN '61-90'
+              ELSE '90+' END AS bucket,
+         CAST(FLOOR(expected_amount*100 + 0.5) AS BIGINT) AS cents
+  FROM reg)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS amount_cents
+FROM b GROUP BY 1 ORDER BY 1
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -18951,6 +19024,7 @@ ORACLE_SQL: dict[str, str] = {
     "supplier_share_movers": SUPPLIER_SHARE_MOVERS_SQL,
     "events_user_gap_regularity": EVENTS_USER_GAP_REGULARITY_SQL,
     "docs_stutter_rate": DOCS_STUTTER_RATE_SQL,
+    "register_aging_report": REGISTER_AGING_REPORT_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -19330,6 +19404,7 @@ def registry() -> dict:
         "supplier_share_movers": supplier_share_movers,
         "events_user_gap_regularity": events_user_gap_regularity,
         "docs_stutter_rate": docs_stutter_rate,
+        "register_aging_report": register_aging_report,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
