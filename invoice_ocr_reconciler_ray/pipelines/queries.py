@@ -18866,6 +18866,148 @@ FROM b GROUP BY 1 ORDER BY 1
 """
 
 
+def orders_quarter_close_spike(sf_dir: str):
+    """Quarter-close spike — the revenue-pull-forward audit: per (year,
+    quarter), the ppm of revenue booked in the quarter's LAST 7 days.
+    Quarter-end arithmetic is pure month-index math on int64 (no string
+    dates, leap-safe via datetime64[M]→[D]); cells fold exactly."""
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = (us // 86_400_000_000).astype("datetime64[D]")
+        mon = day.astype("datetime64[M]")
+        mi = mon.astype(np.int64)
+        q_start_mi = mi // 3 * 3
+        next_q_first = (q_start_mi + 3).astype("datetime64[M]").astype("datetime64[D]")
+        q_end = next_q_first - np.timedelta64(1, "D")
+        in_last7 = (q_end - day) <= np.timedelta64(6, "D")
+        yr = 1970 + q_start_mi // 12
+        q = q_start_mi % 12 // 3 + 1
+        cents = _cents(t["o_totalprice"]).to_numpy(zero_copy_only=False)
+        return (
+            pa.table(
+                {
+                    "yr": pa.array(yr, pa.int64()),
+                    "q": pa.array(q, pa.int64()),
+                    "total": pa.array(cents, pa.int64()),
+                    "last7": pa.array(
+                        np.where(in_last7, cents, 0).astype(np.int64), pa.int64()
+                    ),
+                }
+            )
+            .group_by(["yr", "q"])
+            .aggregate([("total", "sum"), ("last7", "sum")])
+            .rename_columns(["yr", "q", "total", "last7"])
+        )
+
+    g = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["yr", "q"])
+        .aggregate(Sum("total", alias_name="total_cents"), Sum("last7", alias_name="last7_cents"))
+        .to_pandas()
+        .sort_values(["yr", "q"], kind="mergesort")
+    )
+    tot = g["total_cents"].to_numpy().astype(np.int64)
+    l7 = g["last7_cents"].to_numpy().astype(np.int64)
+    return pa.table(
+        {
+            "yr": pa.array(g["yr"].to_numpy().astype(np.int64)),
+            "q": pa.array(g["q"].to_numpy().astype(np.int64)),
+            "total_cents": pa.array(tot, pa.int64()),
+            "last7_cents": pa.array(l7, pa.int64()),
+            "spike_ppm": pa.array(l7 * 1_000_000 // tot, pa.int64()),
+        }
+    )
+
+
+ORDERS_QUARTER_CLOSE_SPIKE_SQL = """
+WITH c AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+         CAST((EXTRACT(month FROM o_orderdate) - 1) // 3 + 1 AS BIGINT) AS q,
+         CASE WHEN CAST(date_trunc('quarter', o_orderdate) + INTERVAL 3 MONTH
+                        - INTERVAL 1 DAY AS DATE)
+                   - CAST(o_orderdate AS DATE) <= 6
+              THEN 1 ELSE 0 END AS last7,
+         CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+  FROM orders)
+SELECT yr, q, CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST(SUM(last7 * cents) AS BIGINT) AS last7_cents,
+       CAST(SUM(last7 * cents) * 1000000 // SUM(cents) AS BIGINT) AS spike_ppm
+FROM c GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def lineitem_linenumber_audit(sf_dir: str):
+    """Line-number contiguity audit — per order, linenumbers must be exactly
+    1..n (the write-path invariant a lost or doubled line breaks): per-order
+    (count, min, max, sum) partials make the check three integer equalities
+    — n == max, min == 1, Σ == n(n+1)/2 (the sum catches duplicates that
+    min/max alone miss).  One row: orders checked, violations."""
+    li = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_orderkey", "l_linenumber"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ln = t["l_linenumber"].cast(pa.int64())
+        tb = pa.table(
+            {
+                "ok": t["l_orderkey"],
+                "n": pa.array(np.ones(t.num_rows, np.int64)),
+                "mn": ln,
+                "mx": ln,
+                "sm": ln,
+            }
+        )
+        return tb.group_by("ok").aggregate(
+            [("n", "sum"), ("mn", "min"), ("mx", "max"), ("sm", "sum")]
+        ).rename_columns(["ok", "n", "mn", "mx", "sm"])
+
+    g = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("ok")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Min("mn", alias_name="mn"),
+            Max("mx", alias_name="mx"),
+            Sum("sm", alias_name="sm"),
+        )
+    )
+
+    def check(t: pa.Table) -> pa.Table:
+        n = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        mn = t["mn"].combine_chunks().to_numpy(zero_copy_only=False)
+        mx = t["mx"].combine_chunks().to_numpy(zero_copy_only=False)
+        sm = t["sm"].combine_chunks().to_numpy(zero_copy_only=False)
+        bad = (mn != 1) | (mx != n) | (sm != n * (n + 1) // 2)
+        return pa.table(
+            {
+                "orders": pa.array([len(n)], pa.int64()),
+                "violations": pa.array([int(bad.sum())], pa.int64()),
+            }
+        )
+
+    s = g.map_batches(check, batch_format="pyarrow").aggregate(
+        Sum("orders", alias_name="orders"), Sum("violations", alias_name="violations")
+    )
+    return pa.table(
+        {
+            "orders": pa.array([int(s["orders"])], pa.int64()),
+            "violations": pa.array([int(s["violations"])], pa.int64()),
+        }
+    )
+
+
+LINEITEM_LINENUMBER_AUDIT_SQL = """
+WITH p AS (
+  SELECT l_orderkey, COUNT(*) AS n, MIN(l_linenumber) AS mn,
+         MAX(l_linenumber) AS mx, SUM(l_linenumber) AS sm
+  FROM lineitem GROUP BY 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS orders,
+       CAST(SUM(CASE WHEN mn <> 1 OR mx <> n OR sm <> n*(n+1)//2
+                     THEN 1 ELSE 0 END) AS BIGINT) AS violations
+FROM p
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -19025,6 +19167,8 @@ ORACLE_SQL: dict[str, str] = {
     "events_user_gap_regularity": EVENTS_USER_GAP_REGULARITY_SQL,
     "docs_stutter_rate": DOCS_STUTTER_RATE_SQL,
     "register_aging_report": REGISTER_AGING_REPORT_SQL,
+    "orders_quarter_close_spike": ORDERS_QUARTER_CLOSE_SPIKE_SQL,
+    "lineitem_linenumber_audit": LINEITEM_LINENUMBER_AUDIT_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -19405,6 +19549,8 @@ def registry() -> dict:
         "events_user_gap_regularity": events_user_gap_regularity,
         "docs_stutter_rate": docs_stutter_rate,
         "register_aging_report": register_aging_report,
+        "orders_quarter_close_spike": orders_quarter_close_spike,
+        "lineitem_linenumber_audit": lineitem_linenumber_audit,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
