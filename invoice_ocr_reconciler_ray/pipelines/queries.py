@@ -19008,6 +19008,91 @@ FROM p
 """
 
 
+def events_type_value_drift(sf_dir: str):
+    """Per-type VALUE drift between the time-range halves (the mean-shift
+    companion of the count-mix TV drift): each type reduces to four
+    integers (n, Σcents per half); the mean delta is the signed
+    cross-multiplied ppm (s₂·n₁ − s₁·n₂)·10⁶ / (s₁·n₂), TRUNCATED toward
+    zero — DuckDB's BIGINT // convention (the orders_monthly_yoy
+    discipline), matched with sign·(|num| // |den|) on the numpy side."""
+    mm_ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts"]).map_batches(
+        lambda t: pa.table({"ts_us": t["ts"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    lo, hi = int(mm_ds.min("ts_us")), int(mm_ds.max("ts_us"))
+    mid = (lo + hi) // 2
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = _cents(t["value"]).to_numpy(zero_copy_only=False)
+        h2 = (ts > mid).astype(np.int64)
+        return (
+            pa.table(
+                {
+                    "typ": t["event_type"],
+                    "n1": pa.array(1 - h2, pa.int64()),
+                    "s1": pa.array(np.where(h2 == 0, cents, 0), pa.int64()),
+                    "n2": pa.array(h2, pa.int64()),
+                    "s2": pa.array(np.where(h2 == 1, cents, 0), pa.int64()),
+                }
+            )
+            .group_by("typ")
+            .aggregate([("n1", "sum"), ("s1", "sum"), ("n2", "sum"), ("s2", "sum")])
+            .rename_columns(["typ", "n1", "s1", "n2", "s2"])
+        )
+
+    g = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("typ")
+        .aggregate(
+            Sum("n1", alias_name="n1"),
+            Sum("s1", alias_name="s1"),
+            Sum("n2", alias_name="n2"),
+            Sum("s2", alias_name="s2"),
+        )
+        .to_pandas()
+        .sort_values("typ", kind="mergesort")
+    )
+    g = g[(g.n1 > 0) & (g.n2 > 0) & (g.s1 > 0)]
+    n1 = g["n1"].to_numpy().astype(np.int64)
+    s1 = g["s1"].to_numpy().astype(np.int64)
+    n2 = g["n2"].to_numpy().astype(np.int64)
+    s2 = g["s2"].to_numpy().astype(np.int64)
+    num = (s2 * n1 - s1 * n2) * 1_000_000
+    den = s1 * n2
+    delta = np.sign(num) * (np.abs(num) // den)
+    return pa.table(
+        {
+            "event_type": pa.array(g["typ"].tolist(), pa.string()),
+            "n_first": pa.array(n1, pa.int64()),
+            "n_second": pa.array(n2, pa.int64()),
+            "mean_delta_ppm": pa.array(delta.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+EVENTS_TYPE_VALUE_DRIFT_SQL = """
+WITH b AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid FROM events),
+c AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN epoch_us(ts) <= mid THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN epoch_us(ts) <= mid
+                        THEN CAST(FLOOR(value*100 + 0.5) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS s1,
+         CAST(SUM(CASE WHEN epoch_us(ts) > mid THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN epoch_us(ts) > mid
+                        THEN CAST(FLOOR(value*100 + 0.5) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS s2
+  FROM events, b GROUP BY 1)
+SELECT event_type, n1 AS n_first, n2 AS n_second,
+       CAST((s2 * n1 - s1 * n2) * 1000000 // (s1 * n2) AS BIGINT)
+         AS mean_delta_ppm
+FROM c WHERE n1 > 0 AND n2 > 0 AND s1 > 0
+ORDER BY event_type
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -19169,6 +19254,7 @@ ORACLE_SQL: dict[str, str] = {
     "register_aging_report": REGISTER_AGING_REPORT_SQL,
     "orders_quarter_close_spike": ORDERS_QUARTER_CLOSE_SPIKE_SQL,
     "lineitem_linenumber_audit": LINEITEM_LINENUMBER_AUDIT_SQL,
+    "events_type_value_drift": EVENTS_TYPE_VALUE_DRIFT_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -19551,6 +19637,7 @@ def registry() -> dict:
         "register_aging_report": register_aging_report,
         "orders_quarter_close_spike": orders_quarter_close_spike,
         "lineitem_linenumber_audit": lineitem_linenumber_audit,
+        "events_type_value_drift": events_type_value_drift,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
