@@ -19093,6 +19093,202 @@ ORDER BY event_type
 """
 
 
+def customer_acquisition_curve(sf_dir: str):
+    """Customer-acquisition curve — new customers by first-order year and
+    the running cumulative base: the growth chart behind every board deck.
+    Per-customer MIN(year) via keyed partials; the O(years) cumulative
+    folds on the driver."""
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_orderdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pa.table(
+                {
+                    "ck": t["o_custkey"],
+                    "yr": pc.year(t["o_orderdate"]).cast(pa.int64()),
+                }
+            )
+            .group_by("ck")
+            .aggregate([("yr", "min")])
+            .rename_columns(["ck", "yr"])
+        )
+
+    g = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("ck")
+        .aggregate(Min("yr", alias_name="first_yr"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "yr": t["first_yr"],
+                    "n": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            )
+            .group_by("yr")
+            .aggregate([("n", "sum")])
+            .rename_columns(["yr", "n"]),
+            batch_format="pyarrow",
+        )
+        .groupby("yr")
+        .aggregate(Sum("n", alias_name="new_customers"))
+        .to_pandas()
+        .sort_values("yr", kind="mergesort")
+    )
+    new = g["new_customers"].to_numpy().astype(np.int64)
+    return pa.table(
+        {
+            "yr": pa.array(g["yr"].to_numpy().astype(np.int64)),
+            "new_customers": pa.array(new, pa.int64()),
+            "cum_customers": pa.array(np.cumsum(new), pa.int64()),
+        }
+    )
+
+
+CUSTOMER_ACQUISITION_CURVE_SQL = """
+WITH f AS (
+  SELECT o_custkey, CAST(MIN(EXTRACT(year FROM o_orderdate)) AS BIGINT) AS yr
+  FROM orders GROUP BY 1),
+c AS (SELECT yr, CAST(COUNT(*) AS BIGINT) AS new_customers FROM f GROUP BY 1)
+SELECT yr, new_customers,
+       CAST(SUM(new_customers) OVER (ORDER BY yr ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum_customers
+FROM c ORDER BY yr
+"""
+
+
+def part_charm_pricing(sf_dir: str):
+    """Charm-pricing census — the .99-ending share of retail prices per
+    brand (the psychological-pricing fingerprint; a supplier feed that
+    never charm-prices stands out).  One modular test per row, brand cells
+    from block partials, exact ppm."""
+    ds = rd.read_parquet(_t(sf_dir, "part"), columns=["p_brand", "p_retailprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = _cents(t["p_retailprice"]).to_numpy(zero_copy_only=False)
+        return (
+            pa.table(
+                {
+                    "p_brand": t["p_brand"],
+                    "n": pa.array(np.ones(t.num_rows, np.int64)),
+                    "c99": pa.array((c % 100 == 99).astype(np.int64), pa.int64()),
+                }
+            )
+            .group_by("p_brand")
+            .aggregate([("n", "sum"), ("c99", "sum")])
+            .rename_columns(["p_brand", "n", "c99"])
+        )
+
+    g = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(Sum("n", alias_name="n"), Sum("c99", alias_name="n_charm"))
+        .to_pandas()
+        .sort_values("p_brand", kind="mergesort")
+    )
+    n = g["n"].to_numpy().astype(np.int64)
+    ch = g["n_charm"].to_numpy().astype(np.int64)
+    return pa.table(
+        {
+            "p_brand": pa.array(g["p_brand"].tolist(), pa.string()),
+            "n": pa.array(n, pa.int64()),
+            "n_charm": pa.array(ch, pa.int64()),
+            "charm_ppm": pa.array(ch * 1_000_000 // n, pa.int64()),
+        }
+    )
+
+
+PART_CHARM_PRICING_SQL = """
+WITH c AS (
+  SELECT p_brand, CAST(FLOOR(p_retailprice*100 + 0.5) AS BIGINT) AS cents
+  FROM part)
+SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN cents % 100 = 99 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_charm,
+       CAST(SUM(CASE WHEN cents % 100 = 99 THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS charm_ppm
+FROM c GROUP BY 1 ORDER BY 1
+"""
+
+
+def events_onboarding_session_stats(sf_dir: str):
+    """Onboarding depth — is the FIRST session bigger than later ones?
+    sessionize (30-min gap) composed into per-user (first-session events,
+    later-session events/counts); one row of exact sums plus the
+    first-vs-rest mean ratio as the cross-multiplied ppm
+    Σfirst·n_rest·10⁶ // (Σrest·n_users)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    gap_us = 30 * 60 * 1_000_000
+
+    def kernel(g: pa.Table) -> pa.Table:
+        ts = np.sort(g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False))
+        brk = np.r_[True, np.diff(ts) > gap_us]
+        starts = np.nonzero(brk)[0]
+        ends = np.r_[starts[1:], len(ts)]
+        sizes = ends - starts
+        return pa.table(
+            {
+                "first_events": pa.array([int(sizes[0])], pa.int64()),
+                "rest_events": pa.array([int(sizes[1:].sum())], pa.int64()),
+                "rest_sessions": pa.array([len(sizes) - 1], pa.int64()),
+                "users": pa.array([1], pa.int64()),
+            }
+        )
+
+    s = (
+        ds.groupby("user_id")
+        .map_groups(kernel, batch_format="pyarrow")
+        .aggregate(
+            Sum("first_events", alias_name="first_events"),
+            Sum("rest_events", alias_name="rest_events"),
+            Sum("rest_sessions", alias_name="rest_sessions"),
+            Sum("users", alias_name="users"),
+        )
+    )
+    fe, re_ = int(s["first_events"]), int(s["rest_events"])
+    rs, us = int(s["rest_sessions"]), int(s["users"])
+    ratio = fe * rs * 1_000_000 // (re_ * us) if re_ > 0 else -1
+    return pa.table(
+        {
+            "n_users": pa.array([us], pa.int64()),
+            "first_events": pa.array([fe], pa.int64()),
+            "rest_events": pa.array([re_], pa.int64()),
+            "rest_sessions": pa.array([rs], pa.int64()),
+            "first_vs_rest_mean_ppm": pa.array([ratio], pa.int64()),
+        }
+    )
+
+
+EVENTS_ONBOARDING_SESSION_STATS_SQL = """
+WITH x AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events),
+y AS (
+  SELECT user_id,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sess
+  FROM x),
+s AS (SELECT user_id, sess, CAST(COUNT(*) AS BIGINT) AS n
+      FROM y GROUP BY 1, 2),
+a AS (
+  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+         CAST(SUM(CASE WHEN sess = 0 THEN n ELSE 0 END) AS BIGINT)
+           AS first_events,
+         CAST(SUM(CASE WHEN sess > 0 THEN n ELSE 0 END) AS BIGINT)
+           AS rest_events,
+         CAST(SUM(CASE WHEN sess > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS rest_sessions
+  FROM s)
+SELECT n_users, first_events, rest_events, rest_sessions,
+       CASE WHEN rest_events > 0
+            THEN CAST(first_events * rest_sessions * 1000000
+                      // (rest_events * n_users) AS BIGINT)
+            ELSE -1 END AS first_vs_rest_mean_ppm
+FROM a
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -19255,6 +19451,9 @@ ORACLE_SQL: dict[str, str] = {
     "orders_quarter_close_spike": ORDERS_QUARTER_CLOSE_SPIKE_SQL,
     "lineitem_linenumber_audit": LINEITEM_LINENUMBER_AUDIT_SQL,
     "events_type_value_drift": EVENTS_TYPE_VALUE_DRIFT_SQL,
+    "customer_acquisition_curve": CUSTOMER_ACQUISITION_CURVE_SQL,
+    "part_charm_pricing": PART_CHARM_PRICING_SQL,
+    "events_onboarding_session_stats": EVENTS_ONBOARDING_SESSION_STATS_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -19638,6 +19837,9 @@ def registry() -> dict:
         "orders_quarter_close_spike": orders_quarter_close_spike,
         "lineitem_linenumber_audit": lineitem_linenumber_audit,
         "events_type_value_drift": events_type_value_drift,
+        "customer_acquisition_curve": customer_acquisition_curve,
+        "part_charm_pricing": part_charm_pricing,
+        "events_onboarding_session_stats": events_onboarding_session_stats,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
