@@ -19289,6 +19289,176 @@ FROM a
 """
 
 
+def lineitem_policy_audit(sf_dir: str):
+    """Business-policy gate audit — one pass counts violations of four
+    written policies (discount cap 10 %, tax cap 8 %, quantity cap 50,
+    discount-implies-volume: discount > 5 % requires quantity ≥ 10): the
+    deequ-style constraint report on the fact table, exact integers, with
+    the policy ids stable for alerting."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_discount", "l_tax", "l_quantity"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["l_discount"].to_numpy(zero_copy_only=False)
+        x = t["l_tax"].to_numpy(zero_copy_only=False)
+        q = t["l_quantity"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n": pa.array([t.num_rows], pa.int64()),
+                "disc_cap": pa.array([int((d > 0.10).sum())], pa.int64()),
+                "tax_cap": pa.array([int((x > 0.08).sum())], pa.int64()),
+                "qty_cap": pa.array([int((q > 50.0).sum())], pa.int64()),
+                "disc_vol": pa.array(
+                    [int(((d > 0.05) & (q < 10.0)).sum())], pa.int64()
+                ),
+            }
+        )
+
+    s = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"),
+        Sum("disc_cap", alias_name="disc_cap"),
+        Sum("tax_cap", alias_name="tax_cap"),
+        Sum("qty_cap", alias_name="qty_cap"),
+        Sum("disc_vol", alias_name="disc_vol"),
+    )
+    names = ["disc_cap", "tax_cap", "qty_cap", "disc_vol"]
+    return pa.table(
+        {
+            "policy": pa.array(names, pa.string()),
+            "n_rows": pa.array([int(s["n"])] * 4, pa.int64()),
+            "violations": pa.array([int(s[k]) for k in names], pa.int64()),
+        }
+    )
+
+
+LINEITEM_POLICY_AUDIT_SQL = """
+WITH a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN l_discount > 0.10 THEN 1 ELSE 0 END) AS BIGINT)
+           AS disc_cap,
+         CAST(SUM(CASE WHEN l_tax > 0.08 THEN 1 ELSE 0 END) AS BIGINT) AS tax_cap,
+         CAST(SUM(CASE WHEN l_quantity > 50.0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS qty_cap,
+         CAST(SUM(CASE WHEN l_discount > 0.05 AND l_quantity < 10.0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS disc_vol
+  FROM lineitem)
+SELECT p.policy, a.n AS n_rows,
+       CASE p.policy WHEN 'disc_cap' THEN disc_cap WHEN 'tax_cap' THEN tax_cap
+                     WHEN 'qty_cap' THEN qty_cap ELSE disc_vol END AS violations
+FROM a, (SELECT unnest(['disc_cap', 'tax_cap', 'qty_cap', 'disc_vol'])
+           AS policy) p
+ORDER BY CASE p.policy WHEN 'disc_cap' THEN 0 WHEN 'tax_cap' THEN 1
+                       WHEN 'qty_cap' THEN 2 ELSE 3 END
+"""
+
+
+def docs_hapax_stats(sf_dir: str):
+    """Lexical richness — hapax/dis legomena shares: how much of the
+    vocabulary occurs exactly once / twice (a natural corpus runs ~50 %
+    hapax; this synthetic 31-term soup runs ~0, which is the diagnostic).
+    Term DF through the O(vocab) shuffle, one summary row."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+
+    def term_counts(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(pc.utf8_lower(t["text"]), pattern=r"[^a-z0-9]+")
+        )
+        toks = pc.drop_null(toks)
+        toks = toks.filter(pc.not_equal(toks, ""))
+        return (
+            pa.Table.from_arrays([toks], names=["term"])
+            .group_by("term")
+            .aggregate([("term", "count")])
+            .rename_columns(["term", "n"])
+        )
+
+    g = (
+        ds.map_batches(term_counts, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    n = g["n"].to_numpy().astype(np.int64)
+    vocab = len(n)
+    hapax = int((n == 1).sum())
+    dis = int((n == 2).sum())
+    return pa.table(
+        {
+            "vocab": pa.array([vocab], pa.int64()),
+            "total_tokens": pa.array([int(n.sum())], pa.int64()),
+            "hapax": pa.array([hapax], pa.int64()),
+            "dis": pa.array([dis], pa.int64()),
+            "hapax_ppm": pa.array([hapax * 1_000_000 // vocab], pa.int64()),
+        }
+    )
+
+
+DOCS_HAPAX_STATS_SQL = """
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents),
+c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM toks
+      WHERE term <> '' GROUP BY 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS vocab,
+       CAST(SUM(n) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+            AS BIGINT) AS hapax_ppm
+FROM c
+"""
+
+
+def events_entry_exit_matrix(sf_dir: str):
+    """Entry/exit analysis — each user's FIRST and LAST event types paired
+    into the (entry, exit) matrix (the landing-vs-leaving view session
+    analytics draws as a chord diagram).  Per-user first/last via the
+    sorted group kernel; the matrix is O(types²) cells."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    def kernel(g: pa.Table) -> pa.Table:
+        s = g.take(
+            pc.sort_indices(
+                g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+            )
+        )
+        types = s["event_type"]
+        return pa.table(
+            {
+                "entry_type": pa.array([str(types[0].as_py())], pa.string()),
+                "exit_type": pa.array(
+                    [str(types[s.num_rows - 1].as_py())], pa.string()
+                ),
+                "n": pa.array([1], pa.int64()),
+            }
+        )
+
+    return (
+        ds.groupby("user_id")
+        .map_groups(kernel, batch_format="pyarrow")
+        .groupby(["entry_type", "exit_type"])
+        .aggregate(Sum("n", alias_name="n_users"))
+        .sort(["entry_type", "exit_type"])
+    )
+
+
+EVENTS_ENTRY_EXIT_MATRIX_SQL = """
+WITH s AS (
+  SELECT user_id, event_type, ts, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS cnt
+  FROM events),
+fe AS (SELECT user_id, event_type AS entry_type FROM s WHERE rn = 1),
+le AS (SELECT user_id, event_type AS exit_type FROM s WHERE rn = cnt)
+SELECT entry_type, exit_type, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM fe JOIN le USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -19454,6 +19624,9 @@ ORACLE_SQL: dict[str, str] = {
     "customer_acquisition_curve": CUSTOMER_ACQUISITION_CURVE_SQL,
     "part_charm_pricing": PART_CHARM_PRICING_SQL,
     "events_onboarding_session_stats": EVENTS_ONBOARDING_SESSION_STATS_SQL,
+    "lineitem_policy_audit": LINEITEM_POLICY_AUDIT_SQL,
+    "docs_hapax_stats": DOCS_HAPAX_STATS_SQL,
+    "events_entry_exit_matrix": EVENTS_ENTRY_EXIT_MATRIX_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -19840,6 +20013,9 @@ def registry() -> dict:
         "customer_acquisition_curve": customer_acquisition_curve,
         "part_charm_pricing": part_charm_pricing,
         "events_onboarding_session_stats": events_onboarding_session_stats,
+        "lineitem_policy_audit": lineitem_policy_audit,
+        "docs_hapax_stats": docs_hapax_stats,
+        "events_entry_exit_matrix": events_entry_exit_matrix,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
