@@ -19459,6 +19459,231 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def docs_positional_length_profile(sf_dir: str):
+    """Positional profile — mean token length by position decile within
+    each document (template-generated text drifts by position; natural text
+    doesn't): decile = (pos−1)·10 // len, cells from block partials, mean
+    in exact milli-chars."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), pattern=r"[^a-z0-9]+")
+        col = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = col.flatten()
+        parent = pc.list_parent_indices(col).to_numpy(zero_copy_only=False)
+        keep = pc.and_(pc.is_valid(flat), pc.not_equal(flat, "")).to_numpy(
+            zero_copy_only=False
+        )
+        words = flat.filter(pa.array(keep))
+        par = parent[keep]
+        if not len(par):
+            return pa.table(
+                {
+                    "decile": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "sum_len": pa.array([], pa.int64()),
+                }
+            )
+        starts = np.flatnonzero(np.r_[True, par[1:] != par[:-1]])
+        seg_id = np.cumsum(np.r_[0, (par[1:] != par[:-1]).astype(np.int64)])
+        pos0 = np.arange(len(par), dtype=np.int64) - starts[seg_id]
+        seg_len = np.bincount(seg_id).astype(np.int64)
+        dec = pos0 * 10 // seg_len[seg_id]
+        ln = pc.utf8_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+        return (
+            pa.table(
+                {
+                    "decile": pa.array(dec, pa.int64()),
+                    "n": pa.array(np.ones(len(dec), np.int64)),
+                    "sum_len": pa.array(ln, pa.int64()),
+                }
+            )
+            .group_by("decile")
+            .aggregate([("n", "sum"), ("sum_len", "sum")])
+            .rename_columns(["decile", "n", "sum_len"])
+        )
+
+    g = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("decile")
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_len", alias_name="sum_len"))
+        .to_pandas()
+        .sort_values("decile", kind="mergesort")
+    )
+    n = g["n"].to_numpy().astype(np.int64)
+    sl = g["sum_len"].to_numpy().astype(np.int64)
+    return pa.table(
+        {
+            "decile": pa.array(g["decile"].to_numpy().astype(np.int64)),
+            "n": pa.array(n, pa.int64()),
+            "sum_len": pa.array(sl, pa.int64()),
+            "mean_len_milli": pa.array(sl * 1000 // n, pa.int64()),
+        }
+    )
+
+
+DOCS_POSITIONAL_LENGTH_PROFILE_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents),
+f AS (
+  SELECT unnest(l) AS term,
+         CAST(unnest(range(0, len(l))) AS BIGINT) AS pos0,
+         CAST(len(l) AS BIGINT) AS n_tok
+  FROM d WHERE len(l) > 0),
+c AS (SELECT pos0 * 10 // n_tok AS decile, length(term) AS ln FROM f)
+SELECT CAST(decile AS BIGINT) AS decile, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(ln) AS BIGINT) AS sum_len,
+       CAST(SUM(ln) * 1000 // COUNT(*) AS BIGINT) AS mean_len_milli
+FROM c GROUP BY 1 ORDER BY 1
+"""
+
+
+def events_midnight_sessions_ppm(sf_dir: str):
+    """Day-boundary spillover — the share of sessions that CROSS midnight
+    (whose daily-rollup double-counting a day-partitioned aggregate must
+    handle): sessionize (30-min gap), session start/end epoch-days
+    compared, one ppm row."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    gap_us = 30 * 60 * 1_000_000
+
+    def kernel(g: pa.Table) -> pa.Table:
+        ts = np.sort(g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False))
+        brk = np.r_[True, np.diff(ts) > gap_us]
+        starts = np.nonzero(brk)[0]
+        ends = np.r_[starts[1:], len(ts)]
+        d0 = ts[starts] // 86_400_000_000
+        d1 = ts[ends - 1] // 86_400_000_000
+        return pa.table(
+            {
+                "n_sessions": pa.array([len(starts)], pa.int64()),
+                "crossing": pa.array([int((d0 != d1).sum())], pa.int64()),
+            }
+        )
+
+    s = (
+        ds.groupby("user_id")
+        .map_groups(kernel, batch_format="pyarrow")
+        .aggregate(
+            Sum("n_sessions", alias_name="n_sessions"),
+            Sum("crossing", alias_name="crossing"),
+        )
+    )
+    n, c = int(s["n_sessions"]), int(s["crossing"])
+    return pa.table(
+        {
+            "n_sessions": pa.array([n], pa.int64()),
+            "crossing": pa.array([c], pa.int64()),
+            "crossing_ppm": pa.array([c * 1_000_000 // n], pa.int64()),
+        }
+    )
+
+
+EVENTS_MIDNIGHT_SESSIONS_PPM_SQL = """
+WITH x AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events),
+y AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sess
+  FROM x),
+s AS (
+  SELECT CASE WHEN epoch_us(MIN(ts)) // 86400000000
+                   <> epoch_us(MAX(ts)) // 86400000000 THEN 1 ELSE 0 END AS x
+  FROM y GROUP BY user_id, sess)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(x) AS BIGINT) AS crossing,
+       CAST(SUM(x) * 1000000 // COUNT(*) AS BIGINT) AS crossing_ppm
+FROM s
+"""
+
+
+def part_unit_price_dispersion(sf_dir: str):
+    """Unit-price dispersion per part — the same SKU sold at wildly varying
+    per-unit prices is a pricing-integrity smell: unit price in exact
+    milli-cents via FLOOR((ext/qty)·1000 + 0.5) (one correctly-rounded
+    double division, floored identically in both engines), per-part
+    min/max through keyed extrema partials, top-20 by (spread desc,
+    partkey)."""
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_partkey", "l_extendedprice", "l_quantity"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        unit = pc.cast(
+            pc.floor(
+                pc.add(
+                    pc.multiply(
+                        pc.divide(t["l_extendedprice"], t["l_quantity"]), 1000.0
+                    ),
+                    0.5,
+                )
+            ),
+            pa.int64(),
+        )
+        tb = pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "mn": unit,
+                "mx": unit,
+                "n": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        return tb.group_by("l_partkey").aggregate(
+            [("mn", "min"), ("mx", "max"), ("n", "sum")]
+        ).rename_columns(["l_partkey", "mn", "mx", "n"])
+
+    g = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(
+            Min("mn", alias_name="min_unit_milli"),
+            Max("mx", alias_name="max_unit_milli"),
+            Sum("n", alias_name="n"),
+        )
+        .to_pandas()
+    )
+    g["spread_milli"] = g["max_unit_milli"] - g["min_unit_milli"]
+    g = g.sort_values(
+        ["spread_milli", "l_partkey"], ascending=[False, True], kind="mergesort"
+    ).head(20)
+    return pa.table(
+        {
+            "l_partkey": pa.array(g["l_partkey"].to_numpy().astype(np.int64)),
+            "n": pa.array(g["n"].to_numpy().astype(np.int64)),
+            "min_unit_milli": pa.array(
+                g["min_unit_milli"].to_numpy().astype(np.int64)
+            ),
+            "max_unit_milli": pa.array(
+                g["max_unit_milli"].to_numpy().astype(np.int64)
+            ),
+            "spread_milli": pa.array(g["spread_milli"].to_numpy().astype(np.int64)),
+        }
+    )
+
+
+PART_UNIT_PRICE_DISPERSION_SQL = """
+WITH u AS (
+  SELECT l_partkey,
+         CAST(FLOOR(l_extendedprice / l_quantity * 1000 + 0.5) AS BIGINT)
+           AS unit_milli
+  FROM lineitem),
+g AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(MIN(unit_milli) AS BIGINT) AS min_unit_milli,
+         CAST(MAX(unit_milli) AS BIGINT) AS max_unit_milli
+  FROM u GROUP BY 1)
+SELECT l_partkey, n, min_unit_milli, max_unit_milli,
+       CAST(max_unit_milli - min_unit_milli AS BIGINT) AS spread_milli
+FROM g ORDER BY spread_milli DESC, l_partkey LIMIT 20
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -19627,6 +19852,9 @@ ORACLE_SQL: dict[str, str] = {
     "lineitem_policy_audit": LINEITEM_POLICY_AUDIT_SQL,
     "docs_hapax_stats": DOCS_HAPAX_STATS_SQL,
     "events_entry_exit_matrix": EVENTS_ENTRY_EXIT_MATRIX_SQL,
+    "docs_positional_length_profile": DOCS_POSITIONAL_LENGTH_PROFILE_SQL,
+    "events_midnight_sessions_ppm": EVENTS_MIDNIGHT_SESSIONS_PPM_SQL,
+    "part_unit_price_dispersion": PART_UNIT_PRICE_DISPERSION_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -20016,6 +20244,9 @@ def registry() -> dict:
         "lineitem_policy_audit": lineitem_policy_audit,
         "docs_hapax_stats": docs_hapax_stats,
         "events_entry_exit_matrix": events_entry_exit_matrix,
+        "docs_positional_length_profile": docs_positional_length_profile,
+        "events_midnight_sessions_ppm": events_midnight_sessions_ppm,
+        "part_unit_price_dispersion": part_unit_price_dispersion,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
