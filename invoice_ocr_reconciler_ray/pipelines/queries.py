@@ -19684,6 +19684,153 @@ FROM g ORDER BY spread_milli DESC, l_partkey LIMIT 20
 """
 
 
+def docs_gate_attrition(sf_dir: str):
+    """Curation-funnel attrition — how many documents survive each
+    SUCCESSIVE quality gate (length ≥ 200 chars → ≥ 30 tokens →
+    distinct-token ratio ≥ 30 %): the staged-loss report a pipeline owner
+    reads before tuning thresholds.  ONE tokenize pass computes all three
+    signals; the funnel is four integers."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["n_chars", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), pattern=r"[^a-z0-9]+")
+        col = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = col.flatten()
+        parent = pc.list_parent_indices(col).to_numpy(zero_copy_only=False)
+        keep = pc.and_(pc.is_valid(flat), pc.not_equal(flat, "")).to_numpy(
+            zero_copy_only=False
+        )
+        par = parent[keep]
+        n_rows = t.num_rows
+        n_tok = np.bincount(par, minlength=n_rows).astype(np.int64)
+        # distinct tokens per doc: sort (doc, term-code) pairs and count runs
+        words = flat.filter(pa.array(keep))
+        codes = words.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        order = np.lexsort((codes, par))
+        sp, sc = par[order], codes[order]
+        new_run = np.r_[True, (sp[1:] != sp[:-1]) | (sc[1:] != sc[:-1])]
+        n_dist = np.bincount(sp[new_run], minlength=n_rows).astype(np.int64)
+        chars = t["n_chars"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        g1 = chars >= 200
+        g2 = g1 & (n_tok >= 30)
+        g3 = g2 & (n_dist * 1_000_000 >= 300_000 * np.maximum(n_tok, 1))
+        return pa.table(
+            {
+                "n0": pa.array([n_rows], pa.int64()),
+                "n1": pa.array([int(g1.sum())], pa.int64()),
+                "n2": pa.array([int(g2.sum())], pa.int64()),
+                "n3": pa.array([int(g3.sum())], pa.int64()),
+            }
+        )
+
+    s = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("n0", alias_name="n0"),
+        Sum("n1", alias_name="n1"),
+        Sum("n2", alias_name="n2"),
+        Sum("n3", alias_name="n3"),
+    )
+    stages = ["0-input", "1-min-chars", "2-min-tokens", "3-distinct-ratio"]
+    vals = [int(s["n0"]), int(s["n1"]), int(s["n2"]), int(s["n3"])]
+    return pa.table(
+        {
+            "stage": pa.array(stages, pa.string()),
+            "n_surviving": pa.array(vals, pa.int64()),
+        }
+    )
+
+
+DOCS_GATE_ATTRITION_SQL = """
+WITH d AS (
+  SELECT n_chars,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents),
+m AS (
+  SELECT n_chars, len(l) AS n_tok,
+         len(list_distinct(l)) AS n_dist
+  FROM d),
+a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN n_chars >= 200 AND n_tok >= 30
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN n_chars >= 200 AND n_tok >= 30
+                        AND n_dist * 1000000 >= 300000 * GREATEST(n_tok, 1)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n3
+  FROM m)
+SELECT p.stage,
+       CASE p.stage WHEN '0-input' THEN n0 WHEN '1-min-chars' THEN n1
+                    WHEN '2-min-tokens' THEN n2 ELSE n3 END AS n_surviving
+FROM a, (SELECT unnest(['0-input', '1-min-chars', '2-min-tokens',
+                        '3-distinct-ratio']) AS stage) p
+ORDER BY p.stage
+"""
+
+
+def part_dual_sourcing_ppm(sf_dir: str):
+    """Supply-chain resilience — what share of parts has ≥2 distinct
+    suppliers on record (single-sourced parts are the risk register):
+    block-local DISTINCT (part, supplier) partials → per-part distinct
+    counts → one ppm row."""
+    li = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_partkey", "l_suppkey"])
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        return (
+            pa.table({"pk": t["l_partkey"], "sk": t["l_suppkey"]})
+            .group_by(["pk", "sk"])
+            .aggregate([])
+        )
+
+    per_part = (
+        li.map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby(["pk", "sk"])
+        .aggregate(Count(alias_name="_c"))
+        .map_batches(
+            lambda t: pa.table(
+                {"pk": t["pk"], "n": pa.array(np.ones(t.num_rows, np.int64))}
+            )
+            .group_by("pk")
+            .aggregate([("n", "sum")])
+            .rename_columns(["pk", "n"]),
+            batch_format="pyarrow",
+        )
+        .groupby("pk")
+        .aggregate(Sum("n", alias_name="n_suppliers"))
+    )
+
+    def cells(t: pa.Table) -> pa.Table:
+        n = t["n_suppliers"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_parts": pa.array([len(n)], pa.int64()),
+                "multi": pa.array([int((n >= 2).sum())], pa.int64()),
+            }
+        )
+
+    s = per_part.map_batches(cells, batch_format="pyarrow").aggregate(
+        Sum("n_parts", alias_name="n_parts"), Sum("multi", alias_name="multi")
+    )
+    n, m = int(s["n_parts"]), int(s["multi"])
+    return pa.table(
+        {
+            "n_parts": pa.array([n], pa.int64()),
+            "multi_sourced": pa.array([m], pa.int64()),
+            "multi_ppm": pa.array([m * 1_000_000 // n], pa.int64()),
+        }
+    )
+
+
+PART_DUAL_SOURCING_PPM_SQL = """
+WITH d AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+p AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS multi_sourced,
+       CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+            AS BIGINT) AS multi_ppm
+FROM p
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -19855,6 +20002,8 @@ ORACLE_SQL: dict[str, str] = {
     "docs_positional_length_profile": DOCS_POSITIONAL_LENGTH_PROFILE_SQL,
     "events_midnight_sessions_ppm": EVENTS_MIDNIGHT_SESSIONS_PPM_SQL,
     "part_unit_price_dispersion": PART_UNIT_PRICE_DISPERSION_SQL,
+    "docs_gate_attrition": DOCS_GATE_ATTRITION_SQL,
+    "part_dual_sourcing_ppm": PART_DUAL_SOURCING_PPM_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -20247,6 +20396,8 @@ def registry() -> dict:
         "docs_positional_length_profile": docs_positional_length_profile,
         "events_midnight_sessions_ppm": events_midnight_sessions_ppm,
         "part_unit_price_dispersion": part_unit_price_dispersion,
+        "docs_gate_attrition": docs_gate_attrition,
+        "part_dual_sourcing_ppm": part_dual_sourcing_ppm,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
