@@ -19831,6 +19831,183 @@ FROM p
 """
 
 
+def events_type_loyalty_ppm(sf_dir: str):
+    """Type loyalty — share of users whose MODAL event type covers at least
+    half their events (the habit-formation metric): per-user (max type
+    count, total) from one keyed reduction over (user, type) cells; the
+    gate is the integer 2·max ≥ total."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tb = pa.table(
+            {
+                "user_id": t["user_id"],
+                "typ": t["event_type"],
+                "n": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        return tb.group_by(["user_id", "typ"]).aggregate([("n", "sum")]).rename_columns(
+            ["user_id", "typ", "n"]
+        )
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "typ"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def per_user(g: pa.Table) -> pa.Table:
+        n = g["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "users": pa.array([1], pa.int64()),
+                "loyal": pa.array([int(2 * int(n.max()) >= int(n.sum()))], pa.int64()),
+            }
+        )
+
+    s = (
+        cells.groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+        .aggregate(Sum("users", alias_name="users"), Sum("loyal", alias_name="loyal"))
+    )
+    u, l = int(s["users"]), int(s["loyal"])
+    return pa.table(
+        {
+            "n_users": pa.array([u], pa.int64()),
+            "loyal_users": pa.array([l], pa.int64()),
+            "loyal_ppm": pa.array([l * 1_000_000 // u], pa.int64()),
+        }
+    )
+
+
+EVENTS_TYPE_LOYALTY_PPM_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+u AS (
+  SELECT user_id,
+         CASE WHEN 2 * MAX(n) >= SUM(n) THEN 1 ELSE 0 END AS loyal
+  FROM c GROUP BY 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(loyal) AS BIGINT) AS loyal_users,
+       CAST(SUM(loyal) * 1000000 // COUNT(*) AS BIGINT) AS loyal_ppm
+FROM u
+"""
+
+
+def orders_freshness_panel(sf_dir: str):
+    """Data-freshness SLO panel — the staleness card an ingestion monitor
+    shows: the newest order's epoch-day plus row counts in the trailing 30
+    and 90 days relative to it.  Max via partials, then one pruned counting
+    pass; all integers."""
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderdate"])
+    mx = int(
+        ds.map_batches(
+            lambda t: pa.table({"d": t["o_orderdate"].cast(pa.int64())}),
+            batch_format="pyarrow",
+        ).max("d")
+    )
+    max_day = mx // 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = t["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False) // 86_400_000_000
+        return pa.table(
+            {
+                "n30": pa.array([int((day > max_day - 30).sum())], pa.int64()),
+                "n90": pa.array([int((day > max_day - 90).sum())], pa.int64()),
+                "n": pa.array([len(day)], pa.int64()),
+            }
+        )
+
+    s = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("n30", alias_name="n30"),
+        Sum("n90", alias_name="n90"),
+        Sum("n", alias_name="n"),
+    )
+    return pa.table(
+        {
+            "max_day_epoch": pa.array([max_day], pa.int64()),
+            "n_total": pa.array([int(s["n"])], pa.int64()),
+            "n_last30": pa.array([int(s["n30"])], pa.int64()),
+            "n_last90": pa.array([int(s["n90"])], pa.int64()),
+        }
+    )
+
+
+ORDERS_FRESHNESS_PANEL_SQL = """
+WITH m AS (SELECT MAX(epoch_us(o_orderdate)) // 86400000000 AS max_day FROM orders)
+SELECT CAST(max_day AS BIGINT) AS max_day_epoch,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN epoch_us(o_orderdate) // 86400000000 > max_day - 30
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_last30,
+       CAST(SUM(CASE WHEN epoch_us(o_orderdate) // 86400000000 > max_day - 90
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_last90
+FROM orders, m GROUP BY max_day
+"""
+
+
+def docs_source_exclusive_vocab(sf_dir: str):
+    """Vocabulary ownership — per source, how many terms appear in THAT
+    source and NOWHERE else (the exclusive-content signal source weighting
+    keys on): distinct (source, term) pairs via block partials; terms with
+    source-degree 1 attribute to their sole owner.  Sources with zero
+    exclusive terms still report (the common case in this shared-vocab
+    corpus — that IS the finding)."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), pattern=r"[^a-z0-9]+")
+        col = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = col.flatten()
+        parent = pc.list_parent_indices(col)
+        src = pc.take(t["source"], parent)
+        tb = pa.table({"source": src, "term": flat}).filter(
+            pc.and_(pc.is_valid(flat), pc.not_equal(flat, ""))
+        )
+        return tb.group_by(["source", "term"]).aggregate([])
+
+    pairs = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "term"])
+        .aggregate(Count(alias_name="_c"))
+        .to_pandas()
+    )
+    deg = pairs.groupby("term")["source"].nunique()
+    exclusive_terms = set(deg[deg == 1].index)
+    own = (
+        pairs[pairs.term.isin(exclusive_terms)]
+        .groupby("source")
+        .size()
+        .to_dict()
+    )
+    sources = sorted(pairs.source.unique())
+    return pa.table(
+        {
+            "source": pa.array(sources, pa.string()),
+            "n_exclusive_terms": pa.array(
+                [int(own.get(s, 0)) for s in sources], pa.int64()
+            ),
+        }
+    )
+
+
+DOCS_SOURCE_EXCLUSIVE_VOCAB_SQL = """
+WITH p AS (
+  SELECT DISTINCT source, term
+  FROM (SELECT source,
+               unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+        FROM documents)
+  WHERE term <> ''),
+d AS (SELECT term, COUNT(*) AS deg FROM p GROUP BY 1),
+e AS (SELECT p.source, COUNT(*) AS n FROM p JOIN d USING (term)
+      WHERE deg = 1 GROUP BY 1),
+s AS (SELECT DISTINCT source FROM p)
+SELECT s.source, CAST(COALESCE(e.n, 0) AS BIGINT) AS n_exclusive_terms
+FROM s LEFT JOIN e USING (source)
+ORDER BY s.source
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -20004,6 +20181,9 @@ ORACLE_SQL: dict[str, str] = {
     "part_unit_price_dispersion": PART_UNIT_PRICE_DISPERSION_SQL,
     "docs_gate_attrition": DOCS_GATE_ATTRITION_SQL,
     "part_dual_sourcing_ppm": PART_DUAL_SOURCING_PPM_SQL,
+    "events_type_loyalty_ppm": EVENTS_TYPE_LOYALTY_PPM_SQL,
+    "orders_freshness_panel": ORDERS_FRESHNESS_PANEL_SQL,
+    "docs_source_exclusive_vocab": DOCS_SOURCE_EXCLUSIVE_VOCAB_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -20398,6 +20578,9 @@ def registry() -> dict:
         "part_unit_price_dispersion": part_unit_price_dispersion,
         "docs_gate_attrition": docs_gate_attrition,
         "part_dual_sourcing_ppm": part_dual_sourcing_ppm,
+        "events_type_loyalty_ppm": events_type_loyalty_ppm,
+        "orders_freshness_panel": orders_freshness_panel,
+        "docs_source_exclusive_vocab": docs_source_exclusive_vocab,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
