@@ -20008,6 +20008,125 @@ ORDER BY s.source
 """
 
 
+def orders_backlog_by_month(sf_dir: str):
+    """Shipping backlog timeline — end-of-month open orders: cumulative
+    orders placed minus cumulative orders FIRST-shipped, on the union month
+    grid.  Two independent O(months) cell reductions (order months; per-
+    order MIN-ship months via keyed extrema) folded on the driver — the
+    running-difference inventory identity, exact integers."""
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderdate"])
+
+    def ord_cells(t: pa.Table) -> pa.Table:
+        ym = pc.add(
+            pc.multiply(pc.year(t["o_orderdate"]).cast(pa.int64()), 100),
+            pc.month(t["o_orderdate"]).cast(pa.int64()),
+        )
+        return (
+            pa.table({"ym": ym, "n": pa.array(np.ones(t.num_rows, np.int64))})
+            .group_by("ym")
+            .aggregate([("n", "sum")])
+            .rename_columns(["ym", "n"])
+        )
+
+    placed = (
+        orders.map_batches(ord_cells, batch_format="pyarrow")
+        .groupby("ym")
+        .aggregate(Sum("n", alias_name="n_placed"))
+        .to_pandas()
+    )
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_orderkey", "l_shipdate"])
+
+    def first_ship(t: pa.Table) -> pa.Table:
+        return (
+            pa.table(
+                {
+                    "ok": t["l_orderkey"],
+                    "d": t["l_shipdate"].cast(pa.int64()),
+                }
+            )
+            .group_by("ok")
+            .aggregate([("d", "min")])
+            .rename_columns(["ok", "d"])
+        )
+
+    def ship_cells(t: pa.Table) -> pa.Table:
+        us = t["first_us"].combine_chunks().to_numpy(zero_copy_only=False)
+        mi = (us // 86_400_000_000).astype("datetime64[D]").astype(
+            "datetime64[M]"
+        ).astype(np.int64)
+        ym = (1970 + mi // 12) * 100 + (mi % 12 + 1)
+        return (
+            pa.table(
+                {
+                    "ym": pa.array(ym, pa.int64()),
+                    "n": pa.array(np.ones(len(ym), np.int64)),
+                }
+            )
+            .group_by("ym")
+            .aggregate([("n", "sum")])
+            .rename_columns(["ym", "n"])
+        )
+
+    shipped = (
+        li.map_batches(first_ship, batch_format="pyarrow")
+        .groupby("ok")
+        .aggregate(Min("d", alias_name="first_us"))
+        .map_batches(ship_cells, batch_format="pyarrow")
+        .groupby("ym")
+        .aggregate(Sum("n", alias_name="n_shipped"))
+        .to_pandas()
+    )
+
+    import pandas as pd
+
+    grid = sorted(set(placed.ym.astype(int)) | set(shipped.ym.astype(int)))
+    pl = dict(zip(placed.ym.astype(int), placed.n_placed.astype(int)))
+    sh = dict(zip(shipped.ym.astype(int), shipped.n_shipped.astype(int)))
+    cp = cs = 0
+    rows = []
+    for ym in grid:
+        cp += pl.get(ym, 0)
+        cs += sh.get(ym, 0)
+        rows.append((ym, cp, cs, cp - cs))
+    return pa.table(
+        {
+            "ym": pa.array([r[0] for r in rows], pa.int64()),
+            "cum_placed": pa.array([r[1] for r in rows], pa.int64()),
+            "cum_shipped": pa.array([r[2] for r in rows], pa.int64()),
+            "backlog": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+ORDERS_BACKLOG_BY_MONTH_SQL = """
+WITH p AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) * 100
+              + EXTRACT(month FROM o_orderdate) AS BIGINT) AS ym,
+         CAST(COUNT(*) AS BIGINT) AS n_placed
+  FROM orders GROUP BY 1),
+fs AS (
+  SELECT l_orderkey, MIN(l_shipdate) AS d FROM lineitem GROUP BY 1),
+s AS (
+  SELECT CAST(EXTRACT(year FROM d) * 100 + EXTRACT(month FROM d) AS BIGINT) AS ym,
+         CAST(COUNT(*) AS BIGINT) AS n_shipped
+  FROM fs GROUP BY 1),
+g AS (SELECT ym FROM p UNION SELECT ym FROM s),
+j AS (
+  SELECT g.ym, COALESCE(p.n_placed, 0) AS np, COALESCE(s.n_shipped, 0) AS ns
+  FROM g LEFT JOIN p USING (ym) LEFT JOIN s USING (ym))
+SELECT ym,
+       CAST(SUM(np) OVER (ORDER BY ym ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_placed,
+       CAST(SUM(ns) OVER (ORDER BY ym ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_shipped,
+       CAST(SUM(np) OVER (ORDER BY ym ROWS UNBOUNDED PRECEDING)
+            - SUM(ns) OVER (ORDER BY ym ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS backlog
+FROM j ORDER BY ym
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -20184,6 +20303,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_type_loyalty_ppm": EVENTS_TYPE_LOYALTY_PPM_SQL,
     "orders_freshness_panel": ORDERS_FRESHNESS_PANEL_SQL,
     "docs_source_exclusive_vocab": DOCS_SOURCE_EXCLUSIVE_VOCAB_SQL,
+    "orders_backlog_by_month": ORDERS_BACKLOG_BY_MONTH_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -20581,6 +20701,7 @@ def registry() -> dict:
         "events_type_loyalty_ppm": events_type_loyalty_ppm,
         "orders_freshness_panel": orders_freshness_panel,
         "docs_source_exclusive_vocab": docs_source_exclusive_vocab,
+        "orders_backlog_by_month": orders_backlog_by_month,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
