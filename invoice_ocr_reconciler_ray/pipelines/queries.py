@@ -20127,6 +20127,118 @@ FROM j ORDER BY ym
 """
 
 
+def orders_price_mode_exact(sf_dir: str):
+    """Distributed EXACT mode of a high-cardinality column — the shape that
+    defeats per-block top-1 shortcuts (a block's mode is NOT a candidate
+    set for the global mode): full (value, count) cells at value
+    cardinality, then the global max count via a second aggregate pass and
+    an equality filter with the min-value tie rule — the mode never touches
+    the driver until it is one row."""
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = _cents(t["o_totalprice"])
+        return (
+            pa.table({"cents": c, "n": pa.array(np.ones(t.num_rows, np.int64))})
+            .group_by("cents")
+            .aggregate([("n", "sum")])
+            .rename_columns(["cents", "n"])
+        )
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("cents")
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+    top = int(cells.max("n"))
+    n_distinct = cells.count()
+    mode = int(
+        cells.map_batches(
+            lambda t: t.filter(pc.equal(t["n"], top)), batch_format="pyarrow"
+        ).min("cents")
+    )
+    return pa.table(
+        {
+            "mode_cents": pa.array([mode], pa.int64()),
+            "mode_count": pa.array([top], pa.int64()),
+            "n_distinct": pa.array([n_distinct], pa.int64()),
+        }
+    )
+
+
+ORDERS_PRICE_MODE_EXACT_SQL = """
+WITH c AS (
+  SELECT CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS cents,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1),
+m AS (SELECT MAX(n) AS top FROM c)
+SELECT CAST((SELECT MIN(cents) FROM c, m WHERE n = top) AS BIGINT) AS mode_cents,
+       CAST((SELECT top FROM m) AS BIGINT) AS mode_count,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_distinct
+"""
+
+
+def events_value_gmd(sf_dir: str):
+    """Gini mean difference per type — the mean |pairwise difference|
+    dispersion (more robust than variance, more efficient than MAD),
+    computed WITHOUT the quadratic pair sum via the sorted identity
+    Σ_{i<j}(x_j − x_i) = Σ_i (2i − n + 1)·x_(i) (0-based): one group sort,
+    one dot product, all exact int64; gmd_milli = 2000·Σ // (n·(n−1))."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "value"])
+
+    def kernel(g: pa.Table) -> pa.Table:
+        c = np.sort(_cents(g["value"]).to_numpy(zero_copy_only=False))
+        n = len(c)
+        if n < 2:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "sum_absdiff_cents": pa.array([], pa.int64()),
+                    "gmd_milli": pa.array([], pa.int64()),
+                }
+            )
+        i = np.arange(n, dtype=np.int64)
+        total = int(((2 * i - n + 1) * c).sum())
+        return pa.table(
+            {
+                "event_type": pa.array([str(g["event_type"][0].as_py())], pa.string()),
+                "n": pa.array([n], pa.int64()),
+                "sum_absdiff_cents": pa.array([total], pa.int64()),
+                "gmd_milli": pa.array(
+                    [total * 2000 // (n * (n - 1))], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.groupby("event_type")
+        .map_groups(kernel, batch_format="pyarrow")
+        .sort(["event_type"])
+    )
+
+
+EVENTS_VALUE_GMD_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+r AS (
+  SELECT event_type, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM c),
+a AS (
+  SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+         CAST(SUM((2 * (rn - 1) - n + 1) * cents) AS BIGINT)
+           AS sum_absdiff_cents
+  FROM r GROUP BY 1)
+SELECT event_type, n, sum_absdiff_cents,
+       CAST(sum_absdiff_cents * 2000 // (n * (n - 1)) AS BIGINT) AS gmd_milli
+FROM a WHERE n >= 2 ORDER BY event_type
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -20304,6 +20416,8 @@ ORACLE_SQL: dict[str, str] = {
     "orders_freshness_panel": ORDERS_FRESHNESS_PANEL_SQL,
     "docs_source_exclusive_vocab": DOCS_SOURCE_EXCLUSIVE_VOCAB_SQL,
     "orders_backlog_by_month": ORDERS_BACKLOG_BY_MONTH_SQL,
+    "orders_price_mode_exact": ORDERS_PRICE_MODE_EXACT_SQL,
+    "events_value_gmd": EVENTS_VALUE_GMD_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -20702,6 +20816,8 @@ def registry() -> dict:
         "orders_freshness_panel": orders_freshness_panel,
         "docs_source_exclusive_vocab": docs_source_exclusive_vocab,
         "orders_backlog_by_month": orders_backlog_by_month,
+        "orders_price_mode_exact": orders_price_mode_exact,
+        "events_value_gmd": events_value_gmd,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
