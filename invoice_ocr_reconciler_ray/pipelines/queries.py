@@ -20239,6 +20239,157 @@ FROM a WHERE n >= 2 ORDER BY event_type
 """
 
 
+def events_type_hot_streak(sf_dir: str):
+    """Hot-streak length per type — the longest run of consecutive
+    above-type-median values in (ts, event_id) order: the momentum
+    statistic a monitoring rule keys on.  Per-type group kernel: one sort,
+    a boolean run-length via the cumsum-of-breaks trick, exact integers."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "event_type", "ts", "value"]
+    )
+
+    def kernel(g: pa.Table) -> pa.Table:
+        s = g.take(
+            pc.sort_indices(
+                g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+            )
+        )
+        c = _cents(s["value"]).to_numpy(zero_copy_only=False)
+        med = int(np.sort(c)[(len(c) - 1) // 2])
+        hot = c > med
+        # run ids: cumsum of value changes; max run among hot runs
+        run_id = np.cumsum(np.r_[0, hot[1:] != hot[:-1]])
+        lengths = np.bincount(run_id[hot]) if hot.any() else np.array([0])
+        return pa.table(
+            {
+                "event_type": pa.array([str(s["event_type"][0].as_py())], pa.string()),
+                "n": pa.array([len(c)], pa.int64()),
+                "median_cents": pa.array([med], pa.int64()),
+                "max_hot_streak": pa.array([int(lengths.max())], pa.int64()),
+            }
+        )
+
+    return (
+        ds.groupby("event_type")
+        .map_groups(kernel, batch_format="pyarrow")
+        .sort(["event_type"])
+    )
+
+
+EVENTS_TYPE_HOT_STREAK_SQL = """
+WITH c AS (
+  SELECT event_type, event_id, ts,
+         CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+m AS (SELECT event_type, CAST(quantile_disc(cents, 0.5) AS BIGINT) AS med,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM c GROUP BY 1),
+h AS (
+  SELECT c.event_type, med, n, ts, event_id,
+         CASE WHEN cents > med THEN 1 ELSE 0 END AS hot,
+         CASE WHEN (cents > med) <> COALESCE(
+                lag(cents > med) OVER (
+                  PARTITION BY c.event_type ORDER BY ts, event_id),
+                NOT (cents > med))
+              THEN 1 ELSE 0 END AS brk
+  FROM c JOIN m USING (event_type)),
+r AS (
+  SELECT event_type, med, n, hot,
+         SUM(brk) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM h),
+runs AS (SELECT event_type, med, n, run_id, COUNT(*) AS len
+         FROM r WHERE hot = 1 GROUP BY 1, 2, 3, 4)
+SELECT m.event_type, m.n, m.med AS median_cents,
+       CAST(COALESCE(x.mx, 0) AS BIGINT) AS max_hot_streak
+FROM m LEFT JOIN (SELECT event_type, MAX(len) AS mx FROM runs GROUP BY 1) x
+       USING (event_type)
+ORDER BY m.event_type
+"""
+
+
+def customer_value_activity_quadrants(sf_dir: str):
+    """Quadrant segmentation — customers split by (median account balance ×
+    median order count) into the classic 2×2: the 'high-value dormant'
+    cell is the campaign target.  Order counts via keyed partials joined
+    to the customer dim (8 partitions); both medians are lower-convention
+    over the O(customers) narrow table; quadrant counts exact."""
+    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_acctbal"])
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey"])
+
+    def cnt(t: pa.Table) -> pa.Table:
+        return (
+            pa.table(
+                {"ck": t["o_custkey"], "n": pa.array(np.ones(t.num_rows, np.int64))}
+            )
+            .group_by("ck")
+            .aggregate([("n", "sum")])
+            .rename_columns(["ck", "n"])
+        )
+
+    per_cust = (
+        orders.map_batches(cnt, batch_format="pyarrow")
+        .groupby("ck")
+        .aggregate(Sum("n", alias_name="n_orders"))
+    )
+    joined = cust.join(
+        per_cust, join_type="left_outer", num_partitions=8, on=("c_custkey",), right_on=("ck",)
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "bal": _cents(t["c_acctbal"]),
+                "n_orders": pc.coalesce(t["n_orders"], pa.scalar(0, pa.int64())),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    pdf = joined.to_pandas()
+    bal = np.sort(pdf.bal.to_numpy())
+    cnt_v = np.sort(pdf.n_orders.to_numpy())
+    med_bal = int(bal[(len(bal) - 1) // 2])
+    med_cnt = int(cnt_v[(len(cnt_v) - 1) // 2])
+    hb = pdf.bal.to_numpy() > med_bal
+    ha = pdf.n_orders.to_numpy() > med_cnt
+    labels = ["hi_bal_hi_act", "hi_bal_lo_act", "lo_bal_hi_act", "lo_bal_lo_act"]
+    counts = [
+        int((hb & ha).sum()),
+        int((hb & ~ha).sum()),
+        int((~hb & ha).sum()),
+        int((~hb & ~ha).sum()),
+    ]
+    return pa.table(
+        {
+            "quadrant": pa.array(labels, pa.string()),
+            "n_customers": pa.array(counts, pa.int64()),
+        }
+    )
+
+
+CUSTOMER_VALUE_ACTIVITY_QUADRANTS_SQL = """
+WITH oc AS (SELECT o_custkey AS ck, CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY 1),
+j AS (
+  SELECT CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT) AS bal,
+         COALESCE(oc.n_orders, 0) AS n_orders
+  FROM customer LEFT JOIN oc ON c_custkey = oc.ck),
+m AS (SELECT CAST(quantile_disc(bal, 0.5) AS BIGINT) AS med_bal,
+             CAST(quantile_disc(n_orders, 0.5) AS BIGINT) AS med_cnt
+      FROM j),
+q AS (
+  SELECT CASE WHEN bal > med_bal AND n_orders > med_cnt THEN 'hi_bal_hi_act'
+              WHEN bal > med_bal THEN 'hi_bal_lo_act'
+              WHEN n_orders > med_cnt THEN 'lo_bal_hi_act'
+              ELSE 'lo_bal_lo_act' END AS quadrant
+  FROM j, m)
+SELECT g.quadrant, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_customers
+FROM (SELECT unnest(['hi_bal_hi_act', 'hi_bal_lo_act', 'lo_bal_hi_act',
+                     'lo_bal_lo_act']) AS quadrant) g
+LEFT JOIN (SELECT quadrant, COUNT(*) AS n FROM q GROUP BY 1) c
+       USING (quadrant)
+ORDER BY g.quadrant
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -20418,6 +20569,8 @@ ORACLE_SQL: dict[str, str] = {
     "orders_backlog_by_month": ORDERS_BACKLOG_BY_MONTH_SQL,
     "orders_price_mode_exact": ORDERS_PRICE_MODE_EXACT_SQL,
     "events_value_gmd": EVENTS_VALUE_GMD_SQL,
+    "events_type_hot_streak": EVENTS_TYPE_HOT_STREAK_SQL,
+    "customer_value_activity_quadrants": CUSTOMER_VALUE_ACTIVITY_QUADRANTS_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -20818,6 +20971,8 @@ def registry() -> dict:
         "orders_backlog_by_month": orders_backlog_by_month,
         "orders_price_mode_exact": orders_price_mode_exact,
         "events_value_gmd": events_value_gmd,
+        "events_type_hot_streak": events_type_hot_streak,
+        "customer_value_activity_quadrants": customer_value_activity_quadrants,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
