@@ -20390,6 +20390,137 @@ ORDER BY g.quadrant
 """
 
 
+def events_coldstart_share(sf_dir: str):
+    """Cold-start exposure — the share of traffic coming from users still
+    in their first 5 events (the personalization-can't-help-yet slice):
+    per-user (ts, event_id)-order ranks from the group sort; two integers
+    out, ppm exact."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+
+    def kernel(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        return pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "cold": pa.array([min(n, 5)], pa.int64()),
+            }
+        )
+
+    s = (
+        ds.groupby("user_id")
+        .map_groups(kernel, batch_format="pyarrow")
+        .aggregate(Sum("n", alias_name="n"), Sum("cold", alias_name="cold"))
+    )
+    n, c = int(s["n"]), int(s["cold"])
+    return pa.table(
+        {
+            "n_events": pa.array([n], pa.int64()),
+            "coldstart_events": pa.array([c], pa.int64()),
+            "coldstart_ppm": pa.array([c * 1_000_000 // n], pa.int64()),
+        }
+    )
+
+
+EVENTS_COLDSTART_SHARE_SQL = """
+WITH r AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN rn <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS coldstart_events,
+       CAST(SUM(CASE WHEN rn <= 5 THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+            AS BIGINT) AS coldstart_ppm
+FROM r
+"""
+
+
+def orders_total_reconstruction_audit(sf_dir: str):
+    """Invoice-total reconstruction — the reference's own reconciliation
+    shape (≙ amount-tolerance matching, reconciliationEngine.js): rebuild
+    each order's total as Σ FLOOR(extprice·(1+tax)·(1−discount)·100+0.5)
+    over its lines and band the deviation from o_totalprice (exact / within
+    a dollar / beyond).  Per-order line sums ship through the 8-partition
+    join; every comparison is integer cents (both engines evaluate the
+    identical float formula before the one floor)."""
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_tax", "l_discount"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        line = _cents(
+            pc.multiply(
+                pc.multiply(t["l_extendedprice"], pc.add(1.0, t["l_tax"])),
+                pc.subtract(1.0, t["l_discount"]),
+            )
+        )
+        return (
+            pa.table({"l_orderkey": t["l_orderkey"], "c": line})
+            .group_by("l_orderkey")
+            .aggregate([("c", "sum")])
+            .rename_columns(["l_orderkey", "c"])
+        )
+
+    per_order = (
+        li.map_batches(prep, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("c", alias_name="recon_cents"))
+    )
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
+    joined = per_order.join(
+        orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+
+    def bands(t: pa.Table) -> pa.Table:
+        rec = t["recon_cents"].combine_chunks().to_numpy(zero_copy_only=False)
+        tot = _cents(t["o_totalprice"]).to_numpy(zero_copy_only=False)
+        dev = np.abs(rec - tot)
+        return pa.table(
+            {
+                "n": pa.array([len(dev)], pa.int64()),
+                "exact": pa.array([int((dev == 0).sum())], pa.int64()),
+                "within_dollar": pa.array(
+                    [int(((dev > 0) & (dev <= 100)).sum())], pa.int64()
+                ),
+                "beyond": pa.array([int((dev > 100).sum())], pa.int64()),
+            }
+        )
+
+    s = joined.map_batches(bands, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"),
+        Sum("exact", alias_name="exact"),
+        Sum("within_dollar", alias_name="within_dollar"),
+        Sum("beyond", alias_name="beyond"),
+    )
+    return pa.table(
+        {
+            "n_orders": pa.array([int(s["n"])], pa.int64()),
+            "exact": pa.array([int(s["exact"])], pa.int64()),
+            "within_dollar": pa.array([int(s["within_dollar"])], pa.int64()),
+            "beyond": pa.array([int(s["beyond"])], pa.int64()),
+        }
+    )
+
+
+ORDERS_TOTAL_RECONSTRUCTION_AUDIT_SQL = """
+WITH p AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(FLOOR(l_extendedprice*(1+l_tax)*(1-l_discount)*100 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS recon_cents
+  FROM lineitem GROUP BY 1),
+j AS (
+  SELECT ABS(recon_cents - CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS dev
+  FROM p JOIN orders ON l_orderkey = o_orderkey)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN dev = 0 THEN 1 ELSE 0 END) AS BIGINT) AS exact,
+       CAST(SUM(CASE WHEN dev > 0 AND dev <= 100 THEN 1 ELSE 0 END) AS BIGINT)
+         AS within_dollar,
+       CAST(SUM(CASE WHEN dev > 100 THEN 1 ELSE 0 END) AS BIGINT) AS beyond
+FROM j
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -20571,6 +20702,8 @@ ORACLE_SQL: dict[str, str] = {
     "events_value_gmd": EVENTS_VALUE_GMD_SQL,
     "events_type_hot_streak": EVENTS_TYPE_HOT_STREAK_SQL,
     "customer_value_activity_quadrants": CUSTOMER_VALUE_ACTIVITY_QUADRANTS_SQL,
+    "events_coldstart_share": EVENTS_COLDSTART_SHARE_SQL,
+    "orders_total_reconstruction_audit": ORDERS_TOTAL_RECONSTRUCTION_AUDIT_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -20973,6 +21106,8 @@ def registry() -> dict:
         "events_value_gmd": events_value_gmd,
         "events_type_hot_streak": events_type_hot_streak,
         "customer_value_activity_quadrants": customer_value_activity_quadrants,
+        "events_coldstart_share": events_coldstart_share,
+        "orders_total_reconstruction_audit": orders_total_reconstruction_audit,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
