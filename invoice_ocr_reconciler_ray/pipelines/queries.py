@@ -20521,6 +20521,225 @@ FROM j
 """
 
 
+def docs_positional_mode(sf_dir: str):
+    """Template-skeleton extraction — the MODAL token at each of the first
+    10 positions across all documents (boilerplate headers surface as
+    high-share positional modes): (position, term) cells from the lockstep
+    parent/offset arithmetic, per-position argmax (count desc, term asc)
+    with its ppm share of documents long enough to have that position."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), pattern=r"[^a-z0-9]+")
+        col = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = col.flatten()
+        parent = pc.list_parent_indices(col).to_numpy(zero_copy_only=False)
+        keep = pc.and_(pc.is_valid(flat), pc.not_equal(flat, "")).to_numpy(
+            zero_copy_only=False
+        )
+        words = flat.filter(pa.array(keep))
+        par = parent[keep]
+        if not len(par):
+            return pa.table(
+                {
+                    "pos": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        starts = np.flatnonzero(np.r_[True, par[1:] != par[:-1]])
+        seg_id = np.cumsum(np.r_[0, (par[1:] != par[:-1]).astype(np.int64)])
+        pos = np.arange(len(par), dtype=np.int64) - starts[seg_id] + 1
+        sel = pos <= 10
+        return (
+            pa.table(
+                {
+                    "pos": pa.array(pos[sel], pa.int64()),
+                    "term": words.filter(pa.array(sel)),
+                    "n": pa.array(np.ones(int(sel.sum()), np.int64)),
+                }
+            )
+            .group_by(["pos", "term"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["pos", "term", "n"])
+        )
+
+    g = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["pos", "term"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    rows = []
+    for pos, sub in g.groupby("pos", sort=True):
+        total = int(sub.n.sum())
+        sub = sub.sort_values(["n", "term"], ascending=[False, True], kind="mergesort")
+        top = sub.iloc[0]
+        rows.append((int(pos), str(top.term), int(top.n), int(top.n) * 1_000_000 // total))
+    return pa.table(
+        {
+            "pos": pa.array([r[0] for r in rows], pa.int64()),
+            "top_term": pa.array([r[1] for r in rows], pa.string()),
+            "n": pa.array([r[2] for r in rows], pa.int64()),
+            "share_ppm": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+DOCS_POSITIONAL_MODE_SQL = """
+WITH d AS (
+  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents),
+f AS (
+  SELECT unnest(l) AS term,
+         CAST(unnest(range(1, len(l) + 1)) AS BIGINT) AS pos
+  FROM d),
+c AS (SELECT pos, term, CAST(COUNT(*) AS BIGINT) AS n
+      FROM f WHERE pos <= 10 GROUP BY 1, 2),
+t AS (SELECT pos, SUM(n) AS total FROM c GROUP BY 1),
+r AS (SELECT pos, term, n,
+             ROW_NUMBER() OVER (PARTITION BY pos ORDER BY n DESC, term) AS rk
+      FROM c)
+SELECT r.pos, r.term AS top_term, r.n,
+       CAST(r.n * 1000000 // t.total AS BIGINT) AS share_ppm
+FROM r JOIN t USING (pos) WHERE rk = 1
+ORDER BY r.pos
+"""
+
+
+def events_lifecycle_stages(sf_dir: str):
+    """User lifecycle segmentation at the corpus max-ts as-of: new (first
+    event within 7 days), active (last event within 7 days, not new),
+    at-risk (idle 7–14 days), churned (idle > 14 days) — the four-stage
+    funnel a growth team tracks weekly.  Per-user first/last from keyed
+    extrema; stage gates are integer day comparisons."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    mx = int(
+        ds.map_batches(
+            lambda t: pa.table({"d": t["ts"].cast(pa.int64())}),
+            batch_format="pyarrow",
+        ).max("d")
+    )
+    max_day = mx // 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // 86_400_000_000
+        return (
+            pa.table(
+                {"user_id": t["user_id"], "f": pa.array(d, pa.int64()), "l": pa.array(d, pa.int64())}
+            )
+            .group_by("user_id")
+            .aggregate([("f", "min"), ("l", "max")])
+            .rename_columns(["user_id", "f", "l"])
+        )
+
+    per_user = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("f", alias_name="first_day"), Max("l", alias_name="last_day"))
+        .to_pandas()
+    )
+    f = per_user.first_day.to_numpy().astype(np.int64)
+    l = per_user.last_day.to_numpy().astype(np.int64)
+    new = max_day - f <= 7
+    active = (~new) & (max_day - l <= 7)
+    at_risk = (~new) & (~active) & (max_day - l <= 14)
+    churned = (~new) & (~active) & (~at_risk)
+    return pa.table(
+        {
+            "stage": pa.array(["1-new", "2-active", "3-at-risk", "4-churned"], pa.string()),
+            "n_users": pa.array(
+                [int(new.sum()), int(active.sum()), int(at_risk.sum()), int(churned.sum())],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+EVENTS_LIFECYCLE_STAGES_SQL = """
+WITH m AS (SELECT MAX(epoch_us(ts)) // 86400000000 AS max_day FROM events),
+u AS (
+  SELECT user_id, MIN(epoch_us(ts) // 86400000000) AS f,
+         MAX(epoch_us(ts) // 86400000000) AS l
+  FROM events GROUP BY 1),
+s AS (
+  SELECT CASE WHEN max_day - f <= 7 THEN '1-new'
+              WHEN max_day - l <= 7 THEN '2-active'
+              WHEN max_day - l <= 14 THEN '3-at-risk'
+              ELSE '4-churned' END AS stage
+  FROM u, m)
+SELECT g.stage, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_users
+FROM (SELECT unnest(['1-new', '2-active', '3-at-risk', '4-churned']) AS stage) g
+LEFT JOIN (SELECT stage, COUNT(*) AS n FROM s GROUP BY 1) c USING (stage)
+ORDER BY g.stage
+"""
+
+
+def customer_years_active_hist(sf_dir: str):
+    """Loyalty-tier histogram — distinct ORDER years per customer bucketed
+    into tiers (how many customers bought in 1, 2, … N distinct years):
+    block-local DISTINCT (customer, year) partials → per-customer distinct
+    counts → O(max years) histogram."""
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_orderdate"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        return (
+            pa.table(
+                {
+                    "ck": t["o_custkey"],
+                    "yr": pc.year(t["o_orderdate"]).cast(pa.int64()),
+                }
+            )
+            .group_by(["ck", "yr"])
+            .aggregate([])
+        )
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["ck", "yr"])
+        .aggregate(Count(alias_name="_c"))
+        .map_batches(
+            lambda t: pa.table(
+                {"ck": t["ck"], "n": pa.array(np.ones(t.num_rows, np.int64))}
+            )
+            .group_by("ck")
+            .aggregate([("n", "sum")])
+            .rename_columns(["ck", "n"]),
+            batch_format="pyarrow",
+        )
+        .groupby("ck")
+        .aggregate(Sum("n", alias_name="years_active"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "years_active": t["years_active"],
+                    "c": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            )
+            .group_by("years_active")
+            .aggregate([("c", "sum")])
+            .rename_columns(["years_active", "c"]),
+            batch_format="pyarrow",
+        )
+        .groupby("years_active")
+        .aggregate(Sum("c", alias_name="n_customers"))
+        .sort(["years_active"])
+    )
+
+
+CUSTOMER_YEARS_ACTIVE_HIST_SQL = """
+WITH p AS (
+  SELECT DISTINCT o_custkey,
+         CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr
+  FROM orders),
+c AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS years_active
+      FROM p GROUP BY 1)
+SELECT years_active, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM c GROUP BY 1 ORDER BY 1
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -20704,6 +20923,9 @@ ORACLE_SQL: dict[str, str] = {
     "customer_value_activity_quadrants": CUSTOMER_VALUE_ACTIVITY_QUADRANTS_SQL,
     "events_coldstart_share": EVENTS_COLDSTART_SHARE_SQL,
     "orders_total_reconstruction_audit": ORDERS_TOTAL_RECONSTRUCTION_AUDIT_SQL,
+    "docs_positional_mode": DOCS_POSITIONAL_MODE_SQL,
+    "events_lifecycle_stages": EVENTS_LIFECYCLE_STAGES_SQL,
+    "customer_years_active_hist": CUSTOMER_YEARS_ACTIVE_HIST_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -21108,6 +21330,9 @@ def registry() -> dict:
         "customer_value_activity_quadrants": customer_value_activity_quadrants,
         "events_coldstart_share": events_coldstart_share,
         "orders_total_reconstruction_audit": orders_total_reconstruction_audit,
+        "docs_positional_mode": docs_positional_mode,
+        "events_lifecycle_stages": events_lifecycle_stages,
+        "customer_years_active_hist": customer_years_active_hist,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
