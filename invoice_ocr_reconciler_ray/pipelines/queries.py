@@ -20740,6 +20740,143 @@ FROM c GROUP BY 1 ORDER BY 1
 """
 
 
+def customer_same_day_multi_orders(sf_dir: str):
+    """Burst-purchase screen — (customer, day) cells with ≥2 orders, per
+    year: the split-shipment / double-submit smell.  Cells via block
+    partials; the multi-cell filter and year rollup fold exactly."""
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_orderdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False) // 86_400_000_000
+        return (
+            pa.table(
+                {
+                    "ck": t["o_custkey"],
+                    "day": pa.array(d, pa.int64()),
+                    "n": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            )
+            .group_by(["ck", "day"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["ck", "day", "n"])
+        )
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["ck", "day"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def year_cells(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.greater_equal(t["n"], 2))
+        day = f["day"].combine_chunks().to_numpy(zero_copy_only=False)
+        yr = (
+            1970
+            + day.astype("datetime64[D]").astype("datetime64[Y]").astype(np.int64)
+        )
+        n = f["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        return (
+            pa.table(
+                {
+                    "yr": pa.array(yr, pa.int64()),
+                    "cells": pa.array(np.ones(len(yr), np.int64)),
+                    "orders": pa.array(n, pa.int64()),
+                }
+            )
+            .group_by("yr")
+            .aggregate([("cells", "sum"), ("orders", "sum")])
+            .rename_columns(["yr", "cells", "orders"])
+        )
+
+    return (
+        cells.map_batches(year_cells, batch_format="pyarrow")
+        .groupby("yr")
+        .aggregate(
+            Sum("cells", alias_name="multi_day_cells"),
+            Sum("orders", alias_name="orders_involved"),
+        )
+        .sort(["yr"])
+    )
+
+
+CUSTOMER_SAME_DAY_MULTI_ORDERS_SQL = """
+WITH c AS (
+  SELECT o_custkey, epoch_us(o_orderdate) // 86400000000 AS dy,
+         CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2, 3)
+SELECT yr, CAST(COUNT(*) AS BIGINT) AS multi_day_cells,
+       CAST(SUM(n) AS BIGINT) AS orders_involved
+FROM c WHERE n >= 2 GROUP BY 1 ORDER BY 1
+"""
+
+
+def docs_numeric_token_share(sf_dir: str):
+    """Numeric contamination per source — the ppm of tokens that are PURE
+    digit strings (tables/ids leaking into prose corrupt LM training):
+    one regex-class test over the flattened token stream, per-source
+    cells, exact ppm."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), pattern=r"[^a-z0-9]+")
+        col = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = col.flatten()
+        parent = pc.list_parent_indices(col)
+        src = pc.take(t["source"], parent)
+        keep = pc.and_(pc.is_valid(flat), pc.not_equal(flat, ""))
+        words = flat.filter(keep)
+        srcs = src.filter(keep)
+        numeric = pc.cast(
+            pc.match_substring_regex(words, r"^[0-9]+$"), pa.int64()
+        )
+        return (
+            pa.table(
+                {
+                    "source": srcs,
+                    "n": pa.array(np.ones(len(words), np.int64)),
+                    "num": numeric,
+                }
+            )
+            .group_by("source")
+            .aggregate([("n", "sum"), ("num", "sum")])
+            .rename_columns(["source", "n", "num"])
+        )
+
+    g = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n", alias_name="n_tokens"), Sum("num", alias_name="numeric_tokens"))
+        .to_pandas()
+        .sort_values("source", kind="mergesort")
+    )
+    n = g["n_tokens"].to_numpy().astype(np.int64)
+    m = g["numeric_tokens"].to_numpy().astype(np.int64)
+    return pa.table(
+        {
+            "source": pa.array(g["source"].tolist(), pa.string()),
+            "n_tokens": pa.array(n, pa.int64()),
+            "numeric_tokens": pa.array(m, pa.int64()),
+            "numeric_ppm": pa.array(m * 1_000_000 // n, pa.int64()),
+        }
+    )
+
+
+DOCS_NUMERIC_TOKEN_SHARE_SQL = """
+WITH tk AS (
+  SELECT source,
+         unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents),
+f AS (SELECT source, term FROM tk WHERE term <> '')
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN regexp_matches(term, '^[0-9]+$') THEN 1 ELSE 0 END)
+            AS BIGINT) AS numeric_tokens,
+       CAST(SUM(CASE WHEN regexp_matches(term, '^[0-9]+$') THEN 1 ELSE 0 END)
+            * 1000000 // COUNT(*) AS BIGINT) AS numeric_ppm
+FROM f GROUP BY 1 ORDER BY 1
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -20926,6 +21063,8 @@ ORACLE_SQL: dict[str, str] = {
     "docs_positional_mode": DOCS_POSITIONAL_MODE_SQL,
     "events_lifecycle_stages": EVENTS_LIFECYCLE_STAGES_SQL,
     "customer_years_active_hist": CUSTOMER_YEARS_ACTIVE_HIST_SQL,
+    "customer_same_day_multi_orders": CUSTOMER_SAME_DAY_MULTI_ORDERS_SQL,
+    "docs_numeric_token_share": DOCS_NUMERIC_TOKEN_SHARE_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -21333,6 +21472,8 @@ def registry() -> dict:
         "docs_positional_mode": docs_positional_mode,
         "events_lifecycle_stages": events_lifecycle_stages,
         "customer_years_active_hist": customer_years_active_hist,
+        "customer_same_day_multi_orders": customer_same_day_multi_orders,
+        "docs_numeric_token_share": docs_numeric_token_share,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
