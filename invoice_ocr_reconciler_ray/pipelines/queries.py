@@ -20877,6 +20877,145 @@ FROM f GROUP BY 1 ORDER BY 1
 """
 
 
+def embeddings_label_nearest(sf_dir: str):
+    """Cluster-confusion candidates — each label's NEAREST other label by
+    exact centroid distance (the pair a taxonomist reviews first):
+    composes the rational-arithmetic centroid-distance matrix
+    (embeddings_centroid_distances) with a per-label argmin (d² asc,
+    neighbor asc) on the O(labels²) table."""
+    dist = embeddings_centroid_distances(sf_dir).to_pandas()
+    both = np.concatenate(
+        [
+            dist[["label_a", "label_b", "d2_mu2"]].to_numpy(),
+            dist[["label_b", "label_a", "d2_mu2"]].to_numpy(),
+        ]
+    )
+    rows = {}
+    for a, b, d2 in both:
+        a, b, d2 = int(a), int(b), int(d2)
+        cur = rows.get(a)
+        if cur is None or (d2, b) < cur:
+            rows[a] = (d2, b)
+    labels = sorted(rows)
+    return pa.table(
+        {
+            "label": pa.array(labels, pa.int64()),
+            "nearest_label": pa.array([rows[k][1] for k in labels], pa.int64()),
+            "d2_mu2": pa.array([rows[k][0] for k in labels], pa.int64()),
+        }
+    )
+
+
+EMBEDDINGS_LABEL_NEAREST_SQL = """
+WITH e AS (
+  SELECT label, unnest(embedding) AS x,
+         unnest(range(0, len(embedding))) AS dim
+  FROM embeddings),
+c AS (
+  SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+         CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+              AS BIGINT) AS sum_uv,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM e GROUP BY 1, 2),
+p AS (
+  SELECT a.label AS la, b.label AS lb,
+         CAST(SUM((CAST(a.sum_uv AS HUGEINT) * b.n - CAST(b.sum_uv AS HUGEINT) * a.n)
+                  * (CAST(a.sum_uv AS HUGEINT) * b.n - CAST(b.sum_uv AS HUGEINT) * a.n)
+                  // (CAST(a.n AS HUGEINT) * a.n * b.n * b.n)) AS BIGINT) AS d2
+  FROM c a JOIN c b ON a.dim = b.dim AND a.label <> b.label
+  GROUP BY 1, 2),
+r AS (SELECT la, lb, d2,
+             ROW_NUMBER() OVER (PARTITION BY la ORDER BY d2, lb) AS rk
+      FROM p)
+SELECT la AS label, lb AS nearest_label, d2 AS d2_mu2
+FROM r WHERE rk = 1 ORDER BY la
+"""
+
+
+def lineitem_returns_by_ship_lag(sf_dir: str):
+    """Does late shipping drive returns?  Return rate by order-to-ship lag
+    bucket (≤30 / 31–60 / 61+ days): per-line lag through the 8-partition
+    join, three-bucket cells, exact ppm — the causal-screening crosstab a
+    fulfillment postmortem starts from."""
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_shipdate", "l_returnflag"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "ship_day": pa.array(
+                    t["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                    // 86_400_000_000,
+                    pa.int64(),
+                ),
+                "ret": pc.cast(pc.equal(t["l_returnflag"], "R"), pa.int64()),
+            }
+        )
+
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_orderdate"])
+    joined = li.map_batches(prep, batch_format="pyarrow").join(
+        orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+
+    def cells(t: pa.Table) -> pa.Table:
+        od = t["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False) // 86_400_000_000
+        lag = t["ship_day"].combine_chunks().to_numpy(zero_copy_only=False) - od
+        bucket = np.select([lag <= 30, lag <= 60], [0, 1], default=2)
+        ret = t["ret"].combine_chunks().to_numpy(zero_copy_only=False)
+        return (
+            pa.table(
+                {
+                    "bucket_ix": pa.array(bucket.astype(np.int64), pa.int64()),
+                    "n": pa.array(np.ones(len(lag), np.int64)),
+                    "ret": pa.array(ret, pa.int64()),
+                }
+            )
+            .group_by("bucket_ix")
+            .aggregate([("n", "sum"), ("ret", "sum")])
+            .rename_columns(["bucket_ix", "n", "ret"])
+        )
+
+    g = (
+        joined.map_batches(cells, batch_format="pyarrow")
+        .groupby("bucket_ix")
+        .aggregate(Sum("n", alias_name="n_lines"), Sum("ret", alias_name="n_returned"))
+        .to_pandas()
+        .sort_values("bucket_ix", kind="mergesort")
+    )
+    labels = {0: "0-30d", 1: "31-60d", 2: "61d+"}
+    n = g["n_lines"].to_numpy().astype(np.int64)
+    r = g["n_returned"].to_numpy().astype(np.int64)
+    return pa.table(
+        {
+            "lag_bucket": pa.array(
+                [labels[int(i)] for i in g["bucket_ix"]], pa.string()
+            ),
+            "n_lines": pa.array(n, pa.int64()),
+            "n_returned": pa.array(r, pa.int64()),
+            "return_ppm": pa.array(r * 1_000_000 // n, pa.int64()),
+        }
+    )
+
+
+LINEITEM_RETURNS_BY_SHIP_LAG_SQL = """
+WITH j AS (
+  SELECT CASE
+           WHEN epoch_us(l_shipdate) // 86400000000
+                - epoch_us(o_orderdate) // 86400000000 <= 30 THEN '0-30d'
+           WHEN epoch_us(l_shipdate) // 86400000000
+                - epoch_us(o_orderdate) // 86400000000 <= 60 THEN '31-60d'
+           ELSE '61d+' END AS lag_bucket,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+SELECT lag_bucket, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(ret) AS BIGINT) AS n_returned,
+       CAST(SUM(ret) * 1000000 // COUNT(*) AS BIGINT) AS return_ppm
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -21065,6 +21204,8 @@ ORACLE_SQL: dict[str, str] = {
     "customer_years_active_hist": CUSTOMER_YEARS_ACTIVE_HIST_SQL,
     "customer_same_day_multi_orders": CUSTOMER_SAME_DAY_MULTI_ORDERS_SQL,
     "docs_numeric_token_share": DOCS_NUMERIC_TOKEN_SHARE_SQL,
+    "embeddings_label_nearest": EMBEDDINGS_LABEL_NEAREST_SQL,
+    "lineitem_returns_by_ship_lag": LINEITEM_RETURNS_BY_SHIP_LAG_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -21474,6 +21615,8 @@ def registry() -> dict:
         "customer_years_active_hist": customer_years_active_hist,
         "customer_same_day_multi_orders": customer_same_day_multi_orders,
         "docs_numeric_token_share": docs_numeric_token_share,
+        "embeddings_label_nearest": embeddings_label_nearest,
+        "lineitem_returns_by_ship_lag": lineitem_returns_by_ship_lag,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
