@@ -21016,6 +21016,125 @@ FROM j GROUP BY 1 ORDER BY 1
 """
 
 
+def orders_seasonal_amplitude(sf_dir: str):
+    """Seasonality amplitude per year — (best month − worst month) / best
+    in ppm over monthly revenue (how peaky is the business): O(months)
+    cells, per-year extrema on the driver fold, exact integers."""
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        yr = pc.year(t["o_orderdate"]).cast(pa.int64())
+        mo = pc.month(t["o_orderdate"]).cast(pa.int64())
+        return (
+            pa.table(
+                {
+                    "yr": yr,
+                    "mo": mo,
+                    "cents": _cents(t["o_totalprice"]),
+                }
+            )
+            .group_by(["yr", "mo"])
+            .aggregate([("cents", "sum")])
+            .rename_columns(["yr", "mo", "cents"])
+        )
+
+    g = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["yr", "mo"])
+        .aggregate(Sum("cents", alias_name="cents"))
+        .to_pandas()
+    )
+    rows = []
+    for yr, sub in g.groupby("yr", sort=True):
+        mx, mn = int(sub.cents.max()), int(sub.cents.min())
+        rows.append((int(yr), len(sub), mx, mn, (mx - mn) * 1_000_000 // mx))
+    return pa.table(
+        {
+            "yr": pa.array([r[0] for r in rows], pa.int64()),
+            "n_months": pa.array([r[1] for r in rows], pa.int64()),
+            "best_month_cents": pa.array([r[2] for r in rows], pa.int64()),
+            "worst_month_cents": pa.array([r[3] for r in rows], pa.int64()),
+            "amplitude_ppm": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+
+
+ORDERS_SEASONAL_AMPLITUDE_SQL = """
+WITH m AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+         CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mo,
+         CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1, 2)
+SELECT yr, CAST(COUNT(*) AS BIGINT) AS n_months,
+       CAST(MAX(cents) AS BIGINT) AS best_month_cents,
+       CAST(MIN(cents) AS BIGINT) AS worst_month_cents,
+       CAST((MAX(cents) - MIN(cents)) * 1000000 // MAX(cents) AS BIGINT)
+         AS amplitude_ppm
+FROM m GROUP BY 1 ORDER BY 1
+"""
+
+
+def orders_mixed_discount_ppm(sf_dir: str):
+    """Discount-consistency audit — orders whose lines carry DIFFERENT
+    discount levels (a pricing-engine smell when discounts are meant to be
+    order-scoped): the MIN=MAX all-equal gate on the per-order discount
+    percent, one ppm row."""
+    li = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_orderkey", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lvl = pc.cast(
+            pc.floor(pc.add(pc.multiply(t["l_discount"], 100.0), 0.5)), pa.int64()
+        )
+        return (
+            pa.table({"ok": t["l_orderkey"], "mn": lvl, "mx": lvl})
+            .group_by("ok")
+            .aggregate([("mn", "min"), ("mx", "max")])
+            .rename_columns(["ok", "mn", "mx"])
+        )
+
+    g = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("ok")
+        .aggregate(Min("mn", alias_name="mn"), Max("mx", alias_name="mx"))
+    )
+
+    def cells(t: pa.Table) -> pa.Table:
+        mixed = pc.cast(pc.not_equal(t["mn"], t["mx"]), pa.int64())
+        return pa.table(
+            {
+                "n": pa.array([t.num_rows], pa.int64()),
+                "mixed": pa.array([int(pc.sum(mixed).as_py() or 0)], pa.int64()),
+            }
+        )
+
+    s = g.map_batches(cells, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"), Sum("mixed", alias_name="mixed")
+    )
+    n, m = int(s["n"]), int(s["mixed"])
+    return pa.table(
+        {
+            "n_orders": pa.array([n], pa.int64()),
+            "mixed_orders": pa.array([m], pa.int64()),
+            "mixed_ppm": pa.array([m * 1_000_000 // n], pa.int64()),
+        }
+    )
+
+
+ORDERS_MIXED_DISCOUNT_PPM_SQL = """
+WITH p AS (
+  SELECT l_orderkey,
+         MIN(CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT)) AS mn,
+         MAX(CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT)) AS mx
+  FROM lineitem GROUP BY 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN mn <> mx THEN 1 ELSE 0 END) AS BIGINT) AS mixed_orders,
+       CAST(SUM(CASE WHEN mn <> mx THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+            AS BIGINT) AS mixed_ppm
+FROM p
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -21206,6 +21325,8 @@ ORACLE_SQL: dict[str, str] = {
     "docs_numeric_token_share": DOCS_NUMERIC_TOKEN_SHARE_SQL,
     "embeddings_label_nearest": EMBEDDINGS_LABEL_NEAREST_SQL,
     "lineitem_returns_by_ship_lag": LINEITEM_RETURNS_BY_SHIP_LAG_SQL,
+    "orders_seasonal_amplitude": ORDERS_SEASONAL_AMPLITUDE_SQL,
+    "orders_mixed_discount_ppm": ORDERS_MIXED_DISCOUNT_PPM_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -21617,6 +21738,8 @@ def registry() -> dict:
         "docs_numeric_token_share": docs_numeric_token_share,
         "embeddings_label_nearest": embeddings_label_nearest,
         "lineitem_returns_by_ship_lag": lineitem_returns_by_ship_lag,
+        "orders_seasonal_amplitude": orders_seasonal_amplitude,
+        "orders_mixed_discount_ppm": orders_mixed_discount_ppm,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
