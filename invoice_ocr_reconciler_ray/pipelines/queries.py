@@ -21135,6 +21135,116 @@ FROM p
 """
 
 
+def docs_lang_tv_from_global(sf_dir: str):
+    """Per-language divergence from the corpus — total-variation distance
+    between each language's unigram mix and the GLOBAL mix, exact ppm via
+    Σ|c_l·N − c_g·N_l|·10⁶ // (2·N_l·N): the slice-skew ranking that says
+    which language needs its own tokenizer.  (lang, term) cells from block
+    partials; the per-lang fold is O(vocab) on the driver (HUGEINT-scale
+    products stay in Python ints)."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), pattern=r"[^a-z0-9]+")
+        col = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = col.flatten()
+        parent = pc.list_parent_indices(col)
+        lang = pc.take(t["lang"], parent)
+        tb = pa.table({"lang": lang, "term": flat}).filter(
+            pc.and_(pc.is_valid(flat), pc.not_equal(flat, ""))
+        )
+        return tb.group_by(["lang", "term"]).aggregate([("term", "count")]).rename_columns(
+            ["lang", "term", "n"]
+        )
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "term"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    glob = cells.groupby("term")["n"].sum()
+    n_glob = int(glob.sum())
+    rows = []
+    for lang, sub in cells.groupby("lang", sort=True):
+        ln = dict(zip(sub.term, sub.n.astype(int)))
+        n_l = sum(ln.values())
+        acc = 0
+        for term, cg in glob.items():
+            cl = ln.get(term, 0)
+            acc += abs(cl * n_glob - int(cg) * n_l)
+        tv = acc * 1_000_000 // (2 * n_l * n_glob)
+        rows.append((str(lang), n_l, tv))
+    return pa.table(
+        {
+            "lang": pa.array([r[0] for r in rows], pa.string()),
+            "n_tokens": pa.array([r[1] for r in rows], pa.int64()),
+            "tv_ppm": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+DOCS_LANG_TV_FROM_GLOBAL_SQL = """
+WITH tk AS (
+  SELECT lang, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents),
+c AS (SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tk WHERE term <> '' GROUP BY 1, 2),
+g AS (SELECT term, SUM(n) AS cg FROM c GROUP BY 1),
+t AS (SELECT SUM(n) AS n_glob FROM c),
+l AS (SELECT lang, SUM(n) AS n_l FROM c GROUP BY 1),
+grid AS (SELECT l.lang, g.term, g.cg, l.n_l FROM l, g),
+d AS (
+  SELECT grid.lang, grid.n_l,
+         ABS(COALESCE(c.n, 0) * t.n_glob - grid.cg * grid.n_l) AS term_dev
+  FROM grid LEFT JOIN c ON grid.lang = c.lang AND grid.term = c.term, t)
+SELECT lang, CAST(MAX(n_l) AS BIGINT) AS n_tokens,
+       CAST(SUM(term_dev) * 1000000
+            // (2 * MAX(n_l) * (SELECT n_glob FROM t)) AS BIGINT) AS tv_ppm
+FROM d GROUP BY 1 ORDER BY 1
+"""
+
+
+def brand_size_coverage(sf_dir: str):
+    """Assortment coverage — per brand, how much of the GLOBAL size range
+    it stocks (distinct sizes / global distinct sizes, ppm): the catalog
+    breadth signal.  Two distinct-count reductions, tiny cells."""
+    ds = rd.read_parquet(_t(sf_dir, "part"), columns=["p_brand", "p_size"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        return (
+            pa.table({"p_brand": t["p_brand"], "p_size": t["p_size"].cast(pa.int64())})
+            .group_by(["p_brand", "p_size"])
+            .aggregate([])
+        )
+
+    cells = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["p_brand", "p_size"])
+        .aggregate(Count(alias_name="_c"))
+        .to_pandas()
+    )
+    n_global = int(cells.p_size.nunique())
+    per_brand = cells.groupby("p_brand").size().sort_index()
+    n = per_brand.to_numpy().astype(np.int64)
+    return pa.table(
+        {
+            "p_brand": pa.array(per_brand.index.tolist(), pa.string()),
+            "n_sizes": pa.array(n, pa.int64()),
+            "coverage_ppm": pa.array(n * 1_000_000 // n_global, pa.int64()),
+        }
+    )
+
+
+BRAND_SIZE_COVERAGE_SQL = """
+WITH p AS (SELECT DISTINCT p_brand, p_size FROM part),
+g AS (SELECT CAST(COUNT(DISTINCT p_size) AS BIGINT) AS n_global FROM part)
+SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_sizes,
+       CAST(COUNT(*) * 1000000 // n_global AS BIGINT) AS coverage_ppm
+FROM p, g GROUP BY 1, n_global ORDER BY 1
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -21327,6 +21437,8 @@ ORACLE_SQL: dict[str, str] = {
     "lineitem_returns_by_ship_lag": LINEITEM_RETURNS_BY_SHIP_LAG_SQL,
     "orders_seasonal_amplitude": ORDERS_SEASONAL_AMPLITUDE_SQL,
     "orders_mixed_discount_ppm": ORDERS_MIXED_DISCOUNT_PPM_SQL,
+    "docs_lang_tv_from_global": DOCS_LANG_TV_FROM_GLOBAL_SQL,
+    "brand_size_coverage": BRAND_SIZE_COVERAGE_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -21740,6 +21852,8 @@ def registry() -> dict:
         "lineitem_returns_by_ship_lag": lineitem_returns_by_ship_lag,
         "orders_seasonal_amplitude": orders_seasonal_amplitude,
         "orders_mixed_discount_ppm": orders_mixed_discount_ppm,
+        "docs_lang_tv_from_global": docs_lang_tv_from_global,
+        "brand_size_coverage": brand_size_coverage,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
