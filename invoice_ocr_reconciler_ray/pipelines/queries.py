@@ -21245,6 +21245,169 @@ FROM p, g GROUP BY 1, n_global ORDER BY 1
 """
 
 
+def supplier_lag_trend(sf_dir: str):
+    """Fulfillment-lag trend per supplier — median order-to-ship days in
+    the FIRST vs LAST ship year and the signed delta (who is getting
+    slower): per-(supplier, year) groups reduce to lower-medians after the
+    8-partition orderdate join; the two year slices align on the
+    O(suppliers) driver table."""
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_suppkey", "l_shipdate"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "sk": t["l_suppkey"],
+                "ship_day": pa.array(
+                    t["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                    // 86_400_000_000,
+                    pa.int64(),
+                ),
+                "ship_yr": pc.year(t["l_shipdate"]).cast(pa.int64()),
+            }
+        )
+
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_orderdate"])
+    joined = li.map_batches(prep, batch_format="pyarrow").join(
+        orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+
+    def kernel(g: pa.Table) -> pa.Table:
+        od = g["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False) // 86_400_000_000
+        lag = np.sort(
+            g["ship_day"].combine_chunks().to_numpy(zero_copy_only=False) - od
+        )
+        return pa.table(
+            {
+                "sk": pa.array([int(g["sk"][0].as_py())], pa.int64()),
+                "yr": pa.array([int(g["ship_yr"][0].as_py())], pa.int64()),
+                "med": pa.array([int(lag[(len(lag) - 1) // 2])], pa.int64()),
+            }
+        )
+
+    cells = (
+        joined.groupby(["sk", "ship_yr"])
+        .map_groups(kernel, batch_format="pyarrow")
+        .to_pandas()
+    )
+    y0, y1 = int(cells.yr.min()), int(cells.yr.max())
+    first = cells[cells.yr == y0].set_index("sk").med
+    last = cells[cells.yr == y1].set_index("sk").med
+    sks = sorted(set(first.index) & set(last.index))
+    return pa.table(
+        {
+            "s_suppkey": pa.array([int(s) for s in sks], pa.int64()),
+            "first_median_days": pa.array([int(first[s]) for s in sks], pa.int64()),
+            "last_median_days": pa.array([int(last[s]) for s in sks], pa.int64()),
+            "delta_days": pa.array(
+                [int(last[s]) - int(first[s]) for s in sks], pa.int64()
+            ),
+        }
+    )
+
+
+SUPPLIER_LAG_TREND_SQL = """
+WITH j AS (
+  SELECT l_suppkey AS sk,
+         CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS yr,
+         epoch_us(l_shipdate) // 86400000000
+           - epoch_us(o_orderdate) // 86400000000 AS lag
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+b AS (SELECT MIN(yr) AS y0, MAX(yr) AS y1 FROM j),
+m AS (SELECT sk, yr, CAST(quantile_disc(lag, 0.5) AS BIGINT) AS med
+      FROM j GROUP BY 1, 2)
+SELECT f.sk AS s_suppkey,
+       f.med AS first_median_days, l.med AS last_median_days,
+       CAST(l.med - f.med AS BIGINT) AS delta_days
+FROM m f JOIN m l ON f.sk = l.sk, b
+WHERE f.yr = y0 AND l.yr = y1
+ORDER BY f.sk
+"""
+
+
+def events_zombie_users(sf_dir: str):
+    """Zombie-user pattern — active in the FIRST and LAST thirds of the
+    time range but silent in the middle (the re-engagement-mystery cohort):
+    per-user presence flags over three windows via one keyed Max-of-
+    indicator reduction; integer boundaries (range thirds)."""
+    mm_ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts"]).map_batches(
+        lambda t: pa.table({"ts_us": t["ts"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    lo, hi = int(mm_ds.min("ts_us")), int(mm_ds.max("ts_us"))
+    b1 = lo + (hi - lo) // 3
+    b2 = lo + 2 * (hi - lo) // 3
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def flags(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "w1": pa.array((ts <= b1).astype(np.int64), pa.int64()),
+                "w2": pa.array(((ts > b1) & (ts <= b2)).astype(np.int64), pa.int64()),
+                "w3": pa.array((ts > b2).astype(np.int64), pa.int64()),
+            }
+        )
+
+    per_user = (
+        ds.map_batches(flags, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Max("w1", alias_name="w1"),
+            Max("w2", alias_name="w2"),
+            Max("w3", alias_name="w3"),
+        )
+    )
+
+    def cells(t: pa.Table) -> pa.Table:
+        w1 = t["w1"].combine_chunks().to_numpy(zero_copy_only=False) > 0
+        w2 = t["w2"].combine_chunks().to_numpy(zero_copy_only=False) > 0
+        w3 = t["w3"].combine_chunks().to_numpy(zero_copy_only=False) > 0
+        return pa.table(
+            {
+                "users": pa.array([len(w1)], pa.int64()),
+                "zombies": pa.array([int((w1 & ~w2 & w3).sum())], pa.int64()),
+            }
+        )
+
+    s = per_user.map_batches(cells, batch_format="pyarrow").aggregate(
+        Sum("users", alias_name="users"), Sum("zombies", alias_name="zombies")
+    )
+    u, z = int(s["users"]), int(s["zombies"])
+    return pa.table(
+        {
+            "n_users": pa.array([u], pa.int64()),
+            "zombie_users": pa.array([z], pa.int64()),
+            "zombie_ppm": pa.array([z * 1_000_000 // u], pa.int64()),
+        }
+    )
+
+
+EVENTS_ZOMBIE_USERS_SQL = """
+WITH b AS (
+  SELECT MIN(epoch_us(ts)) AS lo,
+         MIN(epoch_us(ts)) + (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 3 AS b1,
+         MIN(epoch_us(ts)) + 2 * (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 3 AS b2
+  FROM events),
+u AS (
+  SELECT user_id,
+         MAX(CASE WHEN epoch_us(ts) <= b1 THEN 1 ELSE 0 END) AS w1,
+         MAX(CASE WHEN epoch_us(ts) > b1 AND epoch_us(ts) <= b2
+                  THEN 1 ELSE 0 END) AS w2,
+         MAX(CASE WHEN epoch_us(ts) > b2 THEN 1 ELSE 0 END) AS w3
+  FROM events, b GROUP BY 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN w1 = 1 AND w2 = 0 AND w3 = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS zombie_users,
+       CAST(SUM(CASE WHEN w1 = 1 AND w2 = 0 AND w3 = 1 THEN 1 ELSE 0 END)
+            * 1000000 // COUNT(*) AS BIGINT) AS zombie_ppm
+FROM u
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -21439,6 +21602,8 @@ ORACLE_SQL: dict[str, str] = {
     "orders_mixed_discount_ppm": ORDERS_MIXED_DISCOUNT_PPM_SQL,
     "docs_lang_tv_from_global": DOCS_LANG_TV_FROM_GLOBAL_SQL,
     "brand_size_coverage": BRAND_SIZE_COVERAGE_SQL,
+    "supplier_lag_trend": SUPPLIER_LAG_TREND_SQL,
+    "events_zombie_users": EVENTS_ZOMBIE_USERS_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -21854,6 +22019,8 @@ def registry() -> dict:
         "orders_mixed_discount_ppm": orders_mixed_discount_ppm,
         "docs_lang_tv_from_global": docs_lang_tv_from_global,
         "brand_size_coverage": brand_size_coverage,
+        "supplier_lag_trend": supplier_lag_trend,
+        "events_zombie_users": events_zombie_users,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
