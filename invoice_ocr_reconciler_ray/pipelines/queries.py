@@ -21408,6 +21408,116 @@ FROM u
 """
 
 
+def events_user_preferred_hour_hist(sf_dir: str):
+    """Chronotype census — each user's MODAL hour-of-day (count desc, hour
+    asc tie rule), histogrammed: the audience-scheduling view.  (user, hod)
+    cells from block partials; per-user argmax in the group kernel; the
+    0-filled 24-row histogram folds on the driver."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hod = (us // 3_600_000_000) % 24
+        return (
+            pa.table(
+                {
+                    "user_id": t["user_id"],
+                    "hod": pa.array(hod, pa.int64()),
+                    "n": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            )
+            .group_by(["user_id", "hod"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["user_id", "hod", "n"])
+        )
+
+    def argmax(g: pa.Table) -> pa.Table:
+        hod = g["hod"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        ix = np.lexsort((hod, -n))[0]
+        return pa.table(
+            {
+                "pref_hod": pa.array([int(hod[ix])], pa.int64()),
+                "c": pa.array([1], pa.int64()),
+            }
+        )
+
+    g = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "hod"])
+        .aggregate(Sum("n", alias_name="n"))
+        .groupby("user_id")
+        .map_groups(argmax, batch_format="pyarrow")
+        .groupby("pref_hod")
+        .aggregate(Sum("c", alias_name="n_users"))
+        .to_pandas()
+    )
+    have = dict(zip(g["pref_hod"].astype(int), g["n_users"].astype(int)))
+    return pa.table(
+        {
+            "pref_hod": pa.array(list(range(24)), pa.int64()),
+            "n_users": pa.array([have.get(h, 0) for h in range(24)], pa.int64()),
+        }
+    )
+
+
+EVENTS_USER_PREFERRED_HOUR_HIST_SQL = """
+WITH c AS (
+  SELECT user_id, CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hod,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+r AS (SELECT user_id, hod,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n DESC, hod) AS rk
+      FROM c),
+p AS (SELECT hod AS pref_hod, COUNT(*) AS n FROM r WHERE rk = 1 GROUP BY 1),
+grid AS (SELECT CAST(unnest(range(0, 24)) AS BIGINT) AS pref_hod)
+SELECT grid.pref_hod, CAST(COALESCE(p.n, 0) AS BIGINT) AS n_users
+FROM grid LEFT JOIN p USING (pref_hod)
+ORDER BY grid.pref_hod
+"""
+
+
+def docs_token_length_hist(sf_dir: str):
+    """Token-length histogram — the length spectrum of the vocabulary IN
+    USE (token instances, not types): a tokenizer-budget input.  Lengths
+    from one utf8_length over the flattened stream; O(max length) cells."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(pc.utf8_lower(t["text"]), pattern=r"[^a-z0-9]+")
+        )
+        toks = pc.drop_null(toks)
+        toks = toks.filter(pc.not_equal(toks, ""))
+        ln = pc.utf8_length(toks)
+        return (
+            pa.table(
+                {"token_len": ln.cast(pa.int64()), "n": pa.array(np.ones(len(ln), np.int64))}
+            )
+            .group_by("token_len")
+            .aggregate([("n", "sum")])
+            .rename_columns(["token_len", "n"])
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token_len")
+        .aggregate(Sum("n", alias_name="n_tokens"))
+        .sort(["token_len"])
+    )
+
+
+DOCS_TOKEN_LENGTH_HIST_SQL = """
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents)
+SELECT CAST(length(term) AS BIGINT) AS token_len,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens
+FROM toks WHERE term <> ''
+GROUP BY 1 ORDER BY 1
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -21604,6 +21714,8 @@ ORACLE_SQL: dict[str, str] = {
     "brand_size_coverage": BRAND_SIZE_COVERAGE_SQL,
     "supplier_lag_trend": SUPPLIER_LAG_TREND_SQL,
     "events_zombie_users": EVENTS_ZOMBIE_USERS_SQL,
+    "events_user_preferred_hour_hist": EVENTS_USER_PREFERRED_HOUR_HIST_SQL,
+    "docs_token_length_hist": DOCS_TOKEN_LENGTH_HIST_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -22021,6 +22133,8 @@ def registry() -> dict:
         "brand_size_coverage": brand_size_coverage,
         "supplier_lag_trend": supplier_lag_trend,
         "events_zombie_users": events_zombie_users,
+        "events_user_preferred_hour_hist": events_user_preferred_hour_hist,
+        "docs_token_length_hist": docs_token_length_hist,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
