@@ -21518,6 +21518,167 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def orders_priority_persistence(sf_dir: str):
+    """Priority persistence — do customers reorder at the SAME priority?
+    Adjacent order pairs per customer ((date, key) order), the same-priority
+    share in exact ppm: the stickiness prior a priority-prediction model
+    must beat.  Per-customer shifted compare, two integers out."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+    )
+    _empty = pa.table(
+        {"pairs": pa.array([], pa.int64()), "same": pa.array([], pa.int64())}
+    )
+
+    def kernel(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return _empty
+        s = g.take(
+            pc.sort_indices(
+                g,
+                sort_keys=[("o_orderdate", "ascending"), ("o_orderkey", "ascending")],
+            )
+        )
+        pr = s["o_orderpriority"].combine_chunks()
+        n = s.num_rows
+        same = pc.sum(
+            pc.cast(pc.equal(pr.slice(0, n - 1), pr.slice(1, n - 1)), pa.int64())
+        ).as_py()
+        return pa.table(
+            {
+                "pairs": pa.array([n - 1], pa.int64()),
+                "same": pa.array([int(same or 0)], pa.int64()),
+            }
+        )
+
+    s = (
+        ds.groupby("o_custkey")
+        .map_groups(kernel, batch_format="pyarrow")
+        .aggregate(Sum("pairs", alias_name="pairs"), Sum("same", alias_name="same"))
+    )
+    p, sm = int(s["pairs"]), int(s["same"])
+    return pa.table(
+        {
+            "n_pairs": pa.array([p], pa.int64()),
+            "same_priority": pa.array([sm], pa.int64()),
+            "persistence_ppm": pa.array([sm * 1_000_000 // p], pa.int64()),
+        }
+    )
+
+
+ORDERS_PRIORITY_PERSISTENCE_SQL = """
+WITH s AS (
+  SELECT o_custkey, o_orderpriority,
+         lead(o_orderpriority) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS nxt
+  FROM orders),
+p AS (SELECT o_orderpriority = nxt AS same FROM s WHERE nxt IS NOT NULL)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN same THEN 1 ELSE 0 END) AS BIGINT) AS same_priority,
+       CAST(SUM(CASE WHEN same THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+            AS BIGINT) AS persistence_ppm
+FROM p
+"""
+
+
+def events_sessions_per_user_hist(sf_dir: str):
+    """Engagement-depth histogram — users bucketed by how many sessions
+    (30-min gap) they generated: the frequency layer of RFM for event
+    streams.  Per-user session counts from the boundary kernel; O(distinct
+    counts) histogram."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    gap_us = 30 * 60 * 1_000_000
+
+    def kernel(g: pa.Table) -> pa.Table:
+        ts = np.sort(g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False))
+        n_sessions = int(np.r_[True, np.diff(ts) > gap_us].sum())
+        return pa.table(
+            {
+                "n_sessions": pa.array([n_sessions], pa.int64()),
+                "c": pa.array([1], pa.int64()),
+            }
+        )
+
+    return (
+        ds.groupby("user_id")
+        .map_groups(kernel, batch_format="pyarrow")
+        .groupby("n_sessions")
+        .aggregate(Sum("c", alias_name="n_users"))
+        .sort(["n_sessions"])
+    )
+
+
+EVENTS_SESSIONS_PER_USER_HIST_SQL = """
+WITH x AS (
+  SELECT user_id,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events),
+u AS (SELECT user_id, CAST(SUM(brk) + 1 AS BIGINT) AS n_sessions
+      FROM x GROUP BY 1)
+SELECT n_sessions, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM u GROUP BY 1 ORDER BY 1
+"""
+
+
+def part_name_noun_profile(sf_dir: str):
+    """String-derived dimension rollup — the NOUN of each part name
+    ('cold widget' → 'widget') becomes a product family: per family,
+    count, mean retail price (exact milli-cents) and distinct brand
+    count.  One vectorized split per block; family cells are tiny."""
+    ds = rd.read_parquet(_t(sf_dir, "part"), columns=["p_name", "p_brand", "p_retailprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t["p_name"], pattern=" ")
+        col = parts.combine_chunks() if isinstance(parts, pa.ChunkedArray) else parts
+        noun = pc.list_element(col, 1)
+        return (
+            pa.table(
+                {
+                    "noun": noun,
+                    "p_brand": t["p_brand"],
+                    "n": pa.array(np.ones(t.num_rows, np.int64)),
+                    "cents": _cents(t["p_retailprice"]),
+                }
+            )
+            .group_by(["noun", "p_brand"])
+            .aggregate([("n", "sum"), ("cents", "sum")])
+            .rename_columns(["noun", "p_brand", "n", "cents"])
+        )
+
+    g = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["noun", "p_brand"])
+        .aggregate(Sum("n", alias_name="n"), Sum("cents", alias_name="cents"))
+        .to_pandas()
+    )
+    rows = []
+    for noun, sub in g.groupby("noun", sort=True):
+        n = int(sub.n.sum())
+        cents = int(sub.cents.sum())
+        rows.append((str(noun), n, cents * 1000 // n, int(sub.p_brand.nunique())))
+    return pa.table(
+        {
+            "noun": pa.array([r[0] for r in rows], pa.string()),
+            "n_parts": pa.array([r[1] for r in rows], pa.int64()),
+            "mean_price_milli": pa.array([r[2] for r in rows], pa.int64()),
+            "n_brands": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+PART_NAME_NOUN_PROFILE_SQL = """
+WITH p AS (
+  SELECT string_split(p_name, ' ')[2] AS noun, p_brand,
+         CAST(FLOOR(p_retailprice*100 + 0.5) AS BIGINT) AS cents
+  FROM part)
+SELECT noun, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(cents) * 1000 // COUNT(*) AS BIGINT) AS mean_price_milli,
+       CAST(COUNT(DISTINCT p_brand) AS BIGINT) AS n_brands
+FROM p GROUP BY 1 ORDER BY 1
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -21716,6 +21877,9 @@ ORACLE_SQL: dict[str, str] = {
     "events_zombie_users": EVENTS_ZOMBIE_USERS_SQL,
     "events_user_preferred_hour_hist": EVENTS_USER_PREFERRED_HOUR_HIST_SQL,
     "docs_token_length_hist": DOCS_TOKEN_LENGTH_HIST_SQL,
+    "orders_priority_persistence": ORDERS_PRIORITY_PERSISTENCE_SQL,
+    "events_sessions_per_user_hist": EVENTS_SESSIONS_PER_USER_HIST_SQL,
+    "part_name_noun_profile": PART_NAME_NOUN_PROFILE_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -22135,6 +22299,9 @@ def registry() -> dict:
         "events_zombie_users": events_zombie_users,
         "events_user_preferred_hour_hist": events_user_preferred_hour_hist,
         "docs_token_length_hist": docs_token_length_hist,
+        "orders_priority_persistence": orders_priority_persistence,
+        "events_sessions_per_user_hist": events_sessions_per_user_hist,
+        "part_name_noun_profile": part_name_noun_profile,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
