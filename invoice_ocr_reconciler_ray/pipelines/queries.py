@@ -21679,6 +21679,66 @@ FROM p GROUP BY 1 ORDER BY 1
 """
 
 
+def events_user_value_pareto(sf_dir: str):
+    """Whale concentration — the value share of the top quintile of users
+    (k = ⌈n/5⌉ by total cents, ties broken by user id): the
+    revenue-at-risk number.  Per-user sums via one keyed reduction; the
+    quintile boundary and share fold on the O(users) table (rank machinery
+    is the documented path past driver scale); exact ppm."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pa.table({"user_id": t["user_id"], "cents": _cents(t["value"])})
+            .group_by("user_id")
+            .aggregate([("cents", "sum")])
+            .rename_columns(["user_id", "cents"])
+        )
+
+    g = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("cents", alias_name="cents"))
+        .to_pandas()
+        .sort_values(["cents", "user_id"], ascending=[False, True], kind="mergesort")
+    )
+    c = g["cents"].to_numpy().astype(np.int64)
+    n = len(c)
+    k = (n + 4) // 5
+    total = int(c.sum())
+    top = int(c[:k].sum())
+    return pa.table(
+        {
+            "n_users": pa.array([n], pa.int64()),
+            "k_top": pa.array([k], pa.int64()),
+            "top_cents": pa.array([top], pa.int64()),
+            "total_cents": pa.array([total], pa.int64()),
+            "top_share_ppm": pa.array([top * 1_000_000 // total], pa.int64()),
+        }
+    )
+
+
+EVENTS_USER_VALUE_PARETO_SQL = """
+WITH u AS (
+  SELECT user_id,
+         CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1),
+r AS (
+  SELECT cents,
+         ROW_NUMBER() OVER (ORDER BY cents DESC, user_id) AS rk,
+         COUNT(*) OVER () AS n
+  FROM u)
+SELECT CAST(MAX(n) AS BIGINT) AS n_users,
+       CAST((MAX(n) + 4) // 5 AS BIGINT) AS k_top,
+       CAST(SUM(CASE WHEN rk <= (n + 4) // 5 THEN cents ELSE 0 END) AS BIGINT)
+         AS top_cents,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST(SUM(CASE WHEN rk <= (n + 4) // 5 THEN cents ELSE 0 END) * 1000000
+            // SUM(cents) AS BIGINT) AS top_share_ppm
+FROM r
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -21880,6 +21940,7 @@ ORACLE_SQL: dict[str, str] = {
     "orders_priority_persistence": ORDERS_PRIORITY_PERSISTENCE_SQL,
     "events_sessions_per_user_hist": EVENTS_SESSIONS_PER_USER_HIST_SQL,
     "part_name_noun_profile": PART_NAME_NOUN_PROFILE_SQL,
+    "events_user_value_pareto": EVENTS_USER_VALUE_PARETO_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -22302,6 +22363,7 @@ def registry() -> dict:
         "orders_priority_persistence": orders_priority_persistence,
         "events_sessions_per_user_hist": events_sessions_per_user_hist,
         "part_name_noun_profile": part_name_noun_profile,
+        "events_user_value_pareto": events_user_value_pareto,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
