@@ -21739,6 +21739,208 @@ FROM r
 """
 
 
+def lineitem_spearman_by_flag(sf_dir: str):
+    """SPEARMAN rank correlation between quantity and extended price per
+    return flag — the nonparametric complement to ``lineitem_measure_corr``
+    (Pearson).  Exactness trick: average ranks with ties are half-integers,
+    so we work with CENTERED DOUBLED ranks e_i = (minrank + maxrank) − (n+1),
+    which are exact int64 and sum to zero; then
+    ρ = Sxy / (√Sxx · √Syy) is ONE fixed IEEE expression both sides (sqrt is
+    correctly rounded in numpy and DuckDB).  Σe² ≤ 4n³ bounds int64 safety to
+    n ≤ ~1.3e6 rows per flag (fine through sf0.1; beyond that scale the
+    doubled ranks down by the documented group size).  Ranks need the whole
+    group → groupby(flag).map_groups with vectorized unique/cumsum ranking."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+
+    def _centered_doubled_ranks(v: np.ndarray) -> np.ndarray:
+        n = len(v)
+        uniq, inv, cnt = np.unique(v, return_inverse=True, return_counts=True)
+        minrank = np.r_[0, np.cumsum(cnt)[:-1]] + 1  # 1-based min rank per unique
+        doubled = 2 * minrank + cnt - 1  # = minrank + maxrank
+        return doubled[inv] - (n + 1)
+
+    def spearman(g: pa.Table) -> pa.Table:
+        q = _cents(g["l_quantity"]).to_numpy(zero_copy_only=False)
+        p = _cents(g["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        ex = _centered_doubled_ranks(q)
+        ey = _centered_doubled_ranks(p)
+        sxy = int(np.sum(ex * ey))
+        sxx = int(np.sum(ex * ex))
+        syy = int(np.sum(ey * ey))
+        rho = float(sxy) / (np.sqrt(float(sxx)) * np.sqrt(float(syy)))
+        return pa.table(
+            {
+                "l_returnflag": pa.array([g["l_returnflag"][0].as_py()], pa.string()),
+                "n": pa.array([len(ex)], pa.int64()),
+                "spearman_rho": pa.array([rho], pa.float64()),
+            }
+        )
+
+    return (
+        ds.groupby("l_returnflag")
+        .map_groups(spearman, batch_format="pyarrow")
+        .sort(["l_returnflag"])
+    )
+
+
+LINEITEM_SPEARMAN_BY_FLAG_SQL = """
+WITH v AS (
+  SELECT l_returnflag AS f,
+         CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT) AS q,
+         CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT) AS p
+  FROM lineitem),
+r AS (
+  SELECT f,
+         2*RANK() OVER (PARTITION BY f ORDER BY q)
+           + COUNT(*) OVER (PARTITION BY f, q) - 1
+           - (COUNT(*) OVER (PARTITION BY f) + 1) AS ex,
+         2*RANK() OVER (PARTITION BY f ORDER BY p)
+           + COUNT(*) OVER (PARTITION BY f, p) - 1
+           - (COUNT(*) OVER (PARTITION BY f) + 1) AS ey
+  FROM v)
+SELECT f AS l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(ex*ey) AS DOUBLE)
+         / (sqrt(CAST(SUM(ex*ex) AS DOUBLE)) * sqrt(CAST(SUM(ey*ey) AS DOUBLE)))
+         AS spearman_rho
+FROM r GROUP BY 1 ORDER BY 1
+"""
+
+
+def customer_month_coverage_hist(sf_dir: str):
+    """Calendar-month coverage census: for each customer, the number of
+    DISTINCT order months (1–12, any year), rolled into a histogram
+    n_months → n_customers.  Shuffle-light relational-division shape: each
+    block emits per-customer MONTH BITMASKS (bit m−1 set), one groupby ORs
+    them (Sum over disjoint-bit masks would double-count, so the merge is a
+    map_groups bitwise-OR), and popcount gives the coverage — months never
+    travel as rows.  Full coverage (=12) is the classic division result."""
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_orderdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        # per-block OR-combine of month bitmasks keyed by customer
+        m = pc.month(t["o_orderdate"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["o_custkey"].to_numpy(zero_copy_only=False)
+        mask = np.left_shift(np.int64(1), m - 1)
+        order = np.argsort(c, kind="stable")
+        cs, ms = c[order], mask[order]
+        starts = np.r_[True, cs[1:] != cs[:-1]] if len(cs) else np.array([], bool)
+        idx = np.nonzero(starts)[0]
+        grp = np.cumsum(starts) - 1
+        out = np.zeros(len(idx), np.int64)
+        np.bitwise_or.at(out, grp, ms)
+        return pa.table(
+            {"c": pa.array(cs[idx]), "mask": pa.array(out)}
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        m = g["mask"].to_numpy(zero_copy_only=False)
+        acc = np.int64(np.bitwise_or.reduce(m))
+        nm = int(bin(int(acc)).count("1"))
+        return pa.table(
+            {
+                "n_months": pa.array([nm], pa.int64()),
+                "one": pa.array([1], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("c")
+        .map_groups(merge, batch_format="pyarrow")
+        .groupby("n_months")
+        .aggregate(Sum("one", alias_name="n_customers"))
+        .sort(["n_months"])
+    )
+
+
+CUSTOMER_MONTH_COVERAGE_HIST_SQL = """
+WITH m AS (
+  SELECT o_custkey, CAST(COUNT(DISTINCT month(o_orderdate)) AS BIGINT) AS n_months
+  FROM orders GROUP BY 1)
+SELECT n_months, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM m GROUP BY 1 ORDER BY 1
+"""
+
+
+def events_user_burstiness(sf_dir: str):
+    """Goh–Barabási BURSTINESS index per user over interarrival gaps:
+    B = (σ − μ)/(σ + μ) ∈ [−1, 1) — −1 for a perfectly periodic stream, →1
+    for heavy-tailed bursts.  Gaps are whole SECONDS (int64, truncating µs
+    division — both engines truncate identically on non-negatives), so the
+    sufficient statistics (n, Σg, Σg²) are exact integers, and with
+    population σ = √(nΣg²−(Σg)²)/n the index telescopes to the single fixed
+    IEEE expression B = (√D − Σg)/(√D + Σg), D = nΣg² − (Σg)² — sqrt is
+    correctly rounded in both engines, so bit parity holds.  int64 bound:
+    nΣg² ≤ n·span² (30-day span ⇒ safe to ~10⁶ gaps/user; document rescale
+    to minutes beyond).  Users with Σg = 0 (all-duplicate timestamps) are
+    excluded rather than emitting 0/0."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts"]
+    )
+
+    def burst(g: pa.Table) -> pa.Table:
+        s = g.take(
+            pc.sort_indices(
+                g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+            )
+        )
+        t = (
+            s["ts"]
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        gaps = np.diff(t) // 1_000_000
+        n = len(gaps)
+        s1 = int(gaps.sum())
+        if n < 2 or s1 <= 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_gaps": pa.array([], pa.int64()),
+                    "sum_gap_s": pa.array([], pa.int64()),
+                    "burstiness": pa.array([], pa.float64()),
+                }
+            )
+        sq = int(np.sum(gaps * gaps))
+        d = float(n * sq - s1 * s1)
+        b = (np.sqrt(d) - float(s1)) / (np.sqrt(d) + float(s1))
+        return pa.table(
+            {
+                "user_id": pa.array([int(s["user_id"][0].as_py())], pa.int64()),
+                "n_gaps": pa.array([n], pa.int64()),
+                "sum_gap_s": pa.array([s1], pa.int64()),
+                "burstiness": pa.array([float(b)], pa.float64()),
+            }
+        )
+
+    return (
+        ds.groupby("user_id")
+        .map_groups(burst, batch_format="pyarrow")
+        .sort(["user_id"])
+    )
+
+
+EVENTS_USER_BURSTINESS_SQL = """
+WITH o AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pt
+  FROM events),
+g AS (SELECT user_id, (t - pt) // 1000000 AS gap FROM o WHERE pt IS NOT NULL),
+s AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(gap) AS BIGINT) AS s1, CAST(SUM(gap*gap) AS BIGINT) AS sq
+      FROM g GROUP BY 1)
+SELECT CAST(user_id AS BIGINT) AS user_id, n AS n_gaps, s1 AS sum_gap_s,
+       (sqrt(CAST(n*sq - s1*s1 AS DOUBLE)) - CAST(s1 AS DOUBLE))
+         / (sqrt(CAST(n*sq - s1*s1 AS DOUBLE)) + CAST(s1 AS DOUBLE)) AS burstiness
+FROM s WHERE n >= 2 AND s1 > 0 ORDER BY user_id
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -21941,6 +22143,9 @@ ORACLE_SQL: dict[str, str] = {
     "events_sessions_per_user_hist": EVENTS_SESSIONS_PER_USER_HIST_SQL,
     "part_name_noun_profile": PART_NAME_NOUN_PROFILE_SQL,
     "events_user_value_pareto": EVENTS_USER_VALUE_PARETO_SQL,
+    "lineitem_spearman_by_flag": LINEITEM_SPEARMAN_BY_FLAG_SQL,
+    "customer_month_coverage_hist": CUSTOMER_MONTH_COVERAGE_HIST_SQL,
+    "events_user_burstiness": EVENTS_USER_BURSTINESS_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -22364,6 +22569,9 @@ def registry() -> dict:
         "events_sessions_per_user_hist": events_sessions_per_user_hist,
         "part_name_noun_profile": part_name_noun_profile,
         "events_user_value_pareto": events_user_value_pareto,
+        "lineitem_spearman_by_flag": lineitem_spearman_by_flag,
+        "customer_month_coverage_hist": customer_month_coverage_hist,
+        "events_user_burstiness": events_user_burstiness,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
