@@ -21941,6 +21941,173 @@ FROM s WHERE n >= 2 AND s1 > 0 ORDER BY user_id
 """
 
 
+def events_session_bounce_ppm(sf_dir: str):
+    """Session BOUNCE RATE: share of 30-min-gap sessions containing exactly
+    one event — the classic engagement KPI over the same session definition
+    as ``events_sessionize``.  Per-user session sizes come from the sorted
+    group kernel; the global roll-up is a distributed ``Dataset.sum`` over
+    the per-user partials (never a driver row loop), so the user dimension
+    can grow without bound.  Integer ppm output."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    gap_us = 30 * 60 * 1_000_000
+
+    def per_user(g: pa.Table) -> pa.Table:
+        ts = np.sort(
+            g["ts"]
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64),
+            kind="stable",
+        )
+        brk = np.r_[True, np.diff(ts) > gap_us]
+        starts = np.nonzero(brk)[0]
+        sizes = np.diff(np.r_[starts, len(ts)])
+        return pa.table(
+            {
+                "n_sessions": pa.array([len(starts)], pa.int64()),
+                "n_bounce": pa.array([int((sizes == 1).sum())], pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+        .sum(["n_sessions", "n_bounce"])
+    )
+    ns, nb = int(agg["sum(n_sessions)"]), int(agg["sum(n_bounce)"])
+    return pa.table(
+        {
+            "n_sessions": pa.array([ns], pa.int64()),
+            "n_bounce": pa.array([nb], pa.int64()),
+            "bounce_ppm": pa.array([nb * 1_000_000 // ns], pa.int64()),
+        }
+    )
+
+
+EVENTS_SESSION_BOUNCE_PPM_SQL = """
+WITH x AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events),
+y AS (
+  SELECT user_id,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sess
+  FROM x),
+s AS (SELECT user_id, sess, COUNT(*) AS n FROM y GROUP BY 1, 2)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+            AS BIGINT) AS bounce_ppm
+FROM s
+"""
+
+
+def events_next_greater_distance(sf_dir: str):
+    """NEXT GREATER ELEMENT per event: for each event in a user's
+    time-ordered stream, the forward distance (in events) to the first later
+    event with a strictly larger cents value — 0 when none follows.  The
+    monotonic-stack op class; here groups are small (≤~100 events/user) so
+    the kernel is a vectorized O(n²) upper-triangle compare (first-hit via
+    argmax over a boolean matrix); the O(n) stack is the documented swap-in
+    for long per-user streams.  Exact integers end to end."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def nge(g: pa.Table) -> pa.Table:
+        s = g.take(
+            pc.sort_indices(
+                g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+            )
+        )
+        c = _cents(s["value"]).to_numpy(zero_copy_only=False)
+        n = len(c)
+        # hit[i, j] = later event j strictly greater than event i
+        hit = (c[None, :] > c[:, None]) & (
+            np.arange(n)[None, :] > np.arange(n)[:, None]
+        )
+        any_hit = hit.any(axis=1)
+        first = hit.argmax(axis=1)
+        dist = np.where(any_hit, first - np.arange(n), 0).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": s["event_id"],
+                "dist_to_greater": pa.array(dist, pa.int64()),
+            }
+        )
+
+    return (
+        ds.groupby("user_id")
+        .map_groups(nge, batch_format="pyarrow")
+        .sort(["event_id"])
+    )
+
+
+EVENTS_NEXT_GREATER_DISTANCE_SQL = """
+WITH v AS (
+  SELECT event_id, user_id, CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS c,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events)
+SELECT a.event_id,
+       CAST(COALESCE(MIN(b.rn) - a.rn, 0) AS BIGINT) AS dist_to_greater
+FROM v a LEFT JOIN v b
+  ON a.user_id = b.user_id AND b.rn > a.rn AND b.c > a.c
+GROUP BY a.event_id, a.rn
+ORDER BY a.event_id
+"""
+
+
+def segment_nation_mix(sf_dir: str):
+    """Market-segment × nation composition: customer counts per (segment,
+    nation) with each cell's share WITHIN its segment in ppm.  Dimension
+    join is a broadcast map over the 25-row nation table (never a shuffle);
+    the cell grid is O(segments × nations) so the within-segment share is a
+    driver-side normalize over the tiny aggregate (the documented pattern
+    for second-level aggregates of bounded cardinality)."""
+    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_mktsegment", "c_nationkey"])
+    nat = rd.read_parquet(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name"]).to_pandas()
+    nmap = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"segment": t["c_mktsegment"], "nk": t["c_nationkey"]})
+            .group_by(["segment", "nk"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["segment", "nk", "n"])
+
+    cells = (
+        cust.map_batches(partial, batch_format="pyarrow")
+        .groupby(["segment", "nk"])
+        .aggregate(Sum("n", alias_name="n_customers"))
+        .to_pandas()
+    )
+    cells["nation"] = cells["nk"].astype(int).map(nmap)
+    seg_tot = cells.groupby("segment")["n_customers"].transform("sum")
+    cells["share_ppm"] = (
+        cells["n_customers"].astype("int64") * 1_000_000 // seg_tot.astype("int64")
+    )
+    out = cells[["segment", "nation", "n_customers", "share_ppm"]].sort_values(
+        ["segment", "nation"], kind="mergesort"
+    )
+    out["n_customers"] = out["n_customers"].astype("int64")
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+SEGMENT_NATION_MIX_SQL = """
+SELECT c_mktsegment AS segment, n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(COUNT(*) * 1000000
+            // SUM(COUNT(*)) OVER (PARTITION BY c_mktsegment) AS BIGINT)
+         AS share_ppm
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -22146,6 +22313,9 @@ ORACLE_SQL: dict[str, str] = {
     "lineitem_spearman_by_flag": LINEITEM_SPEARMAN_BY_FLAG_SQL,
     "customer_month_coverage_hist": CUSTOMER_MONTH_COVERAGE_HIST_SQL,
     "events_user_burstiness": EVENTS_USER_BURSTINESS_SQL,
+    "events_session_bounce_ppm": EVENTS_SESSION_BOUNCE_PPM_SQL,
+    "events_next_greater_distance": EVENTS_NEXT_GREATER_DISTANCE_SQL,
+    "segment_nation_mix": SEGMENT_NATION_MIX_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -22572,6 +22742,9 @@ def registry() -> dict:
         "lineitem_spearman_by_flag": lineitem_spearman_by_flag,
         "customer_month_coverage_hist": customer_month_coverage_hist,
         "events_user_burstiness": events_user_burstiness,
+        "events_session_bounce_ppm": events_session_bounce_ppm,
+        "events_next_greater_distance": events_next_greater_distance,
+        "segment_nation_mix": segment_nation_mix,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
