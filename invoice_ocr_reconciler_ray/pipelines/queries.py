@@ -22108,6 +22108,166 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def orders_dow_revenue(sf_dir: str):
+    """Revenue profile by ISO day-of-week (1=Monday … 7=Sunday): order
+    count, revenue cents, and share of total revenue in ppm.  Block-local
+    pyarrow partials (dow key + cents sum) → one 7-row groupby; the share
+    normalizes against the grand total on the driver (7 rows — bounded).
+    pyarrow ``day_of_week`` is 0=Monday; +1 aligns it with DuckDB isodow."""
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        dow = pc.add(pc.day_of_week(t["o_orderdate"]), 1)
+        tb = pa.table({"dow": pc.cast(dow, pa.int64()), "cents": _cents(t["o_totalprice"])})
+        g = tb.group_by("dow").aggregate([("cents", "sum"), ([], "count_all")])
+        return g.rename_columns(["dow", "cents", "n"])
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("dow")
+        .aggregate(Sum("cents", alias_name="revenue_cents"), Sum("n", alias_name="n_orders"))
+        .to_pandas()
+        .sort_values("dow", kind="mergesort")
+    )
+    total = int(cells["revenue_cents"].sum())
+    share = cells["revenue_cents"].astype("int64") * 1_000_000 // total
+    return pa.table(
+        {
+            "dow": pa.array(cells["dow"].astype("int64")),
+            "n_orders": pa.array(cells["n_orders"].astype("int64")),
+            "revenue_cents": pa.array(cells["revenue_cents"].astype("int64")),
+            "share_ppm": pa.array(share.astype("int64")),
+        }
+    )
+
+
+ORDERS_DOW_REVENUE_SQL = """
+WITH d AS (
+  SELECT CAST(isodow(o_orderdate) AS BIGINT) AS dow,
+         CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+  FROM orders)
+SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+       CAST(SUM(cents) * 1000000 // (SELECT SUM(cents) FROM d) AS BIGINT)
+         AS share_ppm
+FROM d GROUP BY 1 ORDER BY 1
+"""
+
+
+def orders_priority_qq_deciles(sf_dir: str):
+    """QQ PLOT data: total-price deciles of URGENT orders against LOW
+    orders — the distribution-comparison op (are urgent orders priced
+    differently?).  Discrete quantiles via the sorted[⌈q·n⌉−1] convention in
+    pure INTEGER index math (idx = (d·n+9)//10 − 1) so no float boundary can
+    shift a rank; each priority's decile vector comes from one per-group
+    sorted kernel, joined on decile.  At scale the sort-in-group becomes the
+    two-phase histogram-refine selection in ``stages/quantiles`` (same
+    convention, documented swap-in)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderpriority", "o_totalprice"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.is_in(
+                t["o_orderpriority"], value_set=pa.array(["1-URGENT", "5-LOW"])
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+    def deciles(g: pa.Table) -> pa.Table:
+        c = np.sort(_cents(g["o_totalprice"]).to_numpy(zero_copy_only=False))
+        n = len(c)
+        d = np.arange(1, 10, dtype=np.int64)
+        idx = (d * n + 9) // 10 - 1
+        return pa.table(
+            {
+                "pri": pa.array([g["o_orderpriority"][0].as_py()] * 9, pa.string()),
+                "decile": pa.array(d, pa.int64()),
+                "cents": pa.array(c[idx], pa.int64()),
+            }
+        )
+
+    wide = (
+        ds.groupby("o_orderpriority")
+        .map_groups(deciles, batch_format="pyarrow")
+        .to_pandas()
+        .pivot(index="decile", columns="pri", values="cents")
+        .reset_index()
+    )
+    return pa.table(
+        {
+            "decile": pa.array(wide["decile"].astype("int64")),
+            "urgent_cents": pa.array(wide["1-URGENT"].astype("int64")),
+            "low_cents": pa.array(wide["5-LOW"].astype("int64")),
+            "gap_cents": pa.array(
+                (wide["1-URGENT"] - wide["5-LOW"]).astype("int64")
+            ),
+        }
+    )
+
+
+ORDERS_PRIORITY_QQ_DECILES_SQL = """
+WITH v AS (
+  SELECT o_orderpriority AS pri,
+         CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+d AS (SELECT unnest(range(1, 10)) AS decile),
+q AS (
+  SELECT d.decile, v.pri, v.cents
+  FROM d JOIN v ON v.rn = (d.decile * v.n + 9) // 10)
+SELECT q.decile,
+       CAST(MAX(CASE WHEN pri = '1-URGENT' THEN cents END) AS BIGINT) AS urgent_cents,
+       CAST(MAX(CASE WHEN pri = '5-LOW' THEN cents END) AS BIGINT) AS low_cents,
+       CAST(MAX(CASE WHEN pri = '1-URGENT' THEN cents END)
+            - MAX(CASE WHEN pri = '5-LOW' THEN cents END) AS BIGINT) AS gap_cents
+FROM q GROUP BY 1 ORDER BY 1
+"""
+
+
+def customer_negative_balance_by_segment(sf_dir: str):
+    """Credit-risk census: per market segment, how many customers carry a
+    NEGATIVE account balance, and the segment's negative share in ppm.
+    One block-local partial (segment → n, n_neg) and a 5-row groupby — the
+    canonical pre-aggregated boolean-share shape."""
+    ds = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_mktsegment", "c_acctbal"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        neg = pc.cast(pc.less(_cents(t["c_acctbal"]), 0), pa.int64())
+        tb = pa.table({"segment": t["c_mktsegment"], "neg": neg})
+        g = tb.group_by("segment").aggregate([("neg", "sum"), ([], "count_all")])
+        return g.rename_columns(["segment", "n_neg", "n"])
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("segment")
+        .aggregate(Sum("n_neg", alias_name="n_negative"), Sum("n", alias_name="n_customers"))
+        .to_pandas()
+        .sort_values("segment", kind="mergesort")
+    )
+    ppm = cells["n_negative"].astype("int64") * 1_000_000 // cells["n_customers"].astype("int64")
+    return pa.table(
+        {
+            "segment": pa.array(cells["segment"]),
+            "n_customers": pa.array(cells["n_customers"].astype("int64")),
+            "n_negative": pa.array(cells["n_negative"].astype("int64")),
+            "negative_ppm": pa.array(ppm.astype("int64")),
+        }
+    )
+
+
+CUSTOMER_NEGATIVE_BALANCE_BY_SEGMENT_SQL = """
+SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CASE WHEN CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT) < 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_negative,
+       CAST(SUM(CASE WHEN CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT) < 0
+                     THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+         AS negative_ppm
+FROM customer GROUP BY 1 ORDER BY 1
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -22316,6 +22476,9 @@ ORACLE_SQL: dict[str, str] = {
     "events_session_bounce_ppm": EVENTS_SESSION_BOUNCE_PPM_SQL,
     "events_next_greater_distance": EVENTS_NEXT_GREATER_DISTANCE_SQL,
     "segment_nation_mix": SEGMENT_NATION_MIX_SQL,
+    "orders_dow_revenue": ORDERS_DOW_REVENUE_SQL,
+    "orders_priority_qq_deciles": ORDERS_PRIORITY_QQ_DECILES_SQL,
+    "customer_negative_balance_by_segment": CUSTOMER_NEGATIVE_BALANCE_BY_SEGMENT_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -22745,6 +22908,9 @@ def registry() -> dict:
         "events_session_bounce_ppm": events_session_bounce_ppm,
         "events_next_greater_distance": events_next_greater_distance,
         "segment_nation_mix": segment_nation_mix,
+        "orders_dow_revenue": orders_dow_revenue,
+        "orders_priority_qq_deciles": orders_priority_qq_deciles,
+        "customer_negative_balance_by_segment": customer_negative_balance_by_segment,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
