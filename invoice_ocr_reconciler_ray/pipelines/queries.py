@@ -22268,6 +22268,130 @@ FROM customer GROUP BY 1 ORDER BY 1
 """
 
 
+def lineitem_discount_tax_grid(sf_dir: str):
+    """JOINT categorical profile of the two rate columns: line count and
+    revenue cents per (discount %, tax %) cell — the 2-D contingency shape
+    (~11×9 cells) built from block-local pyarrow partials and one tiny
+    groupby.  Rates land on an exact percent grid, so the keys are the cents
+    kernel applied to the rates (0.04 → 4), tie-free integers."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_discount", "l_tax", "l_extendedprice"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        tb = pa.table(
+            {
+                "disc_pct": _cents(t["l_discount"]),
+                "tax_pct": _cents(t["l_tax"]),
+                "cents": _cents(t["l_extendedprice"]),
+            }
+        )
+        g = tb.group_by(["disc_pct", "tax_pct"]).aggregate(
+            [("cents", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(["disc_pct", "tax_pct", "cents", "n"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["disc_pct", "tax_pct"])
+        .aggregate(Sum("cents", alias_name="revenue_cents"), Sum("n", alias_name="n_lines"))
+        .sort(["disc_pct", "tax_pct"])
+    )
+
+
+LINEITEM_DISCOUNT_TAX_GRID_SQL = """
+SELECT CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT) AS disc_pct,
+       CAST(FLOOR(l_tax*100 + 0.5) AS BIGINT) AS tax_pct,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def part_brand_type_agg(sf_dir: str):
+    """Grouped LIST AGGREGATION (SQL string_agg/LISTAGG): per brand, the
+    sorted-distinct catalogue of part types as one CSV string plus the type
+    count.  Block partials emit distinct (brand, type) pairs only (the
+    pyarrow empty-aggregate DISTINCT idiom), the groupby sees ≤ brands×types
+    rows, and the CSV is assembled in the per-group kernel — list state never
+    crosses the shuffle unaggregated."""
+    ds = rd.read_parquet(_t(sf_dir, "part"), columns=["p_brand", "p_type"])
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        return t.group_by(["p_brand", "p_type"]).aggregate([])
+
+    def agg(g: pa.Table) -> pa.Table:
+        types = sorted(set(g["p_type"].to_pylist()))
+        return pa.table(
+            {
+                "brand": pa.array([g["p_brand"][0].as_py()], pa.string()),
+                "n_types": pa.array([len(types)], pa.int64()),
+                "types_csv": pa.array([",".join(types)], pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(distinct_pairs, batch_format="pyarrow")
+        .groupby("p_brand")
+        .map_groups(agg, batch_format="pyarrow")
+        .sort(["brand"])
+    )
+
+
+PART_BRAND_TYPE_AGG_SQL = """
+WITH d AS (SELECT DISTINCT p_brand, p_type FROM part)
+SELECT p_brand AS brand, CAST(COUNT(*) AS BIGINT) AS n_types,
+       string_agg(p_type, ',' ORDER BY p_type) AS types_csv
+FROM d GROUP BY 1 ORDER BY 1
+"""
+
+
+def orders_ship_span_hist(sf_dir: str):
+    """Fulfilment-spread histogram: per order, the span in WEEKS between its
+    first and last line shipment, rolled up to span_weeks → n_orders.
+    Pre-aggregated min/max partials per block (never raw lines through the
+    shuffle), one groupby merge, then integer week bucketing (µs // 7-day) —
+    shipdates are midnight-aligned so the µs quotient equals calendar days."""
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_orderkey", "l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["l_shipdate"], pa.timestamp("us")), pa.int64())
+        tb = pa.table({"k": t["l_orderkey"], "us": us})
+        g = tb.group_by("k").aggregate([("us", "min"), ("us", "max")])
+        return g.rename_columns(["k", "lo", "hi"])
+
+    def span_bucket(t: pa.Table) -> pa.Table:
+        lo = t["lo"].to_numpy(zero_copy_only=False)
+        hi = t["hi"].to_numpy(zero_copy_only=False)
+        wk = (hi - lo) // (7 * 86_400_000_000)
+        tb = pa.table({"span_weeks": pa.array(wk, pa.int64())})
+        g = tb.group_by("span_weeks").aggregate([([], "count_all")])
+        return g.rename_columns(["span_weeks", "n"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Min("lo", alias_name="lo"), Max("hi", alias_name="hi"))
+        .map_batches(span_bucket, batch_format="pyarrow")
+        .groupby("span_weeks")
+        .aggregate(Sum("n", alias_name="n_orders"))
+        .sort(["span_weeks"])
+    )
+
+
+ORDERS_SHIP_SPAN_HIST_SQL = """
+WITH s AS (
+  SELECT l_orderkey,
+         (epoch_us(max(l_shipdate)) - epoch_us(min(l_shipdate)))
+           // CAST(604800000000 AS BIGINT) AS span_weeks
+  FROM lineitem GROUP BY 1)
+SELECT CAST(span_weeks AS BIGINT) AS span_weeks,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM s GROUP BY 1 ORDER BY 1
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -22479,6 +22603,9 @@ ORACLE_SQL: dict[str, str] = {
     "orders_dow_revenue": ORDERS_DOW_REVENUE_SQL,
     "orders_priority_qq_deciles": ORDERS_PRIORITY_QQ_DECILES_SQL,
     "customer_negative_balance_by_segment": CUSTOMER_NEGATIVE_BALANCE_BY_SEGMENT_SQL,
+    "lineitem_discount_tax_grid": LINEITEM_DISCOUNT_TAX_GRID_SQL,
+    "part_brand_type_agg": PART_BRAND_TYPE_AGG_SQL,
+    "orders_ship_span_hist": ORDERS_SHIP_SPAN_HIST_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -22911,6 +23038,9 @@ def registry() -> dict:
         "orders_dow_revenue": orders_dow_revenue,
         "orders_priority_qq_deciles": orders_priority_qq_deciles,
         "customer_negative_balance_by_segment": customer_negative_balance_by_segment,
+        "lineitem_discount_tax_grid": lineitem_discount_tax_grid,
+        "part_brand_type_agg": part_brand_type_agg,
+        "orders_ship_span_hist": orders_ship_span_hist,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
