@@ -22392,6 +22392,427 @@ FROM s GROUP BY 1 ORDER BY 1
 """
 
 
+def docs_simpson_diversity_by_lang(sf_dir: str):
+    """Gini–Simpson token diversity per language, plus the inverse-Simpson
+    'effective vocabulary size' — the RATIONAL diversity indices (unlike
+    Shannon entropy they need no log, so exact integer parity holds):
+    simpson_ppm = (n² − Σc²)·10⁶ // n², inv_simpson_ppm = n²·10⁶ // Σc².
+    Block partials carry (lang, term, count) — O(vocab) per block — and the
+    per-lang merge reduces to the two sufficient sums.  int64 bound:
+    n²·10⁶ caps n at ~3e6 tokens per lang (fine through sf0.1; rescale to
+    per-mille beyond)."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(t["text"]), pattern=r"[^a-z0-9]+"
+        ).combine_chunks()
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        langs = t["lang"].combine_chunks().take(parents.filter(keep))
+        tb = pa.table({"lang": langs, "term": flat})
+        g = tb.group_by(["lang", "term"]).aggregate([("term", "count")])
+        return g.rename_columns(["lang", "term", "cnt"])
+
+    def merge(g: pa.Table) -> pa.Table:
+        # re-merge per-block term partials, then reduce to (n, Σc²)
+        m = (
+            pa.table({"term": g["term"], "cnt": g["cnt"]})
+            .group_by("term")
+            .aggregate([("cnt", "sum")])
+        )
+        c = m["cnt_sum"].to_numpy(zero_copy_only=False)
+        n = int(c.sum())
+        sq = int(np.sum(c * c))
+        return pa.table(
+            {
+                "lang": g["lang"].slice(0, 1),
+                "n_tokens": pa.array([n], pa.int64()),
+                "simpson_ppm": pa.array([(n * n - sq) * 1_000_000 // (n * n)], pa.int64()),
+                "inv_simpson_ppm": pa.array([n * n * 1_000_000 // sq], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(merge, batch_format="pyarrow")
+        .sort(["lang"])
+    )
+
+
+DOCS_SIMPSON_DIVERSITY_BY_LANG_SQL = """
+WITH t AS (
+  SELECT lang,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS term
+  FROM documents),
+c AS (SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY 1, 2),
+s AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(SUM(cnt*cnt) AS BIGINT) AS sq
+      FROM c GROUP BY 1)
+SELECT lang, n AS n_tokens,
+       CAST((n*n - sq) * 1000000 // (n*n) AS BIGINT) AS simpson_ppm,
+       CAST(n*n * 1000000 // sq AS BIGINT) AS inv_simpson_ppm
+FROM s ORDER BY lang
+"""
+
+
+def lineitem_ship_monotonicity(sf_dir: str):
+    """Fulfilment-order audit: are an order's lines shipped in line-number
+    order?  Per order, check the shipdate sequence (sorted by linenumber,
+    shipdate-tiebroken: the data has duplicate (orderkey, linenumber) pairs)
+    is non-decreasing; roll up to a single (n_orders, n_monotone, ppm) row.
+    Monotonicity needs the whole group → one groupby(orderkey) with a
+    vectorized diff kernel; the roll-up is a distributed Dataset.sum over
+    per-order bits (never a driver row loop)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_linenumber", "l_shipdate"]
+    )
+
+    def mono(g: pa.Table) -> pa.Table:
+        s = g.take(
+            pc.sort_indices(
+                g,
+                sort_keys=[("l_linenumber", "ascending"), ("l_shipdate", "ascending")],
+            )
+        )
+        d = (
+            s["l_shipdate"]
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        ok = bool(np.all(np.diff(d) >= 0))
+        return pa.table(
+            {
+                "one": pa.array([1], pa.int64()),
+                "mono": pa.array([1 if ok else 0], pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.groupby("l_orderkey")
+        .map_groups(mono, batch_format="pyarrow")
+        .sum(["one", "mono"])
+    )
+    n, m = int(agg["sum(one)"]), int(agg["sum(mono)"])
+    return pa.table(
+        {
+            "n_orders": pa.array([n], pa.int64()),
+            "n_monotone": pa.array([m], pa.int64()),
+            "monotone_ppm": pa.array([m * 1_000_000 // n], pa.int64()),
+        }
+    )
+
+
+LINEITEM_SHIP_MONOTONICITY_SQL = """
+WITH o AS (
+  SELECT l_orderkey,
+         COALESCE(l_shipdate >= lag(l_shipdate)
+                  OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_shipdate), TRUE)
+           AS ok
+  FROM lineitem),
+m AS (SELECT l_orderkey, CASE WHEN bool_and(ok) THEN 1 ELSE 0 END AS mono
+      FROM o GROUP BY 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(mono) AS BIGINT) AS n_monotone,
+       CAST(SUM(mono) * 1000000 // COUNT(*) AS BIGINT) AS monotone_ppm
+FROM m
+"""
+
+
+def region_balance_compare(sf_dir: str):
+    """Two-sided dimension roll-up: supplier vs customer account balances
+    aggregated to the REGION grain (supplier→nation→region and
+    customer→nation→region), joined into one 5-row comparison with the
+    exact cents delta.  Both fact scans are block-local partials keyed by
+    regionkey through a broadcast 25-row nation→region map; the final join
+    of two 5-row aggregates happens on the driver."""
+    nat = rd.read_parquet(_t(sf_dir, "nation"), columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    reg = rd.read_parquet(_t(sf_dir, "region")).to_pandas()
+    n2r = dict(zip(nat["n_nationkey"].astype(int), nat["n_regionkey"].astype(int)))
+    rname = dict(zip(reg["r_regionkey"].astype(int), reg["r_name"]))
+
+    def make_partial(nk_col: str, bal_col: str):
+        def partial(t: pa.Table) -> pa.Table:
+            nk = t[nk_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            rk = np.array([n2r[int(k)] for k in np.unique(nk)], np.int64)
+            lut = dict(zip(np.unique(nk).tolist(), rk.tolist()))
+            rks = np.array([lut[int(k)] for k in nk], np.int64)
+            tb = pa.table({"rk": pa.array(rks), "cents": _cents(t[bal_col])})
+            g = tb.group_by("rk").aggregate([("cents", "sum"), ([], "count_all")])
+            return g.rename_columns(["rk", "cents", "n"])
+
+        return partial
+
+    def roll(table: str, nk: str, bal: str):
+        return (
+            rd.read_parquet(_t(sf_dir, table), columns=[nk, bal])
+            .map_batches(make_partial(nk, bal), batch_format="pyarrow")
+            .groupby("rk")
+            .aggregate(Sum("cents", alias_name="cents"), Sum("n", alias_name="n"))
+            .to_pandas()
+        )
+
+    s = roll("supplier", "s_nationkey", "s_acctbal").set_index("rk")
+    c = roll("customer", "c_nationkey", "c_acctbal").set_index("rk")
+    keys = sorted(set(s.index) | set(c.index))
+    return pa.table(
+        {
+            "region": pa.array([rname[int(k)] for k in keys], pa.string()),
+            "n_suppliers": pa.array([int(s["n"].get(k, 0)) for k in keys], pa.int64()),
+            "supplier_cents": pa.array([int(s["cents"].get(k, 0)) for k in keys], pa.int64()),
+            "n_customers": pa.array([int(c["n"].get(k, 0)) for k in keys], pa.int64()),
+            "customer_cents": pa.array([int(c["cents"].get(k, 0)) for k in keys], pa.int64()),
+            "balance_delta_cents": pa.array(
+                [int(c["cents"].get(k, 0)) - int(s["cents"].get(k, 0)) for k in keys],
+                pa.int64(),
+            ),
+        }
+    ).sort_by("region")
+
+
+REGION_BALANCE_COMPARE_SQL = """
+WITH s AS (
+  SELECT n_regionkey AS rk, CAST(COUNT(*) AS BIGINT) AS ns,
+         CAST(SUM(CAST(FLOOR(s_acctbal*100 + 0.5) AS BIGINT)) AS BIGINT) AS sc
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey GROUP BY 1),
+c AS (
+  SELECT n_regionkey AS rk, CAST(COUNT(*) AS BIGINT) AS nc,
+         CAST(SUM(CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT)) AS BIGINT) AS cc
+  FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY 1)
+SELECT r_name AS region,
+       COALESCE(ns, 0) AS n_suppliers, COALESCE(sc, 0) AS supplier_cents,
+       COALESCE(nc, 0) AS n_customers, COALESCE(cc, 0) AS customer_cents,
+       COALESCE(cc, 0) - COALESCE(sc, 0) AS balance_delta_cents
+FROM region
+LEFT JOIN s ON r_regionkey = s.rk
+LEFT JOIN c ON r_regionkey = c.rk
+WHERE ns IS NOT NULL OR nc IS NOT NULL
+ORDER BY 1
+"""
+
+
+def events_welch_ttest_weekend(sf_dir: str):
+    """WELCH'S t-test: do weekend events carry different values than weekday
+    events?  Sufficient statistics (n, Σc, Σc²) are exact integer cents per
+    side from block partials; the t statistic is ONE fixed IEEE expression —
+    t = (s₁/n₁ − s₂/n₂) / √(v₁/n₁ + v₂/n₂),
+    vᵢ = (nᵢ·qᵢ − sᵢ²)/(nᵢ·(nᵢ−1)) — computed float-from-exact-ints with the
+    products taken in DOUBLE (n·q exceeds int64 at large n) in the same
+    operand order both sides, so bit parity holds (÷ and √ are correctly
+    rounded).  Weekend = ISO dow 6/7."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        dow = pc.add(pc.day_of_week(t["ts"]), 1)
+        we = pc.cast(pc.greater_equal(dow, 6), pa.int64())
+        c = _cents(t["value"]).to_numpy(zero_copy_only=False)
+        tb = pa.table(
+            {
+                "we": we,
+                "n": pa.array(np.ones(len(c), np.int64)),
+                "s": pa.array(c),
+                "q": pa.array(c * c),
+            }
+        )
+        g = tb.group_by("we").aggregate([("n", "sum"), ("s", "sum"), ("q", "sum")])
+        return g.rename_columns(["we", "n", "s", "q"])
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("we")
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"), Sum("q", alias_name="q"))
+        .to_pandas()
+        .set_index("we")
+    )
+
+    def stats(w: int):
+        return (
+            int(cells["n"].get(w, 0)),
+            int(cells["s"].get(w, 0)),
+            int(cells["q"].get(w, 0)),
+        )
+
+    n1, s1, q1 = stats(1)
+    n2, s2, q2 = stats(0)
+    v1 = (float(n1) * float(q1) - float(s1) * float(s1)) / (float(n1) * (float(n1) - 1.0))
+    v2 = (float(n2) * float(q2) - float(s2) * float(s2)) / (float(n2) * (float(n2) - 1.0))
+    t_stat = (float(s1) / float(n1) - float(s2) / float(n2)) / np.sqrt(
+        v1 / float(n1) + v2 / float(n2)
+    )
+    return pa.table(
+        {
+            "n_weekend": pa.array([n1], pa.int64()),
+            "sum_weekend_cents": pa.array([s1], pa.int64()),
+            "n_weekday": pa.array([n2], pa.int64()),
+            "sum_weekday_cents": pa.array([s2], pa.int64()),
+            "welch_t": pa.array([float(t_stat)], pa.float64()),
+        }
+    )
+
+
+EVENTS_WELCH_TTEST_WEEKEND_SQL = """
+WITH v AS (
+  SELECT CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END AS we,
+         CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS c
+  FROM events),
+g AS (SELECT we, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s,
+             CAST(SUM(c*c) AS BIGINT) AS q
+      FROM v GROUP BY 1),
+w AS (SELECT n AS n1, s AS s1, q AS q1 FROM g WHERE we = 1),
+d AS (SELECT n AS n2, s AS s2, q AS q2 FROM g WHERE we = 0)
+SELECT n1 AS n_weekend, s1 AS sum_weekend_cents,
+       n2 AS n_weekday, s2 AS sum_weekday_cents,
+       (CAST(s1 AS DOUBLE)/CAST(n1 AS DOUBLE) - CAST(s2 AS DOUBLE)/CAST(n2 AS DOUBLE))
+         / sqrt(
+             ((CAST(n1 AS DOUBLE)*CAST(q1 AS DOUBLE)
+               - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE))
+              / (CAST(n1 AS DOUBLE)*(CAST(n1 AS DOUBLE) - 1e0)))
+               / CAST(n1 AS DOUBLE)
+             + ((CAST(n2 AS DOUBLE)*CAST(q2 AS DOUBLE)
+                 - CAST(s2 AS DOUBLE)*CAST(s2 AS DOUBLE))
+                / (CAST(n2 AS DOUBLE)*(CAST(n2 AS DOUBLE) - 1e0)))
+               / CAST(n2 AS DOUBLE)
+           ) AS welch_t
+FROM w, d
+"""
+
+
+def part_brand_price_range_overlap(sf_dir: str):
+    """Grouped-INTERVAL overlap: each brand's retail-price range [min, max]
+    in cents, crossed into brand pairs with the exact overlap width
+    max(0, min(hi)−max(lo)) — the range-vs-range join shape (≙ the interval
+    family of ``events_interval_overlap``, lifted to per-group extrema).
+    Extrema come from block partials + a 25-row groupby; the O(brands²)
+    pair grid is driver-side by design (bounded dimension)."""
+    ds = rd.read_parquet(_t(sf_dir, "part"), columns=["p_brand", "p_retailprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tb = pa.table({"b": t["p_brand"], "c": _cents(t["p_retailprice"])})
+        g = tb.group_by("b").aggregate([("c", "min"), ("c", "max")])
+        return g.rename_columns(["b", "lo", "hi"])
+
+    ext = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("b")
+        .aggregate(Min("lo", alias_name="lo"), Max("hi", alias_name="hi"))
+        .to_pandas()
+        .sort_values("b", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    rows = {"brand_a": [], "brand_b": [], "overlap_cents": []}
+    for i in range(len(ext)):
+        for j in range(i + 1, len(ext)):
+            lo = max(int(ext["lo"][i]), int(ext["lo"][j]))
+            hi = min(int(ext["hi"][i]), int(ext["hi"][j]))
+            rows["brand_a"].append(ext["b"][i])
+            rows["brand_b"].append(ext["b"][j])
+            rows["overlap_cents"].append(max(0, hi - lo))
+    return pa.table(
+        {
+            "brand_a": pa.array(rows["brand_a"], pa.string()),
+            "brand_b": pa.array(rows["brand_b"], pa.string()),
+            "overlap_cents": pa.array(rows["overlap_cents"], pa.int64()),
+        }
+    )
+
+
+PART_BRAND_PRICE_RANGE_OVERLAP_SQL = """
+WITH e AS (
+  SELECT p_brand AS b,
+         CAST(MIN(CAST(FLOOR(p_retailprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS lo,
+         CAST(MAX(CAST(FLOOR(p_retailprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS hi
+  FROM part GROUP BY 1)
+SELECT a.b AS brand_a, c.b AS brand_b,
+       CAST(GREATEST(0, LEAST(a.hi, c.hi) - GREATEST(a.lo, c.lo)) AS BIGINT)
+         AS overlap_cents
+FROM e a JOIN e c ON a.b < c.b
+ORDER BY 1, 2
+"""
+
+
+def customer_balance_spend_spearman(sf_dir: str):
+    """Cross-table SPEARMAN: rank correlation between a customer's account
+    balance and their lifetime order spend (0 for never-ordered customers,
+    via the broadcast-side default).  Spend is a fact-side cents aggregate;
+    balance joins in as a broadcast dim array; ranks use the same centered
+    doubled-average-rank integer trick as ``lineitem_spearman_by_flag``
+    (Σe² ≤ 4n³ — safe through ~1.3e6 customers)."""
+    spend = (
+        rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+        .map_batches(
+            lambda t: pa.table({"c": t["o_custkey"], "s": _cents(t["o_totalprice"])})
+            .group_by("c")
+            .aggregate([("s", "sum")])
+            .rename_columns(["c", "s"]),
+            batch_format="pyarrow",
+        )
+        .groupby("c")
+        .aggregate(Sum("s", alias_name="spend"))
+        .to_pandas()
+        .set_index("c")["spend"]
+    )
+    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_acctbal"])
+    bal_tbl = cust.map_batches(
+        lambda t: pa.table({"k": t["c_custkey"], "bal": _cents(t["c_acctbal"])}),
+        batch_format="pyarrow",
+    ).to_pandas()
+    bal = bal_tbl["bal"].to_numpy(np.int64)
+    sp = (
+        bal_tbl["k"].map(spend).fillna(0).astype("int64").to_numpy(np.int64)
+    )
+
+    def _centered_doubled_ranks(v: np.ndarray) -> np.ndarray:
+        n = len(v)
+        uniq, inv, cnt = np.unique(v, return_inverse=True, return_counts=True)
+        minrank = np.r_[0, np.cumsum(cnt)[:-1]] + 1
+        doubled = 2 * minrank + cnt - 1
+        return doubled[inv] - (n + 1)
+
+    ex = _centered_doubled_ranks(bal)
+    ey = _centered_doubled_ranks(sp)
+    sxy, sxx, syy = (
+        int(np.sum(ex * ey)),
+        int(np.sum(ex * ex)),
+        int(np.sum(ey * ey)),
+    )
+    rho = float(sxy) / (np.sqrt(float(sxx)) * np.sqrt(float(syy)))
+    return pa.table(
+        {
+            "n_customers": pa.array([len(bal)], pa.int64()),
+            "spearman_rho": pa.array([rho], pa.float64()),
+        }
+    )
+
+
+CUSTOMER_BALANCE_SPEND_SPEARMAN_SQL = """
+WITH sp AS (
+  SELECT o_custkey AS c,
+         CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS spend
+  FROM orders GROUP BY 1),
+v AS (
+  SELECT CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT) AS bal,
+         COALESCE(sp.spend, 0) AS spend
+  FROM customer LEFT JOIN sp ON c_custkey = sp.c),
+r AS (
+  SELECT 2*RANK() OVER (ORDER BY bal) + COUNT(*) OVER (PARTITION BY bal) - 1
+           - (COUNT(*) OVER () + 1) AS ex,
+         2*RANK() OVER (ORDER BY spend) + COUNT(*) OVER (PARTITION BY spend) - 1
+           - (COUNT(*) OVER () + 1) AS ey
+  FROM v)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(ex*ey) AS DOUBLE)
+         / (sqrt(CAST(SUM(ex*ex) AS DOUBLE)) * sqrt(CAST(SUM(ey*ey) AS DOUBLE)))
+         AS spearman_rho
+FROM r
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -22606,6 +23027,12 @@ ORACLE_SQL: dict[str, str] = {
     "lineitem_discount_tax_grid": LINEITEM_DISCOUNT_TAX_GRID_SQL,
     "part_brand_type_agg": PART_BRAND_TYPE_AGG_SQL,
     "orders_ship_span_hist": ORDERS_SHIP_SPAN_HIST_SQL,
+    "docs_simpson_diversity_by_lang": DOCS_SIMPSON_DIVERSITY_BY_LANG_SQL,
+    "lineitem_ship_monotonicity": LINEITEM_SHIP_MONOTONICITY_SQL,
+    "region_balance_compare": REGION_BALANCE_COMPARE_SQL,
+    "events_welch_ttest_weekend": EVENTS_WELCH_TTEST_WEEKEND_SQL,
+    "part_brand_price_range_overlap": PART_BRAND_PRICE_RANGE_OVERLAP_SQL,
+    "customer_balance_spend_spearman": CUSTOMER_BALANCE_SPEND_SPEARMAN_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -23041,6 +23468,12 @@ def registry() -> dict:
         "lineitem_discount_tax_grid": lineitem_discount_tax_grid,
         "part_brand_type_agg": part_brand_type_agg,
         "orders_ship_span_hist": orders_ship_span_hist,
+        "docs_simpson_diversity_by_lang": docs_simpson_diversity_by_lang,
+        "lineitem_ship_monotonicity": lineitem_ship_monotonicity,
+        "region_balance_compare": region_balance_compare,
+        "events_welch_ttest_weekend": events_welch_ttest_weekend,
+        "part_brand_price_range_overlap": part_brand_price_range_overlap,
+        "customer_balance_spend_spearman": customer_balance_spend_spearman,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
