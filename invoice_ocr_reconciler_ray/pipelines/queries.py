@@ -22813,6 +22813,509 @@ FROM r
 """
 
 
+def lineitem_kruskal_wallis_returnflag(sf_dir: str):
+    """Exact Kruskal–Wallis H across the three returnflag groups (A/N/R) on
+    l_extendedprice — the k-group generalization of
+    ``lineitem_mannwhitney_returnflag``, sharing its bounded per-value
+    partial layout.  Midranks use the DOUBLED rank-sum identity
+    R2_g = Σ_v g_v·(2C_v + c_v + 1) (exact int64, ≤ N(2N+1)); H is then ONE
+    fixed IEEE expression 3·(Σ_g R2_g²/n_g)/(N(N+1)) − 3(N+1) evaluated in
+    the identical association order by DuckDB (R2² exceeds int64 so the
+    squares live in float — each product/divide is a single correctly
+    rounded op on exact-int inputs)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_extendedprice", "l_returnflag"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        tb = pa.table(
+            {
+                "p": _cents(t["l_extendedprice"]),
+                "a": pc.cast(pc.equal(t["l_returnflag"], "A"), pa.int64()),
+                "nn": pc.cast(pc.equal(t["l_returnflag"], "N"), pa.int64()),
+                "r": pc.cast(pc.equal(t["l_returnflag"], "R"), pa.int64()),
+            }
+        )
+        g = tb.group_by("p").aggregate([("a", "sum"), ("nn", "sum"), ("r", "sum")])
+        return g.rename_columns(["p", "a", "nn", "r"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("p")
+        .aggregate(
+            Sum("a", alias_name="a"),
+            Sum("nn", alias_name="nn"),
+            Sum("r", alias_name="r"),
+        )
+        .to_pandas()
+        .sort_values("p", kind="mergesort")
+    )
+    a = agg["a"].to_numpy().astype(np.int64)
+    nn = agg["nn"].to_numpy().astype(np.int64)
+    r = agg["r"].to_numpy().astype(np.int64)
+    c_v = a + nn + r
+    c_before = c_v.cumsum() - c_v
+    w = 2 * c_before + c_v + 1
+    n_a, n_n, n_r = int(a.sum()), int(nn.sum()), int(r.sum())
+    r2_a, r2_n, r2_r = int((a * w).sum()), int((nn * w).sum()), int((r * w).sum())
+    n = n_a + n_n + n_r
+    t_sum = (
+        float(r2_a) * float(r2_a) / float(n_a)
+        + float(r2_n) * float(r2_n) / float(n_n)
+        + float(r2_r) * float(r2_r) / float(n_r)
+    )
+    kw_h = 3.0 * t_sum / (float(n) * float(n + 1)) - 3.0 * float(n + 1)
+    return pa.table(
+        {
+            "n_total": pa.array([n], pa.int64()),
+            "n_a": pa.array([n_a], pa.int64()),
+            "n_n": pa.array([n_n], pa.int64()),
+            "n_r": pa.array([n_r], pa.int64()),
+            "r2_a": pa.array([r2_a], pa.int64()),
+            "r2_n": pa.array([r2_n], pa.int64()),
+            "r2_r": pa.array([r2_r], pa.int64()),
+            "kw_h": pa.array([kw_h], pa.float64()),
+        }
+    )
+
+
+LINEITEM_KRUSKAL_WALLIS_RETURNFLAG_SQL = """
+WITH v AS (
+  SELECT CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT) AS p,
+         CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS a,
+         CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END AS nn,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS r
+  FROM lineitem),
+c AS (SELECT p, CAST(SUM(a) AS BIGINT) AS a, CAST(SUM(nn) AS BIGINT) AS nn,
+             CAST(SUM(r) AS BIGINT) AS r, CAST(COUNT(*) AS BIGINT) AS c_v
+      FROM v GROUP BY 1),
+s AS (SELECT a, nn, r, c_v,
+             CAST(SUM(c_v) OVER (ORDER BY p) AS BIGINT) - c_v AS c_before
+      FROM c),
+g AS (SELECT CAST(SUM(a) AS BIGINT) AS n_a, CAST(SUM(nn) AS BIGINT) AS n_n,
+             CAST(SUM(r) AS BIGINT) AS n_r,
+             CAST(SUM(a*(2*c_before + c_v + 1)) AS BIGINT) AS r2_a,
+             CAST(SUM(nn*(2*c_before + c_v + 1)) AS BIGINT) AS r2_n,
+             CAST(SUM(r*(2*c_before + c_v + 1)) AS BIGINT) AS r2_r
+      FROM s)
+SELECT n_a + n_n + n_r AS n_total, n_a, n_n, n_r, r2_a, r2_n, r2_r,
+       3e0*(CAST(r2_a AS DOUBLE)*CAST(r2_a AS DOUBLE)/CAST(n_a AS DOUBLE)
+          + CAST(r2_n AS DOUBLE)*CAST(r2_n AS DOUBLE)/CAST(n_n AS DOUBLE)
+          + CAST(r2_r AS DOUBLE)*CAST(r2_r AS DOUBLE)/CAST(n_r AS DOUBLE))
+         / (CAST(n_a+n_n+n_r AS DOUBLE) * CAST(n_a+n_n+n_r+1 AS DOUBLE))
+       - 3e0*CAST(n_a+n_n+n_r+1 AS DOUBLE) AS kw_h
+FROM g
+"""
+
+
+def part_red_revenue_by_nation_year(sf_dir: str):
+    """TPC-H Q9-shape product-line profit rollup (no partsupp table in this
+    corpus, so revenue stands in for profit): revenue from lineitems whose
+    part name contains 'red', by supplier nation × ship year.  Ray plan: the
+    part side is a predicate-filtered key scan broadcast as a SORTED numpy
+    array (np.isin via searchsorted; at 100 TB this side flips to the Bloom
+    route of stages/broadcast.py), supplier→nation is a broadcast dim map,
+    so the whole 4-table star collapses into ONE shuffle-free lineitem pass
+    of block-local partials + a tiny (nation, year) groupby."""
+    part = rd.read_parquet(_t(sf_dir, "part"), columns=["p_partkey", "p_name"])
+    pk = (
+        part.map_batches(
+            lambda t: t.filter(pc.match_substring(t["p_name"], "red")).select(
+                ["p_partkey"]
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["p_partkey"]
+        .to_numpy(np.int64)
+    )
+    pk = np.sort(pk)
+    sup = rd.read_parquet(
+        _t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    nat = rd.read_parquet(_t(sf_dir, "nation")).to_pandas()
+    nmap = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    s2n = {
+        int(k): nmap[int(v)]
+        for k, v in zip(sup["s_suppkey"], sup["s_nationkey"])
+    }
+    pk_ref, s2n_ref = ray.put(pk), ray.put(s2n)
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = ray.get(pk_ref)
+        lp = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(keys, lp)
+        idx[idx == len(keys)] = 0
+        mask = keys[idx] == lp
+        t = t.filter(pa.array(mask))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "nation": pa.array([], pa.string()),
+                    "ship_year": pa.array([], pa.int64()),
+                    "revenue_cents": pa.array([], pa.int64()),
+                    "n_lines": pa.array([], pa.int64()),
+                }
+            )
+        smap = ray.get(s2n_ref)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        tb = pa.table(
+            {
+                "nation": pa.array([smap[int(k)] for k in sk], pa.string()),
+                "ship_year": pc.cast(pc.year(t["l_shipdate"]), pa.int64()),
+                "revenue_cents": _cents(rev),
+                "n_lines": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        g = tb.group_by(["nation", "ship_year"]).aggregate(
+            [("revenue_cents", "sum"), ("n_lines", "sum")]
+        )
+        return g.rename_columns(["nation", "ship_year", "revenue_cents", "n_lines"])
+
+    return (
+        rd.read_parquet(
+            _t(sf_dir, "lineitem"),
+            columns=[
+                "l_partkey",
+                "l_suppkey",
+                "l_extendedprice",
+                "l_discount",
+                "l_shipdate",
+            ],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["nation", "ship_year"])
+        .aggregate(
+            Sum("revenue_cents", alias_name="revenue_cents"),
+            Sum("n_lines", alias_name="n_lines"),
+        )
+    )
+
+
+PART_RED_REVENUE_BY_NATION_YEAR_SQL = """
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS ship_year,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*(1 - l_discount)*100 + 0.5)
+                AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+"""
+
+
+def customer_acctbal_anova(sf_dir: str):
+    """One-way ANOVA of account balance across market segments, reported as
+    an integer-exact F statistic in milli-units: all sufficient statistics
+    (n_g, Σcents_g, Σcents²_g) are exact int64 block partials; the
+    between/within decomposition uses truncating integer division on
+    arbitrary-precision Python ints on the driver (mirrored by DuckDB
+    HUGEINT `//`, which truncates toward zero — every numerator here is
+    nonnegative so trunc == floor), so f_milli can never drift a ULP."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_mktsegment", "c_acctbal"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        b = _cents(t["c_acctbal"])
+        b2 = pc.multiply(b, b)
+        tb = pa.table({"seg": t["c_mktsegment"], "n": pa.array(np.ones(t.num_rows, np.int64)), "s": b, "q": b2})
+        g = tb.group_by("seg").aggregate([("n", "sum"), ("s", "sum"), ("q", "sum")])
+        return g.rename_columns(["seg", "n", "s", "q"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("seg")
+        .aggregate(
+            Sum("n", alias_name="n"), Sum("s", alias_name="s"), Sum("q", alias_name="q")
+        )
+        .to_pandas()
+    )
+    n = int(agg["n"].sum())
+    s = int(agg["s"].sum())
+    q = int(agg["q"].sum())
+    k = len(agg)
+    tt = sum(int(sg) * int(sg) // int(ng) for sg, ng in zip(agg["s"], agg["n"]))
+    ssb = max(tt - s * s // n, 0)
+    ssw = q - tt
+    f_milli = ssb * (n - k) * 1000 // (ssw * (k - 1))
+    return pa.table(
+        {
+            "n_customers": pa.array([n], pa.int64()),
+            "k_segments": pa.array([k], pa.int64()),
+            "f_milli": pa.array([f_milli], pa.int64()),
+        }
+    )
+
+
+CUSTOMER_ACCTBAL_ANOVA_SQL = """
+WITH v AS (
+  SELECT c_mktsegment AS seg,
+         CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT) AS b
+  FROM customer),
+g AS (SELECT seg, CAST(COUNT(*) AS HUGEINT) AS n_g,
+             CAST(SUM(b) AS HUGEINT) AS s_g,
+             CAST(SUM(CAST(b AS HUGEINT)*b) AS HUGEINT) AS q_g
+      FROM v GROUP BY 1),
+t AS (SELECT CAST(COUNT(*) AS HUGEINT) AS k, SUM(n_g) AS n, SUM(s_g) AS s,
+             SUM(q_g) AS q, SUM(s_g*s_g // n_g) AS tt
+      FROM g)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       CAST(k AS BIGINT) AS k_segments,
+       CAST(GREATEST(tt - s*s//n, 0) * (n-k) * 1000
+            // ((q - tt) * (k-1)) AS BIGINT) AS f_milli
+FROM t
+"""
+
+
+def customer_balance_spend_kendall(sf_dir: str):
+    """Kendall τ-b between account balance and lifetime spend — the
+    inversion-counting sibling of ``customer_balance_spend_spearman`` (same
+    fact-side cents aggregate + broadcast dim array).  S = P−Q comes from an
+    O(n log n) bottom-up vectorized merge (np.searchsorted per run pair
+    counts cross-run discordances; within-run pairs share x and contribute
+    0), tie corrections are exact Σt(t−1)/2 ints, and τ-b is the same fixed
+    √·√ IEEE expression DuckDB evaluates — the oracle cross-checks S against
+    a literal pairwise SIGN·SIGN self-join."""
+    spend = (
+        rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+        .map_batches(
+            lambda t: pa.table({"c": t["o_custkey"], "s": _cents(t["o_totalprice"])})
+            .group_by("c")
+            .aggregate([("s", "sum")])
+            .rename_columns(["c", "s"]),
+            batch_format="pyarrow",
+        )
+        .groupby("c")
+        .aggregate(Sum("s", alias_name="spend"))
+        .to_pandas()
+        .set_index("c")["spend"]
+    )
+    bal_tbl = (
+        rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_acctbal"])
+        .map_batches(
+            lambda t: pa.table({"k": t["c_custkey"], "bal": _cents(t["c_acctbal"])}),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    x = bal_tbl["bal"].to_numpy(np.int64)
+    y = bal_tbl["k"].map(spend).fillna(0).astype("int64").to_numpy(np.int64)
+    n = len(x)
+
+    order = np.lexsort((y, x))
+    ys = y[order]
+
+    def _count_inversions(a: np.ndarray) -> int:
+        inv, width = 0, 1
+        a = a.copy()
+        while width < len(a):
+            for lo in range(0, len(a) - width, 2 * width):
+                mid, hi = lo + width, min(lo + 2 * width, len(a))
+                left, right = a[lo:mid], a[mid:hi]
+                # pairs (l in left, r in right) with l > r are discordant
+                inv += int(
+                    (len(left) - np.searchsorted(left, right, side="right")).sum()
+                )
+                a[lo:hi] = np.concatenate([left, right])[
+                    np.argsort(np.concatenate([left, right]), kind="stable")
+                ]
+            width *= 2
+        return inv
+
+    disc = _count_inversions(ys)
+
+    def _tie_term(v: np.ndarray) -> int:
+        _, cnt = np.unique(v, return_counts=True)
+        return int((cnt.astype(object) * (cnt - 1) // 2).sum())
+
+    n0 = n * (n - 1) // 2
+    n1 = _tie_term(x)
+    n2 = _tie_term(y)
+    # joint-tie key: spend is nonnegative and < 2^40 cents, so the packing
+    # is injective even for negative balances
+    xy = x.astype(object) * (1 << 40) + y
+    n3 = _tie_term(xy)
+    s_num = n0 - n1 - n2 + n3 - 2 * disc
+    tau_b = float(s_num) / (np.sqrt(float(n0 - n1)) * np.sqrt(float(n0 - n2)))
+    return pa.table(
+        {
+            "n_customers": pa.array([n], pa.int64()),
+            "s_num": pa.array([s_num], pa.int64()),
+            "kendall_tau_b": pa.array([tau_b], pa.float64()),
+        }
+    )
+
+
+CUSTOMER_BALANCE_SPEND_KENDALL_SQL = """
+WITH sp AS (
+  SELECT o_custkey AS c,
+         CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS spend
+  FROM orders GROUP BY 1),
+v AS (
+  SELECT c_custkey AS k,
+         CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT) AS bal,
+         COALESCE(sp.spend, 0) AS spend
+  FROM customer LEFT JOIN sp ON c_custkey = sp.c),
+s AS (
+  SELECT CAST(SUM(SIGN(a.bal - b.bal) * SIGN(a.spend - b.spend)) AS BIGINT)
+           AS s_num
+  FROM v a JOIN v b ON a.k < b.k),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*)*(COUNT(*)-1)//2 AS BIGINT) AS n0
+  FROM v),
+tx AS (SELECT CAST(SUM(c*(c-1)//2) AS BIGINT) AS n1
+       FROM (SELECT COUNT(*) AS c FROM v GROUP BY bal)),
+ty AS (SELECT CAST(SUM(c*(c-1)//2) AS BIGINT) AS n2
+       FROM (SELECT COUNT(*) AS c FROM v GROUP BY spend))
+SELECT t.n AS n_customers, s.s_num,
+       CAST(s.s_num AS DOUBLE)
+         / (sqrt(CAST(t.n0 - tx.n1 AS DOUBLE)) * sqrt(CAST(t.n0 - ty.n2 AS DOUBLE)))
+         AS kendall_tau_b
+FROM s, t, tx, ty
+"""
+
+
+def orders_lorenz_deciles(sf_dir: str):
+    """Lorenz curve of order value concentration: for each population decile
+    of orders (cheapest first), the cumulative share of total order value in
+    exact ppm.  The same bounded per-value partial layout as the rank-stat
+    family (cents value → count partials, merged by one tiny groupby); the
+    driver walks the sorted value grid with arbitrary-precision Python ints
+    (prefix·1e6 can pass int64 at large SF), slicing tie groups at the exact
+    integer positions m_k = k·n//10 — positions inside a tie group are exact
+    because every tied order contributes the identical value."""
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tb = pa.table(
+            {
+                "p": _cents(t["o_totalprice"]),
+                "cnt": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        g = tb.group_by("p").aggregate([("cnt", "sum")])
+        return g.rename_columns(["p", "cnt"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("p")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values("p", kind="mergesort")
+    )
+    vals = agg["p"].to_numpy(np.int64)
+    cnt = agg["cnt"].to_numpy(np.int64)
+    cum_cnt = cnt.cumsum()
+    n = int(cum_cnt[-1])
+    tot = sum(int(v) * int(c) for v, c in zip(vals, cnt))
+    deciles, n_inc, share = [], [], []
+    for k in range(1, 11):
+        m = k * n // 10
+        i = int(np.searchsorted(cum_cnt, m, side="left"))
+        before_cnt = int(cum_cnt[i - 1]) if i > 0 else 0
+        prefix = sum(int(v) * int(c) for v, c in zip(vals[:i], cnt[:i]))
+        prefix += (m - before_cnt) * int(vals[i]) if m > before_cnt else 0
+        deciles.append(k)
+        n_inc.append(m)
+        share.append(prefix * 1_000_000 // tot)
+    return pa.table(
+        {
+            "decile": pa.array(deciles, pa.int64()),
+            "n_included": pa.array(n_inc, pa.int64()),
+            "cum_share_ppm": pa.array(share, pa.int64()),
+        }
+    )
+
+
+ORDERS_LORENZ_DECILES_SQL = """
+WITH v AS (SELECT CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS p FROM orders),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(CAST(p AS HUGEINT)) AS HUGEINT) AS tot FROM v),
+c AS (SELECT p, ROW_NUMBER() OVER (ORDER BY p) AS rn,
+             SUM(CAST(p AS HUGEINT)) OVER (ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+      FROM v),
+d AS (SELECT CAST(unnest(range(1, 11)) AS BIGINT) AS decile)
+SELECT d.decile,
+       CAST(d.decile * t.n // 10 AS BIGINT) AS n_included,
+       CAST(c.cs * 1000000 // t.tot AS BIGINT) AS cum_share_ppm
+FROM d CROSS JOIN t JOIN c ON c.rn = d.decile * t.n // 10
+"""
+
+
+def supplier_customer_balance_ks(sf_dir: str):
+    """Cross-TABLE two-sample Kolmogorov–Smirnov: do supplier and customer
+    account balances come from the same distribution?  Each side contributes
+    per-value indicator partials (the union of two reads — same per-value
+    layout as ``lineitem_ks_returnflag`` but across heterogeneous tables);
+    the driver pass over the bounded cents grid takes
+    D_num = max_v |cumS(v)·n_c − cumC(v)·n_s| exactly — no float ever
+    enters, the ppm is truncating integer division on both sides."""
+    su = rd.read_parquet(_t(sf_dir, "supplier"), columns=["s_acctbal"]).map_batches(
+        lambda t: pa.table(
+            {
+                "b": _cents(t["s_acctbal"]),
+                "s": pa.array(np.ones(t.num_rows, np.int64)),
+                "c": pa.array(np.zeros(t.num_rows, np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    cu = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_acctbal"]).map_batches(
+        lambda t: pa.table(
+            {
+                "b": _cents(t["c_acctbal"]),
+                "s": pa.array(np.zeros(t.num_rows, np.int64)),
+                "c": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    agg = (
+        su.union(cu)
+        .groupby("b")
+        .aggregate(Sum("s", alias_name="s"), Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values("b", kind="mergesort")
+    )
+    cs = agg["s"].to_numpy(np.int64).cumsum()
+    cc = agg["c"].to_numpy(np.int64).cumsum()
+    n_s, n_c = int(cs[-1]), int(cc[-1])
+    d_num = int(np.abs(cs * n_c - cc * n_s).max())
+    return pa.table(
+        {
+            "n_suppliers": pa.array([n_s], pa.int64()),
+            "n_customers": pa.array([n_c], pa.int64()),
+            "d_num": pa.array([d_num], pa.int64()),
+            "d_ppm": pa.array([d_num * 1_000_000 // (n_s * n_c)], pa.int64()),
+        }
+    )
+
+
+SUPPLIER_CUSTOMER_BALANCE_KS_SQL = """
+WITH u AS (
+  SELECT CAST(FLOOR(s_acctbal*100 + 0.5) AS BIGINT) AS b, 1 AS s, 0 AS c
+  FROM supplier
+  UNION ALL
+  SELECT CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT) AS b, 0 AS s, 1 AS c
+  FROM customer),
+g AS (SELECT b, CAST(SUM(s) AS BIGINT) AS s, CAST(SUM(c) AS BIGINT) AS c
+      FROM u GROUP BY 1),
+w AS (SELECT CAST(SUM(s) OVER (ORDER BY b) AS BIGINT) AS cs,
+             CAST(SUM(c) OVER (ORDER BY b) AS BIGINT) AS cc
+      FROM g),
+t AS (SELECT CAST(SUM(s) AS BIGINT) AS ns, CAST(SUM(c) AS BIGINT) AS nc FROM u)
+SELECT ns AS n_suppliers, nc AS n_customers,
+       CAST(MAX(ABS(cs*nc - cc*ns)) AS BIGINT) AS d_num,
+       CAST(MAX(ABS(cs*nc - cc*ns)) * 1000000 // (ns*nc) AS BIGINT) AS d_ppm
+FROM w, t GROUP BY ns, nc
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -23033,6 +23536,12 @@ ORACLE_SQL: dict[str, str] = {
     "events_welch_ttest_weekend": EVENTS_WELCH_TTEST_WEEKEND_SQL,
     "part_brand_price_range_overlap": PART_BRAND_PRICE_RANGE_OVERLAP_SQL,
     "customer_balance_spend_spearman": CUSTOMER_BALANCE_SPEND_SPEARMAN_SQL,
+    "lineitem_kruskal_wallis_returnflag": LINEITEM_KRUSKAL_WALLIS_RETURNFLAG_SQL,
+    "part_red_revenue_by_nation_year": PART_RED_REVENUE_BY_NATION_YEAR_SQL,
+    "customer_acctbal_anova": CUSTOMER_ACCTBAL_ANOVA_SQL,
+    "customer_balance_spend_kendall": CUSTOMER_BALANCE_SPEND_KENDALL_SQL,
+    "orders_lorenz_deciles": ORDERS_LORENZ_DECILES_SQL,
+    "supplier_customer_balance_ks": SUPPLIER_CUSTOMER_BALANCE_KS_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -23474,6 +23983,12 @@ def registry() -> dict:
         "events_welch_ttest_weekend": events_welch_ttest_weekend,
         "part_brand_price_range_overlap": part_brand_price_range_overlap,
         "customer_balance_spend_spearman": customer_balance_spend_spearman,
+        "lineitem_kruskal_wallis_returnflag": lineitem_kruskal_wallis_returnflag,
+        "part_red_revenue_by_nation_year": part_red_revenue_by_nation_year,
+        "customer_acctbal_anova": customer_acctbal_anova,
+        "customer_balance_spend_kendall": customer_balance_spend_kendall,
+        "orders_lorenz_deciles": orders_lorenz_deciles,
+        "supplier_customer_balance_ks": supplier_customer_balance_ks,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
