@@ -23316,6 +23316,441 @@ FROM w, t GROUP BY ns, nc
 """
 
 
+def events_daily_dispersion(sf_dir: str):
+    """Poisson overdispersion check: the variance-to-mean ratio of DAILY
+    event counts in exact ppm.  Block-local per-day count partials → one
+    tiny day groupby; the dispersion index is pure integer arithmetic on the
+    driver (((n·Q − S²)·10⁶) // (S·(n−1)), every factor nonnegative so
+    Python floor == DuckDB HUGEINT trunc)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tb = pa.table(
+            {
+                "d": pc.floor_temporal(t["ts"], unit="day"),
+                "cnt": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        g = tb.group_by("d").aggregate([("cnt", "sum")])
+        return g.rename_columns(["d", "cnt"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("d")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    c = [int(x) for x in agg["cnt"]]
+    n, s, q = len(c), sum(c), sum(x * x for x in c)
+    vmr_ppm = (n * q - s * s) * 1_000_000 // (s * (n - 1))
+    return pa.table(
+        {
+            "n_days": pa.array([n], pa.int64()),
+            "n_events": pa.array([s], pa.int64()),
+            "vmr_ppm": pa.array([vmr_ppm], pa.int64()),
+        }
+    )
+
+
+EVENTS_DAILY_DISPERSION_SQL = """
+WITH d AS (SELECT CAST(COUNT(*) AS HUGEINT) AS c
+           FROM events GROUP BY CAST(ts AS DATE)),
+t AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(c) AS s, SUM(c*c) AS q FROM d)
+SELECT CAST(n AS BIGINT) AS n_days, CAST(s AS BIGINT) AS n_events,
+       CAST((n*q - s*s) * 1000000 // (s*(n-1)) AS BIGINT) AS vmr_ppm
+FROM t
+"""
+
+
+def orders_bowley_skewness(sf_dir: str):
+    """Quartile (Bowley) skewness of order value — reported as the exact
+    integer numerator Q1+Q3−2·Q2 and denominator Q3−Q1 in cents (a ratio of
+    possibly-negative ints would hit the Python-floor vs DuckDB-trunc
+    division split, so the division is left to the reader).  Quartiles use
+    the quantile_disc convention sorted[⌈q·n⌉−1] on the bounded per-value
+    cents grid — same partial layout as the rank-stat family."""
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tb = pa.table(
+            {
+                "p": _cents(t["o_totalprice"]),
+                "cnt": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        g = tb.group_by("p").aggregate([("cnt", "sum")])
+        return g.rename_columns(["p", "cnt"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("p")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values("p", kind="mergesort")
+    )
+    vals = agg["p"].to_numpy(np.int64)
+    cum = agg["cnt"].to_numpy(np.int64).cumsum()
+    n = int(cum[-1])
+
+    def qd(q: float) -> int:
+        m = -(-int(q * 4 * n) // 4)  # ceil(q*n) with q in {.25,.5,.75} exact
+        return int(vals[np.searchsorted(cum, m, side="left")])
+
+    q1, q2, q3 = qd(0.25), qd(0.5), qd(0.75)
+    return pa.table(
+        {
+            "n_orders": pa.array([n], pa.int64()),
+            "q1_cents": pa.array([q1], pa.int64()),
+            "q2_cents": pa.array([q2], pa.int64()),
+            "q3_cents": pa.array([q3], pa.int64()),
+            "bowley_num_cents": pa.array([q1 + q3 - 2 * q2], pa.int64()),
+            "bowley_den_cents": pa.array([q3 - q1], pa.int64()),
+        }
+    )
+
+
+ORDERS_BOWLEY_SKEWNESS_SQL = """
+WITH v AS (SELECT CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS p FROM orders),
+q AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             quantile_disc(p, 0.25) AS q1, quantile_disc(p, 0.5) AS q2,
+             quantile_disc(p, 0.75) AS q3
+      FROM v)
+SELECT n AS n_orders, q1 AS q1_cents, q2 AS q2_cents, q3 AS q3_cents,
+       CAST(q1 + q3 - 2*q2 AS BIGINT) AS bowley_num_cents,
+       CAST(q3 - q1 AS BIGINT) AS bowley_den_cents
+FROM q
+"""
+
+
+def lineitem_quantity_cpk(sf_dir: str):
+    """Statistical-process-control capability index Cpk for line quantities
+    against spec limits [1, 50] (in centi-units): exact int64 sufficient
+    stats (n, Σ, Σ²) from block partials, then ONE fixed IEEE expression —
+    µ = S/n, σ = √((Q − S·S/n)/(n−1)), Cpk = min((USL−µ)/(3σ), (µ−LSL)/(3σ))
+    — written with e0 literals so DuckDB types every constant DOUBLE and
+    both engines execute the identical correctly-rounded op sequence."""
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = _cents(t["l_quantity"])
+        return pa.table(
+            {
+                "n": pa.array([t.num_rows], pa.int64()),
+                "s": pa.array([pc.sum(v).as_py() or 0], pa.int64()),
+                "q": pa.array([pc.sum(pc.multiply(v, v)).as_py() or 0], pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").sum(["n", "s", "q"])
+    n, s, q = int(agg["sum(n)"]), int(agg["sum(s)"]), int(agg["sum(q)"])
+    mu = float(s) / float(n)
+    sigma = np.sqrt(
+        (float(q) - float(s) * float(s) / float(n)) / float(n - 1)
+    )
+    cpu = (5000.0 - mu) / (3.0 * sigma)
+    cpl = (mu - 100.0) / (3.0 * sigma)
+    return pa.table(
+        {
+            "n_lines": pa.array([n], pa.int64()),
+            "sum_centi": pa.array([s], pa.int64()),
+            "sumsq_centi": pa.array([q], pa.int64()),
+            "cpk": pa.array([min(cpu, cpl)], pa.float64()),
+        }
+    )
+
+
+LINEITEM_QUANTITY_CPK_SQL = """
+WITH t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+         CAST(SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT)
+                * CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem),
+e AS (SELECT n, s, q,
+             CAST(s AS DOUBLE)/CAST(n AS DOUBLE) AS mu,
+             sqrt((CAST(q AS DOUBLE)
+                   - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/CAST(n AS DOUBLE))
+                  / CAST(n-1 AS DOUBLE)) AS sigma
+      FROM t)
+SELECT n AS n_lines, s AS sum_centi, q AS sumsq_centi,
+       LEAST((5000e0 - mu)/(3e0*sigma), (mu - 100e0)/(3e0*sigma)) AS cpk
+FROM e
+"""
+
+
+def orders_priority_wasserstein(sf_dir: str):
+    """1-D optimal transport: the exact Wasserstein-1 (earth mover's)
+    distance between the order-value distributions of '1-URGENT' and
+    '5-LOW', computed on the bounded per-value cents grid as
+    Σ_i |cumA_i·n_b − cumB_i·n_a|·(v_{i+1}−v_i) // (n_a·n_b) — pure integer
+    (arbitrary precision on the driver, HUGEINT in DuckDB), so the EMD in
+    cents can never drift.  Same per-value indicator partials as the KS/MWU
+    family; the grid walk is a driver pass over ≤|price grid| rows."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_totalprice", "o_orderpriority"]
+    )
+    prios = pa.array(["1-URGENT", "5-LOW"], pa.string())
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["o_orderpriority"], value_set=prios))
+        tb = pa.table(
+            {
+                "p": _cents(t["o_totalprice"]),
+                "a": pc.cast(pc.equal(t["o_orderpriority"], "1-URGENT"), pa.int64()),
+                "b": pc.cast(pc.equal(t["o_orderpriority"], "5-LOW"), pa.int64()),
+            }
+        )
+        g = tb.group_by("p").aggregate([("a", "sum"), ("b", "sum")])
+        return g.rename_columns(["p", "a", "b"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("p")
+        .aggregate(Sum("a", alias_name="a"), Sum("b", alias_name="b"))
+        .to_pandas()
+        .sort_values("p", kind="mergesort")
+    )
+    vals = [int(x) for x in agg["p"]]
+    ca = agg["a"].to_numpy(np.int64).cumsum()
+    cb = agg["b"].to_numpy(np.int64).cumsum()
+    n_a, n_b = int(ca[-1]), int(cb[-1])
+    w1 = 0
+    for i in range(len(vals) - 1):
+        w1 += abs(int(ca[i]) * n_b - int(cb[i]) * n_a) * (vals[i + 1] - vals[i])
+    return pa.table(
+        {
+            "n_urgent": pa.array([n_a], pa.int64()),
+            "n_low": pa.array([n_b], pa.int64()),
+            "w1_cents": pa.array([w1 // (n_a * n_b)], pa.int64()),
+        }
+    )
+
+
+ORDERS_PRIORITY_WASSERSTEIN_SQL = """
+WITH v AS (
+  SELECT CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS p,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS a,
+         CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS b
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+g AS (SELECT p, CAST(SUM(a) AS HUGEINT) AS a, CAST(SUM(b) AS HUGEINT) AS b
+      FROM v GROUP BY 1),
+w AS (SELECT SUM(a) OVER (ORDER BY p) AS ca, SUM(b) OVER (ORDER BY p) AS cb,
+             LEAD(p) OVER (ORDER BY p) - p AS gap
+      FROM g),
+t AS (SELECT CAST(SUM(a) AS HUGEINT) AS na, CAST(SUM(b) AS HUGEINT) AS nb FROM v)
+SELECT CAST(na AS BIGINT) AS n_urgent, CAST(nb AS BIGINT) AS n_low,
+       CAST(SUM(ABS(ca*nb - cb*na) * gap) // (na*nb) AS BIGINT) AS w1_cents
+FROM w, t WHERE gap IS NOT NULL GROUP BY na, nb
+"""
+
+
+def embeddings_silhouette(sf_dir: str):
+    """Per-point silhouette coefficient on SQUARED Euclidean distance over
+    µ-unit-quantized vectors — no pairwise pass anywhere: because
+    Σ_j d²(i,j) = n_c·|q_i|² + Σ_c|q_j|² − 2·q_i·Σ_c q_j, one per-label
+    (count, Σ|q|², Σq-vector) statistics table (|labels|·d ints, broadcast)
+    turns silhouette into a vectorized per-point map.  a/b are single
+    correctly-rounded divisions of exact ints; the (b−a)/max(a,b) float is
+    the same fixed expression DuckDB evaluates."""
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"))
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        from ..stages.cluster import _vecs
+
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(lab) == 0:
+            return pa.table(
+                {
+                    "label": pa.array([], pa.int64()),
+                    "dim": pa.array([], pa.int64()),
+                    "sv": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "ssq": pa.array([], pa.int64()),
+                }
+            )
+        q = np.floor(_vecs(t, "embedding") * 1_000_000 + 0.5).astype(np.int64)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        d = q.shape[1]
+        sums = np.zeros((len(uniq), d), np.int64)
+        np.add.at(sums, inv, q)
+        ssq = np.zeros(len(uniq), np.int64)
+        np.add.at(ssq, inv, (q * q).sum(axis=1))
+        counts = np.bincount(inv).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), len(uniq))),
+                "sv": pa.array(sums.ravel(), pa.int64()),
+                "n": pa.array(np.repeat(counts, d), pa.int64()),
+                "ssq": pa.array(np.repeat(ssq, d), pa.int64()),
+            }
+        )
+
+    st = (
+        ds.map_batches(stats_partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(
+            Sum("sv", alias_name="sv"),
+            Sum("n", alias_name="n"),
+            Sum("ssq", alias_name="ssq"),
+        )
+        .to_pandas()
+        .sort_values(["label", "dim"], kind="mergesort")
+    )
+    labels = st["label"].unique()
+    d = int(st["dim"].max()) + 1
+    sv = st["sv"].to_numpy(np.int64).reshape(len(labels), d)
+    # every (label, dim) row carries the full per-label count/ssq (repeated
+    # across dims inside each block partial), so `first` per label is exact
+    n_c = st.groupby("label")["n"].first().loc[labels].to_numpy(np.int64)
+    ssq_c = st.groupby("label")["ssq"].first().loc[labels].to_numpy(np.int64)
+    stats_ref = ray.put((np.asarray(labels, np.int64), n_c, sv, ssq_c))
+
+    def score(t: pa.Table) -> pa.Table:
+        from ..stages.cluster import _vecs
+
+        labs, nc, svm, ssqc = ray.get(stats_ref)
+        q = np.floor(_vecs(t, "embedding") * 1_000_000 + 0.5).astype(np.int64)
+        own = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qq = (q * q).sum(axis=1)  # |q_i|²
+        # S[i, c] = n_c·|q_i|² + ssq_c − 2·q_i·sv_c  (exact int64 algebra)
+        dots = q @ svm.T
+        s_ic = np.outer(qq, nc) + ssqc[None, :] - 2 * dots
+        own_idx = np.searchsorted(labs, own)
+        rows = np.arange(len(own))
+        a_num = s_ic[rows, own_idx]
+        a_den = nc[own_idx] - 1
+        a = a_num.astype(np.float64) / a_den.astype(np.float64)
+        mean_other = s_ic.astype(np.float64) / nc.astype(np.float64)[None, :]
+        mean_other[rows, own_idx] = np.inf
+        b = mean_other.min(axis=1)
+        mx = np.maximum(a, b)
+        sil = np.where(
+            (a_den == 0) | (mx == 0.0), 0.0, (b - a) / np.where(mx == 0, 1, mx)
+        )
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "label": pc.cast(t["label"], pa.int64()),
+                "silhouette": pa.array(sil, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+EMBEDDINGS_SILHOUETTE_SQL = """
+WITH ex AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)*1000000 + 0.5) AS BIGINT) AS q,
+         CAST(unnest(range(len(embedding))) AS BIGINT) AS dim
+  FROM embeddings),
+ls AS (SELECT label, dim, CAST(SUM(q) AS BIGINT) AS sv FROM ex GROUP BY 1, 2),
+lc AS (SELECT label, CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n,
+              CAST(SUM(q*q) AS BIGINT) AS ssq
+       FROM ex GROUP BY 1),
+pt AS (SELECT vec_id, label, CAST(SUM(q*q) AS BIGINT) AS qq FROM ex GROUP BY 1, 2),
+dots AS (
+  SELECT ex.vec_id, ls.label AS clabel, CAST(SUM(ex.q * ls.sv) AS BIGINT) AS dot
+  FROM ex JOIN ls ON ex.dim = ls.dim GROUP BY 1, 2),
+s AS (
+  SELECT pt.vec_id, pt.label, dots.clabel, lc.n,
+         lc.n*pt.qq + lc.ssq - 2*dots.dot AS s_int
+  FROM pt JOIN dots ON pt.vec_id = dots.vec_id
+  JOIN lc ON dots.clabel = lc.label),
+ab AS (
+  SELECT vec_id, label,
+         MAX(CASE WHEN clabel = label THEN
+               CASE WHEN n > 1 THEN CAST(s_int AS DOUBLE)/CAST(n-1 AS DOUBLE)
+                    ELSE NULL END END) AS a,
+         MIN(CASE WHEN clabel <> label
+                  THEN CAST(s_int AS DOUBLE)/CAST(n AS DOUBLE) END) AS b
+  FROM s GROUP BY 1, 2)
+SELECT vec_id, label,
+       CASE WHEN a IS NULL OR GREATEST(a, b) = 0e0 THEN 0e0
+            ELSE (b - a)/GREATEST(a, b) END AS silhouette
+FROM ab
+"""
+
+
+def customer_decile_migration(sf_dir: str):
+    """Rank-migration matrix: customers active in BOTH halves of the order
+    history, bucketed into spend deciles per half (deterministic
+    (spend, custkey) tie-break, exact (r−1)·10//n formula — NOT SQL NTILE,
+    whose extras go to the first tiles), counted per (decile_h1, decile_h2)
+    cell.  Ray side: one fact pass with per-(half, custkey) cents partials,
+    a small groupby, then driver ranking of the per-half customer lists
+    (scale path: chain rank.global_value_rank per half)."""
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_orderdate", "o_totalprice"])
+    # data-derived split: exact µs midpoint of the order-date span, the same
+    # integer expression DuckDB evaluates ((epoch_min + epoch_max)//2)
+    mm = ds.aggregate(Min("o_orderdate"), Max("o_orderdate"))
+    lo = np.datetime64(mm["min(o_orderdate)"], "us").astype(np.int64)
+    hi = np.datetime64(mm["max(o_orderdate)"], "us").astype(np.int64)
+    split = np.int64((int(lo) + int(hi)) // 2).astype("datetime64[us]").item()
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = pc.cast(pc.greater_equal(t["o_orderdate"], pa.scalar(split)), pa.int64())
+        tb = pa.table(
+            {"c": t["o_custkey"], "h": h, "s": _cents(t["o_totalprice"])}
+        )
+        g = tb.group_by(["c", "h"]).aggregate([("s", "sum")])
+        return g.rename_columns(["c", "h", "s"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["c", "h"])
+        .aggregate(Sum("s", alias_name="s"))
+        .to_pandas()
+    )
+    piv = agg.pivot(index="c", columns="h", values="s").dropna()
+    cust = piv.index.to_numpy(np.int64)
+
+    def decile(spend: np.ndarray) -> np.ndarray:
+        order = np.lexsort((cust, spend))
+        r = np.empty(len(spend), np.int64)
+        r[order] = np.arange(len(spend), dtype=np.int64)  # 0-based row number
+        return r * 10 // len(spend) + 1
+
+    d1 = decile(piv[0].to_numpy(np.int64))
+    d2 = decile(piv[1].to_numpy(np.int64))
+    tb = pa.table(
+        {
+            "decile_h1": pa.array(d1),
+            "decile_h2": pa.array(d2),
+            "n_customers": pa.array(np.ones(len(d1), np.int64)),
+        }
+    )
+    g = tb.group_by(["decile_h1", "decile_h2"]).aggregate([("n_customers", "sum")])
+    return g.rename_columns(["decile_h1", "decile_h2", "n_customers"])
+
+
+CUSTOMER_DECILE_MIGRATION_SQL = """
+WITH cut AS (
+  SELECT make_timestamp((epoch_us(MIN(o_orderdate))
+                         + epoch_us(MAX(o_orderdate))) // 2) AS split
+  FROM orders),
+sp AS (
+  SELECT o_custkey AS c,
+         CASE WHEN o_orderdate >= cut.split THEN 1 ELSE 0 END AS h,
+         CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS s
+  FROM orders, cut GROUP BY 1, 2),
+both_h AS (
+  SELECT a.c, a.s AS s1, b.s AS s2
+  FROM sp a JOIN sp b ON a.c = b.c AND a.h = 0 AND b.h = 1),
+r AS (
+  SELECT (ROW_NUMBER() OVER (ORDER BY s1, c) - 1) * 10
+           // (COUNT(*) OVER ()) + 1 AS decile_h1,
+         (ROW_NUMBER() OVER (ORDER BY s2, c) - 1) * 10
+           // (COUNT(*) OVER ()) + 1 AS decile_h2
+  FROM both_h)
+SELECT CAST(decile_h1 AS BIGINT) AS decile_h1,
+       CAST(decile_h2 AS BIGINT) AS decile_h2,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM r GROUP BY 1, 2
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -23542,6 +23977,12 @@ ORACLE_SQL: dict[str, str] = {
     "customer_balance_spend_kendall": CUSTOMER_BALANCE_SPEND_KENDALL_SQL,
     "orders_lorenz_deciles": ORDERS_LORENZ_DECILES_SQL,
     "supplier_customer_balance_ks": SUPPLIER_CUSTOMER_BALANCE_KS_SQL,
+    "events_daily_dispersion": EVENTS_DAILY_DISPERSION_SQL,
+    "orders_bowley_skewness": ORDERS_BOWLEY_SKEWNESS_SQL,
+    "lineitem_quantity_cpk": LINEITEM_QUANTITY_CPK_SQL,
+    "orders_priority_wasserstein": ORDERS_PRIORITY_WASSERSTEIN_SQL,
+    "embeddings_silhouette": EMBEDDINGS_SILHOUETTE_SQL,
+    "customer_decile_migration": CUSTOMER_DECILE_MIGRATION_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -23989,6 +24430,12 @@ def registry() -> dict:
         "customer_balance_spend_kendall": customer_balance_spend_kendall,
         "orders_lorenz_deciles": orders_lorenz_deciles,
         "supplier_customer_balance_ks": supplier_customer_balance_ks,
+        "events_daily_dispersion": events_daily_dispersion,
+        "orders_bowley_skewness": orders_bowley_skewness,
+        "lineitem_quantity_cpk": lineitem_quantity_cpk,
+        "orders_priority_wasserstein": orders_priority_wasserstein,
+        "embeddings_silhouette": embeddings_silhouette,
+        "customer_decile_migration": customer_decile_migration,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
