@@ -23751,6 +23751,441 @@ FROM r GROUP BY 1, 2
 """
 
 
+def events_weekend_cliffs_delta(sf_dir: str):
+    """Cliff's delta effect size between weekend and weekday event values —
+    the ordinal cousin of ``events_welch_ttest_weekend``: δ = (#(w>d) −
+    #(w<d)) / (n_w·n_d), computed EXACTLY on the bounded per-value cents
+    grid (#(w>d) = Σ_v w_v·cumD(<v), a pure integer convolution of the two
+    CDF partials).  The signed ppm uses explicit sign·(|num|·10⁶//den) so
+    Python floor and DuckDB trunc can never disagree on negatives."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        dow = pc.day_of_week(t["ts"])  # Monday=0 .. Sunday=6
+        we = pc.cast(pc.greater_equal(dow, 5), pa.int64())
+        tb = pa.table(
+            {
+                "v": _cents(t["value"]),
+                "w": we,
+                "d": pc.subtract(1, we),
+            }
+        )
+        g = tb.group_by("v").aggregate([("w", "sum"), ("d", "sum")])
+        return g.rename_columns(["v", "w", "d"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("w", alias_name="w"), Sum("d", alias_name="d"))
+        .to_pandas()
+        .sort_values("v", kind="mergesort")
+    )
+    w = agg["w"].to_numpy(np.int64)
+    d = agg["d"].to_numpy(np.int64)
+    cum_d = d.cumsum()
+    cum_w = w.cumsum()
+    n_w, n_d = int(cum_w[-1]), int(cum_d[-1])
+    gt = int((w * (cum_d - d)).sum())          # weekend strictly above
+    lt = int((d * (cum_w - w)).sum())          # weekend strictly below
+    num = gt - lt
+    den = n_w * n_d
+    ppm = (1 if num >= 0 else -1) * (abs(num) * 1_000_000 // den)
+    return pa.table(
+        {
+            "n_weekend": pa.array([n_w], pa.int64()),
+            "n_weekday": pa.array([n_d], pa.int64()),
+            "delta_num": pa.array([num], pa.int64()),
+            "delta_ppm": pa.array([ppm], pa.int64()),
+        }
+    )
+
+
+EVENTS_WEEKEND_CLIFFS_DELTA_SQL = """
+WITH v AS (
+  SELECT CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS v,
+         CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END AS w,
+         CASE WHEN isodow(ts) >= 6 THEN 0 ELSE 1 END AS d
+  FROM events),
+c AS (SELECT v, CAST(SUM(w) AS BIGINT) AS w, CAST(SUM(d) AS BIGINT) AS d
+      FROM v GROUP BY 1),
+s AS (SELECT w, d,
+             CAST(SUM(d) OVER (ORDER BY v) AS BIGINT) - d AS cd_before,
+             CAST(SUM(w) OVER (ORDER BY v) AS BIGINT) - w AS cw_before
+      FROM c),
+t AS (SELECT CAST(SUM(w) AS BIGINT) AS n_w, CAST(SUM(d) AS BIGINT) AS n_d FROM v),
+g AS (SELECT CAST(SUM(w*cd_before) - SUM(d*cw_before) AS BIGINT) AS num FROM s)
+SELECT n_w AS n_weekend, n_d AS n_weekday, num AS delta_num,
+       CAST(SIGN(num) AS BIGINT) * (ABS(num) * 1000000 // (n_w*n_d)) AS delta_ppm
+FROM g, t
+"""
+
+
+def orders_urgent_highvalue_odds(sf_dir: str):
+    """2×2 association: odds ratio between URGENT priority and high order
+    value (above the exact global median by the quantile_disc convention).
+    The contingency cells are block-local indicator partials; the cutoff is
+    one per-value-grid driver pass; or_milli is pure nonnegative integer
+    arithmetic (a·d·1000 // (b·c)) on both sides."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_totalprice", "o_orderpriority"]
+    )
+
+    def grid(t: pa.Table) -> pa.Table:
+        tb = pa.table(
+            {
+                "p": _cents(t["o_totalprice"]),
+                "cnt": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        return (
+            tb.group_by("p").aggregate([("cnt", "sum")]).rename_columns(["p", "cnt"])
+        )
+
+    agg = (
+        ds.map_batches(grid, batch_format="pyarrow")
+        .groupby("p")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values("p", kind="mergesort")
+    )
+    vals = agg["p"].to_numpy(np.int64)
+    cum = agg["cnt"].to_numpy(np.int64).cumsum()
+    n = int(cum[-1])
+    med = int(vals[np.searchsorted(cum, -(-n // 2), side="left")])
+
+    def cells(t: pa.Table) -> pa.Table:
+        hi = pc.greater(_cents(t["o_totalprice"]), med)
+        ur = pc.equal(t["o_orderpriority"], "1-URGENT")
+        b_hi = hi.to_numpy(zero_copy_only=False)
+        b_ur = ur.to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "a": pa.array([int(np.sum(b_ur & b_hi))], pa.int64()),
+                "b": pa.array([int(np.sum(b_ur & ~b_hi))], pa.int64()),
+                "c": pa.array([int(np.sum(~b_ur & b_hi))], pa.int64()),
+                "d": pa.array([int(np.sum(~b_ur & ~b_hi))], pa.int64()),
+            }
+        )
+
+    cell = ds.map_batches(cells, batch_format="pyarrow").sum(["a", "b", "c", "d"])
+    a, b = int(cell["sum(a)"]), int(cell["sum(b)"])
+    c, d = int(cell["sum(c)"]), int(cell["sum(d)"])
+    return pa.table(
+        {
+            "median_cents": pa.array([med], pa.int64()),
+            "n_urgent_high": pa.array([a], pa.int64()),
+            "n_urgent_low": pa.array([b], pa.int64()),
+            "n_other_high": pa.array([c], pa.int64()),
+            "n_other_low": pa.array([d], pa.int64()),
+            "or_milli": pa.array([a * d * 1000 // (b * c)], pa.int64()),
+        }
+    )
+
+
+ORDERS_URGENT_HIGHVALUE_ODDS_SQL = """
+WITH v AS (SELECT CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS p,
+                  o_orderpriority AS pri
+           FROM orders),
+m AS (SELECT quantile_disc(p, 0.5) AS med FROM v),
+cells AS (
+  SELECT CAST(SUM(CASE WHEN pri = '1-URGENT' AND p > med THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN pri = '1-URGENT' AND p <= med THEN 1 ELSE 0 END) AS BIGINT) AS cb,
+         CAST(SUM(CASE WHEN pri <> '1-URGENT' AND p > med THEN 1 ELSE 0 END) AS BIGINT) AS cc,
+         CAST(SUM(CASE WHEN pri <> '1-URGENT' AND p <= med THEN 1 ELSE 0 END) AS BIGINT) AS cd
+  FROM v, m)
+SELECT (SELECT med FROM m) AS median_cents,
+       ca AS n_urgent_high, cb AS n_urgent_low,
+       cc AS n_other_high, cd AS n_other_low,
+       CAST(ca*cd*1000 // (cb*cc) AS BIGINT) AS or_milli
+FROM cells
+"""
+
+
+def lineitem_monthend_ship_share(sf_dir: str):
+    """Calendar-quirk audit: the share of lineitems shipping in the LAST
+    THREE days of their calendar month (quota-rush detection), per year,
+    in exact ppm.  Month lengths come from real calendar arithmetic
+    (pandas days_in_month ≙ DuckDB last_day) — block-local boolean-share
+    partials, one tiny year groupby."""
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = t["l_shipdate"].to_pandas()
+        late = (s.dt.day > s.dt.days_in_month - 3).to_numpy()
+        tb = pa.table(
+            {
+                "yr": pa.array(s.dt.year.to_numpy(np.int64)),
+                "n": pa.array(np.ones(len(s), np.int64)),
+                "late": pa.array(late.astype(np.int64)),
+            }
+        )
+        g = tb.group_by("yr").aggregate([("n", "sum"), ("late", "sum")])
+        return g.rename_columns(["yr", "n", "late"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        late = t["late"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "yr": t["yr"],
+                "n_lines": pa.array(n),
+                "n_monthend": pa.array(late),
+                "monthend_ppm": pa.array(late * 1_000_000 // n),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("yr")
+        .aggregate(Sum("n", alias_name="n"), Sum("late", alias_name="late"))
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+LINEITEM_MONTHEND_SHIP_SHARE_SQL = """
+SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS yr,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN EXTRACT(day FROM l_shipdate)
+                   > EXTRACT(day FROM last_day(l_shipdate)) - 3
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_monthend,
+       CAST(SUM(CASE WHEN EXTRACT(day FROM l_shipdate)
+                   > EXTRACT(day FROM last_day(l_shipdate)) - 3
+                THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+         AS monthend_ppm
+FROM lineitem GROUP BY 1
+"""
+
+
+def orders_priority_status_residuals(sf_dir: str):
+    """Chi-square STANDARDIZED RESIDUALS for the priority × status
+    contingency table — which cells drive the association: per cell,
+    observed count (exact int), expected in exact milli
+    (r_i·c_j·1000 // n), and the residual (o − e)/√e as ONE fixed IEEE
+    expression on exact-int inputs.  Cell partials are block-local; the
+    margin math runs on the driver over the ≤|priorities|·|statuses| grid."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderpriority", "o_orderstatus"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        tb = pa.table(
+            {
+                "pri": t["o_orderpriority"],
+                "st": t["o_orderstatus"],
+                "o": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        g = tb.group_by(["pri", "st"]).aggregate([("o", "sum")])
+        return g.rename_columns(["pri", "st", "o"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["pri", "st"])
+        .aggregate(Sum("o", alias_name="o"))
+        .to_pandas()
+    )
+    n = int(agg["o"].sum())
+    r = agg.groupby("pri")["o"].sum()
+    c = agg.groupby("st")["o"].sum()
+    rows = []
+    for _, row in agg.iterrows():
+        o = int(row["o"])
+        ri, cj = int(r[row["pri"]]), int(c[row["st"]])
+        e = float(ri) * float(cj) / float(n)
+        rows.append(
+            {
+                "pri": row["pri"],
+                "st": row["st"],
+                "observed": o,
+                "expected_milli": ri * cj * 1000 // n,
+                "std_residual": (float(o) - e) / np.sqrt(e),
+            }
+        )
+    import pandas as pd
+
+    out = pd.DataFrame(rows)
+    return pa.table(
+        {
+            "pri": pa.array(out["pri"], pa.string()),
+            "st": pa.array(out["st"], pa.string()),
+            "observed": pa.array(out["observed"], pa.int64()),
+            "expected_milli": pa.array(out["expected_milli"], pa.int64()),
+            "std_residual": pa.array(out["std_residual"], pa.float64()),
+        }
+    )
+
+
+ORDERS_PRIORITY_STATUS_RESIDUALS_SQL = """
+WITH o AS (SELECT o_orderpriority AS pri, o_orderstatus AS st,
+                  CAST(COUNT(*) AS BIGINT) AS o
+           FROM orders GROUP BY 1, 2),
+r AS (SELECT pri, CAST(SUM(o) AS BIGINT) AS ri FROM o GROUP BY 1),
+c AS (SELECT st, CAST(SUM(o) AS BIGINT) AS cj FROM o GROUP BY 1),
+t AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM o)
+SELECT o.pri, o.st, o.o AS observed,
+       CAST(r.ri*c.cj*1000 // t.n AS BIGINT) AS expected_milli,
+       (CAST(o.o AS DOUBLE)
+        - CAST(r.ri AS DOUBLE)*CAST(c.cj AS DOUBLE)/CAST(t.n AS DOUBLE))
+         / sqrt(CAST(r.ri AS DOUBLE)*CAST(c.cj AS DOUBLE)/CAST(t.n AS DOUBLE))
+         AS std_residual
+FROM o JOIN r ON o.pri = r.pri JOIN c ON o.st = c.st CROSS JOIN t
+"""
+
+
+def lineitem_price_quantity_grid(sf_dir: str):
+    """2-D quantile binning: the joint census of (extendedprice decile ×
+    quantity quintile), with bins defined by quantile_disc VALUE THRESHOLDS
+    (row decile = smallest k with value ≤ Q_k) so ties never straddle a bin
+    on either engine.  Two bounded per-value grid passes produce the cutoff
+    vectors (broadcast as plain ints); the census is one block-local
+    searchsorted partial + a ≤50-row groupby."""
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_extendedprice", "l_quantity"])
+
+    def cutoffs(col: str, kbins: int) -> list[int]:
+        def grid(t: pa.Table) -> pa.Table:
+            tb = pa.table(
+                {
+                    "p": _cents(t[col]),
+                    "cnt": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            )
+            return (
+                tb.group_by("p")
+                .aggregate([("cnt", "sum")])
+                .rename_columns(["p", "cnt"])
+            )
+
+        agg = (
+            ds.map_batches(grid, batch_format="pyarrow")
+            .groupby("p")
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas()
+            .sort_values("p", kind="mergesort")
+        )
+        vals = agg["p"].to_numpy(np.int64)
+        cum = agg["cnt"].to_numpy(np.int64).cumsum()
+        n = int(cum[-1])
+        return [
+            int(vals[np.searchsorted(cum, -(-k * n // kbins), side="left")])
+            for k in range(1, kbins)
+        ]
+
+    pq_cuts = cutoffs("l_extendedprice", 10)
+    qq_cuts = cutoffs("l_quantity", 5)
+
+    def census(t: pa.Table) -> pa.Table:
+        p = _cents(t["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        q = _cents(t["l_quantity"]).to_numpy(zero_copy_only=False)
+        pd_bin = np.searchsorted(np.asarray(pq_cuts, np.int64), p, side="left") + 1
+        qd_bin = np.searchsorted(np.asarray(qq_cuts, np.int64), q, side="left") + 1
+        tb = pa.table(
+            {
+                "price_decile": pa.array(pd_bin.astype(np.int64)),
+                "qty_quintile": pa.array(qd_bin.astype(np.int64)),
+                "n_lines": pa.array(np.ones(len(p), np.int64)),
+            }
+        )
+        g = tb.group_by(["price_decile", "qty_quintile"]).aggregate(
+            [("n_lines", "sum")]
+        )
+        return g.rename_columns(["price_decile", "qty_quintile", "n_lines"])
+
+    return (
+        ds.map_batches(census, batch_format="pyarrow")
+        .groupby(["price_decile", "qty_quintile"])
+        .aggregate(Sum("n_lines", alias_name="n_lines"))
+    )
+
+
+LINEITEM_PRICE_QUANTITY_GRID_SQL = """
+WITH v AS (SELECT CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT) AS p,
+                  CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT) AS q
+           FROM lineitem),
+pc AS (SELECT unnest(quantile_disc(p, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]))
+         AS cut FROM v),
+qc AS (SELECT unnest(quantile_disc(q, [0.2, 0.4, 0.6, 0.8])) AS cut FROM v),
+b AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) + 1 FROM pc WHERE pc.cut < v.p)
+           AS price_decile,
+         (SELECT CAST(COUNT(*) AS BIGINT) + 1 FROM qc WHERE qc.cut < v.q)
+           AS qty_quintile
+  FROM v)
+SELECT price_decile, qty_quintile, CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM b GROUP BY 1, 2
+"""
+
+
+def docs_english_length_pointbiserial(sf_dir: str):
+    """Point-biserial correlation between a binary attribute (lang = 'en')
+    and document length in tokens: exact int sufficient stats (n₁, n₀, ΣL₁,
+    ΣL₀, ΣL²) from one block-local pass, then ONE fixed IEEE expression
+    r_pb = (M₁−M₀)/s_n · √(n₁·n₀/n²) — the whitespace token count reuses the
+    corpus tokenizer convention (split on runs of whitespace)."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        txt = t["text"].to_pylist()
+        ln = np.array([len(s.split()) if s else 0 for s in txt], np.int64)
+        en = pc.equal(t["lang"], "en").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n1": pa.array([int(en.sum())], pa.int64()),
+                "n0": pa.array([int((~en).sum())], pa.int64()),
+                "s1": pa.array([int(ln[en].sum())], pa.int64()),
+                "s0": pa.array([int(ln[~en].sum())], pa.int64()),
+                "q": pa.array([int((ln * ln).sum())], pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").sum(
+        ["n1", "n0", "s1", "s0", "q"]
+    )
+    n1, n0 = int(agg["sum(n1)"]), int(agg["sum(n0)"])
+    s1, s0 = int(agg["sum(s1)"]), int(agg["sum(s0)"])
+    q = int(agg["sum(q)"])
+    n = n1 + n0
+    s = s1 + s0
+    m1 = float(s1) / float(n1)
+    m0 = float(s0) / float(n0)
+    sn = np.sqrt(
+        (float(q) - float(s) * float(s) / float(n)) / float(n)
+    )
+    r_pb = (m1 - m0) / sn * np.sqrt(float(n1) * float(n0) / (float(n) * float(n)))
+    return pa.table(
+        {
+            "n_en": pa.array([n1], pa.int64()),
+            "n_other": pa.array([n0], pa.int64()),
+            "sum_tokens_en": pa.array([s1], pa.int64()),
+            "sum_tokens_other": pa.array([s0], pa.int64()),
+            "r_pb": pa.array([r_pb], pa.float64()),
+        }
+    )
+
+
+DOCS_ENGLISH_LENGTH_POINTBISERIAL_SQL = """
+WITH d AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS en,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS ln
+  FROM documents),
+t AS (SELECT CAST(SUM(en) AS BIGINT) AS n1,
+             CAST(SUM(1-en) AS BIGINT) AS n0,
+             CAST(SUM(en*ln) AS BIGINT) AS s1,
+             CAST(SUM((1-en)*ln) AS BIGINT) AS s0,
+             CAST(SUM(ln*ln) AS BIGINT) AS q
+      FROM d)
+SELECT n1 AS n_en, n0 AS n_other, s1 AS sum_tokens_en, s0 AS sum_tokens_other,
+       (CAST(s1 AS DOUBLE)/CAST(n1 AS DOUBLE)
+        - CAST(s0 AS DOUBLE)/CAST(n0 AS DOUBLE))
+       / sqrt((CAST(q AS DOUBLE)
+               - CAST(s1+s0 AS DOUBLE)*CAST(s1+s0 AS DOUBLE)/CAST(n1+n0 AS DOUBLE))
+              / CAST(n1+n0 AS DOUBLE))
+       * sqrt(CAST(n1 AS DOUBLE)*CAST(n0 AS DOUBLE)
+              / (CAST(n1+n0 AS DOUBLE)*CAST(n1+n0 AS DOUBLE))) AS r_pb
+FROM t
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -23983,6 +24418,12 @@ ORACLE_SQL: dict[str, str] = {
     "orders_priority_wasserstein": ORDERS_PRIORITY_WASSERSTEIN_SQL,
     "embeddings_silhouette": EMBEDDINGS_SILHOUETTE_SQL,
     "customer_decile_migration": CUSTOMER_DECILE_MIGRATION_SQL,
+    "events_weekend_cliffs_delta": EVENTS_WEEKEND_CLIFFS_DELTA_SQL,
+    "orders_urgent_highvalue_odds": ORDERS_URGENT_HIGHVALUE_ODDS_SQL,
+    "lineitem_monthend_ship_share": LINEITEM_MONTHEND_SHIP_SHARE_SQL,
+    "orders_priority_status_residuals": ORDERS_PRIORITY_STATUS_RESIDUALS_SQL,
+    "lineitem_price_quantity_grid": LINEITEM_PRICE_QUANTITY_GRID_SQL,
+    "docs_english_length_pointbiserial": DOCS_ENGLISH_LENGTH_POINTBISERIAL_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -24436,6 +24877,12 @@ def registry() -> dict:
         "orders_priority_wasserstein": orders_priority_wasserstein,
         "embeddings_silhouette": embeddings_silhouette,
         "customer_decile_migration": customer_decile_migration,
+        "events_weekend_cliffs_delta": events_weekend_cliffs_delta,
+        "orders_urgent_highvalue_odds": orders_urgent_highvalue_odds,
+        "lineitem_monthend_ship_share": lineitem_monthend_ship_share,
+        "orders_priority_status_residuals": orders_priority_status_residuals,
+        "lineitem_price_quantity_grid": lineitem_price_quantity_grid,
+        "docs_english_length_pointbiserial": docs_english_length_pointbiserial,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
