@@ -24186,6 +24186,440 @@ FROM t
 """
 
 
+def lineitem_monthly_vwap(sf_dir: str):
+    """Volume-weighted average price per ship month: Σ(price·qty)/Σqty as an
+    exact integer VWAP in milli-cents — the weighted-mean aggregate shape.
+    Both factors are cents ints, so the Σ(p·q) partial is exact; the final
+    division is one truncating int op per month row (nonnegative on both
+    sides)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_shipdate", "l_extendedprice", "l_quantity"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        p = _cents(t["l_extendedprice"])
+        q = _cents(t["l_quantity"])
+        tb = pa.table(
+            {
+                "month": pc.strftime(t["l_shipdate"], format="%Y-%m"),
+                "pq": pc.multiply(p, q),
+                "q": q,
+            }
+        )
+        g = tb.group_by("month").aggregate([("pq", "sum"), ("q", "sum")])
+        return g.rename_columns(["month", "pq", "q"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        pq = t["pq"].to_numpy(zero_copy_only=False).astype(object)
+        q = t["q"].to_numpy(zero_copy_only=False).astype(object)
+        vwap = np.array([int(a) * 1000 // int(b) for a, b in zip(pq, q)], np.int64)
+        return pa.table(
+            {
+                "month": t["month"],
+                "sum_qty_centi": pc.cast(t["q"], pa.int64()),
+                "vwap_millicents": pa.array(vwap),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("month")
+        .aggregate(Sum("pq", alias_name="pq"), Sum("q", alias_name="q"))
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+LINEITEM_MONTHLY_VWAP_SQL = """
+SELECT strftime(l_shipdate, '%Y-%m') AS month,
+       CAST(SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_qty_centi,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS HUGEINT)
+              * CAST(FLOOR(l_quantity*100 + 0.5) AS HUGEINT)) * 1000
+            // SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS HUGEINT)) AS BIGINT)
+         AS vwap_millicents
+FROM lineitem GROUP BY 1
+"""
+
+
+def customer_top_supplier_share(sf_dir: str):
+    """Share-of-wallet: each customer's single biggest supplier (by exact
+    cents spend through their orders) and that supplier's share of the
+    customer's total, in ppm.  Ray plan: lineitem pre-aggregated to
+    (orderkey, suppkey) partials BEFORE the 8-partition orders join (the
+    CLAUDE-measured sweet spot), then one (custkey, suppkey) groupby and a
+    per-customer vectorized argmax with (spend DESC, suppkey ASC)
+    tie-break — the same deterministic-winner discipline as the dedup
+    stage."""
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_suppkey", "l_extendedprice"]
+    )
+
+    def lpartial(t: pa.Table) -> pa.Table:
+        tb = pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "sk": t["l_suppkey"],
+                "sp": _cents(t["l_extendedprice"]),
+            }
+        )
+        g = tb.group_by(["l_orderkey", "sk"]).aggregate([("sp", "sum")])
+        return g.rename_columns(["l_orderkey", "sk", "sp"])
+
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
+    per_cs = (
+        li.map_batches(lpartial, batch_format="pyarrow")
+        .join(
+            orders,
+            join_type="inner",
+            num_partitions=8,
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {"ck": t["o_custkey"], "sk": t["sk"], "sp": t["sp"]}
+            )
+            .group_by(["ck", "sk"])
+            .aggregate([("sp", "sum")])
+            .rename_columns(["ck", "sk", "sp"]),
+            batch_format="pyarrow",
+        )
+        .groupby(["ck", "sk"])
+        .aggregate(Sum("sp", alias_name="sp"))
+    )
+
+    def top1(g: pa.Table) -> pa.Table:
+        sp = g["sp"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = g["sk"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((sk, -sp))
+        i = order[0]
+        tot = int(sp.sum())
+        return pa.table(
+            {
+                "c_custkey": g["ck"].slice(0, 1),
+                "top_suppkey": pa.array([int(sk[i])], pa.int64()),
+                "top_spend_cents": pa.array([int(sp[i])], pa.int64()),
+                "total_spend_cents": pa.array([tot], pa.int64()),
+                "share_ppm": pa.array([int(sp[i]) * 1_000_000 // tot], pa.int64()),
+            }
+        )
+
+    return per_cs.groupby("ck").map_groups(top1, batch_format="pyarrow")
+
+
+CUSTOMER_TOP_SUPPLIER_SHARE_SQL = """
+WITH sp AS (
+  SELECT o_custkey AS ck, l_suppkey AS sk,
+         CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sp
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2),
+r AS (
+  SELECT ck, sk, sp,
+         ROW_NUMBER() OVER (PARTITION BY ck ORDER BY sp DESC, sk) AS rn,
+         CAST(SUM(sp) OVER (PARTITION BY ck) AS BIGINT) AS tot
+  FROM sp)
+SELECT ck AS c_custkey, sk AS top_suppkey, sp AS top_spend_cents,
+       tot AS total_spend_cents,
+       CAST(sp * 1000000 // tot AS BIGINT) AS share_ppm
+FROM r WHERE rn = 1
+"""
+
+
+def customer_first_last_spend_ratio(sf_dir: str):
+    """FIRST_VALUE / LAST_VALUE per group: for every customer with ≥2
+    orders, the value of their first and last order ((date, orderkey) order
+    — the key tie-break makes same-day pairs deterministic) and the
+    first→last ratio in exact ppm.  Block-local candidate pruning: each
+    block keeps only its per-customer first/last rows PLUS an order count,
+    so the groupby moves ≤2 rows + one count per (customer, block) instead
+    of the whole fact table."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = pa.table(
+            {
+                "ck": t["o_custkey"],
+                "ok": t["o_orderkey"],
+                "dt": t["o_orderdate"],
+                "p": _cents(t["o_totalprice"]),
+            }
+        )
+        idx = pc.sort_indices(
+            d,
+            sort_keys=[
+                ("ck", "ascending"),
+                ("dt", "ascending"),
+                ("ok", "ascending"),
+            ],
+        )
+        s = d.take(idx)
+        ck = s["ck"].to_numpy(zero_copy_only=False)
+        first = np.r_[True, ck[1:] != ck[:-1]]
+        last = np.r_[ck[1:] != ck[:-1], True]
+        cand = s.filter(pa.array(first | last))
+        # per-customer block counts ride along on the first-row candidates
+        cnt = np.bincount(np.cumsum(first) - 1)
+        n_col = np.zeros(cand.num_rows, np.int64)
+        cand_first = first[first | last]
+        n_col[cand_first] = cnt
+        return cand.append_column("n", pa.array(n_col))
+
+    def pick(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[("dt", "ascending"), ("ok", "ascending")]
+        )
+        s = g.take(idx)
+        total = int(pc.sum(g["n"]).as_py())
+        f = int(s["p"][0].as_py())
+        last = int(s["p"][s.num_rows - 1].as_py())
+        if total < 2:
+            return pa.table(
+                {
+                    "c_custkey": pa.array([], pa.int64()),
+                    "first_cents": pa.array([], pa.int64()),
+                    "last_cents": pa.array([], pa.int64()),
+                    "ratio_ppm": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "c_custkey": pc.cast(s["ck"].slice(0, 1), pa.int64()),
+                "first_cents": pa.array([f], pa.int64()),
+                "last_cents": pa.array([last], pa.int64()),
+                "ratio_ppm": pa.array([f * 1_000_000 // last], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("ck")
+        .map_groups(pick, batch_format="pyarrow")
+    )
+
+
+CUSTOMER_FIRST_LAST_SPEND_RATIO_SQL = """
+WITH r AS (
+  SELECT o_custkey AS ck,
+         CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS p,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rf,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rl,
+         COUNT(*) OVER (PARTITION BY o_custkey) AS n
+  FROM orders)
+SELECT a.ck AS c_custkey,
+       a.p AS first_cents, b.p AS last_cents,
+       CAST(a.p * 1000000 // b.p AS BIGINT) AS ratio_ppm
+FROM r a JOIN r b ON a.ck = b.ck AND a.rf = 1 AND b.rl = 1
+WHERE a.n >= 2
+"""
+
+
+def orders_mom_growth_volatility(sf_dir: str):
+    """Month-over-month revenue growth volatility: arithmetic returns in
+    exact signed ppm (explicit SIGN·(ABS·10⁶//prev) so floor/trunc agree),
+    then the stdev of those ~80 small ints via exact (n,S,Q) and one fixed
+    √ expression.  Monthly revenue is the usual cents partial + tiny
+    groupby; the return series walk is a driver pass over months."""
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tb = pa.table(
+            {
+                "month": pc.strftime(t["o_orderdate"], format="%Y-%m"),
+                "rev": _cents(t["o_totalprice"]),
+            }
+        )
+        g = tb.group_by("month").aggregate([("rev", "sum")])
+        return g.rename_columns(["month", "rev"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("month")
+        .aggregate(Sum("rev", alias_name="rev"))
+        .to_pandas()
+        .sort_values("month", kind="mergesort")
+    )
+    rev = [int(x) for x in agg["rev"]]
+    rets = []
+    for prev, cur in zip(rev, rev[1:]):
+        d = cur - prev
+        rets.append((1 if d >= 0 else -1) * (abs(d) * 1_000_000 // prev))
+    n = len(rets)
+    s = sum(rets)
+    q = sum(r * r for r in rets)
+    vol = np.sqrt(
+        (float(q) - float(s) * float(s) / float(n)) / float(n - 1)
+    )
+    return pa.table(
+        {
+            "n_months": pa.array([len(rev)], pa.int64()),
+            "n_returns": pa.array([n], pa.int64()),
+            "mean_ret_ppm_trunc": pa.array([(1 if s >= 0 else -1) * (abs(s) // n)], pa.int64()),
+            "vol_ppm": pa.array([vol], pa.float64()),
+        }
+    )
+
+
+ORDERS_MOM_GROWTH_VOLATILITY_SQL = """
+WITH m AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+  FROM orders GROUP BY 1),
+r AS (
+  SELECT rev, LAG(rev) OVER (ORDER BY month) AS prev FROM m),
+ret AS (
+  SELECT CAST(SIGN(rev - prev) AS BIGINT) * (ABS(rev - prev) * 1000000 // prev)
+           AS ppm
+  FROM r WHERE prev IS NOT NULL),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(ppm) AS BIGINT) AS s,
+             CAST(SUM(ppm*ppm) AS BIGINT) AS q
+      FROM ret)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM m) AS n_months,
+       n AS n_returns,
+       CAST(SIGN(s) AS BIGINT) * (ABS(s) // n) AS mean_ret_ppm_trunc,
+       sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/CAST(n AS DOUBLE))
+            / CAST(n-1 AS DOUBLE)) AS vol_ppm
+FROM t
+"""
+
+
+def purchase_graph_degree_assortativity(sf_dir: str):
+    """Degree assortativity of the supplier–customer bipartite purchase
+    graph: Pearson correlation between deg(supplier) and deg(customer)
+    across DISTINCT purchase edges — do high-fanout suppliers serve
+    high-fanout customers?  Edges come from the lineitem→orders join
+    (pre-aggregated per orderkey), degrees from two tiny edge groupbys; the
+    correlation is five exact int sums over edges + one fixed √·√
+    expression.  Degree maps broadcast (supplier side is small; the
+    customer side documents the shuffle-join fallback at 100 TB)."""
+    li = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_orderkey", "l_suppkey"])
+
+    def lpartial(t: pa.Table) -> pa.Table:
+        return (
+            pa.table({"l_orderkey": t["l_orderkey"], "sk": t["l_suppkey"]})
+            .group_by(["l_orderkey", "sk"])
+            .aggregate([])
+        )
+
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
+    edges = (
+        li.map_batches(lpartial, batch_format="pyarrow")
+        .join(
+            orders,
+            join_type="inner",
+            num_partitions=8,
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
+        .map_batches(
+            lambda t: pa.table({"sk": t["sk"], "ck": t["o_custkey"]})
+            .group_by(["sk", "ck"])
+            .aggregate([]),
+            batch_format="pyarrow",
+        )
+        .groupby(["sk", "ck"])
+        .aggregate(Count(alias_name="m"))
+        .to_pandas()[["sk", "ck"]]
+    )
+    ds_deg = edges.groupby("sk").size()
+    dc_deg = edges.groupby("ck").size()
+    x = edges["sk"].map(ds_deg).to_numpy(np.int64)
+    y = edges["ck"].map(dc_deg).to_numpy(np.int64)
+    n = len(edges)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxx = int((x * x).sum())
+    syy = int((y * y).sum())
+    sxy = int((x * y).sum())
+    r = (float(sxy) - float(sx) * float(sy) / float(n)) / (
+        np.sqrt(float(sxx) - float(sx) * float(sx) / float(n))
+        * np.sqrt(float(syy) - float(sy) * float(sy) / float(n))
+    )
+    return pa.table(
+        {
+            "n_edges": pa.array([n], pa.int64()),
+            "sum_sdeg": pa.array([sx], pa.int64()),
+            "sum_cdeg": pa.array([sy], pa.int64()),
+            "assortativity_r": pa.array([r], pa.float64()),
+        }
+    )
+
+
+PURCHASE_GRAPH_DEGREE_ASSORTATIVITY_SQL = """
+WITH e AS (
+  SELECT DISTINCT l_suppkey AS sk, o_custkey AS ck
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+ds AS (SELECT sk, CAST(COUNT(*) AS BIGINT) AS xd FROM e GROUP BY 1),
+dc AS (SELECT ck, CAST(COUNT(*) AS BIGINT) AS yd FROM e GROUP BY 1),
+v AS (SELECT xd, yd FROM e JOIN ds ON e.sk = ds.sk JOIN dc ON e.ck = dc.ck),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(xd) AS BIGINT) AS sx, CAST(SUM(yd) AS BIGINT) AS sy,
+             CAST(SUM(xd*xd) AS BIGINT) AS sxx,
+             CAST(SUM(yd*yd) AS BIGINT) AS syy,
+             CAST(SUM(xd*yd) AS BIGINT) AS sxy
+      FROM v)
+SELECT n AS n_edges, sx AS sum_sdeg, sy AS sum_cdeg,
+       (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/CAST(n AS DOUBLE))
+       / (sqrt(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/CAST(n AS DOUBLE))
+          * sqrt(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)/CAST(n AS DOUBLE)))
+         AS assortativity_r
+FROM t
+"""
+
+
+def docs_prefix_template_census(sf_dir: str):
+    """C4/CCNet-style boilerplate-template detection: documents sharing an
+    identical 5-token prefix form a template cluster; report every cluster
+    with ≥2 members (prefix, size, member doc_id span).  Block-local
+    (prefix → count, min_id, max_id) partials make the groupby input tiny —
+    the prefix string itself is the partition key, never full text."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        txt = t["text"].to_pylist()
+        pref = [" ".join(s.split()[:5]) if s else "" for s in txt]
+        tb = pa.table(
+            {
+                "prefix": pa.array(pref, pa.string()),
+                "n_docs": pa.array(np.ones(len(pref), np.int64)),
+                "min_doc": t["doc_id"],
+                "max_doc": t["doc_id"],
+            }
+        )
+        g = tb.group_by("prefix").aggregate(
+            [("n_docs", "sum"), ("min_doc", "min"), ("max_doc", "max")]
+        )
+        return g.rename_columns(["prefix", "n_docs", "min_doc", "max_doc"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("prefix")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Min("min_doc", alias_name="min_doc"),
+            Max("max_doc", alias_name="max_doc"),
+        )
+        .filter(lambda row: row["n_docs"] >= 2)
+    )
+
+
+DOCS_PREFIX_TEMPLATE_CENSUS_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         array_to_string(string_split_regex(trim(text), '\\s+')[1:5], ' ')
+           AS prefix
+  FROM documents)
+SELECT prefix, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM p GROUP BY 1 HAVING COUNT(*) >= 2
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_extract_oracle": FLAGSHIP_EXTRACT_ORACLE_SQL,
     "flagship_pdf_oracle": FLAGSHIP_PDF_ORACLE_SQL,
@@ -24424,6 +24858,12 @@ ORACLE_SQL: dict[str, str] = {
     "orders_priority_status_residuals": ORDERS_PRIORITY_STATUS_RESIDUALS_SQL,
     "lineitem_price_quantity_grid": LINEITEM_PRICE_QUANTITY_GRID_SQL,
     "docs_english_length_pointbiserial": DOCS_ENGLISH_LENGTH_POINTBISERIAL_SQL,
+    "lineitem_monthly_vwap": LINEITEM_MONTHLY_VWAP_SQL,
+    "customer_top_supplier_share": CUSTOMER_TOP_SUPPLIER_SHARE_SQL,
+    "customer_first_last_spend_ratio": CUSTOMER_FIRST_LAST_SPEND_RATIO_SQL,
+    "orders_mom_growth_volatility": ORDERS_MOM_GROWTH_VOLATILITY_SQL,
+    "purchase_graph_degree_assortativity": PURCHASE_GRAPH_DEGREE_ASSORTATIVITY_SQL,
+    "docs_prefix_template_census": DOCS_PREFIX_TEMPLATE_CENSUS_SQL,
     "orders_skyline": ORDERS_SKYLINE_SQL,
     "search_parts": SEARCH_PARTS_SQL,
     "events_type_filter": EVENTS_TYPE_FILTER_SQL,
@@ -24883,6 +25323,12 @@ def registry() -> dict:
         "orders_priority_status_residuals": orders_priority_status_residuals,
         "lineitem_price_quantity_grid": lineitem_price_quantity_grid,
         "docs_english_length_pointbiserial": docs_english_length_pointbiserial,
+        "lineitem_monthly_vwap": lineitem_monthly_vwap,
+        "customer_top_supplier_share": customer_top_supplier_share,
+        "customer_first_last_spend_ratio": customer_first_last_spend_ratio,
+        "orders_mom_growth_volatility": orders_mom_growth_volatility,
+        "purchase_graph_degree_assortativity": purchase_graph_degree_assortativity,
+        "docs_prefix_template_census": docs_prefix_template_census,
         "orders_skyline": orders_skyline,
         "events_pivot_types": events_pivot_types,
         "docs_per_lang_longest": docs_per_lang_longest,
