@@ -89,14 +89,23 @@ def media_table_from_documents(batch: pa.Table) -> pa.Table:
                 payload = encode_png(px)
             elif d % 12 == 3:
                 # ...and a quarter of image rows are REAL 24-bit BMPs of the
-                # same deterministic pixels (functions/bmp.py) — three
+                # same deterministic pixels (functions/bmp.py) — multiple
                 # container formats flow through one decode stage, features
-                # identical (both real codecs are lossless); d%12==9 rows
-                # stay fake-format so all three paths run in-pipeline
+                # identical (both real codecs are lossless)
                 from ..functions.bmp import encode_bmp
 
                 px = _keystream(d, h * w * 3).reshape(h, w, 3)
                 payload = encode_bmp(px)
+            elif d % 24 == 9:
+                # ...and half the remaining rows are REAL GIF87a (true LZW,
+                # functions/gif.py) — GIF is palettized by spec, so these
+                # rows quantize the keystream to a deterministic 64-color
+                # palette (levels 0/85/170/255); d%24==21 rows stay
+                # fake-format so all four paths run in-pipeline
+                from ..functions.gif import encode_gif
+
+                px = (_keystream(d, h * w * 3).reshape(h, w, 3) % 4) * 85
+                payload = encode_gif(px.astype(np.uint8))
             else:
                 payload = fake_image(d, h, w)
             meta = f'{{"h":{h},"w":{w},"c":3}}'
@@ -159,6 +168,10 @@ def _decode_any_image(payload: bytes) -> np.ndarray:
 
     if payload[: len(BMP_MAGIC)] == BMP_MAGIC:
         return decode_bmp(payload)
+    from ..functions.gif import GIF_MAGIC, decode_gif
+
+    if payload[: len(GIF_MAGIC)] == GIF_MAGIC:
+        return decode_gif(payload)
     raise ValueError("unknown image payload format")
 
 
@@ -193,6 +206,14 @@ class ImageFeatures:
         if payload[: len(BMP_MAGIC)] == BMP_MAGIC:
             try:  # real stdlib BMP decode (functions/bmp.py)
                 return decode_bmp(payload)
+            except ValueError:
+                if self._backend != "pil":  # unsupported variant, no PIL
+                    raise
+        from ..functions.gif import GIF_MAGIC, decode_gif
+
+        if payload[: len(GIF_MAGIC)] == GIF_MAGIC:
+            try:  # real stdlib GIF decode (functions/gif.py, true LZW)
+                return decode_gif(payload)
             except ValueError:
                 if self._backend != "pil":  # unsupported variant, no PIL
                     raise

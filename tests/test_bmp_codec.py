@@ -89,9 +89,10 @@ def test_bmp_through_image_features_stage_parity(ray_session):
     assert out[out.media_id == 3].iloc[0].error is not None
 
 
-def test_media_table_emits_all_three_image_containers(ray_session):
-    """media_table_from_documents now mixes fake, PNG and BMP image rows;
+def test_media_table_emits_all_four_image_containers(ray_session):
+    """media_table_from_documents mixes fake, PNG, BMP and GIF image rows;
     every one decodes through _decode_any_image."""
+    from invoice_ocr_reconciler_ray.functions.gif import GIF_MAGIC
     from invoice_ocr_reconciler_ray.functions.png import PNG_MAGIC
     from invoice_ocr_reconciler_ray.stages.multimodal import (
         _IMG_MAGIC,
@@ -99,7 +100,7 @@ def test_media_table_emits_all_three_image_containers(ray_session):
         media_table_from_documents,
     )
 
-    docs = pa.table({"doc_id": pa.array(list(range(36)), pa.int64())})
+    docs = pa.table({"doc_id": pa.array(list(range(48)), pa.int64())})
     media = media_table_from_documents(docs)
     kinds = set()
     for kind, payload in zip(
@@ -113,6 +114,8 @@ def test_media_table_emits_all_three_image_containers(ray_session):
             kinds.add("png")
         elif payload.startswith(BMP_MAGIC):
             kinds.add("bmp")
+        elif payload.startswith(GIF_MAGIC):
+            kinds.add("gif")
         arr = _decode_any_image(payload)
         assert arr.ndim == 3 and arr.shape[2] == 3
-    assert kinds == {"fake", "png", "bmp"}
+    assert kinds == {"fake", "png", "bmp", "gif"}
