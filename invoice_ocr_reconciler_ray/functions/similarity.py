@@ -336,3 +336,45 @@ def combined_distance(a: str, b: str, w_edit: float = 0.6, w_token: float = 0.4,
     return w_edit * (1.0 - levenshtein_ratio(a, b, max_edit_chars)) + w_token * (
         1.0 - token_set_ratio(a, b)
     )
+
+
+def damerau_levenshtein(a: str, b: str) -> int:
+    """Unrestricted Damerau-Levenshtein distance (Lowrance-Wagner 1975):
+    edits are insert / delete / substitute / transpose-of-adjacent, and a
+    transposed pair may be edited again (DL('CA','ABC') = 2, where the
+    restricted OSA variant says 3).  Cross-engine contract: DuckDB's
+    damerau_levenshtein() implements the same unrestricted recurrence, so
+    integer distances from this kernel are oracle-checkable
+    (property-tested against DuckDB in tests/test_zip_and_dl.py)."""
+    la, lb = len(a), len(b)
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    maxdist = la + lb
+    da: dict[str, int] = {}
+    d = [[maxdist] * (lb + 2) for _ in range(la + 2)]
+    for j in range(lb + 1):
+        d[1][j + 1] = j
+    for i in range(la + 1):
+        d[i + 1][1] = i
+    for i in range(1, la + 1):
+        db = 0
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            cb = b[j - 1]
+            k = da.get(cb, 0)
+            l = db
+            if ca == cb:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,  # substitute / match
+                d[i + 1][j] + 1,  # insert
+                d[i][j + 1] + 1,  # delete
+                d[k][l] + (i - k - 1) + 1 + (j - l - 1),  # transpose
+            )
+        da[ca] = i
+    return int(d[la + 1][lb + 1])
