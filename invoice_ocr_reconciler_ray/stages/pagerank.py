@@ -90,3 +90,52 @@ def pagerank(edges_ds, n_nodes: int, *, iters: int = 5) -> pa.Table:
         ],
         names=["node", "rank_fx"],
     )
+
+
+def _propagate(edges_ds, vec: np.ndarray, n_nodes: int, *, reverse: bool) -> np.ndarray:
+    """One HITS half-step: out[v] = Σ_{(u,v)∈E} vec[u] (reverse=False,
+    authority update) or out[u] = Σ_{(u,v)∈E} vec[v] (reverse=True, hub
+    update) — same scatter-add-partials / driver-merge shape as the
+    PageRank iteration, pure int64."""
+    state = ray.put(vec)
+
+    def part(t: pa.Table) -> pa.Table:
+        v = ray.get(state)
+        acc = np.zeros(n_nodes, dtype=np.int64)
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        if len(src):
+            if reverse:
+                np.add.at(acc, src, v[dst])
+            else:
+                np.add.at(acc, dst, v[src])
+        return pa.table({"acc": pa.array([acc.tobytes()], pa.binary())})
+
+    out = np.zeros(n_nodes, dtype=np.int64)
+    for b in edges_ds.map_batches(part, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for raw in b["acc"].to_pylist():
+            out += np.frombuffer(raw, dtype=np.int64)
+    return out
+
+
+def hits(edges_ds, n_nodes: int, *, rounds: int = 2) -> pa.Table:
+    """Kleinberg HITS (JACM'99) in exact unnormalized int64: from h₀ = 1,
+    each round is a = Aᵀh then h = A·a — ``rounds`` synchronous rounds,
+    four edge passes at rounds=2, every value an exact small integer (no
+    normalization ⇒ scale-free and SQL-reproducible).  Same distributed
+    scatter-add discipline and O(N) driver state as :func:`pagerank`."""
+    h = np.ones(n_nodes, dtype=np.int64)
+    a = np.zeros(n_nodes, dtype=np.int64)
+    for _ in range(rounds):
+        a = _propagate(edges_ds, h, n_nodes, reverse=False)
+        h = _propagate(edges_ds, a, n_nodes, reverse=True)
+    return pa.Table.from_arrays(
+        [
+            pa.array(np.arange(n_nodes, dtype=np.int64), pa.int64()),
+            pa.array(a, pa.int64()),
+            pa.array(h, pa.int64()),
+        ],
+        names=["node", "auth", "hub"],
+    )
