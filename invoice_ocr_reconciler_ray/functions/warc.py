@@ -34,7 +34,7 @@ FIXED_OVERHEAD = 10 + 21 + 25 + 3 + 40 + 2 + 16 + 2 + 2 + 4  # = 125
 
 def record_length(doc_id: int, payload_len: int) -> int:
     """Exact byte length of :func:`write_record`'s output — the formula
-    the SQL oracle mirrors (146 + 2·digits(doc_id) + digits(n) + n)."""
+    the SQL oracle mirrors (125 + 2·digits(doc_id) + digits(n) + n)."""
     return (
         FIXED_OVERHEAD
         + 2 * len(str(doc_id))

@@ -102,6 +102,14 @@ def triangle_count_per_node(
         ends = np.append(bounds[1:], len(src))
         for n, lo, hi in zip(uniq, bounds, ends):
             adj[int(n)] = dst[lo:hi]  # sorted by construction
+    from .broadcast import guard_broadcast_bytes
+
+    guard_broadcast_bytes(
+        int(sum(a.nbytes for a in adj.values())),
+        label="triangle-count adjacency",
+        alternative="hash-partition edges by min-endpoint and count wedges "
+        "via a per-partition Dataset.join instead of a broadcast adjacency",
+    )
     adj_ref = ray.put(adj)
 
     def count(t: pa.Table) -> pa.Table:

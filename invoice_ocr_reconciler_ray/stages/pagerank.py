@@ -62,6 +62,15 @@ def pagerank(edges_ds, n_nodes: int, *, iters: int = 5) -> pa.Table:
 
     ranks = np.full(n_nodes, SCALE, dtype=np.int64)
     safe_deg = np.maximum(deg, 1)  # dangling nodes never index contrib anyway
+    from .broadcast import guard_broadcast_bytes
+
+    guard_broadcast_bytes(
+        int(ranks.nbytes + safe_deg.nbytes),
+        label="pagerank rank/degree state",
+        alternative="partition the node space and exchange rank contributions "
+        "via a per-iteration groupby(dst) shuffle instead of a broadcast "
+        "dense state vector",
+    )
     for _ in range(iters):
         state = ray.put({"ranks": ranks, "deg": safe_deg})
 

@@ -291,6 +291,14 @@ def jaccard_self_join(
                 j = tok_ix[t]
                 bitmap[p, j >> 6] |= np.uint64(1 << (j & 63))
         _POP = np.array([bin(x).count("1") for x in range(256)], dtype=np.int64)
+        from .broadcast import guard_broadcast_bytes
+
+        guard_broadcast_bytes(
+            int(id_np.nbytes + bitmap.nbytes + sizes.nbytes),
+            label="ssjoin verify bitmap",
+            alternative="verify candidates via pushdown point reads of the "
+            "token sets (fetch_fn) instead of a broadcast corpus bitmap",
+        )
         broadcast_ref = ray.put((id_np, bitmap, sizes))
 
         def verify(t: pa.Table) -> pa.Table:
@@ -314,6 +322,14 @@ def jaccard_self_join(
             )
 
     else:
+        from .broadcast import guard_broadcast_bytes
+
+        guard_broadcast_bytes(
+            int(sum(8 * len(s) + 64 for s in sets.values())),
+            label="ssjoin verify token sets",
+            alternative="verify candidates via pushdown point reads of the "
+            "token sets (fetch_fn) instead of a broadcast set dict",
+        )
         sets_ref = ray.put(sets)
 
         def verify(t: pa.Table) -> pa.Table:

@@ -71,6 +71,52 @@ def test_top_brands_fallback_equals_broadcast(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(base, rerouted)
 
 
+def test_cluster_pairs_edge_guard_trips(ray_session, monkeypatch):
+    # VERDICT r4 #4: the cluster_pairs edge pull is byte-budget guarded
+    import ray.data as rd
+
+    from invoice_ocr_reconciler_ray.stages.neardup import cluster_pairs
+
+    ids = rd.from_items([{"doc_id": i} for i in range(8)])
+    pairs = rd.from_items([{"id_a": i, "id_b": i + 1} for i in range(7)])
+    monkeypatch.setenv("IOCR_BROADCAST_MAX_BYTES", "8")
+    with pytest.raises(BroadcastSizeError, match="cluster_pairs edge list"):
+        cluster_pairs(ids, pairs).materialize()
+    monkeypatch.delenv("IOCR_BROADCAST_MAX_BYTES")
+    out = cluster_pairs(ids, pairs).to_pandas()
+    assert (out["cluster_id"] == 0).all()  # one chain → one cluster
+
+
+def test_triangle_adjacency_guard_trips(ray_session, monkeypatch):
+    import ray.data as rd
+
+    from invoice_ocr_reconciler_ray.stages.graph import triangle_count_per_node
+
+    nodes = rd.from_items([{"node": i} for i in range(3)])
+    edges = rd.from_items(
+        [{"src": 0, "dst": 1}, {"src": 1, "dst": 2}, {"src": 0, "dst": 2}]
+    )
+    monkeypatch.setenv("IOCR_BROADCAST_MAX_BYTES", "8")
+    with pytest.raises(BroadcastSizeError, match="triangle-count adjacency"):
+        triangle_count_per_node(nodes, edges).materialize()
+    monkeypatch.delenv("IOCR_BROADCAST_MAX_BYTES")
+    out = triangle_count_per_node(nodes, edges).to_pandas()
+    assert (out["n_triangles"] == 1).all()
+
+
+def test_pagerank_state_guard_trips(ray_session, monkeypatch):
+    import ray.data as rd
+
+    from invoice_ocr_reconciler_ray.stages.pagerank import pagerank
+
+    edges = rd.from_items([{"src": 0, "dst": 1}, {"src": 1, "dst": 0}])
+    monkeypatch.setenv("IOCR_BROADCAST_MAX_BYTES", "8")
+    with pytest.raises(BroadcastSizeError, match="pagerank rank/degree state"):
+        pagerank(edges, 2)
+    monkeypatch.delenv("IOCR_BROADCAST_MAX_BYTES")
+    assert pagerank(edges, 2).num_rows == 2
+
+
 def test_table_nbytes_shapes():
     assert table_nbytes(pa.table({"a": [1, 2, 3]})) > 0
     assert table_nbytes(np.zeros(10)) == 80
