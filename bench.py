@@ -356,7 +356,8 @@ def ensure_bucketed_cache(num_buckets: int = 8) -> str:
     the 10^12-key deployment input shape (runner.prepare_partitioned_input
     applied to the bench cache)."""
     pages_dir, _ = ensure_pages_cache()
-    bdir = os.path.join(_cache_dir(), f"pages_bucketed_{num_buckets}")
+    # v3: min_rows_per_file layout + ingest-time dedup_hash column
+    bdir = os.path.join(_cache_dir(), f"pages_bucketed_{num_buckets}_v3")
     if os.path.exists(os.path.join(bdir, "_DONE")):
         return bdir
 
@@ -366,16 +367,34 @@ def ensure_bucketed_cache(num_buckets: int = 8) -> str:
     from invoice_ocr_reconciler_ray.functions.hashing import stable_hash64
 
     def add_bucket(t: pa.Table) -> pa.Table:
+        import numpy as np
+
         buckets = [
             stable_hash64(u, salt="bucket") % num_buckets
             for u in t.column("url").to_pylist()
         ]
-        return t.append_column("bucket", pa.array(buckets, pa.int32()))
+        # ingest-time dedup hash (same contract as prepare_partitioned_input):
+        # per-bucket dedup side scans never re-read payload bytes
+        hs = np.fromiter(
+            (
+                stable_hash64(r if r is not None else b"", salt="dedup")
+                for r in t.column("html").to_pylist()
+            ),
+            np.uint64,
+            count=t.num_rows,
+        )
+        return t.append_column(
+            "bucket", pa.array(buckets, pa.int32())
+        ).append_column("dedup_hash", pa.array(hs, pa.uint64()))
 
     tmp = bdir + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
+    # min_rows_per_file keeps each bucket at a handful of real-sized files
+    # instead of one sliver per (input block × bucket) — 256 × ~300-row files
+    # per bucket made every per-bucket read pay ~256 read tasks of pure
+    # scheduling overhead
     rd.read_parquet(pages_dir).map_batches(add_bucket, batch_format="pyarrow").write_parquet(
-        tmp, partition_cols=["bucket"]
+        tmp, partition_cols=["bucket"], min_rows_per_file=8192
     )
     shutil.rmtree(bdir, ignore_errors=True)
     os.rename(tmp, bdir)
@@ -447,11 +466,29 @@ def run_partitioned_equivalence() -> dict:
     t_broadcast = round(time.perf_counter() - t0, 3)
     ctrl_b = _cpu_control(tasks=32)
 
-    # partitioned checkpointed runner over the bucketed layout, one timed run
+    # partitioned checkpointed runner over the bucketed layout, one timed run.
+    # Buckets run CONCURRENTLY (VERDICT r4 #2): each bucket's streaming plan
+    # lives in its own thread and Ray schedules their tasks jointly, so the
+    # per-bucket fixed cost overlaps — the single-node stand-in for a cluster
+    # executing buckets on different nodes.
+    bucket_conc = int(os.environ.get("IOCR_BUCKET_CONCURRENCY", "4"))
+
+    # warm the coordinator worker processes too: the per-bucket runner
+    # executes inside num_cpus=0 Ray tasks whose fresh workers would
+    # otherwise pay the pipeline import cost inside the timed window
+    @ray.remote(num_cpus=0)
+    def _warm_worker() -> int:
+        import invoice_ocr_reconciler_ray.pipelines.runner  # noqa: F401
+        import invoice_ocr_reconciler_ray.stages.extract  # noqa: F401
+
+        return 0
+
+    ray.get([_warm_worker.remote() for _ in range(bucket_conc * 2)])
+
     out_p = "/tmp/iocr_equiv_partitioned"
     shutil.rmtree(out_p, ignore_errors=True)
     t0 = time.perf_counter()
-    totals = run_checkpointed_files(bdir, out_p)
+    totals = run_checkpointed_files(bdir, out_p, concurrency=bucket_conc)
     t_part = round(time.perf_counter() - t0, 3)
     ctrl_p = _cpu_control(tasks=32)
 
@@ -469,6 +506,7 @@ def run_partitioned_equivalence() -> dict:
         "control_broadcast": ctrl_b,
         "control_partitioned": ctrl_p,
         "partitions": totals["num_partitions"],
+        "bucket_concurrency": bucket_conc,
         "hash_broadcast": h_b,
         "hash_partitioned": h_p,
         "output_identical": h_b == h_p,

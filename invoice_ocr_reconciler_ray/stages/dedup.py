@@ -246,6 +246,7 @@ def flag_duplicates_with_side(
     hash_col: str = "content_hash",
     out_col: str = "is_duplicate",
     narrow_ds=None,
+    side_hash_col: str | None = None,
 ):
     """Broadcast dedup where the winner map comes from ``side_ds`` — a cheap
     projection of the RAW input (so the expensive main plan runs once).
@@ -262,7 +263,42 @@ def flag_duplicates_with_side(
     dup keys (an ``is_in`` filter ahead of any hashing).  At realistic dup
     rates that is ~3 % of the hashing/Python cost of the single-phase scan,
     with a byte-identical winner map (min composite per dup key either
-    way)."""
+    way).
+
+    ``side_hash_col``: when the input layout already carries the content
+    hash as a uint64 column (the partitioned runner's ingest writes
+    ``dedup_hash`` at bucketing time — hash once at ingest, never re-read
+    payload bytes for dedup), phase B reads THAT column instead of ``html``
+    and the side scan touches zero payload bytes.  The stored hash is
+    ``stable_hash64(html, salt="dedup")``, the same u64 the html path
+    computes, so the winner map is byte-identical either way."""
+
+    if side_hash_col is not None:
+        # ingest-hash fast path: composites are pure column arithmetic (hex
+        # of ts + stored hash), so the phase-A dup-key pre-scan buys nothing
+        # — ONE side plan over the payload-free projection; compute_winner_map
+        # keeps only keys with count > 1, so the winner map is byte-identical
+        # to the two-phase result.
+        def side_pri_all(batch: pa.Table) -> pa.Table:
+            hs = (
+                batch.column(side_hash_col)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.uint64)
+            )
+            pris = _composite_from_parts(_ts_np(batch, ts_col), hs)
+            return pa.Table.from_arrays(
+                [batch.column(key_col), pris], names=[key_col, _COMPOSITE]
+            )
+
+        winners = compute_winner_map(
+            side_ds.map_batches(side_pri_all, batch_format="pyarrow"),
+            key_col=key_col,
+            pri_col=_COMPOSITE,
+        )
+        return _probe_with_winners(
+            main_ds, winners, key_col=key_col, ts_col=ts_col,
+            hash_col=hash_col, out_col=out_col,
+        )
 
     def cnt_partial(b: pa.Table) -> pa.Table:
         g = (
@@ -295,12 +331,22 @@ def flag_duplicates_with_side(
             batch = batch.filter(
                 pc.is_in(batch.column(key_col), value_set=ray.get(dk_ref))
             )  # hash ONLY dup-key rows
-            raws = batch.column("html").to_pylist()
-            hs = np.fromiter(
-                (stable_hash64(r if r is not None else b"", salt="dedup") for r in raws),
-                np.uint64,
-                count=len(raws),
-            )  # == extract.content_hash_hex, as a u64 (hex applied vectorized)
+            if side_hash_col is not None:
+                hs = (
+                    batch.column(side_hash_col)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.uint64)
+                )  # ingest-time hash: no payload bytes touched
+            else:
+                raws = batch.column("html").to_pylist()
+                hs = np.fromiter(
+                    (
+                        stable_hash64(r if r is not None else b"", salt="dedup")
+                        for r in raws
+                    ),
+                    np.uint64,
+                    count=len(raws),
+                )  # == extract.content_hash_hex, as a u64 (hex applied vectorized)
             pris = _composite_from_parts(_ts_np(batch, ts_col), hs)
             return pa.Table.from_arrays(
                 [batch.column(key_col), pris], names=[key_col, _COMPOSITE]
@@ -310,6 +356,17 @@ def flag_duplicates_with_side(
         winners = compute_winner_map(side, key_col=key_col, pri_col=_COMPOSITE)
     else:
         winners = {}
+    return _probe_with_winners(
+        main_ds, winners, key_col=key_col, ts_col=ts_col,
+        hash_col=hash_col, out_col=out_col,
+    )
+
+
+def _probe_with_winners(
+    main_ds, winners: dict, *, key_col: str, ts_col: str, hash_col: str, out_col: str
+):
+    """Shared probe tail of :func:`flag_duplicates_with_side`: broadcast the
+    winner map once, flag non-winner rows of duplicated keys vectorized."""
     winners_ref = ray.put(winners_to_arrays(winners))
 
     def pri_probe(batch: pa.Table) -> pa.Table:
