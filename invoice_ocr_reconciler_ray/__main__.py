@@ -52,6 +52,12 @@ def main(argv: list[str] | None = None) -> int:
     pf = sub.add_parser("run-files", help="checkpointed run over bucket= layout")
     pf.add_argument("--input", required=True)
     pf.add_argument("--out", required=True)
+    pf.add_argument(
+        "--concurrency",
+        type=int,
+        default=4,
+        help="buckets run at once (num_cpus=0 Ray task per bucket)",
+    )
 
     ps = sub.add_parser("stats", help="manifest totals for a checkpointed run")
     ps.add_argument("--out", required=True)
@@ -102,7 +108,9 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "run-files":
             from invoice_ocr_reconciler_ray.pipelines.runner import run_checkpointed_files
 
-            totals = run_checkpointed_files(args.input, args.out)
+            totals = run_checkpointed_files(
+                args.input, args.out, concurrency=args.concurrency
+            )
             print(json.dumps(totals, sort_keys=True))
         elif args.cmd == "report":
             import pyarrow as pa

@@ -1,0 +1,170 @@
+"""Query-registry family module 10: web-crawl governance ops (round 5).
+
+First member: the robots.txt gate — the admission-control step a web-scale
+corpus pipeline runs before a page may enter the corpus at all.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from ._common import _t
+
+# The host's robots.txt, fetched once per host at crawl time.  Parsed by the
+# REAL parser (functions/robots.py, RFC 9309 longest-prefix dialect); the
+# graftbot group REPLACES the * group per §2.2.1, so the effective rules are
+# the eight graftbot lines — the SQL oracle encodes exactly those in a
+# VALUES table and replays longest-prefix / allow-on-tie with window rank.
+_ROBOTS_TXT = """
+# corpus.example crawl policy
+User-agent: *
+Disallow: /          # default-deny for unknown bots
+
+User-agent: graftbot
+Disallow: /en/
+Allow: /en/3/
+Disallow: /de/5/
+Allow: /de/5/p12
+Disallow: /zh/
+Allow: /zh/1/
+Disallow: /es/4/
+Allow: /es/4/
+"""
+
+
+def docs_robots_gate(sf_dir: str):
+    """Robots.txt admission gate (flag-don't-drop): each document's crawl
+    path is tested against the host policy; the verdict and the winning
+    rule prefix are recorded so excluded rows stay auditable.
+
+    Path synthesis is deterministic from (lang, doc_id) — the same
+    expression the oracle builds in SQL.  Matching is vectorized: one
+    ``startswith`` scan per rule (rule sets are tiny), tracking the
+    longest-prefix winner with allow-beats-disallow on ties (RFC 9309
+    §2.2.2).  Default allow when nothing matches.
+    """
+    from ...functions.robots import parse_robots
+
+    rules = parse_robots(_ROBOTS_TXT, agent="graftbot")
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang"])
+
+    def gate(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        langs = np.asarray(t.column("lang").to_pylist(), dtype=object)
+        paths = np.array(
+            [f"/{l}/{i % 7}/p{i}" for l, i in zip(langs, ids)], dtype=object
+        )
+        best_len = np.full(len(paths), -1, dtype=np.int64)
+        best_allow = np.ones(len(paths), dtype=bool)
+        best_rule = np.full(len(paths), "", dtype=object)
+        spaths = paths.astype(str)
+        for is_allow, prefix in rules:
+            m = np.char.startswith(spaths, prefix)
+            ln = len(prefix)
+            upgrade = m & (
+                (ln > best_len) | ((ln == best_len) & is_allow & ~best_allow)
+            )
+            best_len[upgrade] = ln
+            best_allow[upgrade] = is_allow
+            best_rule[upgrade] = prefix
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "path": pa.array(list(paths), pa.string()),
+                "allowed": pa.array(best_allow.tolist(), pa.bool_()),
+                "rule": pa.array(best_rule.tolist(), pa.string()),
+            }
+        )
+
+    return ds.map_batches(gate, batch_format="pyarrow")
+
+
+def docs_sitemap_coverage_audit(sf_dir: str):
+    """Sitemap round-trip + crawl-coverage audit per host (= per lang).
+
+    Each host publishes a sitemap listing the pages it wants indexed —
+    deterministically, docs with ``doc_id % 3 != 0``, lastmod derived from
+    the id.  The op BUILDS the real sitemap.xml bytes per host
+    (functions/sitemap.py), re-PARSES them with the strict parser (any
+    framing bug raises), and emits the coverage manifest: listed/unlisted
+    counts and the exact archive byte size — which the oracle reconstructs
+    arithmetically from the record-layout formula (48+10 header/trailer,
+    52 + len(url) per entry).  Same export discipline as the WARC/tar
+    manifests; per-host groups build independently."""
+    from ...functions.sitemap import parse_sitemap, write_sitemap
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang"])
+
+    def build(g: pa.Table) -> pa.Table:
+        lang = g.column("lang")[0].as_py()
+        ids = sorted(g.column("doc_id").to_pylist())
+        listed = [i for i in ids if i % 3 != 0]
+        entries = [
+            (
+                f"https://{lang}.corpus.example/p{i}",
+                f"2026-01-{i % 28 + 1:02d}",
+            )
+            for i in listed
+        ]
+        blob = write_sitemap(entries)
+        parsed = parse_sitemap(blob)  # strict round-trip: raises on any bug
+        assert [u for u, _ in parsed] == [u for u, _ in entries]
+        return pa.table(
+            {
+                "lang": pa.array([lang], pa.string()),
+                "n_corpus": pa.array([len(ids)], pa.int64()),
+                "n_listed": pa.array([len(listed)], pa.int64()),
+                "n_unlisted": pa.array([len(ids) - len(listed)], pa.int64()),
+                "sitemap_bytes": pa.array([len(blob)], pa.int64()),
+            }
+        )
+
+    return ds.groupby("lang").map_groups(build, batch_format="pyarrow")
+
+
+DOCS_SITEMAP_COVERAGE_AUDIT_SQL = """
+WITH d AS (
+  SELECT lang, doc_id,
+         doc_id % 3 <> 0 AS listed,
+         strlen('https://' || lang || '.corpus.example/p'
+                || CAST(doc_id AS VARCHAR)) AS url_len
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_corpus,
+       CAST(SUM(CASE WHEN listed THEN 1 ELSE 0 END) AS BIGINT) AS n_listed,
+       CAST(SUM(CASE WHEN listed THEN 0 ELSE 1 END) AS BIGINT) AS n_unlisted,
+       CAST(58 + SUM(CASE WHEN listed THEN 52 + url_len ELSE 0 END)
+            AS BIGINT) AS sitemap_bytes
+FROM d
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+DOCS_ROBOTS_GATE_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         '/' || lang || '/' || CAST(doc_id % 7 AS VARCHAR) || '/p'
+             || CAST(doc_id AS VARCHAR) AS path
+  FROM documents
+), r(is_allow, prefix) AS (
+  VALUES (0, '/en/'), (1, '/en/3/'), (0, '/de/5/'), (1, '/de/5/p12'),
+         (0, '/zh/'), (1, '/zh/1/'), (0, '/es/4/'), (1, '/es/4/')
+), m AS (
+  SELECT p.doc_id, r.is_allow, r.prefix,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.doc_id
+           ORDER BY length(r.prefix) DESC, r.is_allow DESC
+         ) AS rn
+  FROM p JOIN r ON substr(p.path, 1, length(r.prefix)) = r.prefix
+)
+SELECT p.doc_id, p.path,
+       COALESCE(m.is_allow = 1, TRUE) AS allowed,
+       COALESCE(m.prefix, '') AS rule
+FROM p LEFT JOIN (SELECT * FROM m WHERE rn = 1) m ON p.doc_id = m.doc_id
+ORDER BY p.doc_id
+"""

@@ -49,6 +49,13 @@ def main(argv: list[str] | None = None) -> int:
         "broadcast = one streaming flagship pass",
     )
     p.add_argument(
+        "--concurrency",
+        type=int,
+        default=4,
+        help="checkpointed mode: buckets run at once (one num_cpus=0 Ray "
+        "task per bucket; on a cluster this spreads buckets across nodes)",
+    )
+    p.add_argument(
         "--local-cpus",
         type=int,
         default=None,
@@ -79,7 +86,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.mode == "checkpointed":
         from invoice_ocr_reconciler_ray.pipelines.runner import run_checkpointed_files
 
-        totals = run_checkpointed_files(args.input, args.out)
+        totals = run_checkpointed_files(
+            args.input, args.out, concurrency=args.concurrency
+        )
         wall = time.perf_counter() - t0
         totals.update(
             {
