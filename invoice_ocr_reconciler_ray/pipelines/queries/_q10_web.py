@@ -168,3 +168,178 @@ SELECT p.doc_id, p.path,
 FROM p LEFT JOIN (SELECT * FROM m WHERE rn = 1) m ON p.doc_id = m.doc_id
 ORDER BY p.doc_id
 """
+
+
+def events_rate_limit_replay(sf_dir: str):
+    """Token-bucket rate-limiter REPLAY per user (crawl-politeness /
+    API-admission semantics): capacity 3 tokens, one token refilled per
+    600 s, integer arithmetic throughout.
+
+    This is an order-sensitive RECURRENCE — each admission decision
+    depends on the post-state of the previous event — so it cannot be a
+    window function: the Ray side runs an exact sequential fold per user
+    group (groups are small by construction; users partition the shuffle),
+    and the oracle replays the identical fold with a recursive CTE.
+    State transition (microsecond ints, ``//`` floor on positive deltas):
+
+        pre_0 = CAP;  pre_i = min(CAP, post_{i-1} + (t_i - t_{i-1}) // R)
+        admit_i = pre_i >= 1;  post_i = pre_i - 1 if admit_i else pre_i
+    """
+    CAP, REFILL_US = 3, 600_000_000
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def replay(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        uid = g.column("user_id")[0].as_py()
+        ts = np.sort(
+            pc.cast(g.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        level = CAP
+        admitted = 0
+        prev = None
+        for t in ts:
+            if prev is not None:
+                level = min(CAP, level + (int(t) - prev) // REFILL_US)
+            if level >= 1:
+                admitted += 1
+                level -= 1
+            prev = int(t)
+        n = len(ts)
+        return pa.table(
+            {
+                "user_id": pa.array([uid], g.schema.field("user_id").type),
+                "n_events": pa.array([n], pa.int64()),
+                "n_admitted": pa.array([admitted], pa.int64()),
+                "n_throttled": pa.array([n - admitted], pa.int64()),
+                "final_level": pa.array([level], pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(replay, batch_format="pyarrow")
+
+
+EVENTS_RATE_LIMIT_REPLAY_SQL = """
+WITH RECURSIVE e AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+  FROM events
+), r AS (
+  SELECT user_id, rn, t, 1 AS admitted, 2 AS level_post
+  FROM e WHERE rn = 1          -- pre = CAP(3) >= 1: first event always admits
+  UNION ALL
+  SELECT e.user_id, e.rn, e.t,
+         CASE WHEN least(3, r.level_post + (e.t - r.t) // 600000000) >= 1
+              THEN 1 ELSE 0 END,
+         CASE WHEN least(3, r.level_post + (e.t - r.t) // 600000000) >= 1
+              THEN least(3, r.level_post + (e.t - r.t) // 600000000) - 1
+              ELSE least(3, r.level_post + (e.t - r.t) // 600000000) END
+  FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(admitted) AS BIGINT) AS n_admitted,
+       CAST(COUNT(*) - SUM(admitted) AS BIGINT) AS n_throttled,
+       CAST(MAX(CASE WHEN rn = mx THEN level_post END) AS BIGINT) AS final_level
+FROM (SELECT r.*, MAX(rn) OVER (PARTITION BY user_id) AS mx FROM r)
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def docs_consistent_hash_ring(sf_dir: str):
+    """Consistent-hash ring placement audit — HOW a 10^12-key corpus maps
+    onto storage nodes.  8 nodes × 16 virtual nodes hash onto a 32-bit
+    ring via the repo's exact md5 bridge (first 8 hex digits as UBIGINT,
+    identical in hashlib and DuckDB); each doc's key hashes the same way
+    and is owned by the first vnode clockwise (wrap to the minimum ring
+    point).  Output: docs per node + ring vnode count — the balance
+    report that tells you whether virtual-node count is high enough
+    before you commit a layout.  The ring is tiny and broadcast-free
+    (computed in-closure); the doc side streams."""
+    nodes = [f"node{i}" for i in range(8)]
+    import hashlib
+
+    ring = sorted(
+        (
+            int(hashlib.md5(f"{n}#v{v}".encode()).hexdigest()[:8], 16),
+            n,
+        )
+        for n in nodes
+        for v in range(16)
+    )
+    ring_pos = np.array([p for p, _ in ring], dtype=np.uint64)
+    ring_node = np.array([n for _, n in ring], dtype=object)
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def place(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = np.array(
+            [
+                int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+                for i in ids
+            ],
+            dtype=np.uint64,
+        )
+        idx = np.searchsorted(ring_pos, pos, side="left")
+        idx[idx == len(ring_pos)] = 0  # wrap past the last vnode
+        owner = ring_node[idx]
+        ks, cnts = np.unique(owner.astype(str), return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(list(ks), pa.string()),
+                "n_docs": pa.array(cnts, pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(place, batch_format="pyarrow")
+    import pyarrow as _pa
+
+    merged = (
+        _pa.concat_tables(
+            list(partials.iter_batches(batch_format="pyarrow"))
+        )
+        .group_by("node")
+        .aggregate([("n_docs", "sum")])
+        .rename_columns(["node", "n_docs"])
+    )
+    out = merged.append_column(
+        "n_vnodes",
+        pa.array(
+            [int(sum(1 for _, n in ring if n == k.as_py())) for k in merged.column("node")],
+            pa.int64(),
+        ),
+    )
+    return out.sort_by("node")
+
+
+DOCS_CONSISTENT_HASH_RING_SQL = """
+WITH v(j) AS (SELECT UNNEST(range(16))),
+n(node) AS (SELECT 'node' || CAST(UNNEST(range(8)) AS VARCHAR)),
+ring AS (
+  SELECT node,
+         CAST(('0x' || substr(md5(node || '#v' || CAST(j AS VARCHAR)), 1, 8))
+              AS UBIGINT) AS pos
+  FROM n CROSS JOIN v
+), d AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+           AS pos
+  FROM documents
+), owned AS (
+  SELECT d.doc_id,
+         COALESCE(
+           (SELECT r.node FROM ring r WHERE r.pos >= d.pos
+            ORDER BY r.pos, r.node LIMIT 1),
+           (SELECT r.node FROM ring r ORDER BY r.pos, r.node LIMIT 1)
+         ) AS node
+  FROM d
+)
+SELECT o.node, COUNT(*) AS n_docs,
+       (SELECT COUNT(*) FROM ring r WHERE r.node = o.node) AS n_vnodes
+FROM owned o
+GROUP BY o.node
+ORDER BY o.node
+"""
