@@ -343,3 +343,306 @@ FROM owned o
 GROUP BY o.node
 ORDER BY o.node
 """
+
+
+def docs_anchor_text_profile(sf_dir: str):
+    """Anchor-text aggregation over the synthetic link graph — the classic
+    web-corpus enrichment: what the web SAYS a page is about.  Each link
+    (src → dst, the deterministic md5 graph shared with docs_pagerank)
+    carries the source page's lead token as anchor text; per TARGET we
+    aggregate in-link count, distinct anchor vocabulary, and the modal
+    anchor (ties broken lexicographically).
+
+    Scale shape: anchors ride the edge via a hash JOIN on src (the anchor
+    map is corpus-sized — a broadcast would break at 10^12 docs), then one
+    groupby(dst); both all-to-alls are on narrow (int64, small-string)
+    columns only."""
+    from ._q01_events_orders import _synth_link_edges
+
+    edges, _n = _synth_link_edges(sf_dir)
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def lead_token(t: pa.Table) -> pa.Table:
+        toks = [
+            (s.split(" ", 1)[0] if s else "")
+            for s in t.column("text").to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "anchor": pa.array(toks, pa.string()),
+            }
+        )
+
+    anchors = docs.map_batches(lead_token, batch_format="pyarrow")
+    linked = edges.join(
+        anchors,
+        join_type="inner",
+        num_partitions=8,
+        on=("src",),
+        right_on=("doc_id",),
+    )
+
+    def agg(g: pa.Table) -> pa.Table:
+        import collections
+
+        dst = g.column("dst")[0].as_py()
+        cnt = collections.Counter(g.column("anchor").to_pylist())
+        top, top_n = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        return pa.table(
+            {
+                "doc_id": pa.array([dst], pa.int64()),
+                "n_inlinks": pa.array([g.num_rows], pa.int64()),
+                "n_distinct_anchors": pa.array([len(cnt)], pa.int64()),
+                "top_anchor": pa.array([top], pa.string()),
+                "top_anchor_n": pa.array([top_n], pa.int64()),
+            }
+        )
+
+    return linked.groupby("dst").map_groups(agg, batch_format="pyarrow")
+
+
+DOCS_ANCHOR_TEXT_PROFILE_SQL = """
+WITH edges_raw AS (
+  SELECT doc_id AS src,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                    || CAST(j.j AS VARCHAR)), 1, 8)) AS UBIGINT)
+              % (SELECT COUNT(*) FROM documents) AS BIGINT) AS dst
+  FROM documents, LATERAL unnest(generate_series(0, 2)) AS j(j)
+), edges AS (
+  SELECT DISTINCT src, dst FROM edges_raw WHERE dst <> src
+), linked AS (
+  SELECT e.dst, split_part(d.text, ' ', 1) AS anchor
+  FROM edges e JOIN documents d ON e.src = d.doc_id
+), per_anchor AS (
+  SELECT dst, anchor, COUNT(*) AS c
+  FROM linked GROUP BY dst, anchor
+)
+SELECT dst AS doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_inlinks,
+       COUNT(*) AS n_distinct_anchors,
+       MAX(CASE WHEN rn = 1 THEN anchor END) AS top_anchor,
+       CAST(MAX(CASE WHEN rn = 1 THEN c END) AS BIGINT) AS top_anchor_n
+FROM (
+  SELECT per_anchor.*,
+         ROW_NUMBER() OVER (PARTITION BY dst ORDER BY c DESC, anchor) AS rn
+  FROM per_anchor
+)
+GROUP BY dst
+ORDER BY dst
+"""
+
+
+def docs_kcore_membership(sf_dir: str):
+    """k-core decomposition (k=3) of the synthetic link graph — the
+    standard graph-curation front: keep the densely-linked core of a web
+    corpus, peel hubsless fringe.  Deterministic peeling: round r removes
+    every node whose UNDIRECTED degree within the surviving set is < k;
+    repeat to fixpoint.  The fixpoint arrives within a fixed round budget
+    (asserted, not truncated), so the oracle can mirror the EXACT same
+    peeling as unrolled SQL rounds — the docs_pagerank discipline applied
+    to an iterative-deletion algorithm.
+
+    Output: doc_id, in_core (flag-don't-drop, all docs kept)."""
+    K, ROUNDS = 3, 6
+    from ._q01_events_orders import _synth_link_edges
+
+    edges_ds, _n = _synth_link_edges(sf_dir)
+    # undirected degree: edge list is tiny by construction (≤3 per node) —
+    # peeling happens on the narrow (src,dst) projection
+    et = pa.concat_tables(
+        list(edges_ds.iter_batches(batch_format="pyarrow"))
+    )
+    src = et.column("src").to_numpy(zero_copy_only=False)
+    dst = et.column("dst").to_numpy(zero_copy_only=False)
+    u = np.concatenate([src, dst])
+    v = np.concatenate([dst, src])
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    all_ids = np.sort(
+        pa.concat_tables(list(docs.iter_batches(batch_format="pyarrow")))
+        .column("doc_id")
+        .to_numpy(zero_copy_only=False)
+    )
+    alive = set(all_ids.tolist())
+    for _ in range(ROUNDS):
+        keep = np.array([a in alive and b in alive for a, b in zip(u, v)])
+        deg: dict[int, int] = {}
+        for a in u[keep]:
+            deg[int(a)] = deg.get(int(a), 0) + 1
+        new_alive = {a for a in alive if deg.get(a, 0) >= K}
+        if new_alive == alive:
+            break
+        alive = new_alive
+    else:
+        # verify the budget truly reached the fixpoint
+        keep = np.array([a in alive and b in alive for a, b in zip(u, v)])
+        deg = {}
+        for a in u[keep]:
+            deg[int(a)] = deg.get(int(a), 0) + 1
+        assert {a for a in alive if deg.get(a, 0) >= K} == alive, (
+            "k-core did not converge within the round budget"
+        )
+
+    alive_arr = pa.array(sorted(alive), pa.int64())
+
+    def flag(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "in_core": pc.is_in(t.column("doc_id"), value_set=alive_arr),
+            }
+        )
+
+    return docs.map_batches(flag, batch_format="pyarrow")
+
+
+def _kcore_sql(k: int = 3, rounds: int = 6) -> str:
+    sql = """WITH edges_raw AS (
+  SELECT doc_id AS src,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                    || CAST(j.j AS VARCHAR)), 1, 8)) AS UBIGINT)
+              % (SELECT COUNT(*) FROM documents) AS BIGINT) AS dst
+  FROM documents, LATERAL unnest(generate_series(0, 2)) AS j(j)
+), edges AS (SELECT DISTINCT src, dst FROM edges_raw WHERE dst <> src),
+und AS (SELECT src AS a, dst AS b FROM edges
+        UNION ALL SELECT dst, src FROM edges),
+r0 AS (SELECT doc_id AS node FROM documents)"""
+    for i in range(1, rounds + 1):
+        sql += f""",
+r{i} AS (
+  SELECT a AS node FROM und
+  JOIN r{i-1} x ON und.a = x.node
+  JOIN r{i-1} y ON und.b = y.node
+  GROUP BY a HAVING COUNT(*) >= {k})"""
+    return (
+        sql
+        + f"""
+SELECT d.doc_id, r.node IS NOT NULL AS in_core
+FROM documents d LEFT JOIN r{rounds} r ON d.doc_id = r.node
+ORDER BY d.doc_id"""
+    )
+
+
+DOCS_KCORE_MEMBERSHIP_SQL = _kcore_sql()
+
+
+def docs_bloom_membership_audit(sf_dir: str):
+    """Bloom-filter ACCURACY audit with exact ground truth — the sketch
+    family's discipline (KMV/minhash pair audits) applied to the filter
+    every ingest dedup front uses.  Members = urls of docs with
+    ``doc_id % 4 == 0``; filter = m=4096 bits, j=3 hash functions via the
+    exact md5 bridge (bit_i(url) = md5(url + '#' + i) mod m, identical
+    hashlib/DuckDB).  Every url is then probed: a non-member whose 3 bits
+    are all set is a FALSE POSITIVE.  Output: member count, probe count,
+    exact false-positive count, bits set — all integers, all reproducible
+    from the table alone by either engine."""
+    M, J = 4096, 3
+    import hashlib
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def url_of(i: int) -> str:
+        return f"https://corpus.example/p{i}"
+
+    def bits_of(i: int) -> list[int]:
+        u = url_of(i)
+        return [
+            int(hashlib.md5(f"{u}#{j}".encode()).hexdigest()[:8], 16) % M
+            for j in range(J)
+        ]
+
+    # phase 1: per-block partial bitsets of MEMBER docs (m bits = 512 bytes
+    # — the mergeable-sketch shape; partials OR together on the driver)
+    def member_bits(t: pa.Table) -> pa.Table:
+        bits = np.zeros(M, dtype=bool)
+        for i in t.column("doc_id").to_pylist():
+            if i % 4 == 0:
+                for b in bits_of(i):
+                    bits[b] = True
+        return pa.table({"bits": pa.array([np.packbits(bits).tobytes()])})
+
+    merged = np.zeros(M, dtype=bool)
+    for b in ds.map_batches(member_bits, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for raw in b.column("bits").to_pylist():
+            merged |= np.unpackbits(np.frombuffer(raw, np.uint8)).astype(bool)[:M]
+
+    # phase 2: probe every url against the broadcast filter
+    import ray
+
+    from ...stages.broadcast import guard_broadcast_bytes
+
+    guard_broadcast_bytes(
+        merged.nbytes,
+        label="bloom filter bits",
+        alternative="shard the filter by bit range and probe via a "
+        "hash-partitioned join",
+    )
+    bits_ref = ray.put(merged)
+
+    def probe(t: pa.Table) -> pa.Table:
+        bits = ray.get(bits_ref)
+        ids = t.column("doc_id").to_pylist()
+        member = [i % 4 == 0 for i in ids]
+        hit = [all(bits[b] for b in bits_of(i)) for i in ids]
+        fp = [h and not m for h, m in zip(hit, member)]
+        return pa.table(
+            {
+                "n_probed": pa.array([len(ids)], pa.int64()),
+                "n_members": pa.array([sum(member)], pa.int64()),
+                "n_hits": pa.array([sum(hit)], pa.int64()),
+                "n_false_pos": pa.array([sum(fp)], pa.int64()),
+            }
+        )
+
+    parts = pa.concat_tables(
+        list(ds.map_batches(probe, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ))
+    )
+    import pyarrow.compute as pc
+
+    return pa.table(
+        {
+            "n_probed": pa.array([pc.sum(parts["n_probed"]).as_py()], pa.int64()),
+            "n_members": pa.array([pc.sum(parts["n_members"]).as_py()], pa.int64()),
+            "n_hits": pa.array([pc.sum(parts["n_hits"]).as_py()], pa.int64()),
+            "n_false_pos": pa.array(
+                [pc.sum(parts["n_false_pos"]).as_py()], pa.int64()
+            ),
+            "n_bits_set": pa.array([int(merged.sum())], pa.int64()),
+        }
+    )
+
+
+DOCS_BLOOM_MEMBERSHIP_AUDIT_SQL = """
+WITH u AS (
+  SELECT doc_id,
+         'https://corpus.example/p' || CAST(doc_id AS VARCHAR) AS url,
+         doc_id % 4 = 0 AS member
+  FROM documents
+), pos AS (
+  SELECT u.doc_id, u.member,
+         CAST(CAST(('0x' || substr(md5(u.url || '#' || CAST(j.j AS VARCHAR)),
+                    1, 8)) AS UBIGINT) % 4096 AS BIGINT) AS bit
+  FROM u, LATERAL unnest(generate_series(0, 2)) AS j(j)
+), filter_bits AS (
+  SELECT DISTINCT bit FROM pos WHERE member
+), probe AS (
+  SELECT p.doc_id, p.member,
+         COUNT(f.bit) = 3 AS hit
+  FROM pos p LEFT JOIN filter_bits f ON p.bit = f.bit
+  GROUP BY p.doc_id, p.member
+)
+SELECT COUNT(*) AS n_probed,
+       CAST(SUM(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+       CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       CAST(SUM(CASE WHEN hit AND NOT member THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_pos,
+       (SELECT COUNT(*) FROM filter_bits) AS n_bits_set
+FROM probe
+"""
