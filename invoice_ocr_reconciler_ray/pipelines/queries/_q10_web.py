@@ -646,3 +646,160 @@ SELECT COUNT(*) AS n_probed,
        (SELECT COUNT(*) FROM filter_bits) AS n_bits_set
 FROM probe
 """
+
+
+def events_slo_burn_alerts(sf_dir: str):
+    """Multi-window SLO burn-rate alerting (the SRE-workbook policy) over
+    the event stream: per aligned hour, the 1 h and rolling 6 h error
+    rates; alert when the short window burns ≥ 2× the 10 % error budget
+    AND the long window burns ≥ 1× — all compared by integer
+    cross-multiplication (no float rates anywhere).
+
+    Scale shape: per-block vectorized hour bucketing → tiny integer
+    partials (≤ 744 hour rows each) merged on the driver — the
+    pre-aggregate pattern; the dense hour spine makes the output
+    schema-stable even for empty hours."""
+    ANCHOR_US = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC
+    HOURS = 744  # 31 days
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        h = (us - ANCHOR_US) // 3_600_000_000
+        err = pc.equal(t.column("event_type"), "error").to_numpy(
+            zero_copy_only=False
+        )
+        tot = np.bincount(h, minlength=HOURS)
+        ers = np.bincount(h[err], minlength=HOURS)
+        return pa.table(
+            {
+                "tot": pa.array([tot.astype(np.int64).tobytes()]),
+                "err": pa.array([ers.astype(np.int64).tobytes()]),
+            }
+        )
+
+    tot = np.zeros(HOURS, dtype=np.int64)
+    err = np.zeros(HOURS, dtype=np.int64)
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for traw, eraw in zip(b.column("tot").to_pylist(), b.column("err").to_pylist()):
+            tot += np.frombuffer(traw, np.int64)[:HOURS]
+            err += np.frombuffer(eraw, np.int64)[:HOURS]
+
+    ct, ce = np.cumsum(tot), np.cumsum(err)
+    tot6 = ct - np.concatenate([[0] * 6, ct[:-6]])
+    err6 = ce - np.concatenate([[0] * 6, ce[:-6]])
+    alert = (tot > 0) & (err * 10 >= 2 * tot) & (err6 * 10 >= tot6)
+    return pa.table(
+        {
+            "hour_idx": pa.array(np.arange(HOURS), pa.int64()),
+            "tot_1h": pa.array(tot, pa.int64()),
+            "err_1h": pa.array(err, pa.int64()),
+            "tot_6h": pa.array(tot6, pa.int64()),
+            "err_6h": pa.array(err6, pa.int64()),
+            "alert": pa.array(alert.tolist(), pa.bool_()),
+        }
+    )
+
+
+EVENTS_SLO_BURN_ALERTS_SQL = """
+WITH spine AS (
+  SELECT CAST(UNNEST(range(744)) AS BIGINT) AS h
+), ev AS (
+  SELECT (epoch_us(ts) - 1704067200000000) // 3600000000 AS h,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS e
+  FROM events
+), hourly AS (
+  SELECT s.h,
+         CAST(COUNT(ev.e) AS BIGINT) AS tot,
+         CAST(COALESCE(SUM(ev.e), 0) AS BIGINT) AS err
+  FROM spine s LEFT JOIN ev ON ev.h = s.h
+  GROUP BY s.h
+), roll AS (
+  SELECT h, tot AS tot_1h, err AS err_1h,
+         CAST(SUM(tot) OVER win AS BIGINT) AS tot_6h,
+         CAST(SUM(err) OVER win AS BIGINT) AS err_6h
+  FROM hourly
+  WINDOW win AS (ORDER BY h ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+)
+SELECT h AS hour_idx, tot_1h, err_1h, tot_6h, err_6h,
+       tot_1h > 0 AND err_1h * 10 >= 2 * tot_1h AND err_6h * 10 >= tot_6h
+         AS alert
+FROM roll
+ORDER BY hour_idx
+"""
+
+
+def media_mime_sniff_census(sf_dir: str):
+    """Magic-byte MIME routing census over REAL container bytes: each doc
+    synthesizes a genuine payload with the repo's actual encoders (PNG /
+    BMP / GIF image, WAV audio, PDF header — chosen by ``doc_id % 5``),
+    the sniffer (functions/mimesniff.py) classifies it from leading bytes
+    alone, and the census counts detected types.  A sniffer or encoder
+    regression shows up as a hash mismatch against the oracle's expected
+    routing — end-to-end proof that ingest routing and the multimodal
+    codecs agree.  Encoders are imported once per worker (module import
+    caching = actor-style setup); payloads never leave the task."""
+    from ...functions.bmp import encode_bmp
+    from ...functions.gif import encode_gif
+    from ...functions.mimesniff import sniff
+    from ...functions.png import encode_png
+    from ...functions.wav import encode_wav
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def census(t: pa.Table) -> pa.Table:
+        import collections
+
+        cnt: collections.Counter = collections.Counter()
+        for i in t.column("doc_id").to_pylist():
+            k = i % 5
+            px = np.full((4, 4, 3), (i * 37) % 256, dtype=np.uint8)
+            if k == 0:
+                payload = encode_png(px)
+            elif k == 1:
+                payload = encode_bmp(px)
+            elif k == 2:
+                payload = encode_gif(px)
+            elif k == 3:
+                payload = encode_wav(
+                    np.full(8, (i % 128) - 64, dtype=np.int16), 8000
+                )
+            else:
+                payload = b"%PDF-1.4\n%synthetic\n"
+            cnt[sniff(payload)] += 1
+        ks = sorted(cnt)
+        return pa.table(
+            {
+                "mime": pa.array(ks, pa.string()),
+                "n_docs": pa.array([cnt[k] for k in ks], pa.int64()),
+            }
+        )
+
+    parts = pa.concat_tables(
+        list(
+            ds.map_batches(census, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"
+            )
+        )
+    )
+    return (
+        parts.group_by("mime")
+        .aggregate([("n_docs", "sum")])
+        .rename_columns(["mime", "n_docs"])
+        .sort_by("mime")
+    )
+
+
+MEDIA_MIME_SNIFF_CENSUS_SQL = """
+SELECT CASE doc_id % 5
+         WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' WHEN 2 THEN 'gif'
+         WHEN 3 THEN 'wav' ELSE 'pdf' END AS mime,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1
+ORDER BY mime
+"""

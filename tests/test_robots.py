@@ -88,3 +88,27 @@ def test_parse_roundtrip(star, own):
     txt = block("*", star) + "\n\n" + block("graftbot", own)
     assert parse_robots(txt, agent="graftbot") == (own if own else star)
     assert parse_robots(txt, agent="nobody") == star
+
+
+def test_mime_sniffer_routes_real_codec_bytes():
+    import numpy as np
+
+    from invoice_ocr_reconciler_ray.functions.bmp import encode_bmp
+    from invoice_ocr_reconciler_ray.functions.gif import encode_gif
+    from invoice_ocr_reconciler_ray.functions.mimesniff import sniff
+    from invoice_ocr_reconciler_ray.functions.png import encode_png
+    from invoice_ocr_reconciler_ray.functions.wav import encode_wav
+
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    assert sniff(encode_png(px)) == "png"
+    assert sniff(encode_bmp(px)) == "bmp"
+    assert sniff(encode_gif(px)) == "gif"
+    assert sniff(encode_wav(np.zeros(4, dtype=np.int16), 8000)) == "wav"
+    assert sniff(b"%PDF-1.4\n") == "pdf"
+    assert sniff(b"  <!DOCTYPE HTML><html>") == "html"
+    assert sniff(b"<html lang=\"en\">") == "html"
+    assert sniff(b"\x00\x01garbage") == "octet-stream"
+    assert sniff(b"") == "empty"
+    assert sniff(None) == "empty"
+    assert sniff(b"RIFFxxxxWAVE") == "wav"
+    assert sniff(b"RIFFxxxxAVI ") == "octet-stream"
