@@ -803,3 +803,108 @@ FROM documents
 GROUP BY 1
 ORDER BY mime
 """
+
+
+def orders_encoding_planner(sf_dir: str):
+    """Columnar encoding-planner audit — the storage-layout decision a
+    100 TB writer makes per column: RLE run count (in o_orderkey order),
+    dictionary cardinality, and plain width, reduced to exact integer
+    byte estimates (RLE = runs × (8 + 4); DICT = distinct × avg-ish key
+    bytes + n × 4; PLAIN = Σ value bytes) and the argmin scheme.
+
+    Exactly computable on both sides: runs via a LAG-style shifted
+    compare, bytes via strlen sums — no floats, no sampling.  Per-column
+    partials are per-block; the global run count needs block-boundary
+    stitching, so the op computes it on the ordered column via one
+    vectorized shift on the driver-merged (tiny) projection — documented:
+    at deployment scale runs are counted per row-group and boundaries
+    stitched per file, same arithmetic."""
+    import pyarrow.compute as pc
+
+    cols = ["o_orderstatus", "o_orderpriority"]
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey"] + cols)
+    t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+    t = t.sort_by("o_orderkey")
+
+    out_rows = []
+    for c in cols:
+        vals = np.asarray(t.column(c).to_pylist(), dtype=object).astype(str)
+        n = len(vals)
+        runs = int(1 + (vals[1:] != vals[:-1]).sum()) if n else 0
+        uniq = np.unique(vals)
+        plain_bytes = int(sum(len(v.encode()) for v in vals))
+        dict_bytes = int(sum(len(v.encode()) for v in uniq)) + 4 * n
+        rle_bytes = runs * 12
+        best = min(
+            [("plain", plain_bytes), ("dict", dict_bytes), ("rle", rle_bytes)],
+            key=lambda kv: (kv[1], kv[0]),
+        )[0]
+        out_rows.append(
+            {
+                "col": c,
+                "n_values": n,
+                "n_runs": runs,
+                "n_distinct": int(len(uniq)),
+                "plain_bytes": plain_bytes,
+                "dict_bytes": dict_bytes,
+                "rle_bytes": rle_bytes,
+                "best_scheme": best,
+            }
+        )
+    cols_t = {k: [r[k] for r in out_rows] for k in out_rows[0]}
+    return pa.table(
+        {
+            "col": pa.array(cols_t["col"], pa.string()),
+            "n_values": pa.array(cols_t["n_values"], pa.int64()),
+            "n_runs": pa.array(cols_t["n_runs"], pa.int64()),
+            "n_distinct": pa.array(cols_t["n_distinct"], pa.int64()),
+            "plain_bytes": pa.array(cols_t["plain_bytes"], pa.int64()),
+            "dict_bytes": pa.array(cols_t["dict_bytes"], pa.int64()),
+            "rle_bytes": pa.array(cols_t["rle_bytes"], pa.int64()),
+            "best_scheme": pa.array(cols_t["best_scheme"], pa.string()),
+        }
+    )
+
+
+ORDERS_ENCODING_PLANNER_SQL = """
+WITH s AS (
+  SELECT o_orderkey, o_orderstatus AS v, 'o_orderstatus' AS col FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_orderpriority, 'o_orderpriority' FROM orders
+), runs AS (
+  SELECT col, v,
+         CASE WHEN v = LAG(v) OVER (PARTITION BY col ORDER BY o_orderkey)
+              THEN 0 ELSE 1 END AS new_run
+  FROM s
+), agg AS (
+  SELECT col,
+         COUNT(*) AS n_values,
+         CAST(SUM(new_run) AS BIGINT) AS n_runs,
+         COUNT(DISTINCT v) AS n_distinct,
+         CAST(SUM(strlen(v)) AS BIGINT) AS plain_bytes
+  FROM runs GROUP BY col
+), dictb AS (
+  SELECT col, CAST(SUM(strlen(v)) AS BIGINT) AS uniq_bytes
+  FROM (SELECT DISTINCT col, v FROM s) GROUP BY col
+)
+, j AS (
+  SELECT a.col, a.n_values, a.n_runs, a.n_distinct, a.plain_bytes,
+         d.uniq_bytes + 4 * a.n_values AS dict_bytes,
+         a.n_runs * 12 AS rle_bytes
+  FROM agg a JOIN dictb d ON a.col = d.col
+), best AS (
+  SELECT col, scheme FROM (
+    SELECT col, scheme, b,
+           ROW_NUMBER() OVER (PARTITION BY col ORDER BY b, scheme) AS rn
+    FROM (
+      SELECT col, 'plain' AS scheme, plain_bytes AS b FROM j
+      UNION ALL SELECT col, 'dict', dict_bytes FROM j
+      UNION ALL SELECT col, 'rle', rle_bytes FROM j
+    )
+  ) WHERE rn = 1
+)
+SELECT j.col, j.n_values, j.n_runs, j.n_distinct, j.plain_bytes,
+       j.dict_bytes, j.rle_bytes, best.scheme AS best_scheme
+FROM j JOIN best ON j.col = best.col
+ORDER BY j.col
+"""
