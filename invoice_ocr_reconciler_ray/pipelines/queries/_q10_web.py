@@ -908,3 +908,219 @@ SELECT j.col, j.n_values, j.n_runs, j.n_distinct, j.plain_bytes,
 FROM j JOIN best ON j.col = best.col
 ORDER BY j.col
 """
+
+
+def orders_minmax_pruning_audit(sf_dir: str):
+    """Min-max zone-map pruning audit — WHY sort keys matter at 100 TB:
+    lay orders out in 1000-row groups under two orderings (by
+    o_orderdate = the good layout; by o_orderkey = the naive one),
+    record per-group min/max of o_totalprice cents, and count how many
+    groups a `totalprice > 400000.00` scan could PRUNE under each.  The
+    zone-map arithmetic is exact integers (cents), group assignment is
+    rank // 1000 — both engines reproduce the identical layout.
+
+    Output: one row per layout with group counts + prunable groups +
+    rows actually matching (the selectivity the surviving groups must
+    serve)."""
+    import pyarrow.compute as pc
+
+    THRESH_C = 40_000_000  # 400000.00 in cents
+    GROUP = 1000
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+    t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+    price_c = pc.cast(
+        pc.floor(pc.add(pc.multiply(t.column("o_totalprice"), 100.0), 0.5)),
+        pa.int64(),
+    ).to_numpy(zero_copy_only=False)
+    okey = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+    odate = pc.cast(t.column("o_orderdate"), pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+
+    rows = []
+    for layout, order in (
+        ("by_orderdate", np.lexsort((okey, odate))),
+        ("by_orderkey", np.argsort(okey, kind="stable")),
+    ):
+        p = price_c[order]
+        n_groups = (len(p) + GROUP - 1) // GROUP
+        gid = np.arange(len(p)) // GROUP
+        gmax = np.full(n_groups, np.iinfo(np.int64).min)
+        np.maximum.at(gmax, gid, p)
+        prunable = int((gmax <= THRESH_C).sum())
+        rows.append(
+            {
+                "layout": layout,
+                "n_groups": int(n_groups),
+                "n_prunable": prunable,
+                "n_matching_rows": int((p > THRESH_C).sum()),
+            }
+        )
+    return pa.table(
+        {
+            "layout": pa.array([r["layout"] for r in rows], pa.string()),
+            "n_groups": pa.array([r["n_groups"] for r in rows], pa.int64()),
+            "n_prunable": pa.array([r["n_prunable"] for r in rows], pa.int64()),
+            "n_matching_rows": pa.array(
+                [r["n_matching_rows"] for r in rows], pa.int64()
+            ),
+        }
+    )
+
+
+ORDERS_MINMAX_PRUNING_AUDIT_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_orderdate,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+  FROM orders
+), laid AS (
+  SELECT 'by_orderdate' AS layout, price_c,
+         (ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) - 1) // 1000
+           AS gid
+  FROM base
+  UNION ALL
+  SELECT 'by_orderkey', price_c,
+         (ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1) // 1000
+  FROM base
+), groups AS (
+  SELECT layout, gid, MAX(price_c) AS gmax
+  FROM laid GROUP BY layout, gid
+)
+SELECT g.layout,
+       COUNT(*) AS n_groups,
+       CAST(SUM(CASE WHEN gmax <= 40000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_prunable,
+       (SELECT CAST(SUM(CASE WHEN price_c > 40000000 THEN 1 ELSE 0 END)
+               AS BIGINT) FROM base) AS n_matching_rows
+FROM groups g
+GROUP BY g.layout
+ORDER BY g.layout
+"""
+
+
+def docs_chao1_bigram_richness(sf_dir: str):
+    """Chao1 species-richness estimation audit — the estimator corpus
+    teams use to answer "how much vocabulary haven't we crawled yet",
+    with exact ground truth beside it (the sketch-accuracy-audit
+    discipline).  Species = token BIGRAMS per lang; the deterministic
+    sample = docs with ``doc_id % 5 == 0``.  Chao1 in exact milli-units
+    (floor arithmetic, both engines):
+
+        f2 > 0:  1000·d + (1000·f1·f1) // (2·f2)
+        f2 = 0:  1000·d + (1000·f1·(f1-1)) // 2
+
+    Output per lang: true distinct bigrams, sampled distinct, f1, f2,
+    chao1_milli.  Counting is per-block partial (bigram, lang, n) →
+    small groupby; no text leaves the tokenize stage."""
+    import re
+
+    tok_re = re.compile(r"[a-z0-9]+")
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "lang", "text"]
+    )
+
+    def bigram_counts(t: pa.Table) -> pa.Table:
+        import collections
+
+        full: collections.Counter = collections.Counter()
+        samp: collections.Counter = collections.Counter()
+        for i, lang, text in zip(
+            t.column("doc_id").to_pylist(),
+            t.column("lang").to_pylist(),
+            t.column("text").to_pylist(),
+        ):
+            toks = tok_re.findall((text or "").lower())
+            for a, b in zip(toks, toks[1:]):
+                key = (lang, f"{a} {b}")
+                full[key] += 1
+                if i % 5 == 0:
+                    samp[key] += 1
+        keys = sorted(full)
+        return pa.table(
+            {
+                "lang": pa.array([k[0] for k in keys], pa.string()),
+                "bg": pa.array([k[1] for k in keys], pa.string()),
+                "n_full": pa.array([full[k] for k in keys], pa.int64()),
+                "n_samp": pa.array([samp.get(k, 0) for k in keys], pa.int64()),
+            }
+        )
+
+    parts = pa.concat_tables(
+        list(
+            ds.map_batches(bigram_counts, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"
+            )
+        )
+    )
+    merged = (
+        parts.group_by(["lang", "bg"])
+        .aggregate([("n_full", "sum"), ("n_samp", "sum")])
+        .rename_columns(["lang", "bg", "n_full", "n_samp"])
+    )
+    langs = sorted(set(merged.column("lang").to_pylist()))
+    rows = []
+    lang_np = np.asarray(merged.column("lang").to_pylist(), dtype=object)
+    nf = merged.column("n_full").to_numpy(zero_copy_only=False)
+    nsmp = merged.column("n_samp").to_numpy(zero_copy_only=False)
+    for lang in langs:
+        m = lang_np == lang
+        d_true = int(m.sum())
+        s = nsmp[m]
+        d_samp = int((s > 0).sum())
+        f1 = int((s == 1).sum())
+        f2 = int((s == 2).sum())
+        if f2 > 0:
+            chao = 1000 * d_samp + (1000 * f1 * f1) // (2 * f2)
+        else:
+            chao = 1000 * d_samp + (1000 * f1 * (f1 - 1)) // 2
+        rows.append((lang, d_true, d_samp, f1, f2, chao))
+    return pa.table(
+        {
+            "lang": pa.array([r[0] for r in rows], pa.string()),
+            "d_true": pa.array([r[1] for r in rows], pa.int64()),
+            "d_sample": pa.array([r[2] for r in rows], pa.int64()),
+            "f1": pa.array([r[3] for r in rows], pa.int64()),
+            "f2": pa.array([r[4] for r in rows], pa.int64()),
+            "chao1_milli": pa.array([r[5] for r in rows], pa.int64()),
+        }
+    )
+
+
+DOCS_CHAO1_BIGRAM_RICHNESS_SQL = """
+WITH d AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents),
+t AS (SELECT doc_id, lang, unnest(l) AS term,
+             unnest(range(1, len(l)+1)) AS pos
+      FROM d),
+b AS (SELECT doc_id, lang, term,
+             lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      FROM t),
+c AS (SELECT lang, term || ' ' || nxt AS bg,
+             COUNT(*) AS n_full,
+             CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_samp
+      FROM b WHERE nxt IS NOT NULL GROUP BY 1, 2),
+agg AS (
+  SELECT lang,
+         COUNT(*) AS d_true,
+         CAST(SUM(CASE WHEN n_samp > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS d_sample,
+         CAST(SUM(CASE WHEN n_samp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(SUM(CASE WHEN n_samp = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+  FROM c GROUP BY lang)
+SELECT lang, d_true, d_sample, f1, f2,
+       CASE WHEN f2 > 0
+            THEN 1000 * d_sample + (1000 * f1 * f1) // (2 * f2)
+            ELSE 1000 * d_sample + (1000 * f1 * (f1 - 1)) // 2
+       END AS chao1_milli
+FROM agg
+ORDER BY lang
+"""
