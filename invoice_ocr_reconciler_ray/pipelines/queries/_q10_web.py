@@ -9,6 +9,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import ray.data as rd
+from ray.data.aggregate import Count
 
 from ._common import _t
 
@@ -1124,3 +1125,114 @@ SELECT lang, d_true, d_sample, f1, f2,
 FROM agg
 ORDER BY lang
 """
+
+
+def docs_minhash_lsh_tuning_curve(sf_dir: str):
+    """LSH (bands × rows) TUNING CURVE over the exact 8-value minhash
+    signatures: for each layout that factorizes the signature — 2×4
+    (high precision), 4×2 (the production layout the band census audits),
+    8×1 (high recall) — the exact bucket census and candidate-pair
+    volume Σ C(size, 2) per layout.  This is THE parameter decision every
+    near-dup deployment makes (pair volume ↔ recall trade), computed
+    exactly from bucket sizes alone: signatures ride the groupby, pairs
+    are never materialized.
+
+    Output per layout: n_buckets (multi-doc), max_bucket, candidate_pairs."""
+    from ._q09_docs_events import _minhash8_block
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    layouts = {
+        "b2r4": [(0, 1, 2, 3), (4, 5, 6, 7)],
+        "b4r2": [(0, 1), (2, 3), (4, 5), (6, 7)],
+        "b8r1": [(0,), (1,), (2,), (3,), (4,), (5,), (6,), (7,)],
+    }
+
+    def band_keys(t: pa.Table) -> pa.Table:
+        s = _minhash8_block(t)
+        cols = {f"m{i}": s[f"m{i}"].to_numpy(zero_copy_only=False) for i in range(8)}
+        rows_layout, rows_band, rows_key = [], [], []
+        for lay, bandspec in layouts.items():
+            for bi, members in enumerate(bandspec):
+                key = np.array(
+                    [":".join(str(cols[f"m{m}"][r]) for m in members)
+                     for r in range(s.num_rows)],
+                    dtype=object,
+                )
+                rows_layout.append(np.full(s.num_rows, lay, dtype=object))
+                rows_band.append(np.full(s.num_rows, bi, dtype=np.int64))
+                rows_key.append(key)
+        return pa.table(
+            {
+                "layout": pa.array(np.concatenate(rows_layout).tolist(), pa.string()),
+                "band": pa.array(np.concatenate(rows_band), pa.int64()),
+                "k": pa.array(np.concatenate(rows_key).tolist(), pa.string()),
+            }
+        )
+
+    buckets = (
+        ds.map_batches(band_keys, batch_format="pyarrow")
+        .groupby(["layout", "band", "k"])
+        .aggregate(Count(alias_name="sz"))
+        .to_pandas()
+    )
+    out = []
+    for lay in sorted(layouts):
+        sz = buckets.loc[buckets["layout"] == lay, "sz"].to_numpy(np.int64)
+        multi = sz[sz > 1]
+        out.append(
+            (
+                lay,
+                int(len(multi)),
+                int(sz.max()) if len(sz) else 0,
+                int((multi * (multi - 1) // 2).sum()),
+            )
+        )
+    return pa.table(
+        {
+            "layout": pa.array([r[0] for r in out], pa.string()),
+            "n_buckets": pa.array([r[1] for r in out], pa.int64()),
+            "max_bucket": pa.array([r[2] for r in out], pa.int64()),
+            "candidate_pairs": pa.array([r[3] for r in out], pa.int64()),
+        }
+    )
+
+
+from ._q09_docs_events import _MINHASH_SIG_SQL_CORE
+
+DOCS_MINHASH_LSH_TUNING_CURVE_SQL = (
+    "WITH "
+    + _MINHASH_SIG_SQL_CORE
+    + """,
+b AS (
+  SELECT 'b2r4' AS layout, 0 AS band,
+         CAST(m0 AS VARCHAR) || ':' || CAST(m1 AS VARCHAR) || ':'
+           || CAST(m2 AS VARCHAR) || ':' || CAST(m3 AS VARCHAR) AS k FROM sig
+  UNION ALL SELECT 'b2r4', 1,
+         CAST(m4 AS VARCHAR) || ':' || CAST(m5 AS VARCHAR) || ':'
+           || CAST(m6 AS VARCHAR) || ':' || CAST(m7 AS VARCHAR) FROM sig
+  UNION ALL SELECT 'b4r2', 0, CAST(m0 AS VARCHAR) || ':' || CAST(m1 AS VARCHAR) FROM sig
+  UNION ALL SELECT 'b4r2', 1, CAST(m2 AS VARCHAR) || ':' || CAST(m3 AS VARCHAR) FROM sig
+  UNION ALL SELECT 'b4r2', 2, CAST(m4 AS VARCHAR) || ':' || CAST(m5 AS VARCHAR) FROM sig
+  UNION ALL SELECT 'b4r2', 3, CAST(m6 AS VARCHAR) || ':' || CAST(m7 AS VARCHAR) FROM sig
+  UNION ALL SELECT 'b8r1', 0, CAST(m0 AS VARCHAR) FROM sig
+  UNION ALL SELECT 'b8r1', 1, CAST(m1 AS VARCHAR) FROM sig
+  UNION ALL SELECT 'b8r1', 2, CAST(m2 AS VARCHAR) FROM sig
+  UNION ALL SELECT 'b8r1', 3, CAST(m3 AS VARCHAR) FROM sig
+  UNION ALL SELECT 'b8r1', 4, CAST(m4 AS VARCHAR) FROM sig
+  UNION ALL SELECT 'b8r1', 5, CAST(m5 AS VARCHAR) FROM sig
+  UNION ALL SELECT 'b8r1', 6, CAST(m6 AS VARCHAR) FROM sig
+  UNION ALL SELECT 'b8r1', 7, CAST(m7 AS VARCHAR) FROM sig
+), bu AS (
+  SELECT layout, band, k, CAST(COUNT(*) AS BIGINT) AS sz
+  FROM b GROUP BY layout, band, k
+)
+SELECT layout,
+       CAST(SUM(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_buckets,
+       CAST(MAX(sz) AS BIGINT) AS max_bucket,
+       CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS candidate_pairs
+FROM bu
+GROUP BY layout
+ORDER BY layout
+"""
+)
