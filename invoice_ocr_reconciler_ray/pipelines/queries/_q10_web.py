@@ -1236,3 +1236,108 @@ GROUP BY layout
 ORDER BY layout
 """
 )
+
+
+def orders_delta_bitpack_audit(sf_dir: str):
+    """DELTA_BINARY_PACKED width audit — the Parquet encoder decision for
+    a sorted key column: 128-value blocks over ``o_orderkey`` in key
+    order, per-block max delta → bit width (``strlen(bin(max))``, the
+    exact DuckDB-mirrorable form), histogrammed as (width_bits,
+    n_blocks).  Key deltas in this layout are what make sorted layouts
+    cheap to store; the histogram is the evidence.  Blocks contributing
+    no delta rows (a trailing single-row block) are absent on both
+    sides by construction."""
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey"])
+    v = np.sort(
+        pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+        .column("o_orderkey")
+        .to_numpy(zero_copy_only=False)
+    )
+    rn = np.arange(1, len(v) + 1)
+    deltas = v[1:] - v[:-1]
+    drn = rn[1:]
+    mask = (drn - 1) % 128 != 0  # first row of each block carries no delta
+    blk = (drn[mask] - 1) // 128
+    dd = deltas[mask]
+    widths: dict[int, int] = {}
+    for b in np.unique(blk):
+        mx = int(dd[blk == b].max())
+        w = max(1, mx.bit_length())
+        widths[w] = widths.get(w, 0) + 1
+    ks = sorted(widths)
+    return pa.table(
+        {
+            "width_bits": pa.array(ks, pa.int64()),
+            "n_blocks": pa.array([widths[k] for k in ks], pa.int64()),
+        }
+    )
+
+
+ORDERS_DELTA_BITPACK_AUDIT_SQL = """
+WITH s AS (
+  SELECT o_orderkey AS v,
+         ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn
+  FROM orders
+), d AS (
+  SELECT rn, (rn - 1) // 128 AS blk,
+         v - LAG(v) OVER (ORDER BY rn) AS delta
+  FROM s
+), bw AS (
+  SELECT blk, CAST(strlen(bin(MAX(delta))) AS BIGINT) AS width_bits
+  FROM d WHERE (rn - 1) % 128 <> 0
+  GROUP BY blk
+)
+SELECT width_bits, COUNT(*) AS n_blocks
+FROM bw GROUP BY width_bits ORDER BY width_bits
+"""
+
+
+def events_fair_share_schedule_audit(sf_dir: str):
+    """Round-robin fair-share scheduler audit — multi-tenant completion
+    order when every tenant's queue drains one task per round (tenants
+    cycled in user_id order): the closed-form finish position of each
+    tenant's LAST task,
+
+        finish(t) = Σ_u min(L_u, L_t − 1) + |{u ≤ t : L_u ≥ L_t}|
+
+    (u ordered by user_id).  Exactly the arithmetic a fair-share executor
+    admission report needs, exactly mirrored in SQL via a tenant
+    self-join (tenant counts are tiny — the per-tenant aggregate is the
+    only distributed step)."""
+    from ray.data.aggregate import Count as _Count
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id"])
+    counts = (
+        ds.groupby("user_id").aggregate(_Count(alias_name="queue_len")).to_pandas()
+    )
+    counts = counts.sort_values("user_id").reset_index(drop=True)
+    users = counts["user_id"].tolist()
+    L = counts["queue_len"].to_numpy(np.int64)
+    finish = np.empty(len(L), dtype=np.int64)
+    for i in range(len(L)):
+        k = L[i]
+        finish[i] = int(np.minimum(L, k - 1).sum()) + int(
+            ((L >= k) & (np.arange(len(L)) <= i)).sum()
+        )
+    return pa.table(
+        {
+            "user_id": pa.array(users),
+            "queue_len": pa.array(L, pa.int64()),
+            "last_finish_pos": pa.array(finish, pa.int64()),
+        }
+    )
+
+
+EVENTS_FAIR_SHARE_SCHEDULE_AUDIT_SQL = """
+WITH c AS (
+  SELECT user_id, COUNT(*) AS queue_len FROM events GROUP BY user_id
+)
+SELECT t.user_id,
+       CAST(t.queue_len AS BIGINT) AS queue_len,
+       CAST((SELECT SUM(LEAST(u.queue_len, t.queue_len - 1)) FROM c u)
+            + (SELECT COUNT(*) FROM c u
+               WHERE u.queue_len >= t.queue_len AND u.user_id <= t.user_id)
+            AS BIGINT) AS last_finish_pos
+FROM c t
+ORDER BY t.user_id
+"""
