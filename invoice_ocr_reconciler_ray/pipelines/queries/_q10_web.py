@@ -1341,3 +1341,84 @@ SELECT t.user_id,
 FROM c t
 ORDER BY t.user_id
 """
+
+
+def docs_merkle_root(sf_dir: str):
+    """Merkle-tree integrity fingerprint of the corpus — what a 100 TB
+    snapshot publishes so any replica can verify any doc with log(n)
+    hashes.  Leaves = ``md5(doc_id || ':' || text)`` in doc_id order;
+    each level pairs adjacent nodes as ``md5(left || right)`` (hex
+    concatenation), an odd trailing node promotes unchanged.  Leaf
+    hashing is the distributed step (per-block map); the fold above it
+    touches only hashes (driver-side, O(n) tiny strings).  The oracle
+    reproduces the identical tree as unrolled SQL levels — the
+    docs_pagerank unroll discipline applied to hash folding.
+
+    Output: one row (n_leaves, depth, root_md5)."""
+    import hashlib
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def leaf(t: pa.Table) -> pa.Table:
+        hs = [
+            hashlib.md5(f"{i}:{s}".encode()).hexdigest()
+            for i, s in zip(
+                t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+            )
+        ]
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "h": pa.array(hs, pa.string())}
+        )
+
+    lt = (
+        pa.concat_tables(
+            list(ds.map_batches(leaf, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"
+            ))
+        )
+        .sort_by("doc_id")
+    )
+    level = lt.column("h").to_pylist()
+    n_leaves = len(level)
+    depth = 0
+    while len(level) > 1:
+        nxt = []
+        for i in range(0, len(level) - 1, 2):
+            nxt.append(hashlib.md5((level[i] + level[i + 1]).encode()).hexdigest())
+        if len(level) % 2 == 1:
+            nxt.append(level[-1])  # odd node promotes
+        level = nxt
+        depth += 1
+    return pa.table(
+        {
+            "n_leaves": pa.array([n_leaves], pa.int64()),
+            "depth": pa.array([depth], pa.int64()),
+            "root_md5": pa.array(level, pa.string()),
+        }
+    )
+
+
+def _merkle_sql(levels: int = 12) -> str:
+    sql = """WITH l0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS i,
+         md5(CAST(doc_id AS VARCHAR) || ':' || text) AS h
+  FROM documents)"""
+    for k in range(1, levels + 1):
+        p = k - 1
+        sql += f""",
+l{k} AS (
+  SELECT a.i // 2 AS i,
+         CASE WHEN b.h IS NULL THEN a.h ELSE md5(a.h || b.h) END AS h
+  FROM l{p} a LEFT JOIN l{p} b ON b.i = a.i + 1 AND a.i % 2 = 0
+  WHERE a.i % 2 = 0)"""
+    return (
+        sql
+        + f"""
+SELECT (SELECT COUNT(*) FROM l0) AS n_leaves,
+       CAST(CEIL(LOG2(GREATEST((SELECT COUNT(*) FROM l0), 2))) AS BIGINT)
+         AS depth,
+       (SELECT h FROM l{levels}) AS root_md5"""
+    )
+
+
+DOCS_MERKLE_ROOT_SQL = _merkle_sql()
