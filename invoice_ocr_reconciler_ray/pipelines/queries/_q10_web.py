@@ -1422,3 +1422,62 @@ SELECT (SELECT COUNT(*) FROM l0) AS n_leaves,
 
 
 DOCS_MERKLE_ROOT_SQL = _merkle_sql()
+
+
+def docs_linkgraph_components(sf_dir: str):
+    """Connected components over the synthetic md5 link graph with a FULL
+    exact oracle — the first value-checked CC in the registry (the
+    near-dup CC entries are rows-only because LSH pair sets are
+    probabilistic; this graph is deterministic).  Uses the production
+    machinery unchanged: ``stages/neardup.cluster_pairs`` distributed
+    min-label propagation (labels never on the driver, change-count
+    convergence, broadcast-guarded edge list) with a 16-round budget;
+    the oracle unrolls the SAME min-label recurrence 16 SQL rounds —
+    idempotent after the fixpoint, so equality is exact.
+
+    Output: (doc_id, cluster_id = component min doc_id)."""
+    from ...stages.neardup import cluster_pairs
+    from ._q01_events_orders import _synth_link_edges
+
+    edges, _n = _synth_link_edges(sf_dir)
+    ids = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    pairs = edges.map_batches(
+        lambda t: pa.table({"id_a": t.column("src"), "id_b": t.column("dst")}),
+        batch_format="pyarrow",
+    )
+    return cluster_pairs(ids, pairs, max_rounds=16).sort("doc_id")
+
+
+def _cc_sql(rounds: int = 16) -> str:
+    sql = """WITH edges_raw AS (
+  SELECT doc_id AS src,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                    || CAST(j.j AS VARCHAR)), 1, 8)) AS UBIGINT)
+              % (SELECT COUNT(*) FROM documents) AS BIGINT) AS dst
+  FROM documents, LATERAL unnest(generate_series(0, 2)) AS j(j)
+), edges AS (SELECT DISTINCT src, dst FROM edges_raw WHERE dst <> src),
+und AS MATERIALIZED (SELECT src AS a, dst AS b FROM edges
+        UNION ALL SELECT dst, src FROM edges),
+c0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS label FROM documents)"""
+    # AS MATERIALIZED is load-bearing: each round references the previous
+    # round twice, and DuckDB's default CTE inlining would expand c0 2^16
+    # times (exhausting file handles on the parquet view)
+    for k in range(1, rounds + 1):
+        p = k - 1
+        sql += f""",
+c{k} AS MATERIALIZED (
+  SELECT x.node,
+         LEAST(x.label, COALESCE(MIN(y.label), x.label)) AS label
+  FROM c{p} x
+  LEFT JOIN und e ON e.a = x.node
+  LEFT JOIN c{p} y ON y.node = e.b
+  GROUP BY x.node, x.label)"""
+    return (
+        sql
+        + f"""
+SELECT node AS doc_id, label AS cluster_id
+FROM c{rounds} ORDER BY doc_id"""
+    )
+
+
+DOCS_LINKGRAPH_COMPONENTS_SQL = _cc_sql()
