@@ -1481,3 +1481,120 @@ FROM c{rounds} ORDER BY doc_id"""
 
 
 DOCS_LINKGRAPH_COMPONENTS_SQL = _cc_sql()
+
+
+def docs_bigram_lm_accuracy(sf_dir: str):
+    """Bigram language-model next-token accuracy — the train/eval loop in
+    miniature with EXACT arithmetic: the "model" is the corpus-global
+    modal continuation of each token (ties broken lexicographically);
+    evaluation replays every bigram position and scores whether the
+    model's prediction matches, reported per lang in exact ppm.
+
+    Distributed shape: bigram counting is per-block partial → one small
+    groupby (vocab² keys); the argmax table is tiny and joins back into
+    the same counts — no second corpus pass.  SQL mirrors with
+    window-rank argmax + the same integer ppm floor."""
+    import re
+
+    tok_re = re.compile(r"[a-z0-9]+")
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["lang", "text"])
+
+    def bigram_counts(t: pa.Table) -> pa.Table:
+        import collections
+
+        cnt: collections.Counter = collections.Counter()
+        for lang, text in zip(
+            t.column("lang").to_pylist(), t.column("text").to_pylist()
+        ):
+            toks = tok_re.findall((text or "").lower())
+            for a, b in zip(toks, toks[1:]):
+                cnt[(lang, a, b)] += 1
+        keys = sorted(cnt)
+        return pa.table(
+            {
+                "lang": pa.array([k[0] for k in keys], pa.string()),
+                "cur": pa.array([k[1] for k in keys], pa.string()),
+                "nxt": pa.array([k[2] for k in keys], pa.string()),
+                "n": pa.array([cnt[k] for k in keys], pa.int64()),
+            }
+        )
+
+    parts = pa.concat_tables(
+        list(
+            ds.map_batches(bigram_counts, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"
+            )
+        )
+    )
+    counts = (
+        parts.group_by(["lang", "cur", "nxt"])
+        .aggregate([("n", "sum")])
+        .rename_columns(["lang", "cur", "nxt", "n"])
+    )
+    # global model: per current-token modal next (summed over langs)
+    gl = (
+        counts.group_by(["cur", "nxt"])
+        .aggregate([("n", "sum")])
+        .rename_columns(["cur", "nxt", "n"])
+        .to_pandas()
+        .sort_values(["cur", "n", "nxt"], ascending=[True, False, True])
+    )
+    model = dict(zip(gl.drop_duplicates("cur")["cur"], gl.drop_duplicates("cur")["nxt"]))
+
+    cdf = counts.to_pandas()
+    cdf["correct"] = [
+        n if model.get(c) == x else 0
+        for c, x, n in zip(cdf["cur"], cdf["nxt"], cdf["n"])
+    ]
+    agg = cdf.groupby("lang", as_index=False).agg(
+        n_positions=("n", "sum"), n_correct=("correct", "sum")
+    )
+    agg = agg.sort_values("lang")
+    return pa.table(
+        {
+            "lang": pa.array(agg["lang"].tolist(), pa.string()),
+            "n_positions": pa.array(agg["n_positions"].to_numpy(np.int64)),
+            "n_correct": pa.array(agg["n_correct"].to_numpy(np.int64)),
+            "accuracy_ppm": pa.array(
+                (
+                    agg["n_correct"].to_numpy(np.int64) * 1_000_000
+                    // agg["n_positions"].to_numpy(np.int64)
+                ),
+                pa.int64(),
+            ),
+        }
+    )
+
+
+DOCS_BIGRAM_LM_ACCURACY_SQL = """
+WITH d AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents),
+t AS (SELECT doc_id, lang, unnest(l) AS term,
+             unnest(range(1, len(l)+1)) AS pos
+      FROM d),
+b AS (SELECT lang, term AS cur,
+             lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      FROM t),
+c AS (SELECT lang, cur, nxt, CAST(COUNT(*) AS BIGINT) AS n
+      FROM b WHERE nxt IS NOT NULL GROUP BY 1, 2, 3),
+model AS (
+  SELECT cur, nxt AS pred FROM (
+    SELECT cur, nxt, SUM(n) AS gn,
+           ROW_NUMBER() OVER (PARTITION BY cur
+                              ORDER BY SUM(n) DESC, nxt) AS rn
+    FROM c GROUP BY cur, nxt)
+  WHERE rn = 1)
+SELECT c.lang,
+       CAST(SUM(c.n) AS BIGINT) AS n_positions,
+       CAST(SUM(CASE WHEN m.pred = c.nxt THEN c.n ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       CAST(SUM(CASE WHEN m.pred = c.nxt THEN c.n ELSE 0 END) * 1000000
+            // SUM(c.n) AS BIGINT) AS accuracy_ppm
+FROM c JOIN model m ON c.cur = m.cur
+GROUP BY c.lang
+ORDER BY c.lang
+"""
