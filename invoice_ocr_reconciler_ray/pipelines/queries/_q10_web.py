@@ -1598,3 +1598,143 @@ FROM c JOIN model m ON c.cur = m.cur
 GROUP BY c.lang
 ORDER BY c.lang
 """
+
+
+def orders_parallelism_invariance_audit(sf_dir: str):
+    """Determinism-under-parallelism SELF-AUDIT: the same integer-cents
+    revenue aggregate executed twice inside one op at different block
+    counts (4 vs 32) — different task boundaries, different reduction
+    order — must produce byte-equal results, because every money kernel
+    in this engine is integer.  Emits one row per layout with the
+    identical checksum; the oracle computes the value once and expects
+    it twice.  This is the north_rule's output-identity property as a
+    standing, oracle-checked regression test rather than a bench-time
+    assertion."""
+    import pyarrow.compute as pc
+
+    rows = []
+    for label, nb in (("blocks4", 4), ("blocks32", 32)):
+        ds = rd.read_parquet(
+            _t(sf_dir, "orders"),
+            columns=["o_totalprice"],
+            override_num_blocks=nb,
+        )
+
+        def cents(t: pa.Table) -> pa.Table:
+            c = pc.cast(
+                pc.floor(pc.add(pc.multiply(t["o_totalprice"], 100.0), 0.5)),
+                pa.int64(),
+            )
+            return pa.table(
+                {
+                    "s": pa.array([pc.sum(c).as_py() or 0], pa.int64()),
+                    "n": pa.array([t.num_rows], pa.int64()),
+                }
+            )
+
+        parts = pa.concat_tables(
+            list(
+                ds.map_batches(cents, batch_format="pyarrow").iter_batches(
+                    batch_format="pyarrow"
+                )
+            )
+        )
+        rows.append(
+            (
+                label,
+                int(pc.sum(parts["s"]).as_py()),
+                int(pc.sum(parts["n"]).as_py()),
+            )
+        )
+    return pa.table(
+        {
+            "layout": pa.array([r[0] for r in rows], pa.string()),
+            "revenue_cents": pa.array([r[1] for r in rows], pa.int64()),
+            "n_rows": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+ORDERS_PARALLELISM_INVARIANCE_AUDIT_SQL = """
+WITH v AS (
+  SELECT CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS revenue_cents,
+         COUNT(*) AS n_rows
+  FROM orders
+)
+SELECT 'blocks32' AS layout, revenue_cents, n_rows FROM v
+UNION ALL
+SELECT 'blocks4', revenue_cents, n_rows FROM v
+ORDER BY layout
+"""
+
+
+def events_user_haar_energy(sf_dir: str):
+    """Two-level Haar wavelet energy per user over the event value
+    stream (cents, ts order) — the multiresolution burst-detection
+    feature next to the DFT-power op.  Level-1 pairs adjacent values:
+    detail d = a − b, approx s = a + b; level-2 repeats on the approx
+    stream.  Energies are Σ d² in exact int64; odd trailing elements
+    drop at each level (both sides, by construction).
+
+    Per-user groups are small; the fold is one numpy pass per group."""
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "ts", "value"]
+    )
+
+    def haar(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id")[0].as_py()
+        order = np.argsort(
+            pc.cast(g.column("ts"), pa.int64()).to_numpy(zero_copy_only=False),
+            kind="stable",
+        )
+        v = pc.cast(
+            pc.floor(pc.add(pc.multiply(g.column("value"), 100.0), 0.5)),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)[order]
+        n = len(v)
+        m1 = n // 2
+        a, b = v[: 2 * m1 : 2], v[1 : 2 * m1 : 2]
+        d1 = a - b
+        s1 = a + b
+        e1 = int((d1 * d1).sum())
+        m2 = len(s1) // 2
+        d2 = s1[: 2 * m2 : 2] - s1[1 : 2 * m2 : 2]
+        e2 = int((d2 * d2).sum())
+        return pa.table(
+            {
+                "user_id": pa.array([uid], g.schema.field("user_id").type),
+                "n_events": pa.array([n], pa.int64()),
+                "l1_energy": pa.array([e1], pa.int64()),
+                "l2_energy": pa.array([e2], pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(haar, batch_format="pyarrow")
+
+
+EVENTS_USER_HAAR_ENERGY_SQL = """
+WITH s AS (
+  SELECT user_id,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS i
+  FROM events
+), l1 AS (
+  SELECT a.user_id, a.i // 2 AS j, a.c - b.c AS d, a.c + b.c AS s
+  FROM s a JOIN s b ON a.user_id = b.user_id AND b.i = a.i + 1
+  WHERE a.i % 2 = 0
+), l2 AS (
+  SELECT a.user_id, a.s - b.s AS d
+  FROM l1 a JOIN l1 b ON a.user_id = b.user_id AND b.j = a.j + 1
+  WHERE a.j % 2 = 0
+), n AS (SELECT user_id, COUNT(*) AS n_events FROM s GROUP BY user_id)
+SELECT n.user_id, n.n_events,
+       CAST(COALESCE((SELECT SUM(d*d) FROM l1 WHERE l1.user_id = n.user_id), 0)
+            AS BIGINT) AS l1_energy,
+       CAST(COALESCE((SELECT SUM(d*d) FROM l2 WHERE l2.user_id = n.user_id), 0)
+            AS BIGINT) AS l2_energy
+FROM n
+ORDER BY n.user_id
+"""
