@@ -117,6 +117,11 @@ QUERY_SUBSET = [
     "events_trailing_value_sum",
     "customer_supplier_linkage",
     "docs_token_chunks",
+    # round-5 web-governance / engine-audit additions
+    "docs_robots_gate",
+    "docs_linkgraph_components",
+    "events_rate_limit_replay",
+    "docs_minhash_lsh_tuning_curve",
 ]
 
 
