@@ -1738,3 +1738,66 @@ SELECT n.user_id, n.n_events,
 FROM n
 ORDER BY n.user_id
 """
+
+
+def events_stream_disorder_audit(sf_dir: str):
+    """Stream-disorder measurement — the statistic that justifies every
+    watermark setting: comparing ARRIVAL order (event_id) against EVENT
+    time (ts), how many records arrive late, and how late.  A record is
+    late when its ts is behind the running max ts of everything that
+    arrived before it; lateness is that gap in microseconds.
+
+    Per-block partials don't work for a running max over a global order,
+    so the op follows the two-phase scan discipline (stages/scan.py):
+    block-level (max ts, per-row data) partials with a driver prefix-max
+    stitch — one pass, O(blocks) driver work.  Here the whole projection
+    is two int64 columns, so the stitch runs on the driver directly.
+
+    Output: one row — n_events, n_late, max_lateness_us,
+    total_lateness_us, p_late_ppm."""
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "ts"])
+    t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+    order = np.argsort(
+        t.column("event_id").to_numpy(zero_copy_only=False), kind="stable"
+    )
+    ts = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)[order]
+    runmax = np.maximum.accumulate(ts)
+    # a row is late vs the running max BEFORE it arrived
+    prev_max = np.concatenate([[np.iinfo(np.int64).min], runmax[:-1]])
+    late = ts < prev_max
+    lateness = np.where(late, prev_max - ts, 0)
+    n = len(ts)
+    n_late = int(late.sum())
+    return pa.table(
+        {
+            "n_events": pa.array([n], pa.int64()),
+            "n_late": pa.array([n_late], pa.int64()),
+            "max_lateness_us": pa.array([int(lateness.max()) if n else 0], pa.int64()),
+            "total_lateness_us": pa.array([int(lateness.sum())], pa.int64()),
+            "p_late_ppm": pa.array(
+                [n_late * 1_000_000 // n if n else 0], pa.int64()
+            ),
+        }
+    )
+
+
+EVENTS_STREAM_DISORDER_AUDIT_SQL = """
+WITH s AS (
+  SELECT epoch_us(ts) AS t,
+         MAX(epoch_us(ts)) OVER (
+           ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS prev_max
+  FROM events
+)
+SELECT COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN t < prev_max THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(COALESCE(MAX(CASE WHEN t < prev_max THEN prev_max - t END), 0)
+            AS BIGINT) AS max_lateness_us,
+       CAST(COALESCE(SUM(CASE WHEN t < prev_max THEN prev_max - t ELSE 0 END), 0)
+            AS BIGINT) AS total_lateness_us,
+       CAST(SUM(CASE WHEN t < prev_max THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS p_late_ppm
+FROM s
+"""
