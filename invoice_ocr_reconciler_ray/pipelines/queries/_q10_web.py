@@ -9,7 +9,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import ray.data as rd
-from ray.data.aggregate import Count
+from ray.data.aggregate import Count, Min
 
 from ._common import _t
 
@@ -1800,4 +1800,182 @@ SELECT COUNT(*) AS n_events,
        CAST(SUM(CASE WHEN t < prev_max THEN 1 ELSE 0 END) * 1000000
             // COUNT(*) AS BIGINT) AS p_late_ppm
 FROM s
+"""
+
+
+def web_admission_report(sf_dir: str):
+    """The COMPOSED admission pipeline — every gate a crawled page passes
+    before entering the corpus, in one chained Dataset plan: robots.txt
+    policy (this module's gate), exact keyed dedup (first-wins winner
+    map, the flagship discipline), and C4/Gopher quality (the production
+    ``quality_flags_stage``, composing via column passthrough).  Reported
+    per lang: totals, per-gate rejections, and the admitted remainder
+    (admitted = allowed ∧ ¬dup ∧ kept).
+
+    Shape: ONE text scan (the quality stage), a narrow 3-column side
+    aggregate for the dup winner map (broadcast, dup keys only), robots
+    evaluated in-closure — no joins, no driver row loops; the per-lang
+    fold is partial-then-merge."""
+    import ray
+    import pyarrow.compute as pc
+
+    from ...functions.robots import parse_robots
+    from ...stages.text_analysis import quality_flags_stage
+
+    rules = parse_robots(_ROBOTS_TXT, agent="graftbot")
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "lang", "n_chars", "text"]
+    )
+    q = quality_flags_stage(ds)  # + lang, n_chars passthrough
+
+    # dup winner map from a narrow side read (same keys as
+    # dedup_flag_documents: first doc_id per (lang, n_chars), dup keys only)
+    side = rd.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "lang", "n_chars"]
+    )
+    firsts = (
+        side.groupby(["lang", "n_chars"])
+        .aggregate(Min("doc_id", alias_name="first_id"), Count(alias_name="n"))
+        .to_pandas()
+    )
+    firsts = firsts[firsts["n"] > 1]
+    comp = firsts["lang"].astype(str) + "|" + firsts["n_chars"].astype(str)
+    dup_ref = ray.put(
+        {
+            "keys": pa.array(comp.tolist(), pa.string()),
+            "first": pa.array(firsts["first_id"].to_numpy(), pa.int64()),
+        }
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        import collections
+
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        langs = t.column("lang").to_pylist()
+        kept = t.column("kept").to_numpy(zero_copy_only=False)
+        # robots verdicts (same arithmetic as docs_robots_gate)
+        allowed = np.ones(len(ids), dtype=bool)
+        best_len = np.full(len(ids), -1, dtype=np.int64)
+        paths = np.array(
+            [f"/{l}/{i % 7}/p{i}" for l, i in zip(langs, ids)], dtype=str
+        )
+        for is_allow, prefix in rules:
+            m = np.char.startswith(paths, prefix)
+            ln = len(prefix)
+            up = m & ((ln > best_len) | ((ln == best_len) & is_allow & ~allowed))
+            best_len[up] = ln
+            allowed[up] = is_allow
+        # dup probe
+        w = ray.get(dup_ref)
+        comp_b = pa.array(
+            [f"{l}|{n}" for l, n in zip(langs, t.column("n_chars").to_pylist())],
+            pa.string(),
+        )
+        idx = pc.index_in(comp_b, value_set=w["keys"])
+        firsts_of = pc.take(w["first"], idx).to_numpy(zero_copy_only=False)
+        is_dup = pc.is_valid(idx).to_numpy(zero_copy_only=False) & (
+            ids != np.where(np.isnan(firsts_of.astype(np.float64)), -1, firsts_of)
+        )
+        admitted = allowed & ~is_dup & kept
+        agg: collections.Counter = collections.Counter()
+        for l, a, d, k, ad in zip(langs, allowed, is_dup, kept, admitted):
+            agg[(l, "n_docs")] += 1
+            agg[(l, "n_robots_blocked")] += int(not a)
+            agg[(l, "n_dup")] += int(d)
+            agg[(l, "n_low_quality")] += int(not k)
+            agg[(l, "n_admitted")] += int(ad)
+        ls = sorted({l for l, _ in agg})
+        cols = ["n_docs", "n_robots_blocked", "n_dup", "n_low_quality", "n_admitted"]
+        data = {"lang": pa.array(ls, pa.string())}
+        for c in cols:
+            data[c] = pa.array([agg[(l, c)] for l in ls], pa.int64())
+        return pa.table(data)
+
+    parts = pa.concat_tables(
+        list(q.map_batches(fold, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ))
+    )
+    return (
+        parts.group_by("lang")
+        .aggregate(
+            [
+                ("n_docs", "sum"),
+                ("n_robots_blocked", "sum"),
+                ("n_dup", "sum"),
+                ("n_low_quality", "sum"),
+                ("n_admitted", "sum"),
+            ]
+        )
+        .rename_columns(
+            ["lang", "n_docs", "n_robots_blocked", "n_dup", "n_low_quality", "n_admitted"]
+        )
+        .sort_by("lang")
+    )
+
+
+WEB_ADMISSION_REPORT_SQL = """
+WITH robots AS (
+  SELECT doc_id, lang,
+         COALESCE((
+           SELECT r.is_allow = 1
+           FROM (VALUES (0, '/en/'), (1, '/en/3/'), (0, '/de/5/'),
+                        (1, '/de/5/p12'), (0, '/zh/'), (1, '/zh/1/'),
+                        (0, '/es/4/'), (1, '/es/4/')) r(is_allow, prefix)
+           WHERE substr('/' || lang || '/' || CAST(doc_id % 7 AS VARCHAR)
+                        || '/p' || CAST(doc_id AS VARCHAR),
+                        1, length(r.prefix)) = r.prefix
+           ORDER BY length(r.prefix) DESC, r.is_allow DESC LIMIT 1
+         ), TRUE) AS allowed
+  FROM documents
+), dup AS (
+  SELECT doc_id,
+         (row_number() OVER (PARTITION BY lang, n_chars ORDER BY doc_id)) > 1
+           AS is_dup
+  FROM documents
+), qb AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_words,
+         length(regexp_replace(text, '\\s', '', 'g')) AS wc,
+         len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+             x -> x IN ('the','a','an','of','to','in','and','is','on','for')))
+           AS n_stop,
+         len(list_distinct(list_filter(
+             string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')))
+           AS n_distinct
+  FROM documents
+), qm AS (
+  SELECT doc_id, n_words,
+         CASE WHEN n_words = 0 THEN 0
+              ELSE CAST(FLOOR(wc * 1000000.0 / n_words) AS BIGINT) END AS mwl_u,
+         CASE WHEN n_words = 0 THEN 0
+              ELSE CAST(FLOOR(n_stop * 1000000.0 / n_words) AS BIGINT) END
+           AS stop_u,
+         CASE WHEN n_words = 0 THEN 0
+              ELSE CAST(FLOOR((n_words - n_distinct) * 1000000.0 / n_words)
+                        AS BIGINT) END AS dupword_u
+  FROM qb
+), quality AS (
+  SELECT doc_id,
+         (n_words BETWEEN 20 AND 100000
+          AND mwl_u BETWEEN 2000000 AND 12000000
+          AND stop_u >= 10000 AND dupword_u <= 900000) AS kept
+  FROM qm
+)
+SELECT r.lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN NOT r.allowed THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_robots_blocked,
+       CAST(SUM(CASE WHEN d.is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       CAST(SUM(CASE WHEN NOT q.kept THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_low_quality,
+       CAST(SUM(CASE WHEN r.allowed AND NOT d.is_dup AND q.kept
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted
+FROM robots r
+JOIN dup d ON r.doc_id = d.doc_id
+JOIN quality q ON r.doc_id = q.doc_id
+GROUP BY r.lang
+ORDER BY r.lang
 """

@@ -105,7 +105,7 @@ def quality_flags_stage(
             & (stop_u >= min_stop_u) & (dupword_u <= max_dupword_u)
             & ~empty
         )
-        return pa.Table.from_arrays(
+        out = pa.Table.from_arrays(
             [
                 batch.column(id_col),
                 pa.array(nw, pa.int64()),
@@ -116,6 +116,14 @@ def quality_flags_stage(
             ],
             names=[id_col, "n_words", "mwl_u", "stop_u", "dupword_u", "kept"],
         )
+        # pass through any extra input columns (not the text payload) so the
+        # stage composes into wider pipelines; callers reading only
+        # (doc_id, text) — e.g. the quality_flags_c4 oracle — see the exact
+        # historical schema
+        for name in batch.column_names:
+            if name != id_col and name != text_col and name not in out.column_names:
+                out = out.append_column(name, batch.column(name))
+        return out
 
     return ds.map_batches(f, batch_format="pyarrow")
 
