@@ -1979,3 +1979,96 @@ JOIN quality q ON r.doc_id = q.doc_id
 GROUP BY r.lang
 ORDER BY r.lang
 """
+
+
+def events_type_regex_cohort(sf_dir: str):
+    """Complex-event-pattern (CEP) cohort via REGEX over the per-user
+    type sequence: each user's events (ts order, event_id tie-break)
+    collapse to a character string (click→c, view→v, purchase→p,
+    signup→s, error→e) and three Kleene patterns classify journeys —
+    `v+c` (browse-then-click), `c[^p]*p` (click eventually converts),
+    `e{2,}` (repeated errors).  Exactly the pattern-match layer CEP
+    engines bolt onto streams, here as one per-user fold + compiled
+    regexes; the oracle rebuilds the identical string with ORDERED
+    string_agg and DuckDB's regexp_matches.
+
+    Output per pattern: n_users_matched, n_users_total."""
+    import re
+
+    pats = {
+        "browse_click": re.compile(r"v+c"),
+        "click_converts": re.compile(r"c[^p]*p"),
+        "error_streak": re.compile(r"e{2,}"),
+    }
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "ts", "event_id", "event_type"]
+    )
+
+    def seq(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        order = np.lexsort(
+            (
+                g.column("event_id").to_numpy(zero_copy_only=False),
+                pc.cast(g.column("ts"), pa.int64()).to_numpy(zero_copy_only=False),
+            )
+        )
+        types = np.asarray(g.column("event_type").to_pylist(), dtype=object)[order]
+        s = "".join(t[0] for t in types)  # first letters are distinct here
+        return pa.table(
+            {
+                "matched_bc": pa.array([int(bool(pats["browse_click"].search(s)))], pa.int64()),
+                "matched_cc": pa.array([int(bool(pats["click_converts"].search(s)))], pa.int64()),
+                "matched_es": pa.array([int(bool(pats["error_streak"].search(s)))], pa.int64()),
+                "one": pa.array([1], pa.int64()),
+            }
+        )
+
+    parts = pa.concat_tables(
+        list(
+            ds.groupby("user_id")
+            .map_groups(seq, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+        )
+    )
+    import pyarrow.compute as pc
+
+    total = int(pc.sum(parts["one"]).as_py())
+    rows = [
+        ("browse_click", int(pc.sum(parts["matched_bc"]).as_py())),
+        ("click_converts", int(pc.sum(parts["matched_cc"]).as_py())),
+        ("error_streak", int(pc.sum(parts["matched_es"]).as_py())),
+    ]
+    return pa.table(
+        {
+            "pattern": pa.array([r[0] for r in rows], pa.string()),
+            "n_users_matched": pa.array([r[1] for r in rows], pa.int64()),
+            "n_users_total": pa.array([total] * 3, pa.int64()),
+        }
+    )
+
+
+EVENTS_TYPE_REGEX_COHORT_SQL = """
+WITH s AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id
+), m AS (
+  SELECT 'browse_click' AS pattern,
+         CAST(SUM(CASE WHEN regexp_matches(seq, 'v+c') THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_users_matched,
+         COUNT(*) AS n_users_total
+  FROM s
+  UNION ALL
+  SELECT 'click_converts',
+         CAST(SUM(CASE WHEN regexp_matches(seq, 'c[^p]*p') THEN 1 ELSE 0 END)
+              AS BIGINT), COUNT(*)
+  FROM s
+  UNION ALL
+  SELECT 'error_streak',
+         CAST(SUM(CASE WHEN regexp_matches(seq, 'e{2,}') THEN 1 ELSE 0 END)
+              AS BIGINT), COUNT(*)
+  FROM s
+)
+SELECT pattern, n_users_matched, n_users_total FROM m ORDER BY pattern
+"""
