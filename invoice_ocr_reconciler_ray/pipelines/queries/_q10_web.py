@@ -2072,3 +2072,99 @@ WITH s AS (
 )
 SELECT pattern, n_users_matched, n_users_total FROM m ORDER BY pattern
 """
+
+
+def events_idempotency_retry_audit(sf_dir: str):
+    """Ingestion retry detector — at-least-once delivery shows up as the
+    SAME logical event arriving again within a short horizon.  Logical
+    key = (user_id, event_type, value-cents); an event is a suspected
+    RETRY when its immediate predecessor under that key is ≤ 60 s older.
+    Per-key lag is exact after one (key, ts) sort; reported per
+    event_type with retry fraction in integer ppm.
+
+    Scale shape: the (user, type, cents, ts) projection rides one
+    groupby; per-group numpy diff; the final per-type fold is tiny."""
+    import pyarrow.compute as pc
+
+    H_US = 60_000_000
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "event_type", "value", "ts"]
+    )
+
+    def per_user(g: pa.Table) -> pa.Table:
+        import collections
+
+        ts = pc.cast(g.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(g.column("value"), 100.0), 0.5)),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        types = np.asarray(g.column("event_type").to_pylist(), dtype=object)
+        order = np.lexsort((ts, cents, types.astype(str)))
+        t_s, c_s, ty_s = ts[order], cents[order], types[order]
+        same_key = np.zeros(len(ts), dtype=bool)
+        if len(ts) > 1:
+            same_key[1:] = (ty_s[1:] == ty_s[:-1]) & (c_s[1:] == c_s[:-1])
+        retry = same_key & np.concatenate(
+            [[False], (t_s[1:] - t_s[:-1]) <= H_US]
+        )
+        agg: collections.Counter = collections.Counter()
+        tot: collections.Counter = collections.Counter()
+        for t, r in zip(ty_s, retry):
+            tot[t] += 1
+            agg[t] += int(r)
+        ks = sorted(tot)
+        return pa.table(
+            {
+                "event_type": pa.array(ks, pa.string()),
+                "n_events": pa.array([tot[k] for k in ks], pa.int64()),
+                "n_retries": pa.array([agg[k] for k in ks], pa.int64()),
+            }
+        )
+
+    parts = pa.concat_tables(
+        list(
+            ds.groupby("user_id")
+            .map_groups(per_user, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+        )
+    )
+    merged = (
+        parts.group_by("event_type")
+        .aggregate([("n_events", "sum"), ("n_retries", "sum")])
+        .rename_columns(["event_type", "n_events", "n_retries"])
+        .sort_by("event_type")
+    )
+    import pyarrow.compute as pc2
+
+    ne = merged.column("n_events").to_numpy(zero_copy_only=False)
+    nr = merged.column("n_retries").to_numpy(zero_copy_only=False)
+    return merged.append_column(
+        "retry_ppm", pa.array(nr * 1_000_000 // ne, pa.int64())
+    )
+
+
+EVENTS_IDEMPOTENCY_RETRY_AUDIT_SQL = """
+WITH s AS (
+  SELECT user_id, event_type,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+         epoch_us(ts) AS t
+  FROM events
+), lagged AS (
+  SELECT event_type, t,
+         LAG(t) OVER (PARTITION BY user_id, event_type, cents ORDER BY t)
+           AS prev_t
+  FROM s
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN prev_t IS NOT NULL AND t - prev_t <= 60000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_retries,
+       CAST(SUM(CASE WHEN prev_t IS NOT NULL AND t - prev_t <= 60000000
+                     THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+         AS retry_ppm
+FROM lagged
+GROUP BY event_type
+ORDER BY event_type
+"""
