@@ -1,7 +1,19 @@
-"""Query-registry family module 10: web-crawl governance ops (round 5).
+"""Query-registry family module 10: round-5 web-governance + engine-audit ops.
 
-First member: the robots.txt gate — the admission-control step a web-scale
-corpus pipeline runs before a page may enter the corpus at all.
+Families in this module (each op oracle-checked at both SFs):
+
+* crawl governance — robots.txt gate (RFC 9309 parser), sitemap coverage
+  round-trip, token-bucket rate limiting, anchor-text aggregation, the
+  composed per-lang admission pipeline (robots × dedup × quality);
+* placement / storage — consistent-hash ring census, zone-map pruning
+  audit, encoding planner, delta-bitpack widths, Merkle integrity root;
+* accuracy audits — Bloom false-positive count vs truth, Chao1 richness
+  vs truth, LSH bands×rows tuning curve, parallelism-invariance self-audit;
+* graph — k-core peeling, EXACT-oracle connected components;
+* streaming ops — SLO burn-rate alerts, stream-disorder measurement,
+  idempotency retry detection, CEP regex cohorts, fair-share scheduling;
+* ML eval — bigram-LM next-token accuracy; Haar wavelet energies;
+  MIME sniff routing census over real codec bytes.
 """
 
 from __future__ import annotations
@@ -2136,8 +2148,6 @@ def events_idempotency_retry_audit(sf_dir: str):
         .rename_columns(["event_type", "n_events", "n_retries"])
         .sort_by("event_type")
     )
-    import pyarrow.compute as pc2
-
     ne = merged.column("n_events").to_numpy(zero_copy_only=False)
     nr = merged.column("n_retries").to_numpy(zero_copy_only=False)
     return merged.append_column(
