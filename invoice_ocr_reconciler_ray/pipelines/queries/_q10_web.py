@@ -2178,3 +2178,217 @@ FROM lagged
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def docs_lsh_pr_audit(sf_dir: str):
+    """LSH PRECISION/RECALL audit against exact ground truth — the
+    evaluation every near-dup deployment owes its corpus: candidates =
+    pairs sharing ≥1 band under the production 4×2 layout (exact 8-value
+    signatures), truth = pairs with token-set Jaccard ≥ 1/2 computed
+    EXACTLY.  Reports TP / FP / FN and precision/recall in integer ppm.
+
+    Scale note (documented, enforced by usage): exact all-pairs truth is
+    an O(n²) AUDIT step — run it on a sample or one partition, never the
+    full corpus; candidates come from the same signature machinery the
+    production pass shuffles on.  Here the bitmap trick makes truth
+    cheap: the corpus vocabulary is tiny, so token sets pack into uint64
+    rows and a popcount matrix gives every pairwise intersection at
+    once."""
+    from ._q09_docs_events import _minhash8_block
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow"))).sort_by(
+        "doc_id"
+    )
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    texts = t.column("text").to_pylist()
+
+    # exact truth: pack token sets into bit rows over the global vocab
+    sets = [set((s or "").split()) - {""} for s in texts]
+    vocab = sorted(set().union(*sets)) if sets else []
+    ix = {w: i for i, w in enumerate(vocab)}
+    words = (len(vocab) + 63) // 64
+    bm = np.zeros((len(sets), words), dtype=np.uint64)
+    sizes = np.zeros(len(sets), dtype=np.int64)
+    for r, s in enumerate(sets):
+        sizes[r] = len(s)
+        for w in s:
+            j = ix[w]
+            bm[r, j >> 6] |= np.uint64(1 << (j & 63))
+    _POP = np.array([bin(x).count("1") for x in range(256)], dtype=np.int64)
+
+    def inter_row(r: int) -> np.ndarray:
+        x = bm & bm[r]
+        return _POP[x.view(np.uint8)].reshape(len(sets), -1).sum(axis=1)
+
+    true_pairs = set()
+    for r in range(len(sets)):
+        inter = inter_row(r)
+        union = sizes + sizes[r] - inter
+        ok = (inter * 2 >= union) & (union > 0)
+        for c in np.nonzero(ok)[0]:
+            if c > r:
+                true_pairs.add((int(ids[r]), int(ids[c])))
+
+    # candidates from the production signatures, 4x2 bands
+    sig = _minhash8_block(t)
+    cand = set()
+    import collections
+
+    for band in range(4):
+        buckets: dict = collections.defaultdict(list)
+        k1 = sig[f"m{2 * band}"].to_numpy(zero_copy_only=False)
+        k2 = sig[f"m{2 * band + 1}"].to_numpy(zero_copy_only=False)
+        sid = sig["doc_id"].to_numpy(zero_copy_only=False)
+        for i, a, b in zip(sid, k1, k2):
+            buckets[(int(a), int(b))].append(int(i))
+        for members in buckets.values():
+            members.sort()
+            for x in range(len(members)):
+                for y in range(x + 1, len(members)):
+                    cand.add((members[x], members[y]))
+
+    tp = len(cand & true_pairs)
+    fp = len(cand - true_pairs)
+    fn = len(true_pairs - cand)
+    prec = tp * 1_000_000 // (tp + fp) if (tp + fp) else 0
+    rec = tp * 1_000_000 // (tp + fn) if (tp + fn) else 0
+    return pa.table(
+        {
+            "n_true_pairs": pa.array([len(true_pairs)], pa.int64()),
+            "n_candidates": pa.array([len(cand)], pa.int64()),
+            "tp": pa.array([tp], pa.int64()),
+            "fp": pa.array([fp], pa.int64()),
+            "fn": pa.array([fn], pa.int64()),
+            "precision_ppm": pa.array([prec], pa.int64()),
+            "recall_ppm": pa.array([rec], pa.int64()),
+        }
+    )
+
+
+DOCS_LSH_PR_AUDIT_SQL = (
+    "WITH "
+    + _MINHASH_SIG_SQL_CORE
+    + """,
+sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS i, b.doc_id AS j, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+truth AS (
+  SELECT i, j FROM inter
+  JOIN sz sa ON sa.doc_id = i
+  JOIN sz sb ON sb.doc_id = j
+  WHERE 2 * c >= sa.n + sb.n - c),
+cand AS (
+  SELECT a.doc_id AS i, b.doc_id AS j
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+   AND ((a.m0 = b.m0 AND a.m1 = b.m1) OR (a.m2 = b.m2 AND a.m3 = b.m3)
+     OR (a.m4 = b.m4 AND a.m5 = b.m5) OR (a.m6 = b.m6 AND a.m7 = b.m7))),
+cnt AS (
+  SELECT (SELECT COUNT(*) FROM truth) AS n_true_pairs,
+         (SELECT COUNT(*) FROM cand) AS n_candidates,
+         (SELECT COUNT(*) FROM cand JOIN truth USING (i, j)) AS tp)
+SELECT n_true_pairs, n_candidates, tp,
+       n_candidates - tp AS fp,
+       n_true_pairs - tp AS fn,
+       CASE WHEN n_candidates > 0 THEN tp * 1000000 // n_candidates
+            ELSE 0 END AS precision_ppm,
+       CASE WHEN n_true_pairs > 0 THEN tp * 1000000 // n_true_pairs
+            ELSE 0 END AS recall_ppm
+FROM cnt
+"""
+)
+
+
+def events_session_gap_sweep(sf_dir: str):
+    """Session-timeout PARAMETER SWEEP — what the sessionize op's gap
+    constant should be: for timeouts of 15 / 30 / 60 minutes, the exact
+    session count (per-user gap-exceedances + one per active user), the
+    mean session length in events (µ-scaled), and the count of
+    single-event sessions.  One sorted pass per user yields the gap
+    vector; every sweep point reuses it (count gaps > G) — the
+    watermark-sweep discipline applied to sessionization."""
+    import pyarrow.compute as pc
+
+    GAPS_US = {"g15m": 900_000_000, "g30m": 1_800_000_000, "g60m": 3_600_000_000}
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def per_user(g: pa.Table) -> pa.Table:
+        ts = np.sort(
+            pc.cast(g.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        gaps = np.diff(ts)
+        rows = {"n_events": pa.array([len(ts)] * 3, pa.int64())}
+        labels, sess, singles = [], [], []
+        for lab, G in GAPS_US.items():
+            brk = gaps > G
+            n_sessions = int(brk.sum()) + 1
+            # session lengths: split sizes between breaks
+            idx = np.nonzero(brk)[0]
+            bounds = np.concatenate([[0], idx + 1, [len(ts)]])
+            lens = np.diff(bounds)
+            labels.append(lab)
+            sess.append(n_sessions)
+            singles.append(int((lens == 1).sum()))
+        return pa.table(
+            {
+                "gap": pa.array(labels, pa.string()),
+                "n_sessions": pa.array(sess, pa.int64()),
+                "n_single": pa.array(singles, pa.int64()),
+                "n_events": rows["n_events"],
+            }
+        )
+
+    parts = pa.concat_tables(
+        list(
+            ds.groupby("user_id")
+            .map_groups(per_user, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+        )
+    )
+    merged = (
+        parts.group_by("gap")
+        .aggregate([("n_sessions", "sum"), ("n_single", "sum"), ("n_events", "sum")])
+        .rename_columns(["gap", "n_sessions", "n_single", "n_events"])
+        .sort_by("gap")
+    )
+    ns = merged.column("n_sessions").to_numpy(zero_copy_only=False)
+    ne = merged.column("n_events").to_numpy(zero_copy_only=False)
+    return merged.append_column(
+        "mean_len_u", pa.array(ne * 1_000_000 // ns, pa.int64())
+    )
+
+
+EVENTS_SESSION_GAP_SWEEP_SQL = """
+WITH g AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         epoch_us(ts) - LAG(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+  FROM events
+), sweeps(gap, thr) AS (
+  VALUES ('g15m', 900000000), ('g30m', 1800000000), ('g60m', 3600000000)
+), marks AS (
+  SELECT s.gap, g.user_id, g.t,
+         CASE WHEN g.gap_us IS NULL OR g.gap_us > s.thr THEN 1 ELSE 0 END
+           AS is_start
+  FROM g CROSS JOIN sweeps s
+), sessions AS (
+  SELECT gap, user_id,
+         SUM(is_start) OVER (PARTITION BY gap, user_id ORDER BY t
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marks
+), lens AS (
+  SELECT gap, user_id, sid, COUNT(*) AS len
+  FROM sessions GROUP BY gap, user_id, sid
+)
+SELECT gap,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(CASE WHEN len = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_single,
+       CAST(SUM(len) AS BIGINT) AS n_events,
+       CAST(SUM(len) * 1000000 // COUNT(*) AS BIGINT) AS mean_len_u
+FROM lens
+GROUP BY gap
+ORDER BY gap
+"""
