@@ -2392,3 +2392,163 @@ FROM lens
 GROUP BY gap
 ORDER BY gap
 """
+
+
+def orders_fiscal_445_revenue(sf_dir: str):
+    """Revenue by 4-4-5 FISCAL calendar period — the retail/BI calendar
+    mapping (13-week quarters split 4+4+5) every reporting stack needs
+    and no date_trunc provides.  Pure integer arithmetic from a fixed
+    Monday epoch (1994-01-03): week = days-since-epoch // 7, fiscal year
+    = 1994 + week // 52, period = 3·(w%52 // 13) + {1,2,3 by w%13 <
+    4/8/13} — identical expressions both sides, money in exact cents.
+
+    Per-block partial aggregation into (fy, period) cells → tiny final
+    groupby; the calendar math is vectorized column arithmetic."""
+    import pyarrow.compute as pc
+
+    EPOCH_US = 757_555_200_000_000  # 1994-01-03 00:00:00 UTC (a Monday)
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderdate", "o_totalprice"]
+    )
+
+    def cells(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("o_orderdate"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        week = (us - EPOCH_US) // 86_400_000_000 // 7
+        fy = 1994 + week // 52
+        wic = week % 52
+        w13 = wic % 13
+        period = (wic // 13) * 3 + np.where(w13 < 4, 1, np.where(w13 < 8, 2, 3))
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(t.column("o_totalprice"), 100.0), 0.5)),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        key = fy * 100 + period
+        uk, inv = np.unique(key, return_inverse=True)
+        sums = np.zeros(len(uk), dtype=np.int64)
+        cnts = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(sums, inv, cents)
+        np.add.at(cnts, inv, 1)
+        return pa.table(
+            {
+                "fy": pa.array(uk // 100, pa.int64()),
+                "period": pa.array(uk % 100, pa.int64()),
+                "revenue_cents": pa.array(sums, pa.int64()),
+                "n_orders": pa.array(cnts, pa.int64()),
+            }
+        )
+
+    parts = pa.concat_tables(
+        list(
+            ds.map_batches(cells, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"
+            )
+        )
+    )
+    return (
+        parts.group_by(["fy", "period"])
+        .aggregate([("revenue_cents", "sum"), ("n_orders", "sum")])
+        .rename_columns(["fy", "period", "revenue_cents", "n_orders"])
+        .sort_by([("fy", "ascending"), ("period", "ascending")])
+    )
+
+
+ORDERS_FISCAL_445_REVENUE_SQL = """
+WITH f AS (
+  SELECT (epoch_us(o_orderdate) - 757555200000000) // 86400000000 // 7
+           AS week,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+), m AS (
+  SELECT 1994 + week // 52 AS fy,
+         ((week % 52) // 13) * 3
+           + CASE WHEN (week % 52) % 13 < 4 THEN 1
+                  WHEN (week % 52) % 13 < 8 THEN 2
+                  ELSE 3 END AS period,
+         cents
+  FROM f
+)
+SELECT fy, period,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_orders
+FROM m
+GROUP BY fy, period
+ORDER BY fy, period
+"""
+
+
+def part_luhn_checkdigit_census(sf_dir: str):
+    """Luhn check-digit assignment census — the checksum discipline of
+    real SKU/EAN/credit identifiers applied to the part catalog: compute
+    each part key's Luhn check digit (double every other digit from the
+    right, fold >9 by −9, check = (10 − sum mod 10) mod 10) and census
+    the digit distribution — the sanity report a catalog-ingest gate
+    publishes before accepting external identifiers.  Pure integer digit
+    arithmetic both sides (no string ops on the Ray side; the oracle uses
+    //10^i % 10 with a bounded lateral index)."""
+    ds = rd.read_parquet(_t(sf_dir, "part"), columns=["p_partkey"])
+
+    def census(t: pa.Table) -> pa.Table:
+        import collections
+
+        cnt: collections.Counter = collections.Counter()
+        for k in t.column("p_partkey").to_pylist():
+            s, pos, n = 0, 0, int(k)
+            if n == 0:
+                digs = [0]
+            else:
+                digs = []
+                while n:
+                    digs.append(n % 10)
+                    n //= 10
+            for pos, d in enumerate(digs):  # digs[0] = rightmost
+                if pos % 2 == 0:
+                    d = 2 * d
+                    if d > 9:
+                        d -= 9
+                s += d
+            cnt[(10 - s % 10) % 10] += 1
+        ks = sorted(cnt)
+        return pa.table(
+            {
+                "check_digit": pa.array(ks, pa.int64()),
+                "n_parts": pa.array([cnt[k] for k in ks], pa.int64()),
+            }
+        )
+
+    parts = pa.concat_tables(
+        list(
+            ds.map_batches(census, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"
+            )
+        )
+    )
+    return (
+        parts.group_by("check_digit")
+        .aggregate([("n_parts", "sum")])
+        .rename_columns(["check_digit", "n_parts"])
+        .sort_by("check_digit")
+    )
+
+
+PART_LUHN_CHECKDIGIT_CENSUS_SQL = """
+WITH d AS (
+  SELECT p_partkey, j.i AS i,
+         (p_partkey // CAST(POWER(10, j.i) AS BIGINT)) % 10 AS dig
+  FROM part, LATERAL unnest(generate_series(0, 9)) AS j(i)
+  WHERE j.i = 0 OR p_partkey >= CAST(POWER(10, j.i) AS BIGINT)
+), folded AS (
+  SELECT p_partkey,
+         SUM(CASE WHEN i % 2 = 0
+                  THEN CASE WHEN 2 * dig > 9 THEN 2 * dig - 9 ELSE 2 * dig END
+                  ELSE dig END) AS s
+  FROM d GROUP BY p_partkey
+)
+SELECT CAST((10 - s % 10) % 10 AS BIGINT) AS check_digit,
+       COUNT(*) AS n_parts
+FROM folded
+GROUP BY 1
+ORDER BY check_digit
+"""
