@@ -2552,3 +2552,116 @@ FROM folded
 GROUP BY 1
 ORDER BY check_digit
 """
+
+
+def lineitem_xyz_demand_classes(sf_dir: str):
+    """XYZ demand-variability classification (the inventory-planning
+    counterpart of the ABC value classes already in the registry): per
+    part, the coefficient of variation of its per-order quantities —
+    cv_u = floor(1e6 · sqrt(n·Σx² − (Σx)²) / (sqrt(n) · Σx)) — binned
+    X (< 0.095), Y (< 0.11), Z (steady → erratic demand; thresholds sit
+    inside this corpus's observed 0.06–0.19 cv band so the classes
+    discriminate).  Sums are exact
+    int64; the one float expression (sqrt ∘ divide ∘ floor) is written
+    identically on both sides, and IEEE sqrt/division are correctly
+    rounded in both engines — the Wilson-bound discipline.
+
+    Parts with a single observation have undefined cv → class 'N'
+    (reported, not dropped).  Distributed shape: per-block (part, n, Σx,
+    Σx²) partials → small groupby → tiny driver classify."""
+    import math
+
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_partkey", "l_quantity"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        pk = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        q = pc.cast(t.column("l_quantity"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        uk, inv = np.unique(pk, return_inverse=True)
+        n = np.zeros(len(uk), dtype=np.int64)
+        sx = np.zeros(len(uk), dtype=np.int64)
+        sxx = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(n, inv, 1)
+        np.add.at(sx, inv, q)
+        np.add.at(sxx, inv, q * q)
+        return pa.table(
+            {
+                "pk": pa.array(uk, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "sx": pa.array(sx, pa.int64()),
+                "sxx": pa.array(sxx, pa.int64()),
+            }
+        )
+
+    parts = pa.concat_tables(
+        list(
+            ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"
+            )
+        )
+    )
+    m = (
+        parts.group_by("pk")
+        .aggregate([("n", "sum"), ("sx", "sum"), ("sxx", "sum")])
+        .rename_columns(["pk", "n", "sx", "sxx"])
+    )
+    import collections
+
+    cnt: collections.Counter = collections.Counter()
+    for n, sx, sxx in zip(
+        m.column("n").to_pylist(),
+        m.column("sx").to_pylist(),
+        m.column("sxx").to_pylist(),
+    ):
+        if n < 2 or sx == 0:
+            cnt["N"] += 1
+            continue
+        cv_u = math.floor(
+            1_000_000.0
+            * math.sqrt(float(n * sxx - sx * sx))
+            / (math.sqrt(float(n)) * float(sx))
+        )
+        if cv_u < 95_000:
+            cnt["X"] += 1
+        elif cv_u < 110_000:
+            cnt["Y"] += 1
+        else:
+            cnt["Z"] += 1
+    ks = sorted(cnt)
+    return pa.table(
+        {
+            "xyz_class": pa.array(ks, pa.string()),
+            "n_parts": pa.array([cnt[k] for k in ks], pa.int64()),
+        }
+    )
+
+
+LINEITEM_XYZ_DEMAND_CLASSES_SQL = """
+WITH s AS (
+  SELECT l_partkey AS pk,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+         CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+              AS BIGINT) AS sxx
+  FROM lineitem GROUP BY 1
+), c AS (
+  SELECT CASE
+           WHEN n < 2 OR sx = 0 THEN 'N'
+           WHEN FLOOR(1000000.0 * sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                      / (sqrt(CAST(n AS DOUBLE)) * CAST(sx AS DOUBLE)))
+                < 95000 THEN 'X'
+           WHEN FLOOR(1000000.0 * sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                      / (sqrt(CAST(n AS DOUBLE)) * CAST(sx AS DOUBLE)))
+                < 110000 THEN 'Y'
+           ELSE 'Z'
+         END AS xyz_class
+  FROM s
+)
+SELECT xyz_class, COUNT(*) AS n_parts
+FROM c GROUP BY 1 ORDER BY xyz_class
+"""
