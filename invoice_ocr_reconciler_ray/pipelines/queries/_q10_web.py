@@ -2665,3 +2665,80 @@ WITH s AS (
 SELECT xyz_class, COUNT(*) AS n_parts
 FROM c GROUP BY 1 ORDER BY xyz_class
 """
+
+
+def lineitem_rounding_mode_drift_audit(sf_dir: str):
+    """Rounding-mode DRIFT audit — the measurement behind this repo's
+    money-kernel rule (CLAUDE.md: DuckDB ROUND is half-away-from-zero,
+    pyarrow's is half-to-even): over the price grid, per returnflag, how
+    many values land on exact .005 ties and how many cents the two
+    roundings drift apart.  Both modes are computed at CENTS granularity
+    on the identical double (x·100, one IEEE multiply), so both engines
+    agree bit-for-bit on BOTH modes: half-away = floor(x·100 + 0.5),
+    half-even = round-half-to-even(x·100).  The drift Σ(away − even) is
+    the reconciliation error a mixed-engine pipeline would silently
+    accumulate."""
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_returnflag", "l_extendedprice"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        x100 = pc.multiply(t.column("l_extendedprice"), 100.0)
+        away = pc.cast(pc.floor(pc.add(x100, 0.5)), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        even = pc.cast(
+            pc.round(x100, 0, round_mode="half_to_even"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        rf = np.asarray(t.column("l_returnflag").to_pylist(), dtype=object)
+        diff = away != even
+        uk = np.unique(rf.astype(str))
+        rows = {"l_returnflag": [], "n_rows": [], "n_diff": [], "drift_cents": []}
+        for k in uk:
+            m = rf == k
+            rows["l_returnflag"].append(str(k))
+            rows["n_rows"].append(int(m.sum()))
+            rows["n_diff"].append(int((diff & m).sum()))
+            rows["drift_cents"].append(int((away[m] - even[m]).sum()))
+        return pa.table(
+            {
+                "l_returnflag": pa.array(rows["l_returnflag"], pa.string()),
+                "n_rows": pa.array(rows["n_rows"], pa.int64()),
+                "n_diff": pa.array(rows["n_diff"], pa.int64()),
+                "drift_cents": pa.array(rows["drift_cents"], pa.int64()),
+            }
+        )
+
+    parts = pa.concat_tables(
+        list(
+            ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"
+            )
+        )
+    )
+    return (
+        parts.group_by("l_returnflag")
+        .aggregate([("n_rows", "sum"), ("n_diff", "sum"), ("drift_cents", "sum")])
+        .rename_columns(["l_returnflag", "n_rows", "n_diff", "drift_cents"])
+        .sort_by("l_returnflag")
+    )
+
+
+LINEITEM_ROUNDING_MODE_DRIFT_AUDIT_SQL = """
+WITH r AS (
+  SELECT l_returnflag,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS away,
+         CAST(round_even(l_extendedprice * 100, 0) AS BIGINT) AS even
+  FROM lineitem
+)
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN away <> even THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_diff,
+       CAST(SUM(away - even) AS BIGINT) AS drift_cents
+FROM r
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
