@@ -2742,3 +2742,76 @@ FROM r
 GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
+
+
+def part_name_soundex_blocking(sf_dir: str):
+    """Soundex phonetic blocking census over part names — the third
+    blocking primitive next to SNM (sorted neighborhood) and Myers
+    edit-distance linkage: names collapse to a phonetic key
+    (functions/phonetic.py, the simple American variant) and the census
+    shows block sizes — what a phonetic pre-pass would feed the exact
+    verifier.  The oracle re-implements soundex IN SQL (translate +
+    per-digit run collapse; DuckDB's RE2 has no pattern backreferences,
+    so runs collapse digit-by-digit — equal-adjacent codes are
+    same-digit runs, making the two formulations identical)."""
+    from ...functions.phonetic import soundex
+
+    ds = rd.read_parquet(_t(sf_dir, "part"), columns=["p_name"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        names = t.column("p_name").to_pylist()
+        return pa.table(
+            {
+                "sdx": pa.array([soundex(n) for n in names], pa.string()),
+                "p_name": pa.array(names, pa.string()),
+            }
+        )
+
+    pairs = pa.concat_tables(
+        list(
+            ds.map_batches(keyed, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"
+            )
+        )
+    )
+    counts = (
+        pairs.group_by("sdx").aggregate([("p_name", "count")])
+        .rename_columns(["sdx", "n_parts"])
+    )
+    distinct = (
+        pairs.group_by(["sdx", "p_name"]).aggregate([])
+        .group_by("sdx").aggregate([("p_name", "count")])
+        .rename_columns(["sdx", "n_names"])
+    )
+    return counts.join(
+        distinct, keys="sdx", join_type="inner"
+    ).sort_by("sdx")
+
+
+def _soundex_sql_expr(col: str) -> str:
+    inner = (
+        f"translate({col}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',"
+        f" '01230120022455012623010202')"
+    )
+    for d in "0123456":
+        inner = f"regexp_replace({inner}, '{d}{{2,}}', '{d}', 'g')"
+    return (
+        f"CASE WHEN {col} = '' THEN '' ELSE substr({col},1,1) || "
+        f"substr(replace(substr({inner}, 2), '0', '') || '000', 1, 3) END"
+    )
+
+
+PART_NAME_SOUNDEX_BLOCKING_SQL = f"""
+WITH n AS (
+  SELECT p_name,
+         upper(regexp_replace(p_name, '[^A-Za-z]+', '', 'g')) AS letters
+  FROM part
+), k AS (
+  SELECT p_name, {_soundex_sql_expr("letters")} AS sdx FROM n
+)
+SELECT sdx, COUNT(*) AS n_parts,
+       COUNT(DISTINCT p_name) AS n_names
+FROM k
+GROUP BY sdx
+ORDER BY sdx
+"""

@@ -112,3 +112,17 @@ def test_mime_sniffer_routes_real_codec_bytes():
     assert sniff(None) == "empty"
     assert sniff(b"RIFFxxxxWAVE") == "wav"
     assert sniff(b"RIFFxxxxAVI ") == "octet-stream"
+
+
+def test_soundex_reference_values():
+    from invoice_ocr_reconciler_ray.functions.phonetic import soundex
+
+    # classic published values for the simple (H/W-as-vowel) variant
+    assert soundex("Robert") == soundex("Rupert") == "R163"
+    assert soundex("Ashcraft") == "A226"
+    assert soundex("Tymczak") == "T522"
+    assert soundex("Pfister") == "P236"  # PF collapse exercised
+    assert soundex("rod") == "R300"
+    assert soundex("") == "" and soundex(None) == ""
+    assert soundex("123") == ""
+    assert soundex("O'Brien-42") == soundex("OBRIEN")
