@@ -2815,3 +2815,73 @@ FROM k
 GROUP BY sdx
 ORDER BY sdx
 """
+
+
+def docs_linkgraph_reciprocity(sf_dir: str):
+    """Link-graph RECIPROCITY + out-degree census — the structural web
+    metrics (what fraction of links are mutual; how out-degree
+    distributes) over the deterministic md5 graph shared by
+    pagerank/CC/k-core.  Edges are tiny by construction; the census is
+    exact integer arithmetic: reciprocity_ppm = mutual directed edges /
+    all directed edges (a mutual pair contributes both directions).
+
+    Output: one row — n_edges, n_reciprocal_edges, reciprocity_ppm,
+    n_nodes_out0..out3 (out-degree histogram; ≤3 by construction)."""
+    from ._q01_events_orders import _synth_link_edges
+
+    edges, n = _synth_link_edges(sf_dir)
+    et = pa.concat_tables(list(edges.iter_batches(batch_format="pyarrow")))
+    src = et.column("src").to_numpy(zero_copy_only=False)
+    dst = et.column("dst").to_numpy(zero_copy_only=False)
+    pairs = set(zip(src.tolist(), dst.tolist()))
+    recip = sum(1 for a, b in pairs if (b, a) in pairs)
+    deg: dict[int, int] = {}
+    for a in src.tolist():
+        deg[a] = deg.get(a, 0) + 1
+    hist = [0, 0, 0, 0]
+    for v in range(n):
+        hist[min(deg.get(v, 0), 3)] += 1
+    n_edges = len(pairs)
+    return pa.table(
+        {
+            "n_edges": pa.array([n_edges], pa.int64()),
+            "n_reciprocal_edges": pa.array([recip], pa.int64()),
+            "reciprocity_ppm": pa.array(
+                [recip * 1_000_000 // n_edges if n_edges else 0], pa.int64()
+            ),
+            "out0": pa.array([hist[0]], pa.int64()),
+            "out1": pa.array([hist[1]], pa.int64()),
+            "out2": pa.array([hist[2]], pa.int64()),
+            "out3": pa.array([hist[3]], pa.int64()),
+        }
+    )
+
+
+DOCS_LINKGRAPH_RECIPROCITY_SQL = """
+WITH edges_raw AS (
+  SELECT doc_id AS src,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                    || CAST(j.j AS VARCHAR)), 1, 8)) AS UBIGINT)
+              % (SELECT COUNT(*) FROM documents) AS BIGINT) AS dst
+  FROM documents, LATERAL unnest(generate_series(0, 2)) AS j(j)
+), edges AS (SELECT DISTINCT src, dst FROM edges_raw WHERE dst <> src),
+deg AS (
+  SELECT d.doc_id, COALESCE(e.c, 0) AS outd
+  FROM documents d
+  LEFT JOIN (SELECT src, COUNT(*) AS c FROM edges GROUP BY 1) e
+    ON e.src = d.doc_id
+), agg AS (
+  SELECT (SELECT COUNT(*) FROM edges) AS n_edges,
+         (SELECT COUNT(*) FROM edges a JOIN edges b
+            ON a.src = b.dst AND a.dst = b.src) AS n_reciprocal_edges
+)
+SELECT n_edges, n_reciprocal_edges,
+       CASE WHEN n_edges > 0
+            THEN n_reciprocal_edges * 1000000 // n_edges ELSE 0 END
+         AS reciprocity_ppm,
+       (SELECT COUNT(*) FROM deg WHERE outd = 0) AS out0,
+       (SELECT COUNT(*) FROM deg WHERE outd = 1) AS out1,
+       (SELECT COUNT(*) FROM deg WHERE outd = 2) AS out2,
+       (SELECT COUNT(*) FROM deg WHERE outd >= 3) AS out3
+FROM agg
+"""
