@@ -2885,3 +2885,88 @@ SELECT n_edges, n_reciprocal_edges,
        (SELECT COUNT(*) FROM deg WHERE outd >= 3) AS out3
 FROM agg
 """
+
+
+def embeddings_grid_norm_census(sf_dir: str):
+    """Embedding-norm distribution census in EXACT integers — the sanity
+    report an index build runs before choosing a similarity metric
+    (un-normalized norms break inner-product search): each component
+    widens float32→float64 and snaps to the 1/128 grid (×128 is a
+    power of two, so the multiply is exact; floor is deterministic),
+    then norm² = Σq² is an order-free int64.  Per label: vector count
+    and the min / max / sum of grid norm² — bit-identical in both
+    engines, no float reduction anywhere.
+
+    Per-row numpy, zero shuffle except the tiny label groupby."""
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "embeddings"), columns=["vec_id", "embedding", "label"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        from ...stages.cluster import _vecs
+
+        m = _vecs(t, "embedding")  # (n, d) float64, widened from float32
+        q = np.floor(m.astype(np.float64) * 128.0).astype(np.int64)
+        n2 = (q * q).sum(axis=1)
+        lab = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        uk, inv = np.unique(lab, return_inverse=True)
+        cnt = np.zeros(len(uk), np.int64)
+        s = np.zeros(len(uk), np.int64)
+        mn = np.full(len(uk), np.iinfo(np.int64).max)
+        mx = np.full(len(uk), np.iinfo(np.int64).min)
+        np.add.at(cnt, inv, 1)
+        np.add.at(s, inv, n2)
+        np.minimum.at(mn, inv, n2)
+        np.maximum.at(mx, inv, n2)
+        return pa.table(
+            {
+                "label": pa.array(uk, pa.int64()),
+                "n_vecs": pa.array(cnt, pa.int64()),
+                "sum_norm2": pa.array(s, pa.int64()),
+                "min_norm2": pa.array(mn, pa.int64()),
+                "max_norm2": pa.array(mx, pa.int64()),
+            }
+        )
+
+    parts = pa.concat_tables(
+        list(
+            ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"
+            )
+        )
+    )
+    return (
+        parts.group_by("label")
+        .aggregate(
+            [
+                ("n_vecs", "sum"),
+                ("sum_norm2", "sum"),
+                ("min_norm2", "min"),
+                ("max_norm2", "max"),
+            ]
+        )
+        .rename_columns(["label", "n_vecs", "sum_norm2", "min_norm2", "max_norm2"])
+        .sort_by("label")
+    )
+
+
+EMBEDDINGS_GRID_NORM_CENSUS_SQL = """
+WITH q AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         CAST(FLOOR(CAST(u.x AS DOUBLE) * 128) AS BIGINT) AS qv
+  FROM embeddings, LATERAL unnest(embedding) AS u(x)
+), n AS (
+  SELECT vec_id, label, CAST(SUM(qv * qv) AS BIGINT) AS norm2
+  FROM q GROUP BY vec_id, label
+)
+SELECT label,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(norm2) AS BIGINT) AS sum_norm2,
+       CAST(MIN(norm2) AS BIGINT) AS min_norm2,
+       CAST(MAX(norm2) AS BIGINT) AS max_norm2
+FROM n
+GROUP BY label
+ORDER BY label
+"""
