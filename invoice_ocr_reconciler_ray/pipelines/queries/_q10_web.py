@@ -2970,3 +2970,169 @@ FROM n
 GROUP BY label
 ORDER BY label
 """
+
+
+def docs_dedup_provenance_audit(sf_dir: str):
+    """Dedup PROVENANCE audit — when exact dedup (the flagship's
+    (lang, n_chars) key family) fires, does it collapse pages from the
+    SAME source (mirror-crawl redundancy, cheap to drop) or ACROSS
+    sources (provenance loss — one source's copy silently wins)?  Per
+    duplicated key: C(n,2) total pairs, Σ_s C(n_s,2) same-source pairs;
+    reported globally with the cross-source fraction in exact ppm —
+    the number that decides whether dedup needs a source-priority
+    tie-break.  Narrow 3-column scan, small groupby, integer fold."""
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "documents"), columns=["lang", "n_chars", "source"]
+    )
+    t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+    g = (
+        t.group_by(["lang", "n_chars", "source"])
+        .aggregate([("source", "count")])
+        .rename_columns(["lang", "n_chars", "source", "ns"])
+    )
+    k = (
+        g.group_by(["lang", "n_chars"])
+        .aggregate([("ns", "sum")])
+        .rename_columns(["lang", "n_chars", "n"])
+    )
+    n = k.column("n").to_numpy(zero_copy_only=False)
+    dup = n > 1
+    n_dup_keys = int(dup.sum())
+    n_pairs = int((n[dup] * (n[dup] - 1) // 2).sum())
+    # same-source pairs only counted inside duplicated keys
+    kt = k.filter(pa.array(dup.tolist()))
+    dk = set(
+        zip(kt.column("lang").to_pylist(), kt.column("n_chars").to_pylist())
+    )
+    same = 0
+    for lang, nc, ns in zip(
+        g.column("lang").to_pylist(),
+        g.column("n_chars").to_pylist(),
+        g.column("ns").to_pylist(),
+    ):
+        if (lang, nc) in dk:
+            same += ns * (ns - 1) // 2
+    cross = n_pairs - same
+    return pa.table(
+        {
+            "n_dup_keys": pa.array([n_dup_keys], pa.int64()),
+            "n_pairs": pa.array([n_pairs], pa.int64()),
+            "n_same_source_pairs": pa.array([same], pa.int64()),
+            "n_cross_source_pairs": pa.array([cross], pa.int64()),
+            "cross_ppm": pa.array(
+                [cross * 1_000_000 // n_pairs if n_pairs else 0], pa.int64()
+            ),
+        }
+    )
+
+
+DOCS_DEDUP_PROVENANCE_AUDIT_SQL = """
+WITH per_src AS (
+  SELECT lang, n_chars, source, COUNT(*) AS ns
+  FROM documents GROUP BY 1, 2, 3
+), per_key AS (
+  SELECT lang, n_chars, CAST(SUM(ns) AS BIGINT) AS n
+  FROM per_src GROUP BY 1, 2
+), dup AS (SELECT * FROM per_key WHERE n > 1),
+agg AS (
+  SELECT (SELECT COUNT(*) FROM dup) AS n_dup_keys,
+         (SELECT CAST(COALESCE(SUM(n * (n - 1) // 2), 0) AS BIGINT) FROM dup)
+           AS n_pairs,
+         (SELECT CAST(COALESCE(SUM(s.ns * (s.ns - 1) // 2), 0) AS BIGINT)
+          FROM per_src s JOIN dup d
+            ON s.lang = d.lang AND s.n_chars = d.n_chars)
+           AS n_same_source_pairs
+)
+SELECT n_dup_keys, n_pairs, n_same_source_pairs,
+       n_pairs - n_same_source_pairs AS n_cross_source_pairs,
+       CASE WHEN n_pairs > 0
+            THEN (n_pairs - n_same_source_pairs) * 1000000 // n_pairs
+            ELSE 0 END AS cross_ppm
+FROM agg
+"""
+
+
+def docs_lang_vocab_overlap(sf_dir: str):
+    """Cross-language VOCABULARY overlap — whether per-lang corpora
+    share surface tokens (loan words, markup leakage, template
+    boilerplate): exact distinct-token sets per lang, pairwise
+    |A∩B| / |A∪B| in integer ppm for every lang pair.  Token sets ride
+    a (lang, token) distinct groupby; the pairwise fold runs on the
+    tiny per-lang vocab sets."""
+    import itertools
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["lang", "text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        pairs = set()
+        for lang, text in zip(
+            t.column("lang").to_pylist(), t.column("text").to_pylist()
+        ):
+            for w in (text or "").split():
+                pairs.add((lang, w))
+        ks = sorted(pairs)
+        return pa.table(
+            {
+                "lang": pa.array([k[0] for k in ks], pa.string()),
+                "w": pa.array([k[1] for k in ks], pa.string()),
+            }
+        )
+
+    pairs = (
+        pa.concat_tables(
+            list(ds.map_batches(toks, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"
+            ))
+        )
+        .group_by(["lang", "w"])
+        .aggregate([])
+    )
+    vocab: dict[str, set] = {}
+    for lang, w in zip(
+        pairs.column("lang").to_pylist(), pairs.column("w").to_pylist()
+    ):
+        vocab.setdefault(lang, set()).add(w)
+    rows = []
+    for a, b in itertools.combinations(sorted(vocab), 2):
+        inter = len(vocab[a] & vocab[b])
+        union = len(vocab[a] | vocab[b])
+        rows.append((a, b, inter, union, inter * 1_000_000 // union))
+    return pa.table(
+        {
+            "lang_a": pa.array([r[0] for r in rows], pa.string()),
+            "lang_b": pa.array([r[1] for r in rows], pa.string()),
+            "n_inter": pa.array([r[2] for r in rows], pa.int64()),
+            "n_union": pa.array([r[3] for r in rows], pa.int64()),
+            "jaccard_ppm": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+
+
+DOCS_LANG_VOCAB_OVERLAP_SQL = """
+WITH tok AS (
+  SELECT DISTINCT lang,
+         unnest(string_split_regex(trim(text), '\\s+')) AS w
+  FROM documents WHERE trim(text) <> ''
+), sz AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY lang
+), inter AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok a JOIN tok b ON a.w = b.w AND a.lang < b.lang
+  GROUP BY 1, 2
+), allpairs AS (
+  SELECT x.lang AS lang_a, y.lang AS lang_b
+  FROM sz x JOIN sz y ON x.lang < y.lang
+)
+SELECT p.lang_a, p.lang_b,
+       COALESCE(i.c, 0) AS n_inter,
+       sa.n + sb.n - COALESCE(i.c, 0) AS n_union,
+       COALESCE(i.c, 0) * 1000000 // (sa.n + sb.n - COALESCE(i.c, 0))
+         AS jaccard_ppm
+FROM allpairs p
+JOIN sz sa ON sa.lang = p.lang_a
+JOIN sz sb ON sb.lang = p.lang_b
+LEFT JOIN inter i ON i.lang_a = p.lang_a AND i.lang_b = p.lang_b
+ORDER BY p.lang_a, p.lang_b
+"""
