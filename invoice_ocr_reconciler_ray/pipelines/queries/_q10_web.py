@@ -3136,3 +3136,125 @@ JOIN sz sb ON sb.lang = p.lang_b
 LEFT JOIN inter i ON i.lang_a = p.lang_a AND i.lang_b = p.lang_b
 ORDER BY p.lang_a, p.lang_b
 """
+
+
+def segment_parttype_revenue_matrix(sf_dir: str):
+    """Four-table STAR query (lineitem ⋈ orders ⋈ customer ⋈ part):
+    revenue cents by (customer market segment × part type) — the
+    classic mart rollup.  Ray-first decomposition: ONE hash join on the
+    fact key (l_orderkey = o_orderkey, 8 partitions — the empirically
+    optimal count); both dimensions (customer segment map, part type
+    map) ride guarded broadcasts probed vectorized inside the fact
+    scan; the final (segment, type) groupby is tiny."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    from ...stages.broadcast import guard_broadcast_bytes, table_nbytes
+
+    cust = pq.read_table(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    )
+    part = pq.read_table(_t(sf_dir, "part"), columns=["p_partkey", "p_type"])
+    for label, tbl in (("customer segment dim", cust), ("part type dim", part)):
+        guard_broadcast_bytes(
+            table_nbytes(tbl),
+            label=label,
+            alternative="hash-join the dimension on its key instead of "
+            "broadcasting (stages/broadcast.py reroute discipline)",
+        )
+    cref = ray.put(
+        {
+            "k": pc.cast(cust["c_custkey"], pa.int64()).combine_chunks(),
+            "v": cust["c_mktsegment"].combine_chunks(),
+        }
+    )
+    pref = ray.put(
+        {
+            "k": pc.cast(part["p_partkey"], pa.int64()).combine_chunks(),
+            "v": part["p_type"].combine_chunks(),
+        }
+    )
+
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_partkey", "l_extendedprice", "l_discount"],
+    )
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+        )
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(rev, 100.0), 0.5)), pa.int64()
+        )
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "l_partkey": t.column("l_partkey"),
+                "rev_c": cents,
+            }
+        )
+
+    joined = li.map_batches(prep, batch_format="pyarrow").join(
+        orders,
+        join_type="inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def label(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        p = ray.get(pref)
+        seg = pc.take(
+            c["v"],
+            pc.index_in(pc.cast(t.column("o_custkey"), pa.int64()), value_set=c["k"]),
+        )
+        typ = pc.take(
+            p["v"],
+            pc.index_in(pc.cast(t.column("l_partkey"), pa.int64()), value_set=p["k"]),
+        )
+        return (
+            pa.table(
+                {
+                    "c_mktsegment": seg,
+                    "p_type": typ,
+                    "rev_c": t.column("rev_c"),
+                }
+            )
+            .group_by(["c_mktsegment", "p_type"])
+            .aggregate([("rev_c", "sum")])
+            .rename_columns(["c_mktsegment", "p_type", "revenue_cents"])
+        )
+
+    parts = pa.concat_tables(
+        list(
+            joined.map_batches(label, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"
+            )
+        )
+    )
+    return (
+        parts.group_by(["c_mktsegment", "p_type"])
+        .aggregate([("revenue_cents", "sum")])
+        .rename_columns(["c_mktsegment", "p_type", "revenue_cents"])
+        .sort_by([("c_mktsegment", "ascending"), ("p_type", "ascending")])
+    )
+
+
+SEGMENT_PARTTYPE_REVENUE_MATRIX_SQL = """
+SELECT c_mktsegment, p_type,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN part     ON l_partkey = p_partkey
+GROUP BY c_mktsegment, p_type
+ORDER BY c_mktsegment, p_type
+"""
