@@ -3258,3 +3258,108 @@ JOIN part     ON l_partkey = p_partkey
 GROUP BY c_mktsegment, p_type
 ORDER BY c_mktsegment, p_type
 """
+
+
+def docs_quality_gate_ablation(sf_dir: str):
+    """Quality-gate ABLATION — which of the C4/Gopher gates actually does
+    the rejecting: for each gate (word count, mean word length, stopword
+    fraction, repeated-word fraction), how many docs fail it at all and
+    how many fail ONLY it (the sole-rejection count that tells you what
+    loosening that one threshold would readmit).  Metrics come from the
+    production ``quality_flags_stage`` unchanged; the ablation is pure
+    vectorized mask arithmetic over its µ-scaled outputs."""
+    from ...stages.text_analysis import quality_flags_stage
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    q = pa.concat_tables(
+        list(quality_flags_stage(ds).iter_batches(batch_format="pyarrow"))
+    )
+    nw = q.column("n_words").to_numpy(zero_copy_only=False)
+    mwl = q.column("mwl_u").to_numpy(zero_copy_only=False)
+    stop = q.column("stop_u").to_numpy(zero_copy_only=False)
+    dup = q.column("dupword_u").to_numpy(zero_copy_only=False)
+    fails = {
+        "word_count": (nw < 20) | (nw > 100_000),
+        "mean_word_len": (mwl < 2_000_000) | (mwl > 12_000_000),
+        "stopword_frac": stop < 10_000,
+        "dupword_frac": dup > 900_000,
+    }
+    total_fail = np.zeros(len(nw), dtype=np.int64)
+    for m in fails.values():
+        total_fail += m
+    rows = []
+    for name in sorted(fails):
+        m = fails[name]
+        rows.append(
+            (name, int(m.sum()), int((m & (total_fail == 1)).sum()))
+        )
+    return pa.table(
+        {
+            "gate": pa.array([r[0] for r in rows], pa.string()),
+            "n_failing": pa.array([r[1] for r in rows], pa.int64()),
+            "n_sole_reason": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+DOCS_QUALITY_GATE_ABLATION_SQL = """
+WITH b AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_words,
+         length(regexp_replace(text, '\\s', '', 'g')) AS wc,
+         len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+             x -> x IN ('the','a','an','of','to','in','and','is','on','for')))
+           AS n_stop,
+         len(list_distinct(list_filter(
+             string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')))
+           AS n_distinct
+  FROM documents
+), m AS (
+  SELECT doc_id, n_words,
+         CASE WHEN n_words = 0 THEN 0
+              ELSE CAST(FLOOR(wc * 1000000.0 / n_words) AS BIGINT) END AS mwl_u,
+         CASE WHEN n_words = 0 THEN 0
+              ELSE CAST(FLOOR(n_stop * 1000000.0 / n_words) AS BIGINT) END
+           AS stop_u,
+         CASE WHEN n_words = 0 THEN 0
+              ELSE CAST(FLOOR((n_words - n_distinct) * 1000000.0 / n_words)
+                        AS BIGINT) END AS dupword_u
+  FROM b
+), flags AS (
+  SELECT doc_id,
+         (n_words < 20 OR n_words > 100000) AS f_wc,
+         (mwl_u < 2000000 OR mwl_u > 12000000) AS f_mwl,
+         (stop_u < 10000) AS f_stop,
+         (dupword_u > 900000) AS f_dup
+  FROM m
+), tot AS (
+  SELECT flags.*,
+         CAST(f_wc AS INT) + CAST(f_mwl AS INT) + CAST(f_stop AS INT)
+           + CAST(f_dup AS INT) AS nf
+  FROM flags
+)
+SELECT gate, n_failing, n_sole_reason FROM (
+  SELECT 'dupword_frac' AS gate,
+         CAST(SUM(CASE WHEN f_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_failing,
+         CAST(SUM(CASE WHEN f_dup AND nf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_sole_reason
+  FROM tot
+  UNION ALL
+  SELECT 'mean_word_len',
+         CAST(SUM(CASE WHEN f_mwl THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(SUM(CASE WHEN f_mwl AND nf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM tot
+  UNION ALL
+  SELECT 'stopword_frac',
+         CAST(SUM(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(SUM(CASE WHEN f_stop AND nf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM tot
+  UNION ALL
+  SELECT 'word_count',
+         CAST(SUM(CASE WHEN f_wc THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(SUM(CASE WHEN f_wc AND nf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM tot
+)
+ORDER BY gate
+"""
