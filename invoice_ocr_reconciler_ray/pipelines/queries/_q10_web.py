@@ -3363,3 +3363,74 @@ SELECT gate, n_failing, n_sole_reason FROM (
 )
 ORDER BY gate
 """
+
+
+def docs_erasure_propagation_audit(sf_dir: str):
+    """Right-to-be-forgotten ERASURE audit — before deleting a subject's
+    rows you must know every derived artifact they reached: for the
+    deletion cohort (doc_id ≡ 0 mod 97), count appearances in each
+    derived surface this engine builds — the corpus itself, the link
+    graph (as source AND as target: inbound links survive naive
+    deletion), and the per-host sitemap listing.  One row per artifact
+    with cohort hit counts — the checklist an erasure job must clear.
+    All surfaces are the registry's own deterministic constructions, so
+    the oracle rebuilds each count arithmetically."""
+    from ._q01_events_orders import _synth_link_edges
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    ids = np.sort(
+        pa.concat_tables(list(docs.iter_batches(batch_format="pyarrow")))
+        .column("doc_id")
+        .to_numpy(zero_copy_only=False)
+    )
+    cohort = set(int(i) for i in ids if i % 97 == 0)
+
+    edges, _n = _synth_link_edges(sf_dir)
+    et = pa.concat_tables(list(edges.iter_batches(batch_format="pyarrow")))
+    src = et.column("src").to_numpy(zero_copy_only=False)
+    dst = et.column("dst").to_numpy(zero_copy_only=False)
+
+    n_corpus = len(cohort)
+    n_out = int(sum(1 for s in src.tolist() if s in cohort))
+    n_in = int(sum(1 for d in dst.tolist() if d in cohort))
+    n_sitemap = int(sum(1 for i in cohort if i % 3 != 0))  # sitemap lists %3!=0
+
+    return pa.table(
+        {
+            "artifact": pa.array(
+                ["corpus_rows", "linkgraph_outbound", "linkgraph_inbound",
+                 "sitemap_listings"],
+                pa.string(),
+            ),
+            "n_cohort_hits": pa.array(
+                [n_corpus, n_out, n_in, n_sitemap], pa.int64()
+            ),
+        }
+    )
+
+
+DOCS_ERASURE_PROPAGATION_AUDIT_SQL = """
+WITH cohort AS (
+  SELECT doc_id FROM documents WHERE doc_id % 97 = 0
+), edges_raw AS (
+  SELECT doc_id AS src,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                    || CAST(j.j AS VARCHAR)), 1, 8)) AS UBIGINT)
+              % (SELECT COUNT(*) FROM documents) AS BIGINT) AS dst
+  FROM documents, LATERAL unnest(generate_series(0, 2)) AS j(j)
+), edges AS (SELECT DISTINCT src, dst FROM edges_raw WHERE dst <> src)
+SELECT artifact, n_cohort_hits FROM (
+  SELECT 'corpus_rows' AS artifact,
+         (SELECT COUNT(*) FROM cohort) AS n_cohort_hits
+  UNION ALL
+  SELECT 'linkgraph_inbound',
+         (SELECT COUNT(*) FROM edges e JOIN cohort c ON e.dst = c.doc_id)
+  UNION ALL
+  SELECT 'linkgraph_outbound',
+         (SELECT COUNT(*) FROM edges e JOIN cohort c ON e.src = c.doc_id)
+  UNION ALL
+  SELECT 'sitemap_listings',
+         (SELECT COUNT(*) FROM cohort WHERE doc_id % 3 <> 0)
+)
+ORDER BY artifact
+"""
