@@ -3434,3 +3434,89 @@ SELECT artifact, n_cohort_hits FROM (
 )
 ORDER BY artifact
 """
+
+
+def docs_context_pack_efficiency(sf_dir: str):
+    """Context-window PACKING efficiency — the padding-waste number an
+    LLM training export pays for: greedy first-fit packing of docs (in
+    doc_id order, token counts capped at the window) into 512-token
+    windows; report bins used, tokens packed, and waste in exact ppm
+    (waste = bins·512 − tokens).  Greedy fill is an order recurrence —
+    bin state depends on every prior doc — so the oracle replays the
+    identical fold as a recursive CTE over the doc sequence (the
+    token-bucket discipline, corpus-wide).
+
+    At scale the pack runs per shard (the export's natural unit); the
+    audit here covers one shard's worth."""
+    CAP = 512
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def toklen(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = [
+            min(CAP, len((s or "").split()))
+            for s in t.column("text").to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "n_tok": pa.array(n, pa.int64())}
+        )
+
+    lt = (
+        pa.concat_tables(
+            list(ds.map_batches(toklen, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"
+            ))
+        )
+        .sort_by("doc_id")
+    )
+    bins, fill, total = 0, CAP + 1, 0  # force a new bin on the first doc
+    for n in lt.column("n_tok").to_pylist():
+        n = int(n)
+        total += n
+        if fill + n > CAP:
+            bins += 1
+            fill = n
+        else:
+            fill += n
+    capacity = bins * CAP
+    return pa.table(
+        {
+            "n_docs": pa.array([lt.num_rows], pa.int64()),
+            "n_bins": pa.array([bins], pa.int64()),
+            "tokens_packed": pa.array([total], pa.int64()),
+            "waste_ppm": pa.array(
+                [(capacity - total) * 1_000_000 // capacity if capacity else 0],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+DOCS_CONTEXT_PACK_EFFICIENCY_SQL = """
+WITH RECURSIVE d AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY doc_id) AS rn,
+         LEAST(512, CASE WHEN trim(text) = '' THEN 0
+                         ELSE len(string_split_regex(trim(text), '\\s+')) END)
+           AS n_tok
+  FROM documents
+), r AS (
+  SELECT rn, n_tok, 1 AS bins, n_tok AS fill
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.rn, d.n_tok,
+         CASE WHEN r.fill + d.n_tok > 512 THEN r.bins + 1 ELSE r.bins END,
+         CASE WHEN r.fill + d.n_tok > 512 THEN d.n_tok
+              ELSE r.fill + d.n_tok END
+  FROM r JOIN d ON d.rn = r.rn + 1
+), last AS (
+  SELECT bins FROM r ORDER BY rn DESC LIMIT 1
+)
+SELECT (SELECT COUNT(*) FROM d) AS n_docs,
+       CAST((SELECT bins FROM last) AS BIGINT) AS n_bins,
+       CAST((SELECT SUM(n_tok) FROM d) AS BIGINT) AS tokens_packed,
+       CAST(((SELECT bins FROM last) * 512 - (SELECT SUM(n_tok) FROM d))
+            * 1000000 // ((SELECT bins FROM last) * 512) AS BIGINT)
+         AS waste_ppm
+"""
