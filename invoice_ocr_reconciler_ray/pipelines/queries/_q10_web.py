@@ -3520,3 +3520,64 @@ SELECT (SELECT COUNT(*) FROM d) AS n_docs,
             * 1000000 // ((SELECT bins FROM last) * 512) AS BIGINT)
          AS waste_ppm
 """
+
+
+def docs_simhash_bit_balance_audit(sf_dir: str):
+    """SimHash BIT-BALANCE health audit — a usable simhash needs each of
+    its 64 bits set on ~half the corpus (biased bits shrink effective
+    hamming distances and blind the near-dup pass).  Per bit: how many
+    docs set it, with the deviation from n/2 in exact ppm of n.  Builds
+    on the exact simhash census (same kernel, same md5 hash idiom), so
+    this is the health check a production fleet would run on its real
+    signatures."""
+    from ._q08_docs_orders import docs_simhash64_census
+
+    t = pa.concat_tables(
+        list(
+            docs_simhash64_census(sf_dir).iter_batches(batch_format="pyarrow")
+        )
+    )
+    hi = t.column("simhash_hi").to_numpy(zero_copy_only=False).astype(np.int64)
+    lo = t.column("simhash_lo").to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(hi)
+    bits = np.arange(32, dtype=np.int64)
+    set_lo = ((lo[:, None] >> bits) & 1).sum(axis=0)
+    set_hi = ((hi[:, None] >> bits) & 1).sum(axis=0)
+    n_set = np.concatenate([set_lo, set_hi]).astype(np.int64)
+    dev = np.abs(2 * n_set - n) * 1_000_000 // (2 * n) if n else n_set * 0
+    return pa.table(
+        {
+            "bit": pa.array(np.arange(64), pa.int64()),
+            "n_set": pa.array(n_set, pa.int64()),
+            "n_docs": pa.array([n] * 64, pa.int64()),
+            "dev_ppm": pa.array(dev, pa.int64()),
+        }
+    )
+
+
+DOCS_SIMHASH_BIT_BALANCE_AUDIT_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+  FROM documents WHERE trim(text) <> ''),
+tc AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+       FROM tok GROUP BY doc_id, w),
+h AS (SELECT doc_id, c,
+             CAST(('0x' || substr(md5(w), 1, 16)) AS UBIGINT) AS hw
+      FROM tc),
+b AS (SELECT doc_id, c, hw,
+             CAST(unnest(range(0, 64)) AS BIGINT) AS bit
+      FROM h),
+s AS (SELECT doc_id, bit,
+             SUM(CASE WHEN (hw >> bit) & 1 = 1 THEN c ELSE -c END) AS acc
+      FROM b GROUP BY doc_id, bit),
+per_bit AS (
+  SELECT bit,
+         CAST(SUM(CASE WHEN acc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_set,
+         COUNT(*) AS n_docs
+  FROM s GROUP BY bit
+)
+SELECT bit, n_set, n_docs,
+       ABS(2 * n_set - n_docs) * 1000000 // (2 * n_docs) AS dev_ppm
+FROM per_bit
+ORDER BY bit
+"""
