@@ -3581,3 +3581,102 @@ SELECT bit, n_set, n_docs,
 FROM per_bit
 ORDER BY bit
 """
+
+
+def docs_ocr_confusion_fold_census(sf_dir: str):
+    """OCR-confusion FOLD census — the reference's own failure domain
+    (invoice OCR) applied corpus-wide: fold the classic OCR confusion
+    pairs (0↔O, 1↔l, 5↔S, 8↔B, rn→m is out of scope for a 1:1 fold)
+    into canonical characters and ask (a) how many docs change at all
+    under the fold and (b) how many docs COLLIDE — equal folded text,
+    different raw text: the OCR-near-dups exact dedup misses.  Folding
+    is one translate per row; collisions ride a folded-md5 groupby."""
+    import hashlib
+
+    FOLD = str.maketrans("0l5B", "O1S8")
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang", "text"])
+
+    def folded(t: pa.Table) -> pa.Table:
+        texts = [(s or "") for s in t.column("text").to_pylist()]
+        ftexts = [s.translate(FOLD) for s in texts]
+        return pa.table(
+            {
+                "lang": t.column("lang"),
+                "changed": pa.array(
+                    [int(a != b) for a, b in zip(texts, ftexts)], pa.int64()
+                ),
+                "fold_md5": pa.array(
+                    [hashlib.md5(s.encode()).hexdigest() for s in ftexts],
+                    pa.string(),
+                ),
+                "raw_md5": pa.array(
+                    [hashlib.md5(s.encode()).hexdigest() for s in texts],
+                    pa.string(),
+                ),
+            }
+        )
+
+    t = pa.concat_tables(
+        list(ds.map_batches(folded, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ))
+    )
+    g = (
+        t.group_by(["lang", "fold_md5"])
+        .aggregate([("raw_md5", "count_distinct"), ("changed", "count")])
+        .rename_columns(["lang", "fold_md5", "n_raw", "n_docs"])
+    )
+    import collections
+
+    per_lang: collections.Counter = collections.Counter()
+    coll: collections.Counter = collections.Counter()
+    for lang, n_raw, n_docs in zip(
+        g.column("lang").to_pylist(),
+        g.column("n_raw").to_pylist(),
+        g.column("n_docs").to_pylist(),
+    ):
+        per_lang[lang] += n_docs
+        if n_raw > 1:
+            coll[lang] += n_docs
+    changed = (
+        t.group_by("lang").aggregate([("changed", "sum")])
+        .rename_columns(["lang", "n_changed"])
+    )
+    chd = dict(
+        zip(changed.column("lang").to_pylist(), changed.column("n_changed").to_pylist())
+    )
+    ks = sorted(per_lang)
+    return pa.table(
+        {
+            "lang": pa.array(ks, pa.string()),
+            "n_docs": pa.array([per_lang[k] for k in ks], pa.int64()),
+            "n_changed": pa.array([int(chd.get(k, 0)) for k in ks], pa.int64()),
+            "n_in_collisions": pa.array([coll.get(k, 0) for k in ks], pa.int64()),
+        }
+    )
+
+
+DOCS_OCR_CONFUSION_FOLD_CENSUS_SQL = """
+WITH f AS (
+  SELECT lang,
+         translate(text, '0l5B', 'O1S8') AS ftext,
+         text
+  FROM documents
+), g AS (
+  SELECT lang, md5(ftext) AS fm,
+         COUNT(DISTINCT md5(text)) AS n_raw,
+         COUNT(*) AS n_docs
+  FROM f GROUP BY lang, fm
+)
+SELECT f2.lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN f2.text <> f2.ftext THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_changed,
+       CAST(COALESCE((SELECT SUM(g.n_docs) FROM g
+                      WHERE g.lang = f2.lang AND g.n_raw > 1), 0) AS BIGINT)
+         AS n_in_collisions
+FROM f f2
+GROUP BY f2.lang
+ORDER BY f2.lang
+"""
