@@ -1,0 +1,997 @@
+"""Query-registry family module 11: round-5 continuation wave.
+
+Survival / forecasting / queueing / interval-algebra / lexical-statistics
+ops that close real gaps left after the 763-entry round-5 registry
+(none of these families existed yet — verified against the full key list):
+
+* `lineitem_km_risk_table` — Kaplan-Meier risk table (n-at-risk, events,
+  censored per distinct time) over the order→ship lag, returns censored;
+* `orders_naive_forecast_mase_terms` — exact integer MASE numerator /
+  denominator terms for naive vs seasonal-naive monthly revenue forecasts;
+* `lineitem_brown_forsythe_terms` — robust variance-homogeneity sufficient
+  stats (per-group exact median + sum |x − med|) per returnflag;
+* `orders_littles_law_audit` — Little's law L = λW certified on real
+  order-open intervals via TWO independent plans (duration sum vs
+  concurrency-sweep integral) that must agree exactly;
+* `orders_allen_relation_census` — Allen interval-algebra relation census
+  over consecutive per-customer order intervals;
+* `docs_good_turing_freqfreq` — Good-Turing frequency-of-frequencies and
+  exact-ppm Turing-smoothed counts r*;
+* `docs_source_simpson_diversity` — Gini-Simpson source-diversity index per
+  lang as an exact integer cross-multiplied ppm;
+* `orders_monthly_cusum_alarm` — Page's CUSUM control recurrence over
+  monthly revenue (integer cents, recursive-CTE oracle);
+* `part_eoq_census` — economic-order-quantity per part via the fixed IEEE
+  sqrt expression discipline, censused by brand;
+* `docs_bigram_dunning_g2` — Dunning log-likelihood (G²) collocation
+  scores with bit-identical scalar-libm ln on both sides.
+
+Every op is oracle-paired and exact (integers, or fixed IEEE expression
+trees evaluated identically by numpy/math and DuckDB).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Max, Min, Sum
+
+from ._common import _t
+
+_DAY_US = 86_400_000_000
+
+
+def lineitem_km_risk_table(sf_dir: str):
+    """Kaplan-Meier risk table over the order→ship lag (days).
+
+    Time-to-event = ship lag per line; lines with ``l_returnflag = 'R'``
+    are treated as CENSORED (the return truncates observation), everything
+    else is an event.  Output, one row per distinct lag with any activity:
+    ``n_risk`` = lines with lag ≥ t, ``d_events`` / ``c_censored`` at t —
+    the exact integer sufficient statistics the KM product-limit estimator
+    is built from (the float product itself is order-fragile, the table is
+    not).  The fact-fact join runs through the 8-partition hash join; the
+    lag domain is tiny (≤ ~120 days) so per-block partials collapse it
+    before one small groupby and a driver suffix-sum."""
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_shipdate", "l_returnflag"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "ship_day": pa.array(
+                    t["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                    // _DAY_US,
+                    pa.int64(),
+                ),
+                "ev": pc.cast(pc.not_equal(t["l_returnflag"], "R"), pa.int64()),
+            }
+        )
+
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_orderdate"])
+    joined = li.map_batches(prep, batch_format="pyarrow").join(
+        orders,
+        join_type="inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        od = t["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False) // _DAY_US
+        lag = t["ship_day"].combine_chunks().to_numpy(zero_copy_only=False) - od
+        ev = t["ev"].combine_chunks().to_numpy(zero_copy_only=False)
+        return (
+            pa.table(
+                {
+                    "t_days": pa.array(lag, pa.int64()),
+                    "d": pa.array(ev, pa.int64()),
+                    "c": pa.array(1 - ev, pa.int64()),
+                }
+            )
+            .group_by("t_days")
+            .aggregate([("d", "sum"), ("c", "sum")])
+            .rename_columns(["t_days", "d", "c"])
+        )
+
+    g = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("t_days")
+        .aggregate(Sum("d", alias_name="d"), Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values("t_days", kind="mergesort")
+    )
+    d = g["d"].to_numpy().astype(np.int64)
+    c = g["c"].to_numpy().astype(np.int64)
+    at = d + c
+    # n at risk at time t = everyone whose observed time is >= t
+    n_risk = at[::-1].cumsum()[::-1]
+    return pa.table(
+        {
+            "t_days": pa.array(g["t_days"].to_numpy().astype(np.int64), pa.int64()),
+            "n_risk": pa.array(n_risk, pa.int64()),
+            "d_events": pa.array(d, pa.int64()),
+            "c_censored": pa.array(c, pa.int64()),
+        }
+    )
+
+
+LINEITEM_KM_RISK_TABLE_SQL = """
+WITH j AS (
+  SELECT epoch_us(l_shipdate) // 86400000000
+         - epoch_us(o_orderdate) // 86400000000 AS t_days,
+         CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END AS ev
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), g AS (
+  SELECT t_days,
+         CAST(SUM(ev) AS BIGINT) AS d_events,
+         CAST(SUM(1 - ev) AS BIGINT) AS c_censored
+  FROM j GROUP BY t_days
+)
+SELECT t_days,
+       CAST(SUM(d_events + c_censored)
+            OVER (ORDER BY t_days DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) AS BIGINT) AS n_risk,
+       d_events, c_censored
+FROM g
+ORDER BY t_days
+"""
+
+
+def orders_naive_forecast_mase_terms(sf_dir: str):
+    """MASE sufficient statistics for the monthly revenue series: the sum
+    of |y_t − y_{t−1}| (naive in-sample MAE numerator) and of
+    |y_t − y_{t−12}| (seasonal-naive forecast error), all in exact integer
+    cents, plus the cross-multiplied seasonal/naive ratio in ppm — the
+    scale-free forecast-quality number without a single float.  Monthly
+    totals come from block partials + one tiny groupby; the lag algebra
+    runs on the ≤ ~90-row month series on the driver."""
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(
+                pc.add(pc.multiply(pc.cast(t["o_totalprice"], pa.float64()), 100.0), 0.5)
+            ),
+            pa.int64(),
+        )
+        ym = pc.strftime(t["o_orderdate"], format="%Y-%m")
+        return (
+            pa.table({"ym": ym, "y": cents})
+            .group_by("ym")
+            .aggregate([("y", "sum")])
+            .rename_columns(["ym", "y"])
+        )
+
+    g = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("ym")
+        .aggregate(Sum("y", alias_name="y"))
+        .to_pandas()
+        .sort_values("ym", kind="mergesort")
+    )
+    y = g["y"].to_numpy().astype(np.int64)
+    e1 = np.abs(np.diff(y)) if len(y) > 1 else np.array([], np.int64)
+    e12 = np.abs(y[12:] - y[:-12]) if len(y) > 12 else np.array([], np.int64)
+    n1, s1 = len(e1), int(e1.sum())
+    n12, s12 = len(e12), int(e12.sum())
+    ratio = (s12 * n1 * 1_000_000) // (s1 * n12) if s1 > 0 and n12 > 0 else 0
+    return pa.table(
+        {
+            "n_months": pa.array([len(y)], pa.int64()),
+            "n_naive_terms": pa.array([n1], pa.int64()),
+            "sum_naive_abs_cents": pa.array([s1], pa.int64()),
+            "n_seasonal_terms": pa.array([n12], pa.int64()),
+            "sum_seasonal_abs_cents": pa.array([s12], pa.int64()),
+            "mase_ppm": pa.array([ratio], pa.int64()),
+        }
+    )
+
+
+ORDERS_NAIVE_FORECAST_MASE_TERMS_SQL = """
+WITH m AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+         CAST(SUM(FLOOR(o_totalprice * 100 + 0.5)) AS BIGINT) AS y
+  FROM orders GROUP BY ym
+), lagged AS (
+  SELECT y,
+         lag(y, 1) OVER (ORDER BY ym) AS y1,
+         lag(y, 12) OVER (ORDER BY ym) AS y12
+  FROM m
+), agg AS (
+  SELECT COUNT(*) AS n_months,
+         COUNT(y1) AS n_naive_terms,
+         CAST(COALESCE(SUM(ABS(y - y1)), 0) AS BIGINT) AS sum_naive_abs_cents,
+         COUNT(y12) AS n_seasonal_terms,
+         CAST(COALESCE(SUM(ABS(y - y12)), 0) AS BIGINT) AS sum_seasonal_abs_cents
+  FROM lagged
+)
+SELECT n_months, n_naive_terms, sum_naive_abs_cents,
+       n_seasonal_terms, sum_seasonal_abs_cents,
+       CAST(CASE WHEN sum_naive_abs_cents > 0 AND n_seasonal_terms > 0
+                 THEN CAST(sum_seasonal_abs_cents AS HUGEINT) * n_naive_terms
+                      * 1000000
+                      // (CAST(sum_naive_abs_cents AS HUGEINT) * n_seasonal_terms)
+                 ELSE 0 END AS BIGINT) AS mase_ppm
+FROM agg
+"""
+
+
+def lineitem_brown_forsythe_terms(sf_dir: str):
+    """Brown-Forsythe (median-based Levene) sufficient statistics per
+    return flag: n, the EXACT group median of extended-price cents
+    (DuckDB ``quantile_disc`` convention, sorted[ceil(n/2)−1]), and the
+    exact integer sum of |x − median|.  The heavy pass is a value-domain
+    compression — per-block (flag, cents) partial counts collapse the fact
+    table to the bounded distinct-price domain before one groupby; median
+    and absolute-deviation sums are then exact vector folds over that
+    compressed histogram.  Feeding the float F-statistic from exact
+    sufficient stats keeps the engine's determinism discipline."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_returnflag", "l_extendedprice"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(
+                pc.add(
+                    pc.multiply(pc.cast(t["l_extendedprice"], pa.float64()), 100.0), 0.5
+                )
+            ),
+            pa.int64(),
+        )
+        return (
+            pa.table({"flag": t["l_returnflag"], "cents": cents})
+            .group_by(["flag", "cents"])
+            .aggregate([("cents", "count")])
+            .rename_columns(["flag", "cents", "n"])
+        )
+
+    g = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["flag", "cents"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out_rows = []
+    for flag, sub in g.groupby("flag", sort=True):
+        sub = sub.sort_values("cents", kind="mergesort")
+        vals = sub["cents"].to_numpy().astype(np.int64)
+        cnt = sub["n"].to_numpy().astype(np.int64)
+        n = int(cnt.sum())
+        # quantile_disc(x, 0.5) == sorted[ceil(0.5 * n) - 1] (0-based)
+        target = (n + 1) // 2  # == ceil(n / 2)
+        med = int(vals[np.searchsorted(cnt.cumsum(), target)])
+        sumabs = int((np.abs(vals - med) * cnt).sum())
+        out_rows.append((str(flag), n, med, sumabs))
+    return pa.table(
+        {
+            "flag": pa.array([r[0] for r in out_rows], pa.string()),
+            "n": pa.array([r[1] for r in out_rows], pa.int64()),
+            "med_cents": pa.array([r[2] for r in out_rows], pa.int64()),
+            "sum_absdev_cents": pa.array([r[3] for r in out_rows], pa.int64()),
+        }
+    )
+
+
+LINEITEM_BROWN_FORSYTHE_TERMS_SQL = """
+WITH c AS (
+  SELECT l_returnflag AS flag,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem
+), m AS (
+  SELECT flag, quantile_disc(cents, 0.5) AS med FROM c GROUP BY flag
+)
+SELECT c.flag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(m.med) AS BIGINT) AS med_cents,
+       CAST(SUM(ABS(c.cents - m.med)) AS BIGINT) AS sum_absdev_cents
+FROM c JOIN m ON c.flag = m.flag
+GROUP BY c.flag
+ORDER BY c.flag
+"""
+
+
+def orders_littles_law_audit(sf_dir: str):
+    """Little's law (L = λW) certified on real data — and on the ENGINE:
+    the total open-order-days are computed by two independent plans that
+    must agree exactly: (a) per-order duration sum through the 8-partition
+    orders⋈lineitem join, and (b) the concurrency-sweep integral (event
+    deltas at open/close+1, running sum × segment length).  An order is
+    open from o_orderdate through its last line's shipdate, inclusive;
+    day granularity keeps every quantity an integer, so L, λ and W come
+    out as exact cross-multiplied ppm and the λ·W product is *provably*
+    equal to L when the two plans agree — the audit row carries both
+    totals plus the identity flag."""
+    li = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_orderkey", "l_shipdate"])
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        return (
+            pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "ship_day": pa.array(
+                        t["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                        // _DAY_US,
+                        pa.int64(),
+                    ),
+                }
+            )
+            .group_by("l_orderkey")
+            .aggregate([("ship_day", "max")])
+            .rename_columns(["l_orderkey", "close_day"])
+        )
+
+    close = (
+        li.map_batches(li_prep, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Max("close_day", alias_name="close_day"))
+    )
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_orderdate"])
+    joined = orders.join(
+        close,
+        join_type="inner",
+        num_partitions=8,
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+
+    def iv_partial(t: pa.Table) -> pa.Table:
+        a = t["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False) // _DAY_US
+        b = t["close_day"].combine_chunks().to_numpy(zero_copy_only=False)
+        dur = b - a + 1
+        # per-block partial of every scalar the audit needs, plus the
+        # delta multiset for the sweep (open day +1, close+1 day -1)
+        days = np.concatenate([a, b + 1])
+        dlt = np.concatenate([np.ones(len(a), np.int64), -np.ones(len(a), np.int64)])
+        deltas = (
+            pa.table({"day": pa.array(days, pa.int64()), "dlt": pa.array(dlt, pa.int64())})
+            .group_by("day")
+            .aggregate([("dlt", "sum")])
+            .rename_columns(["day", "dlt"])
+        )
+        scal = pa.table(
+            {
+                "day": pa.array([np.int64(-(10**15))], pa.int64()),
+                "dlt": pa.array([np.int64(0)], pa.int64()),
+                "n": pa.array([len(a)], pa.int64()),
+                "dur": pa.array([int(dur.sum())], pa.int64()),
+                "lo": pa.array([int(a.min())], pa.int64()),
+                "hi": pa.array([int(b.max())], pa.int64()),
+            }
+        )
+        deltas = deltas.append_column("n", pa.array([0] * deltas.num_rows, pa.int64()))
+        deltas = deltas.append_column("dur", pa.array([0] * deltas.num_rows, pa.int64()))
+        deltas = deltas.append_column(
+            "lo", pa.array([np.int64(10**15)] * deltas.num_rows, pa.int64())
+        )
+        deltas = deltas.append_column(
+            "hi", pa.array([np.int64(-(10**15))] * deltas.num_rows, pa.int64())
+        )
+        return pa.concat_tables([deltas, scal])
+
+    g = (
+        joined.map_batches(iv_partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(
+            Sum("dlt", alias_name="dlt"),
+            Sum("n", alias_name="n"),
+            Sum("dur", alias_name="dur"),
+            Min("lo", alias_name="lo"),
+            Max("hi", alias_name="hi"),
+        )
+        .to_pandas()
+        .sort_values("day", kind="mergesort")
+    )
+    n_orders = int(g["n"].sum())
+    total_dur = int(g["dur"].sum())
+    lo, hi = int(g["lo"].min()), int(g["hi"].max())
+    real = g[g["day"] > -(10**15)]
+    days = real["day"].to_numpy().astype(np.int64)
+    conc = real["dlt"].to_numpy().astype(np.int64).cumsum()
+    seg = np.diff(days)
+    integral = int((conc[:-1] * seg).sum()) if len(days) > 1 else 0
+    horizon = hi - lo + 1
+    return pa.table(
+        {
+            "n_orders": pa.array([n_orders], pa.int64()),
+            "total_open_days": pa.array([total_dur], pa.int64()),
+            "integral_open_days": pa.array([integral], pa.int64()),
+            "horizon_days": pa.array([horizon], pa.int64()),
+            "lambda_ppm_per_day": pa.array([n_orders * 1_000_000 // horizon], pa.int64()),
+            "w_mean_ppm_days": pa.array([total_dur * 1_000_000 // n_orders], pa.int64()),
+            "l_mean_ppm": pa.array([integral * 1_000_000 // horizon], pa.int64()),
+            "identity_ok": pa.array([int(integral == total_dur)], pa.int64()),
+        }
+    )
+
+
+ORDERS_LITTLES_LAW_AUDIT_SQL = """
+WITH cl AS (
+  SELECT l_orderkey AS k,
+         MAX(epoch_us(l_shipdate) // 86400000000) AS close_day
+  FROM lineitem GROUP BY l_orderkey
+), iv AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS a, close_day AS b
+  FROM orders JOIN cl ON o_orderkey = k
+), d AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(b - a + 1) AS BIGINT) AS total_dur,
+         MIN(a) AS lo, MAX(b) AS hi
+  FROM iv
+), deltas AS (
+  SELECT a AS day, 1 AS dlt FROM iv
+  UNION ALL
+  SELECT b + 1 AS day, -1 AS dlt FROM iv
+), g AS (
+  SELECT day, SUM(dlt) AS dlt FROM deltas GROUP BY day
+), s AS (
+  SELECT day,
+         SUM(dlt) OVER (ORDER BY day) AS conc,
+         lead(day) OVER (ORDER BY day) AS nxt
+  FROM g
+), integ AS (
+  SELECT CAST(COALESCE(SUM(conc * (nxt - day)), 0) AS BIGINT) AS integral
+  FROM s WHERE nxt IS NOT NULL
+)
+SELECT n_orders, total_dur AS total_open_days, integral AS integral_open_days,
+       CAST(hi - lo + 1 AS BIGINT) AS horizon_days,
+       CAST(n_orders * 1000000 // (hi - lo + 1) AS BIGINT) AS lambda_ppm_per_day,
+       CAST(total_dur * 1000000 // n_orders AS BIGINT) AS w_mean_ppm_days,
+       CAST(integral * 1000000 // (hi - lo + 1) AS BIGINT) AS l_mean_ppm,
+       CAST(CASE WHEN integral = total_dur THEN 1 ELSE 0 END AS BIGINT)
+         AS identity_ok
+FROM d, integ
+"""
+
+
+def orders_allen_relation_census(sf_dir: str):
+    """Allen interval-algebra census: each order's open interval
+    [orderdate, last-line shipdate] is compared with the customer's NEXT
+    order (sorted by open day, orderkey tie-break) and the pair is
+    classified into Allen's relations — with X preceding Y in start order
+    only eight relations can occur (before, meets, overlaps, finished_by,
+    contains, starts, equals, started_by).  The census of those relations
+    is the temporal-join selectivity profile a range-join planner needs.
+    Per-customer sequencing runs as a sorted-group kernel after the
+    8-partition close-date join; censuses are per-group partials summed by
+    one tiny groupby."""
+    li = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_orderkey", "l_shipdate"])
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        return (
+            pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "ship_day": pa.array(
+                        t["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                        // _DAY_US,
+                        pa.int64(),
+                    ),
+                }
+            )
+            .group_by("l_orderkey")
+            .aggregate([("ship_day", "max")])
+            .rename_columns(["l_orderkey", "close_day"])
+        )
+
+    close = (
+        li.map_batches(li_prep, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Max("close_day", alias_name="close_day"))
+    )
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    joined = orders.join(
+        close,
+        join_type="inner",
+        num_partitions=8,
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+
+    _RELS = [
+        "before",
+        "meets",
+        "overlaps",
+        "finished_by",
+        "contains",
+        "starts",
+        "equals",
+        "started_by",
+    ]
+    _empty = pa.table(
+        {"rel": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+    )
+
+    def census(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return _empty
+        s = g.take(
+            pc.sort_indices(
+                g, sort_keys=[("o_orderdate", "ascending"), ("o_orderkey", "ascending")]
+            )
+        )
+        a = s["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False) // _DAY_US
+        b = s["close_day"].combine_chunks().to_numpy(zero_copy_only=False)
+        ax, bx, ay, by = a[:-1], b[:-1], a[1:], b[1:]
+        rel = np.select(
+            [
+                bx < ay,
+                bx == ay,
+                (ax < ay) & (bx > ay) & (bx < by),
+                (ax < ay) & (bx == by),
+                (ax < ay) & (bx > by),
+                (ax == ay) & (bx < by),
+                (ax == ay) & (bx == by),
+            ],
+            _RELS[:7],
+            default="started_by",
+        )
+        vals, cnts = np.unique(rel, return_counts=True)
+        return pa.table(
+            {
+                "rel": pa.array(vals.astype(object), pa.string()),
+                "n": pa.array(cnts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    g = (
+        joined.groupby("o_custkey")
+        .map_groups(census, batch_format="pyarrow")
+        .groupby("rel")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("rel", kind="mergesort")
+    )
+    return pa.table(
+        {
+            "rel": pa.array([str(r) for r in g["rel"]], pa.string()),
+            "n": pa.array(g["n"].to_numpy().astype(np.int64), pa.int64()),
+        }
+    )
+
+
+ORDERS_ALLEN_RELATION_CENSUS_SQL = """
+WITH cl AS (
+  SELECT l_orderkey AS k,
+         MAX(epoch_us(l_shipdate) // 86400000000) AS close_day
+  FROM lineitem GROUP BY l_orderkey
+), iv AS (
+  SELECT o_custkey,
+         epoch_us(o_orderdate) // 86400000000 AS a,
+         close_day AS b,
+         o_orderkey
+  FROM orders JOIN cl ON o_orderkey = k
+), p AS (
+  SELECT a AS ax, b AS bx,
+         lead(a) OVER w AS ay,
+         lead(b) OVER w AS by_
+  FROM iv
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY a, o_orderkey)
+), r AS (
+  SELECT CASE
+           WHEN bx < ay THEN 'before'
+           WHEN bx = ay THEN 'meets'
+           WHEN ax < ay AND bx > ay AND bx < by_ THEN 'overlaps'
+           WHEN ax < ay AND bx = by_ THEN 'finished_by'
+           WHEN ax < ay AND bx > by_ THEN 'contains'
+           WHEN ax = ay AND bx < by_ THEN 'starts'
+           WHEN ax = ay AND bx = by_ THEN 'equals'
+           ELSE 'started_by'
+         END AS rel
+  FROM p WHERE ay IS NOT NULL
+)
+SELECT rel, CAST(COUNT(*) AS BIGINT) AS n
+FROM r GROUP BY rel ORDER BY rel
+"""
+
+
+def docs_good_turing_freqfreq(sf_dir: str):
+    """Good-Turing frequency-of-frequencies: N_r = how many vocabulary
+    items occur exactly r times, plus the Turing-smoothed adjusted count
+    r* = (r+1)·N_{r+1}/N_r as an exact cross-multiplied ppm (0 when
+    N_{r+1} = 0, the classic unsmoothed-GT gap).  Term counting is the
+    standard block-partial + groupby; the frequency spectrum itself is
+    vocabulary-bounded and folds on the driver."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), pattern=r"[^a-z0-9]+")
+        col = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = col.flatten()
+        keep = pc.and_(pc.is_valid(flat), pc.not_equal(flat, ""))
+        words = flat.filter(keep)
+        return (
+            pa.table({"term": words})
+            .group_by("term")
+            .aggregate([("term", "count")])
+            .rename_columns(["term", "n"])
+        )
+
+    g = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    from collections import Counter
+
+    spectrum = Counter(int(v) for v in g["n"])
+    rs = sorted(spectrum)
+    out = []
+    for r in rs:
+        n_r = spectrum[r]
+        n_r1 = spectrum.get(r + 1, 0)
+        r_star = (r + 1) * n_r1 * 1_000_000 // n_r if n_r1 else 0
+        out.append((r, n_r, r_star))
+    return pa.table(
+        {
+            "r": pa.array([o[0] for o in out], pa.int64()),
+            "n_terms": pa.array([o[1] for o in out], pa.int64()),
+            "r_star_ppm": pa.array([o[2] for o in out], pa.int64()),
+        }
+    )
+
+
+DOCS_GOOD_TURING_FREQFREQ_SQL = """
+WITH f AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x <> '')) AS term
+  FROM documents
+), tc AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS r FROM f GROUP BY term
+), spec AS (
+  SELECT r, CAST(COUNT(*) AS BIGINT) AS n_terms FROM tc GROUP BY r
+)
+SELECT s.r, s.n_terms,
+       CAST(COALESCE((s.r + 1) * s1.n_terms * 1000000 // s.n_terms, 0) AS BIGINT)
+         AS r_star_ppm
+FROM spec s LEFT JOIN spec s1 ON s1.r = s.r + 1
+ORDER BY s.r
+"""
+
+
+def docs_source_simpson_diversity(sf_dir: str):
+    """Gini-Simpson source-diversity per language — the probability that
+    two documents drawn (without replacement) from a language come from
+    DIFFERENT sources, as an exact integer ppm:
+    (N(N−1) − Σ nᵢ(nᵢ−1))·10⁶ // (N(N−1)).  The corpus-mix health number
+    behind source-rebalance decisions, float-free.  One block-partial
+    (lang, source) groupby; the diversity fold is over the tiny
+    lang×source matrix."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["lang", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.append_column("one", pa.array(np.ones(t.num_rows, np.int64)))
+        return (
+            t.group_by(["lang", "source"])
+            .aggregate([("one", "sum")])
+            .rename_columns(["lang", "source", "n"])
+        )
+
+    g = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    rows = []
+    for lang, sub in g.groupby("lang", sort=True):
+        n_i = sub["n"].to_numpy().astype(np.int64)
+        total = int(n_i.sum())
+        same = int((n_i * (n_i - 1)).sum())
+        denom = total * (total - 1)
+        div = (denom - same) * 1_000_000 // denom if denom > 0 else 0
+        rows.append((str(lang), total, len(n_i), div))
+    return pa.table(
+        {
+            "lang": pa.array([r[0] for r in rows], pa.string()),
+            "n_docs": pa.array([r[1] for r in rows], pa.int64()),
+            "n_sources": pa.array([r[2] for r in rows], pa.int64()),
+            "diversity_ppm": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+DOCS_SOURCE_SIMPSON_DIVERSITY_SQL = """
+WITH c AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY lang, source
+)
+SELECT lang,
+       CAST(SUM(n) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_sources,
+       CAST(CASE WHEN SUM(n) > 1
+                 THEN (CAST(SUM(n) AS HUGEINT) * (SUM(n) - 1)
+                       - SUM(CAST(n AS HUGEINT) * (n - 1))) * 1000000
+                      // (CAST(SUM(n) AS HUGEINT) * (SUM(n) - 1))
+                 ELSE 0 END AS BIGINT) AS diversity_ppm
+FROM c GROUP BY lang ORDER BY lang
+"""
+
+
+def orders_monthly_cusum_alarm(sf_dir: str):
+    """Page's CUSUM control chart over monthly revenue, all in integer
+    cents: with reference k = ⌊total/n_months⌋, the one-sided recurrence
+    S_t = max(0, S_{t−1} + y_t − k) accumulates sustained above-reference
+    drift and alarms when S_t > 2k.  The recurrence is inherently serial
+    but runs over the ≤ ~90-row month series on the driver after the usual
+    block-partial monthly rollup; the oracle replays it with a recursive
+    CTE (the token-bucket precedent)."""
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(
+                pc.add(pc.multiply(pc.cast(t["o_totalprice"], pa.float64()), 100.0), 0.5)
+            ),
+            pa.int64(),
+        )
+        ym = pc.strftime(t["o_orderdate"], format="%Y-%m")
+        return (
+            pa.table({"ym": ym, "y": cents})
+            .group_by("ym")
+            .aggregate([("y", "sum")])
+            .rename_columns(["ym", "y"])
+        )
+
+    g = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("ym")
+        .aggregate(Sum("y", alias_name="y"))
+        .to_pandas()
+        .sort_values("ym", kind="mergesort")
+    )
+    y = g["y"].to_numpy().astype(np.int64)
+    k = int(y.sum()) // len(y)
+    s = 0
+    svals, alarms = [], []
+    for v in y:
+        s = max(0, s + int(v) - k)
+        svals.append(s)
+        alarms.append(int(s > 2 * k))
+    return pa.table(
+        {
+            "ym": pa.array([str(m) for m in g["ym"]], pa.string()),
+            "y_cents": pa.array(y, pa.int64()),
+            "s_cents": pa.array(svals, pa.int64()),
+            "alarm": pa.array(alarms, pa.int64()),
+        }
+    )
+
+
+ORDERS_MONTHLY_CUSUM_ALARM_SQL = """
+WITH RECURSIVE m AS MATERIALIZED (
+  SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+         CAST(SUM(FLOOR(o_totalprice * 100 + 0.5)) AS BIGINT) AS y
+  FROM orders GROUP BY ym
+), idx AS MATERIALIZED (
+  SELECT ym, y, ROW_NUMBER() OVER (ORDER BY ym) AS i FROM m
+), kk AS MATERIALIZED (
+  SELECT CAST(SUM(y) // COUNT(*) AS BIGINT) AS k FROM m
+), r AS (
+  SELECT i, ym, y, GREATEST(CAST(0 AS BIGINT), y - (SELECT k FROM kk)) AS s
+  FROM idx WHERE i = 1
+  UNION ALL
+  SELECT idx.i, idx.ym, idx.y,
+         GREATEST(CAST(0 AS BIGINT), r.s + idx.y - (SELECT k FROM kk))
+  FROM r JOIN idx ON idx.i = r.i + 1
+)
+SELECT ym, y AS y_cents, s AS s_cents,
+       CAST(CASE WHEN s > 2 * (SELECT k FROM kk) THEN 1 ELSE 0 END AS BIGINT)
+         AS alarm
+FROM r ORDER BY ym
+"""
+
+
+def part_eoq_census(sf_dir: str):
+    """Economic order quantity per part, censused by brand.  Demand D is
+    the exact integer total quantity sold per part (block partials +
+    groupby); the EOQ itself is the single fixed IEEE expression
+    √(200·D / (0.1·retailprice)) evaluated with the identical operation
+    tree on both sides (sqrt / · / ÷ are all correctly rounded, D < 2⁵³
+    converts exactly), floored to an integer before any aggregation so
+    the brand census is pure integer arithmetic."""
+    li = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_partkey", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pa.table(
+                {
+                    "l_partkey": t["l_partkey"],
+                    "q": pc.cast(t["l_quantity"], pa.int64()),
+                }
+            )
+            .group_by("l_partkey")
+            .aggregate([("q", "sum")])
+            .rename_columns(["l_partkey", "d"])
+        )
+
+    demand = pa.concat_tables(
+        list(
+            li.map_batches(partial, batch_format="pyarrow")
+            .groupby("l_partkey")
+            .aggregate(Sum("d", alias_name="d"))
+            .iter_batches(batch_format="pyarrow")
+        )
+    )
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(
+        _t(sf_dir, "part"), columns=["p_partkey", "p_brand", "p_retailprice"]
+    )
+    j = demand.join(
+        part, keys=["l_partkey"], right_keys=["p_partkey"], join_type="inner"
+    )
+    d = j.column("d").to_numpy(zero_copy_only=False).astype(np.float64)
+    price = j.column("p_retailprice").to_numpy(zero_copy_only=False)
+    eoq = np.floor(np.sqrt((200.0 * d) / (0.1 * price))).astype(np.int64)
+    t = (
+        pa.table(
+            {
+                "brand": j.column("p_brand"),
+                "one": pa.array(np.ones(len(d), np.int64)),
+                "eoq": pa.array(eoq, pa.int64()),
+            }
+        )
+        .group_by("brand")
+        .aggregate([("one", "sum"), ("eoq", "sum"), ("eoq", "max")])
+        .rename_columns(["brand", "n_parts", "sum_floor_eoq", "max_floor_eoq"])
+    )
+    return t.take(pc.sort_indices(t, sort_keys=[("brand", "ascending")]))
+
+
+PART_EOQ_CENSUS_SQL = """
+WITH dm AS (
+  SELECT l_partkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS d
+  FROM lineitem GROUP BY l_partkey
+), e AS (
+  SELECT p_brand AS brand,
+         CAST(FLOOR(sqrt((200e0 * CAST(d AS DOUBLE))
+                         / (1e-1 * p_retailprice))) AS BIGINT) AS eoq
+  FROM dm JOIN part ON l_partkey = p_partkey
+)
+SELECT brand,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(eoq) AS BIGINT) AS sum_floor_eoq,
+       CAST(MAX(eoq) AS BIGINT) AS max_floor_eoq
+FROM e GROUP BY brand ORDER BY brand
+"""
+
+
+def docs_bigram_dunning_g2(sf_dir: str):
+    """Dunning log-likelihood (G²) collocation scores for corpus bigrams
+    with support ≥ 20: the 2×2 contingency (bigram vs its margins over all
+    adjacent pairs) folded into G² = 2·Σ O·ln(O·N / (rowtot·coltot)), with
+    every product kept in exact int64 and ONE division + ONE scalar-libm
+    ``math.log`` per cell, summed in fixed cell order — the identical IEEE
+    tree DuckDB's LN evaluates, so the float scores hash-match bit-for-bit
+    (the r4 BM25/Wilson discipline).  Counting is the two-groupby bigram
+    partial; the G² fold runs over the vocabulary²-bounded driver table."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), pattern=r"[^a-z0-9]+")
+        col = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = col.flatten()
+        parent = pc.list_parent_indices(col).to_numpy(zero_copy_only=False)
+        keep = pc.and_(pc.is_valid(flat), pc.not_equal(flat, "")).to_numpy(
+            zero_copy_only=False
+        )
+        words = flat.filter(pa.array(keep))
+        par = parent[keep]
+        w = words.to_pylist()
+        same = par[:-1] == par[1:] if len(par) > 1 else np.array([], bool)
+        idx = np.flatnonzero(same)
+        bi = [f"{w[i]} {w[i+1]}" for i in idx]
+        return (
+            pa.table({"g": pa.array(bi, pa.string())})
+            .group_by("g")
+            .aggregate([("g", "count")])
+            .rename_columns(["g", "n"])
+        )
+
+    g = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    first: dict = {}
+    second: dict = {}
+    big = {}
+    n_total = 0
+    for gram, c in zip(g["g"], g["n"].astype(int)):
+        a, b = gram.split(" ", 1)
+        first[a] = first.get(a, 0) + c
+        second[b] = second.get(b, 0) + c
+        big[gram] = c
+        n_total += c
+
+    def _term(o: int, rt: int, ct: int) -> float:
+        if o <= 0:
+            return 0.0
+        return float(o) * math.log((o * n_total) / (rt * ct))
+
+    rows = []
+    for gram in sorted(big):
+        a_n = big[gram]
+        if a_n < 20:
+            continue
+        w1, w2 = gram.split(" ", 1)
+        rt1, ct1 = first[w1], second[w2]
+        b_n = rt1 - a_n
+        c_n = ct1 - a_n
+        d_n = n_total - a_n - b_n - c_n
+        rt2 = n_total - rt1
+        ct2 = n_total - ct1
+        g2 = 2.0 * (
+            _term(a_n, rt1, ct1)
+            + _term(b_n, rt1, ct2)
+            + _term(c_n, rt2, ct1)
+            + _term(d_n, rt2, ct2)
+        )
+        rows.append((gram, a_n, g2))
+    return pa.table(
+        {
+            "bigram": pa.array([r[0] for r in rows], pa.string()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "g2": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+
+
+DOCS_BIGRAM_DUNNING_G2_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents
+), f AS (
+  SELECT doc_id, unnest(l) AS term,
+         CAST(unnest(range(1, len(l) + 1)) AS BIGINT) AS pos
+  FROM d
+), w AS (
+  SELECT term AS a, lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+  FROM f
+), bg AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab
+  FROM w WHERE b IS NOT NULL GROUP BY a, b
+), m1 AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS rt FROM bg GROUP BY a),
+m2 AS (SELECT b, CAST(SUM(c_ab) AS BIGINT) AS ct FROM bg GROUP BY b),
+nn AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n FROM bg),
+cells AS (
+  SELECT bg.a || ' ' || bg.b AS bigram, c_ab,
+         m1.rt AS rt1, m2.ct AS ct1,
+         m1.rt - c_ab AS b_n, m2.ct - c_ab AS c_n,
+         nn.n - m1.rt - m2.ct + c_ab AS d_n,
+         nn.n - m1.rt AS rt2, nn.n - m2.ct AS ct2, nn.n AS n
+  FROM bg JOIN m1 ON bg.a = m1.a JOIN m2 ON bg.b = m2.b, nn
+  WHERE c_ab >= 20
+)
+SELECT bigram, c_ab AS n,
+       2e0 * (
+         (CASE WHEN c_ab > 0 THEN CAST(c_ab AS DOUBLE)
+               * LN(CAST(c_ab * n AS DOUBLE) / CAST(rt1 * ct1 AS DOUBLE))
+               ELSE 0e0 END)
+         + (CASE WHEN b_n > 0 THEN CAST(b_n AS DOUBLE)
+                 * LN(CAST(b_n * n AS DOUBLE) / CAST(rt1 * ct2 AS DOUBLE))
+                 ELSE 0e0 END)
+         + (CASE WHEN c_n > 0 THEN CAST(c_n AS DOUBLE)
+                 * LN(CAST(c_n * n AS DOUBLE) / CAST(rt2 * ct1 AS DOUBLE))
+                 ELSE 0e0 END)
+         + (CASE WHEN d_n > 0 THEN CAST(d_n AS DOUBLE)
+                 * LN(CAST(d_n * n AS DOUBLE) / CAST(rt2 * ct2 AS DOUBLE))
+                 ELSE 0e0 END)
+       ) AS g2
+FROM cells
+ORDER BY bigram
+"""
