@@ -325,25 +325,51 @@ def orders_littles_law_audit(sf_dir: str):
             )
             .group_by("l_orderkey")
             .aggregate([("ship_day", "max")])
-            .rename_columns(["l_orderkey", "close_day"])
+            .rename_columns(["l_orderkey", "ship_day"])
         )
 
-    close = (
-        li.map_batches(li_prep, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Max("close_day", alias_name="close_day"))
-    )
     orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_orderdate"])
-    joined = orders.join(
-        close,
+    # join the prepped fact side directly (never a groupby OUTPUT — a tiny
+    # key set can leave one aggregator partition schema-less, the r4 join
+    # gotcha), then collapse to per-order intervals with one groupby that
+    # carries the group-constant open day
+    joined = li.map_batches(li_prep, batch_format="pyarrow").join(
+        orders,
         join_type="inner",
         num_partitions=8,
-        on=("o_orderkey",),
-        right_on=("l_orderkey",),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def order_partial(t: pa.Table) -> pa.Table:
+        open_day = pa.array(
+            t["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False) // _DAY_US,
+            pa.int64(),
+        )
+        return (
+            pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "ship_day": t["ship_day"],
+                    "open_day": open_day,
+                }
+            )
+            .group_by("l_orderkey")
+            .aggregate([("ship_day", "max"), ("open_day", "min")])
+            .rename_columns(["l_orderkey", "close_day", "open_day"])
+        )
+
+    per_order = (
+        joined.map_batches(order_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(
+            Max("close_day", alias_name="close_day"),
+            Min("open_day", alias_name="open_day"),
+        )
     )
 
     def iv_partial(t: pa.Table) -> pa.Table:
-        a = t["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False) // _DAY_US
+        a = t["open_day"].combine_chunks().to_numpy(zero_copy_only=False)
         b = t["close_day"].combine_chunks().to_numpy(zero_copy_only=False)
         dur = b - a + 1
         # per-block partial of every scalar the audit needs, plus the
@@ -377,7 +403,7 @@ def orders_littles_law_audit(sf_dir: str):
         return pa.concat_tables([deltas, scal])
 
     g = (
-        joined.map_batches(iv_partial, batch_format="pyarrow")
+        per_order.map_batches(iv_partial, batch_format="pyarrow")
         .groupby("day")
         .aggregate(
             Sum("dlt", alias_name="dlt"),
@@ -481,20 +507,48 @@ def orders_allen_relation_census(sf_dir: str):
             .rename_columns(["l_orderkey", "close_day"])
         )
 
-    close = (
-        li.map_batches(li_prep, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Max("close_day", alias_name="close_day"))
-    )
     orders = rd.read_parquet(
         _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
     )
-    joined = orders.join(
-        close,
+    # fact-side join first, per-order collapse second (see orders_littles_
+    # law_audit for why a groupby output must never be a join input)
+    joined = li.map_batches(li_prep, batch_format="pyarrow").join(
+        orders,
         join_type="inner",
         num_partitions=8,
-        on=("o_orderkey",),
-        right_on=("l_orderkey",),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def order_partial(t: pa.Table) -> pa.Table:
+        open_day = pa.array(
+            t["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False) // _DAY_US,
+            pa.int64(),
+        )
+        return (
+            pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "close_day": t["close_day"],
+                    "open_day": open_day,
+                    "o_custkey": t["o_custkey"],
+                }
+            )
+            .group_by("l_orderkey")
+            .aggregate(
+                [("close_day", "max"), ("open_day", "min"), ("o_custkey", "min")]
+            )
+            .rename_columns(["l_orderkey", "close_day", "open_day", "o_custkey"])
+        )
+
+    per_order = (
+        joined.map_batches(order_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(
+            Max("close_day", alias_name="close_day"),
+            Min("open_day", alias_name="open_day"),
+            Min("o_custkey", alias_name="o_custkey"),
+        )
     )
 
     _RELS = [
@@ -516,10 +570,10 @@ def orders_allen_relation_census(sf_dir: str):
             return _empty
         s = g.take(
             pc.sort_indices(
-                g, sort_keys=[("o_orderdate", "ascending"), ("o_orderkey", "ascending")]
+                g, sort_keys=[("open_day", "ascending"), ("l_orderkey", "ascending")]
             )
         )
-        a = s["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False) // _DAY_US
+        a = s["open_day"].combine_chunks().to_numpy(zero_copy_only=False)
         b = s["close_day"].combine_chunks().to_numpy(zero_copy_only=False)
         ax, bx, ay, by = a[:-1], b[:-1], a[1:], b[1:]
         rel = np.select(
@@ -544,7 +598,7 @@ def orders_allen_relation_census(sf_dir: str):
         )
 
     g = (
-        joined.groupby("o_custkey")
+        per_order.groupby("o_custkey")
         .map_groups(census, batch_format="pyarrow")
         .groupby("rel")
         .aggregate(Sum("n", alias_name="n"))
