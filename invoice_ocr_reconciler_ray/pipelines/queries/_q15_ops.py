@@ -12,7 +12,11 @@ wave E — names verified absent from the 796-entry registry):
   revenue in exact cents (quantile_disc convention per window);
 * `orders_monthly_count_value_concordance` — Kendall-style concordant /
   discordant / tie pair counts between the monthly order-count and
-  revenue series (the exact integer core of τ_b, no sqrt taken).
+  revenue series (the exact integer core of τ_b, no sqrt taken);
+* `orders_median_ci_binomial` — distribution-free 95 % confidence
+  interval for the monthly-revenue median from binomial order
+  statistics, all combinatorics in exact big integers (2ⁿ obtained as
+  Σ C(n,i), never a float power).
 """
 
 from __future__ import annotations
@@ -336,4 +340,101 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
          AS n_discordant,
        CAST(SUM(CASE WHEN prod = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ties
 FROM p
+"""
+
+
+def orders_median_ci_binomial(sf_dir: str):
+    """Distribution-free 95 % CI for the MEDIAN of monthly revenue, from
+    binomial order statistics: the lower rank is the largest k with
+    P(Bin(n,½) < k) ≤ 0.025 — tested exactly as 40·Σ_{i<k} C(n,i) ≤ 2ⁿ,
+    with 2ⁿ obtained as Σᵢ C(n,i) so not a single float enters the
+    combinatorics (Python big ints / SQL HUGEINT via the exact Pascal
+    recurrence C(n,i) = C(n,i−1)·(n−i+1)/i).  Degenerate small-n series
+    fall back to the full range (l = 1).  Monthly cells via block
+    partials; the order-statistic fold is an O(n) driver pass."""
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(
+                pc.add(pc.multiply(pc.cast(t["o_totalprice"], pa.float64()), 100.0), 0.5)
+            ),
+            pa.int64(),
+        )
+        ym = pc.strftime(t["o_orderdate"], format="%Y-%m")
+        return (
+            pa.table({"ym": ym, "y": cents})
+            .group_by("ym")
+            .aggregate([("y", "sum")])
+            .rename_columns(["ym", "y"])
+        )
+
+    g = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("ym")
+        .aggregate(Sum("y", alias_name="y"))
+        .to_pandas()
+    )
+    y = np.sort(g["y"].to_numpy().astype(np.int64))
+    n = len(y)
+    import math as _math
+
+    cum = 0
+    two_n = 1 << n
+    l_rank = 0
+    for k in range(1, n + 1):
+        cum += _math.comb(n, k - 1)  # = P(Bin < k) numerator
+        if 40 * cum <= two_n:
+            l_rank = k
+        else:
+            break
+    if l_rank == 0:
+        l_rank = 1
+    u_rank = n + 1 - l_rank
+    med = int(y[(n + 1) // 2 - 1])
+    return pa.table(
+        {
+            "n_months": pa.array([n], pa.int64()),
+            "l_rank": pa.array([l_rank], pa.int64()),
+            "u_rank": pa.array([u_rank], pa.int64()),
+            "median_cents": pa.array([med], pa.int64()),
+            "ci_lo_cents": pa.array([int(y[l_rank - 1])], pa.int64()),
+            "ci_hi_cents": pa.array([int(y[u_rank - 1])], pa.int64()),
+        }
+    )
+
+
+ORDERS_MEDIAN_CI_BINOMIAL_SQL = """
+WITH RECURSIVE m AS MATERIALIZED (
+  SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+         CAST(SUM(FLOOR(o_totalprice * 100 + 0.5)) AS BIGINT) AS y
+  FROM orders GROUP BY ym
+), nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM m),
+binom AS (
+  SELECT CAST(0 AS BIGINT) AS i, CAST(1 AS HUGEINT) AS c,
+         CAST(1 AS HUGEINT) AS cum
+  UNION ALL
+  SELECT b.i + 1,
+         b.c * ((SELECT n FROM nn) - b.i) / (b.i + 1),
+         b.cum + b.c * ((SELECT n FROM nn) - b.i) / (b.i + 1)
+  FROM binom b WHERE b.i < (SELECT n FROM nn)
+), two_n AS (
+  SELECT cum AS t FROM binom WHERE i = (SELECT n FROM nn)
+), lr AS (
+  -- l = largest k with 40 * P(Bin < k)*2^n <= 2^n; cum at i = k-1
+  SELECT CAST(COALESCE(MAX(i + 1), 1) AS BIGINT) AS l_rank
+  FROM binom, two_n
+  WHERE 40 * cum <= t AND i < (SELECT n FROM nn)
+), ranks AS (
+  SELECT y, ROW_NUMBER() OVER (ORDER BY y) AS r FROM m
+)
+SELECT (SELECT n FROM nn) AS n_months,
+       l_rank,
+       (SELECT n FROM nn) + 1 - l_rank AS u_rank,
+       (SELECT y FROM ranks WHERE r = ((SELECT n FROM nn) + 1) // 2)
+         AS median_cents,
+       (SELECT y FROM ranks WHERE r = l_rank) AS ci_lo_cents,
+       (SELECT y FROM ranks, lr WHERE r = (SELECT n FROM nn) + 1 - l_rank)
+         AS ci_hi_cents
+FROM lr
 """

@@ -89,3 +89,20 @@ def test_wave_e_registered_with_oracles():
         "orders_monthly_count_value_concordance",
     ]:
         assert k in reg and k in osql
+
+
+def test_median_ci_binomial_known_n(tmp_path):
+    # n = 6 months: cum C(6,i) = 1,7,22,42,57,63,64; 40*1=40 <= 64 -> l=1
+    # only k=1 passes (40*7 > 64) -> CI = (x_(1), x_(6))
+    _write(
+        tmp_path,
+        "orders",
+        {
+            "o_orderdate": _ts([0, 31, 61, 92, 122, 153]),
+            "o_totalprice": pa.array([6.0, 1.0, 3.0, 2.0, 5.0, 4.0], pa.float64()),
+        },
+    )
+    out = Q.orders_median_ci_binomial(str(tmp_path)).to_pandas().iloc[0]
+    assert (out.n_months, out.l_rank, out.u_rank) == (6, 1, 6)
+    assert out.ci_lo_cents == 100 and out.ci_hi_cents == 600
+    assert out.median_cents == 300  # sorted[ceil(3)-1] = 3rd value
